@@ -1,0 +1,127 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.functions.DecimalSumAgg
+
+/** Aggregation surface (SURVEY.md §2.4 X5–X7, X15).
+  *
+  * The reference has no aggregation at all (SURVEY.md §2.3) — this is the
+  * extension surface mandated by BASELINE.json's north star.
+  *
+  * Determinism & scale notes:
+  *   - All money/quantity sums are computed over DECIMAL, not DOUBLE: decimal
+  *     addition is associative, so map-side partial aggregation + any merge
+  *     order yields identical results — required for the DuckDB oracle
+  *     hash-compare and for reproducibility on a real cluster. Final columns
+  *     are cast back to DOUBLE.
+  *   - `groupBy.agg` compiles to HashAggregate(partial) → shuffle →
+  *     HashAggregate(final): the shuffle carries only
+  *     |groups| × |partitions| rows, which is what makes this 100 TB-safe.
+  *   - `approx_count_distinct` (HLL++) is the constant-memory scale path for
+  *     distinct counts; the exact `countDistinct` forces a per-key shuffle
+  *     and is kept for the oracle contract.
+  */
+object Aggregates {
+
+  /** X5: TPC-H Q1-shaped grouped aggregation (sum/avg/count). */
+  def qAggGroup(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(dec2(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+        sum(dec2(col("l_extendedprice")) *
+          (lit(1).cast("decimal(18,6)") - col("l_discount").cast("decimal(18,6)")))
+          .cast("double").as("sum_disc_price"),
+        (sum(dec2(col("l_quantity"))).cast("double") / count(lit(1)))
+          .as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** X6: exact distinct counts (shuffle-heavy; see qApproxDistinct for the
+    * scale path). */
+  def qDistinct(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d).agg(
+      countDistinct(col("l_partkey")).as("n_parts"),
+      countDistinct(col("l_suppkey")).as("n_supps"),
+      count(lit(1)).as("n_rows"))
+
+  /** X6: HLL++ approximate distinct — constant memory per group, single
+    * shuffle of sketches, the 100 TB answer to COUNT(DISTINCT). Non-oracle
+    * (sketch internals are engine-specific); driver records rows-only. */
+  def qApproxDistinct(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
+        approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
+
+  /** X7: ROLLUP grouping sets. Null group keys from the rollup are projected
+    * to an 'ALL' sentinel so ordering semantics (Spark NULLS FIRST vs DuckDB
+    * NULLS LAST) can't skew the hash-compare. */
+  def qRollup(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("n"), col("sum_qty"))
+      .orderBy("rf", "ls")
+
+  /** X15: custom typed Aggregator — exact-decimal revenue per flag. */
+  def qCustomAgg(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(DecimalSumAgg.decimalSum(
+        dec2(col("l_extendedprice")) *
+          (lit(1).cast("decimal(18,6)") - col("l_discount").cast("decimal(18,6)")))
+        .cast("double").as("revenue"))
+      .orderBy("l_returnflag")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_agg_group"       -> qAggGroup _,
+    "q_distinct"        -> qDistinct _,
+    "q_approx_distinct" -> qApproxDistinct _,
+    "q_rollup"          -> qRollup _,
+    "q_custom_agg"      -> qCustomAgg _,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_agg_group" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |           (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_distinct" ->
+      """SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+        |       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
+        |       CAST(COUNT(*) AS BIGINT) AS n_rows
+        |FROM lineitem""".stripMargin,
+    "q_rollup" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+        |       COALESCE(l_linestatus, 'ALL') AS ls,
+        |       CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin,
+    "q_custom_agg" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |           (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))) AS DOUBLE) AS revenue
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+  )
+}
