@@ -21,11 +21,15 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ops.Relational.queries ++
-    ops.Aggregates.queries
+    ops.Aggregates.queries ++
+    ops.Windows.queries ++
+    ops.SetOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     ops.Relational.oracleSql ++
-    ops.Aggregates.oracleSql
+    ops.Aggregates.oracleSql ++
+    ops.Windows.oracleSql ++
+    ops.SetOps.oracleSql
 }
