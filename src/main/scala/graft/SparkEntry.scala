@@ -23,7 +23,8 @@ object SparkEntry {
     ops.Relational.queries ++
     ops.Aggregates.queries ++
     ops.Windows.queries ++
-    ops.SetOps.queries
+    ops.SetOps.queries ++
+    ops.Text.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -31,5 +32,6 @@ object SparkEntry {
     ops.Relational.oracleSql ++
     ops.Aggregates.oracleSql ++
     ops.Windows.oracleSql ++
-    ops.SetOps.oracleSql
+    ops.SetOps.oracleSql ++
+    ops.Text.oracleSql
 }

@@ -1,0 +1,294 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Text-analysis + deduplication surface (SURVEY.md §2.4 X1, X2, X4, X13) —
+  * the LLM-training-data-pipeline operators mandated by BASELINE.json's
+  * north star, over the `documents` table.
+  *
+  * Scale posture:
+  *   - Tokenization/scoring are per-row narrow transforms — fully
+  *     codegen'd, no shuffle, linear scan at any scale.
+  *   - Exact dedup is a hash groupBy on a 128-bit content fingerprint:
+  *     one shuffle of (fingerprint, id) pairs, never the document bodies.
+  *   - Near-dup dedup here is the EXACT shingle-Jaccard form (the oracle
+  *     contract): explode distinct shingles, equi-join on shingle,
+  *     count-per-pair. Worst case is quadratic in docs-per-shingle; the
+  *     100 TB path is the MinHash-LSH prefilter in [[MinHashDedup]] which
+  *     bounds candidates per band bucket, then verifies with this same
+  *     exact Jaccard.
+  */
+object Text {
+
+  /** Lowercased alnum tokens; identical semantics in the DuckDB oracle via
+    * string_split_regex + list_filter. */
+  private def toks(c: Column): Column =
+    filter(split(lower(c), "[^a-z0-9]+"), t => t =!= "")
+
+  /** Adjacent-word bigram shingles over distinct tokensequence positions.
+    * zip_with(slice,slice) instead of sequence() — Spark's sequence(1,0)
+    * DESCENDS for single-token docs, which would fabricate shingles. */
+  private def bigrams(tk: Column): Column =
+    array_distinct(zip_with(
+      slice(tk, lit(1), size(tk) - 1),
+      slice(tk, lit(2), size(tk) - 1),
+      (a, b) => concat_ws(" ", a, b)))
+
+  /** X13: scalar function surface — string, date, math, and the
+    * comma-decimal normalization the reference's data model needs
+    * (capital_social "195400,00" → DECIMAL; FIXTURES.md A.1). */
+  def qScalarFuncs(s: SparkSession, d: String): DataFrame =
+    orders(s, d).select(
+      col("o_orderkey"),
+      upper(col("o_orderpriority")).as("pri_up"),
+      substring(col("o_orderpriority"), 1, 1).as("pri_code"),
+      concat(col("o_orderstatus"), lit("_"), col("o_orderpriority"))
+        .as("status_pri"),
+      length(col("o_orderpriority")).cast("long").as("pri_len"),
+      year(col("o_orderdate")).cast("long").as("o_year"),
+      month(col("o_orderdate")).cast("long").as("o_month"),
+      datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date"))
+        .cast("long").as("days_since_95"),
+      round(col("o_totalprice").cast("decimal(18,2)"), 1).cast("double")
+        .as("price_round"),
+      abs(col("o_totalprice") - 100000.0d).as("price_abs_dev"),
+      // Brazilian comma-decimal round trip: decimal → "123456,78" → decimal
+      regexp_replace(col("o_totalprice").cast("decimal(18,2)").cast("string"),
+        "\\.", ",").as("price_br"),
+      regexp_replace(
+        regexp_replace(col("o_totalprice").cast("decimal(18,2)").cast("string"),
+          "\\.", ","),
+        ",", ".").cast("decimal(18,2)").cast("double").as("price_norm"))
+      .orderBy("o_orderkey")
+
+  /** X4: corpus token frequency — top 100 tokens. */
+  def qTextTokens(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(explode(toks(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(100)
+
+  /** X4: per-document token counting — whitespace tokens and a BPE-ish
+    * regex segmentation (letter runs / digit runs / single other). */
+  def qTokenCount(s: SparkSession, d: String): DataFrame =
+    documents(s, d).select(
+      col("doc_id"),
+      col("n_chars"),
+      size(filter(split(col("text"), "\\s+"), t => t =!= ""))
+        .cast("long").as("ws_tokens"),
+      size(regexp_extract_all(lower(col("text")),
+        lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+        .cast("long").as("bpe_tokens"))
+      .orderBy("doc_id")
+
+  /** X4: quality scoring — length/stopword/char-class heuristics of the
+    * kind used to filter LLM pretraining corpora. All arithmetic is
+    * integer-derived + one double division → engine-exact. */
+  def qTextQuality(s: SparkSession, d: String): DataFrame = {
+    val stop = Seq("the", "a", "of", "and", "to", "in", "is", "on",
+      "for", "with")
+    documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        length(col("text")).cast("long").as("n_chars_m"),
+        toks(col("text")).as("tk"))
+      .select(col("doc_id"), col("lang"), col("n_chars_m"),
+        size(col("tk")).cast("long").as("n_tokens"),
+        size(filter(col("tk"), t => t.isin(stop: _*)))
+          .cast("long").as("n_stop"))
+      .select(col("doc_id"), col("lang"), col("n_chars_m"), col("n_tokens"),
+        col("n_stop"),
+        (col("n_stop").cast("double") / col("n_tokens")).as("stop_ratio"),
+        (col("n_chars_m").cast("double") / col("n_tokens")).as("chars_per_tok"),
+        (least(col("n_tokens"), lit(100)).cast("double") / 100.0d * 0.5d +
+          col("n_stop").cast("double") / col("n_tokens") * 0.5d)
+          .as("quality"))
+      .orderBy("doc_id")
+  }
+
+  /** X4: n-gram-heuristic language ID — stopword-marker votes per language,
+    * argmax with fixed tie order. (The synthetic corpus is English-ish word
+    * soup, so most rows vote 'en'; the operator's contract is determinism,
+    * not linguistic accuracy.) */
+  def qLangId(s: SparkSession, d: String): DataFrame = {
+    def votes(tk: Column, words: Seq[String]): Column =
+      size(filter(tk, t => t.isin(words: _*))).cast("long")
+    documents(s, d)
+      .select(col("doc_id"), col("lang"), toks(col("text")).as("tk"))
+      .select(col("doc_id"), col("lang"),
+        votes(col("tk"), Seq("the", "and", "of", "is")).as("v_en"),
+        votes(col("tk"), Seq("der", "und", "die", "das")).as("v_de"),
+        votes(col("tk"), Seq("le", "la", "et", "les")).as("v_fr"),
+        votes(col("tk"), Seq("el", "los", "que", "de")).as("v_es"))
+      .withColumn("pred",
+        when(col("v_en") >= greatest(col("v_de"), col("v_fr"), col("v_es")),
+          lit("en"))
+          .when(col("v_de") >= greatest(col("v_fr"), col("v_es")), lit("de"))
+          .when(col("v_fr") >= col("v_es"), lit("fr"))
+          .otherwise(lit("es")))
+      .select("doc_id", "lang", "v_en", "v_de", "v_fr", "v_es", "pred")
+      .orderBy("doc_id")
+  }
+
+  /** X4: document fingerprinting — md5 of whitespace-normalized text (the
+    * exact-dedup content key). */
+  def qFingerprint(s: SparkSession, d: String): DataFrame =
+    documents(s, d).select(
+      col("doc_id"),
+      md5(regexp_replace(trim(lower(col("text"))), "\\s+", " ")).as("fp"),
+      length(col("text")).cast("long").as("n_chars_m"))
+      .orderBy("doc_id")
+
+  /** X1: exact deduplication — hash-groupBy on the content fingerprint;
+    * keeps min doc_id per group. Shuffles only (fp, id) pairs. */
+  def qDedupExact(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(md5(regexp_replace(trim(lower(col("text"))), "\\s+", " "))
+        .as("fp"), col("doc_id"))
+      .groupBy("fp")
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
+      .orderBy("fp")
+
+  /** X2: near-duplicate pairs by EXACT word-bigram Jaccard ≥ 0.6 (the
+    * corpus has a clean gap: built-in near-dups sit ≥0.9, background <0.4).
+    * Oracle-checkable; the LSH-accelerated variant is q_minhash_lsh. */
+  def qDedupNear(s: SparkSession, d: String): DataFrame = {
+    val sh = documents(s, d)
+      .select(col("doc_id"), explode(bigrams(toks(col("text")))).as("s"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val pairs = sh.as("a").join(sh.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("c"))
+    pairs
+      .join(sizes.as("sa"), col("da") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("db") === col("sb.doc_id"))
+      .select(col("da"), col("db"),
+        round(col("c").cast("double") /
+          (col("sa.n") + col("sb.n") - col("c")), 6).as("jaccard"))
+      .where(col("jaccard") >= 0.6)
+      .orderBy("da", "db")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_scalar_funcs" -> qScalarFuncs _,
+    "q_text_tokens"  -> qTextTokens _,
+    "q_token_count"  -> qTokenCount _,
+    "q_text_quality" -> qTextQuality _,
+    "q_lang_id"      -> qLangId _,
+    "q_fingerprint"  -> qFingerprint _,
+    "q_dedup_exact"  -> qDedupExact _,
+    "q_dedup_near"   -> qDedupNear _,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_scalar_funcs" ->
+      """SELECT o_orderkey,
+        |  upper(o_orderpriority) AS pri_up,
+        |  substring(o_orderpriority, 1, 1) AS pri_code,
+        |  o_orderstatus || '_' || o_orderpriority AS status_pri,
+        |  CAST(length(o_orderpriority) AS BIGINT) AS pri_len,
+        |  CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(month(o_orderdate) AS BIGINT) AS o_month,
+        |  CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+        |       AS BIGINT) AS days_since_95,
+        |  CAST(round(CAST(o_totalprice AS DECIMAL(18,2)), 1) AS DOUBLE)
+        |    AS price_round,
+        |  abs(o_totalprice - 100000.0) AS price_abs_dev,
+        |  replace(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR),
+        |          '.', ',') AS price_br,
+        |  CAST(CAST(replace(replace(
+        |      CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR), '.', ','),
+        |      ',', '.') AS DECIMAL(18,2)) AS DOUBLE) AS price_norm
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_text_tokens" ->
+      """SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM (SELECT unnest(string_split_regex(lower(text), '[^a-z0-9]+'))
+        |        AS token FROM documents)
+        |WHERE token <> ''
+        |GROUP BY token ORDER BY n DESC, token LIMIT 100""".stripMargin,
+    "q_token_count" ->
+      """SELECT doc_id, n_chars,
+        |  CAST(len(list_filter(string_split_regex(text, '\s+'),
+        |       x -> x <> '')) AS BIGINT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(lower(text),
+        |       '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_text_quality" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS n_chars_m,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                x -> x <> '') AS tk
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, lang, n_chars_m,
+        |    CAST(len(tk) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_filter(tk, x -> x IN ('the','a','of','and','to',
+        |      'in','is','on','for','with'))) AS BIGINT) AS n_stop
+        |  FROM t)
+        |SELECT doc_id, lang, n_chars_m, n_tokens, n_stop,
+        |  CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio,
+        |  CAST(n_chars_m AS DOUBLE) / n_tokens AS chars_per_tok,
+        |  CAST(least(n_tokens, 100) AS DOUBLE) / 100.0 * 0.5 +
+        |    CAST(n_stop AS DOUBLE) / n_tokens * 0.5 AS quality
+        |FROM c ORDER BY doc_id""".stripMargin,
+    "q_lang_id" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                x -> x <> '') AS tk
+        |  FROM documents),
+        |v AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(list_filter(tk, x -> x IN ('the','and','of','is')))
+        |      AS BIGINT) AS v_en,
+        |    CAST(len(list_filter(tk, x -> x IN ('der','und','die','das')))
+        |      AS BIGINT) AS v_de,
+        |    CAST(len(list_filter(tk, x -> x IN ('le','la','et','les')))
+        |      AS BIGINT) AS v_fr,
+        |    CAST(len(list_filter(tk, x -> x IN ('el','los','que','de')))
+        |      AS BIGINT) AS v_es
+        |  FROM t)
+        |SELECT doc_id, lang, v_en, v_de, v_fr, v_es,
+        |  CASE WHEN v_en >= greatest(v_de, v_fr, v_es) THEN 'en'
+        |       WHEN v_de >= greatest(v_fr, v_es) THEN 'de'
+        |       WHEN v_fr >= v_es THEN 'fr'
+        |       ELSE 'es' END AS pred
+        |FROM v ORDER BY doc_id""".stripMargin,
+    "q_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
+        |  CAST(length(text) AS BIGINT) AS n_chars_m
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_dedup_exact" ->
+      """SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
+        |  CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_dups
+        |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
+    "q_dedup_near" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                x -> x <> '') AS tk
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    unnest(list_distinct(list_transform(range(1, len(tk)),
+        |      i -> tk[i] || ' ' || tk[i+1]))) AS s
+        |  FROM toks),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS c
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT da, db,
+        |  round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) AS jaccard
+        |FROM pairs
+        |JOIN sizes sa ON pairs.da = sa.doc_id
+        |JOIN sizes sb ON pairs.db = sb.doc_id
+        |WHERE round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) >= 0.6
+        |ORDER BY da, db""".stripMargin,
+  )
+}
