@@ -24,7 +24,8 @@ object SparkEntry {
     ops.Aggregates.queries ++
     ops.Windows.queries ++
     ops.SetOps.queries ++
-    ops.Text.queries
+    ops.Text.queries ++
+    ops.Vectors.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -33,5 +34,6 @@ object SparkEntry {
     ops.Aggregates.oracleSql ++
     ops.Windows.oracleSql ++
     ops.SetOps.oracleSql ++
-    ops.Text.oracleSql
+    ops.Text.oracleSql ++
+    ops.Vectors.oracleSql
 }
