@@ -25,7 +25,10 @@ object SparkEntry {
     ops.Windows.queries ++
     ops.SetOps.queries ++
     ops.Text.queries ++
-    ops.Vectors.queries
+    ops.Vectors.queries ++
+    ops.Sketches.queries ++
+    ops.Multimodal.queries ++
+    ops.Sources.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -35,5 +38,8 @@ object SparkEntry {
     ops.Windows.oracleSql ++
     ops.SetOps.oracleSql ++
     ops.Text.oracleSql ++
-    ops.Vectors.oracleSql
+    ops.Vectors.oracleSql ++
+    ops.Sketches.oracleSql ++
+    ops.Multimodal.oracleSql ++
+    ops.Sources.oracleSql
 }

@@ -1,0 +1,98 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Multimodal-column plumbing (builder mandate: image/audio/video as opaque
+  * binary columns + typed metadata, with distributed decode/feature
+  * extraction).
+  *
+  * The container has no image/audio codecs, so the DECODE step is a
+  * clearly-marked deterministic stub ([[fakeDecode]]) — but everything
+  * Spark-side is real and tested: binary payload column, metadata struct,
+  * partition-batched processing through a typed Dataset, and a stable
+  * feature-vector schema.
+  *
+  * Scale posture: payloads travel as parquet BINARY (never through the
+  * driver); [[qMultimodalDecode]] processes them with `mapPartitions` so a
+  * real decoder would amortize model/codec init per partition (the same
+  * batch shape `mapInPandas`/`mapInArrow` gives Python UDFs). Feature
+  * extraction emits fixed-width vectors → downstream joins/ANN shuffle
+  * small columns, not blobs.
+  */
+object Multimodal {
+
+  /** Payload table: text bytes stand in for encoded media. */
+  private def payloads(s: SparkSession, d: String): DataFrame =
+    documents(s, d).select(
+      col("doc_id"),
+      encode(col("text"), "UTF-8").as("payload"),
+      struct(
+        lit("application/octet-stream").as("mime"),
+        octet_length(col("text")).cast("long").as("byte_len"),
+        (octet_length(col("text")) % 640).cast("long").as("width"),
+        (octet_length(col("text")) * 7 % 480).cast("long").as("height"))
+        .as("meta"))
+
+  /** Oracle-checkable metadata projection over the binary column. */
+  def qMultimodalMeta(s: SparkSession, d: String): DataFrame =
+    payloads(s, d).select(
+      col("doc_id"),
+      col("meta.mime").as("mime"),
+      col("meta.byte_len").as("byte_len"),
+      col("meta.width").as("width"),
+      col("meta.height").as("height"))
+      .orderBy("doc_id")
+
+  /** STUB decode: a real implementation would JNI/FFI into a codec here
+    * (jpeg decode, audio resample, frame sample). Deterministic fake:
+    * mean byte value + an 8-dim "feature" from the first 8 bytes. */
+  private def fakeDecode(payload: Array[Byte]): (Double, Array[Float]) = {
+    var sum = 0L
+    var i = 0
+    while (i < payload.length) { sum += payload(i) & 0xFF; i += 1 }
+    val mean = if (payload.length == 0) 0.0 else sum.toDouble / payload.length
+    val feat = new Array[Float](8)
+    i = 0
+    while (i < 8) {
+      feat(i) = if (i < payload.length) (payload(i) & 0xFF).toFloat else 0f
+      i += 1
+    }
+    (mean, feat)
+  }
+
+  /** Distributed decode/feature-extract over the binary column via
+    * mapPartitions (per-partition batch processing — codec init would be
+    * amortized here). Non-oracle (binary lambda), rows-only checked;
+    * ScalaTest pins exact values. */
+  def qMultimodalDecode(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    payloads(s, d)
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val (mean, feat) = fakeDecode(bytes)
+          (id, bytes.length.toLong, mean, feat)
+        }
+      }
+      .toDF("doc_id", "byte_len", "mean_byte", "feature")
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_multimodal_meta"   -> qMultimodalMeta _,
+    "q_multimodal_decode" -> qMultimodalDecode _,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_multimodal_meta" ->
+      """SELECT doc_id,
+        |  'application/octet-stream' AS mime,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        |  CAST(octet_length(encode(text)) % 640 AS BIGINT) AS width,
+        |  CAST(octet_length(encode(text)) * 7 % 480 AS BIGINT) AS height
+        |FROM documents ORDER BY doc_id""".stripMargin,
+  )
+}

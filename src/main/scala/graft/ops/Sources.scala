@@ -1,0 +1,87 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables._
+
+/** Source/sink surface (SURVEY.md §2.1 S4–S8): schema-on-read CSV in the
+  * reference's dialect (`;`-separated, headerless, latin-1 — the Receita
+  * Federal CNPJ format) and the parquet warehouse round trip.
+  *
+  * The reference needed a whole chunked rewrite stage to attach headers
+  * (ETLCNPJFinalEmpresaEstabelecimentos.py:84-94); Spark's schema-on-read
+  * makes that a zero-pass no-op. The reference's chunked SQLite append +
+  * commit (:167-173) maps to a parquet write with an atomic job-commit
+  * protocol — partition-parallel, no FK pragma dance.
+  *
+  * Scale posture: both round-trips write through `Tables`-style columnar
+  * parquet or splittable CSV; writes parallelize per partition and the
+  * read-back scans push filters/projection down. Round-trip artifacts go
+  * under target/graft_io/<sf> so repeated runs overwrite deterministically.
+  */
+object Sources {
+
+  private def ioDir(d: String): String = {
+    val sf = new java.io.File(d).getName
+    s"${sys.props.getOrElse("graft.io.dir", "target/graft_io")}/$sf"
+  }
+
+  /** S4/S5/S6: write a lineitem projection as headerless `;`-CSV in
+    * ISO-8859-1, read it back with an externally-applied schema (the CNPJ
+    * ingest semantic), return it ordered. Money goes through DECIMAL(18,2)
+    * so the text round-trip is exact. */
+  def qCsvScan(s: SparkSession, d: String): DataFrame = {
+    val out = s"${ioDir(d)}/csv_roundtrip"
+    lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        dec2(col("l_quantity")).as("qty"))
+      .write.mode("overwrite")
+      .option("sep", ";").option("header", "false")
+      .option("encoding", "ISO-8859-1")
+      .csv(out)
+    val schema = StructType(Seq(
+      StructField("l_orderkey", LongType),
+      StructField("l_linenumber", IntegerType),
+      StructField("l_returnflag", StringType),
+      StructField("qty", DecimalType(18, 2))))
+    s.read.schema(schema)
+      .option("sep", ";").option("header", "false")
+      .option("encoding", "ISO-8859-1")
+      .csv(out)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        col("qty").cast("double").as("qty"))
+      .orderBy("l_orderkey", "l_linenumber", "l_returnflag", "qty")
+  }
+
+  /** S8/S9: warehouse round trip — overwrite-write a parquet table,
+    * read it back, aggregate. (The reference's DROP+CREATE+append+commit
+    * ≙ SaveMode.Overwrite with an atomic commit.) */
+  def qTableRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val out = s"${ioDir(d)}/orders_warehouse"
+    orders(s, d).write.mode("overwrite").parquet(out)
+    s.read.parquet(out)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum(dec2(col("o_totalprice"))).cast("double").as("sum_price"))
+      .orderBy("o_orderstatus")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_csv_scan"        -> qCsvScan _,
+    "q_table_roundtrip" -> qTableRoundtrip _,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_csv_scan" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag,
+        |  CAST(CAST(l_quantity AS DECIMAL(18,2)) AS DOUBLE) AS qty
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, l_returnflag, qty""".stripMargin,
+    "q_table_roundtrip" ->
+      """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_price
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+  )
+}

@@ -24,13 +24,13 @@ object Text {
 
   /** Lowercased alnum tokens; identical semantics in the DuckDB oracle via
     * string_split_regex + list_filter. */
-  private def toks(c: Column): Column =
+  private[ops] def toks(c: Column): Column =
     filter(split(lower(c), "[^a-z0-9]+"), t => t =!= "")
 
   /** Adjacent-word bigram shingles over distinct tokensequence positions.
     * zip_with(slice,slice) instead of sequence() — Spark's sequence(1,0)
     * DESCENDS for single-token docs, which would fabricate shingles. */
-  private def bigrams(tk: Column): Column =
+  private[ops] def bigrams(tk: Column): Column =
     array_distinct(zip_with(
       slice(tk, lit(1), size(tk) - 1),
       slice(tk, lit(2), size(tk) - 1),
