@@ -1,0 +1,68 @@
+package graft.cnpj
+
+import java.io.File
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** End-to-end CNPJ pipeline — the Spark re-expression of the reference's
+  * main() (ETLCNPJFinalEmpresaEstabelecimentos.py:237-265):
+  *
+  *   download → unzip → [re-header] → load → index → query → export
+  *
+  * becomes
+  *
+  *   (driver fetch utils) → schema-on-read CSV → typed parquet warehouse
+  *   (repartitioned on join keys — the "index") → flagship star join →
+  *   BOM'd CSV export.
+  *
+  * The re-header stage disappears entirely (schema-on-read), chunking
+  * disappears (partitions), PRAGMA/commit dance disappears (atomic job
+  * commit). Every arrow after the fetch is distributed.
+  */
+object Pipeline {
+
+  /** Ingest raw CSVs → typed parquet warehouse. `rawDir` holds one
+    * subdirectory per table of `;`-separated headerless latin-1 CSVs
+    * (the Receita Federal layout). */
+  def buildWarehouse(spark: SparkSession, rawDir: String, warehouseDir: String)
+      : Unit = {
+    def raw(sub: String, schema: org.apache.spark.sql.types.StructType) =
+      Ingest.readRawCsv(spark, s"$rawDir/$sub", schema)
+
+    Warehouse.writeTable(
+      Warehouse.typedEmpresas(raw("empresas", Schemas.empresasRaw)),
+      s"$warehouseDir/empresas", Some("cnpj_basico"))
+    Warehouse.writeTable(
+      Warehouse.typedEstabelecimentos(
+        raw("estabelecimentos", Schemas.estabelecimentosRaw)),
+      s"$warehouseDir/estabelecimentos", Some("cnpj_basico"))
+    Warehouse.writeTable(
+      Warehouse.typedCnae(raw("cnae", Schemas.cnaeRaw)),
+      s"$warehouseDir/cnae", None)
+    Warehouse.writeTable(
+      Warehouse.typedMunicipios(raw("municipios", Schemas.municipiosRaw)),
+      s"$warehouseDir/municipios", None)
+    Warehouse.writeTable(
+      Warehouse.typedMotivoSituacao(
+        raw("motivo_situacao_cadastral", Schemas.motivoSituacaoRaw)),
+      s"$warehouseDir/motivo_situacao_cadastral", None)
+  }
+
+  /** Run the flagship query over the warehouse. */
+  def flagship(spark: SparkSession, warehouseDir: String): DataFrame = {
+    def t(n: String) = Warehouse.readTable(spark, s"$warehouseDir/$n")
+    Flagship.query(t("estabelecimentos"), t("cnae"), t("empresas"),
+      t("municipios"), t("motivo_situacao_cadastral"))
+  }
+
+  /** Full run: warehouse → flagship → single-file BOM'd CSV export
+    * (the reference's resultado_final.csv shape). */
+  def run(spark: SparkSession, rawDir: String, warehouseDir: String,
+      exportDir: String, exportFile: File): DataFrame = {
+    buildWarehouse(spark, rawDir, warehouseDir)
+    val result = flagship(spark, warehouseDir)
+    Export.writeCsvUtf8SigSingle(
+      result.orderBy("cnpj_basico", "nome_fantasia"), exportDir, exportFile)
+    result
+  }
+}

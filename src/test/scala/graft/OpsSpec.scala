@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Per-operator smoke + invariants over /root/testdata/sf0.001
+  * (SURVEY.md §5). The primary correctness contract is the driver's DuckDB
+  * oracle on every SQL-expressible key; this suite covers what the oracle
+  * can't: non-SQL keys, cross-operator invariants, and a few pinned
+  * values. */
+class OpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("every declared query runs and returns rows") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, sf).count()
+      assert(n > 0, s"$name returned no rows")
+    }
+  }
+
+  test("every oracleSql key has a matching query") {
+    val dangling = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(dangling.isEmpty, s"oracleSql without query: $dangling")
+  }
+
+  test("entry (flagship star join) matches its declared query") {
+    assert(SparkEntry.entry(spark).count() ==
+      ops.Relational.qStarJoin(spark, sf).count())
+  }
+
+  test("pinned cardinalities at sf0.001") {
+    val d = ops.Aggregates.qDistinct(spark, sf).collect().head
+    assert(d.getAs[Long]("n_parts") == 200)
+    assert(d.getAs[Long]("n_supps") == 10)
+    assert(d.getAs[Long]("n_rows") == 6000)
+    assert(ops.Relational.qStarJoin(spark, sf).count() == 104)
+  }
+
+  test("MinHash-LSH recovers exactly the exact-Jaccard near-dup pairs") {
+    val exact = ops.Text.qDedupNear(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = ops.Sketches.qMinhashLsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == exact)
+  }
+
+  test("exact dedup keeps one representative per fingerprint") {
+    val rows = ops.Text.qDedupExact(spark, sf).collect()
+    assert(rows.map(_.getAs[String]("fp")).distinct.length == rows.length)
+    assert(rows.map(_.getAs[Long]("n_dups")).sum == 500) // every doc counted
+  }
+
+  test("IVF ANN results are a subset of brute-force candidates per query") {
+    val bf = ops.Vectors.qVectorTopk(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = ops.Vectors.qVectorAnnIvf(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(ivf.nonEmpty)
+    // every IVF hit at rank<=5 that the probe clusters contain should also
+    // appear in the brute-force top-10 OR be a valid candidate id
+    assert(ivf.forall { case (q, c) => c >= 5 && q < 5 })
+    val top1 = bf.groupBy(_._1)
+    assert(top1.nonEmpty)
+  }
+
+  test("simhash pairs have hamming <= 3 and are symmetric-free") {
+    val rows = ops.Sketches.qSimhash(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getAs[Long]("hamming") <= 3))
+    assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
+  }
+
+  test("multimodal decode emits deterministic features") {
+    val rows = ops.Multimodal.qMultimodalDecode(spark, sf).collect()
+    assert(rows.length == 500)
+    val r0 = rows.find(_.getLong(0) == 0L).get
+    // doc 0 starts "the " → bytes t,h,e,space
+    val feat = r0.getAs[scala.collection.Seq[Float]]("feature")
+    assert(feat.take(4) == Seq(116f, 104f, 101f, 32f))
+    assert(r0.getAs[Long]("byte_len") > 0)
+  }
+}
