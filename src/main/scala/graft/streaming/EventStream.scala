@@ -1,0 +1,56 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface (SURVEY.md §2.4 X14 streaming form).
+  *
+  * The batch operator [[graft.ops.Windows.qTimeWindow]] and this module
+  * share the same `window()` expression — the Spark design point where a
+  * batch aggregation becomes a streaming one by adding `readStream` + a
+  * watermark. The reference has no streaming at all (SURVEY.md §2.3);
+  * this is extension surface sized for the events firehose case:
+  * watermarked state eviction keeps per-executor state bounded no matter
+  * how long the stream runs.
+  */
+object EventStream {
+
+  /** Events schema as Spark sees it with nanosAsLong (the testdata's
+    * TIMESTAMP(NANOS) column arrives as epoch-nanos LongType). */
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Streaming read of an events parquet directory. */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(eventsSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Tumbling 1-hour windowed aggregation with a 2-hour watermark —
+    * identical shape to the batch q_time_window. */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts_t", "2 hours")
+      .groupBy(window(col("ts_t"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("w.start").as("wstart"), col("event_type"), col("n"),
+        col("sum_value"))
+
+  /** Streaming exact dedup on event_id within the watermark horizon —
+    * the streaming form of X1 (state = one key per id, evicted by the
+    * watermark, so memory stays bounded). */
+  def dedupedEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts_t", "2 hours")
+      .dropDuplicates("event_id")
+}
