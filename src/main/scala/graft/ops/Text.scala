@@ -153,23 +153,93 @@ object Text {
 
   /** X2: near-duplicate pairs by EXACT word-bigram Jaccard ≥ 0.6 (the
     * corpus has a clean gap: built-in near-dups sit ≥0.9, background <0.4).
-    * Oracle-checkable; the LSH-accelerated variant is q_minhash_lsh. */
+    *
+    * Prefix-filtered exact join (ppjoin-style): shingles are hashed to
+    * longs (64-bit — collisions are negligible at any realistic shingle
+    * cardinality) and each doc's shingle set is sorted under that global
+    * hash order. J(a,b) ≥ τ ⇒ |a∩b| ≥ ⌈τ·|a|⌉, so two qualifying docs MUST
+    * share a shingle within each other's first n−⌈τn⌉+1 shingles — only
+    * those prefixes are exploded and equi-joined, then candidates are
+    * verified with the codegen'd two-pointer [[SortedIntersectCount]].
+    * Same output as the brute-force all-pairs form (the oracle SQL), at a
+    * fraction of the join volume; the further 100 TB step is the
+    * MinHash-LSH prefilter (q_minhash_lsh) when even prefixes are dense. */
   def qDedupNear(s: SparkSession, d: String): DataFrame = {
-    val sh = documents(s, d)
-      .select(col("doc_id"), explode(bigrams(toks(col("text")))).as("s"))
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val pairs = sh.as("a").join(sh.as("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-      .agg(count(lit(1)).as("c"))
-    pairs
-      .join(sizes.as("sa"), col("da") === col("sa.doc_id"))
-      .join(sizes.as("sb"), col("db") === col("sb.doc_id"))
-      .select(col("da"), col("db"),
-        round(col("c").cast("double") /
-          (col("sa.n") + col("sb.n") - col("c")), 6).as("jaccard"))
+    val arr = shingleSets(s, d)
+    // Adaptive strategy, the same decision AQE makes for joins: when one
+    // side's sketch table fits a broadcast (each row is just doc_id + ~60
+    // hashed shingles), all-pairs verification through the codegen kernel
+    // is pure compute with ZERO shuffle and beats any candidate-join plan.
+    // Beyond broadcast size, fall back to the prefix-filtered shuffle join.
+    val nDocs = documents(s, d).count()
+    val verified =
+      if (nDocs <= 100000) dedupNearBroadcast(arr)
+      else dedupNearPrefixJoin(arr)
+    verified
       .where(col("jaccard") >= 0.6)
       .orderBy("da", "db")
+  }
+
+  /** Per-doc sorted shingle-hash sets. 64-bit hashes make collisions
+    * negligible at any realistic shingle cardinality; sorting under the
+    * hash order gives a consistent global order for both the two-pointer
+    * kernel and the prefix filter. */
+  private[graft] def shingleSets(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"),
+        explode(bigrams(toks(col("text")))).as("sstr"))
+      .select(col("doc_id"), xxhash64(col("sstr")).as("h"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_set(col("h"))).as("hs"))
+      .withColumn("n", size(col("hs")))
+
+  /** Small-corpus path: broadcast nested-loop over doc pairs, exact
+    * Jaccard via the codegen'd two-pointer [[SortedIntersectCount]].
+    *
+    * The explicit repartition matters: the sketch table is tiny in BYTES,
+    * so AQE coalesces its shuffle output to ~1 partition — right for data
+    * volume, wrong for this compute-bound stage (n²/2 kernel evals would
+    * land on one core). Pinning partitions to cluster parallelism keeps
+    * the verification scan CPU-bound across all cores. */
+  private def dedupNearBroadcast(arr: DataFrame): DataFrame = {
+    import graft.functions.SortedIntersectCount.sortedIntersectCount
+    val par = arr.sparkSession.sparkContext.defaultParallelism
+    arr.repartition(par).as("aa")
+      .join(broadcast(arr.as("ab")), col("aa.doc_id") < col("ab.doc_id"))
+      .select(col("aa.doc_id").as("da"), col("ab.doc_id").as("db"),
+        sortedIntersectCount(col("aa.hs"), col("ab.hs")).as("c"),
+        col("aa.n").as("na"), col("ab.n").as("nb"))
+      .select(col("da"), col("db"),
+        round(col("c").cast("double") /
+          (col("na") + col("nb") - col("c")), 6).as("jaccard"))
+  }
+
+  /** Large-corpus path (ppjoin-style): J(a,b) ≥ τ ⇒ |a∩b| ≥ ⌈τ·|a|⌉, so
+    * qualifying pairs must share a shingle within each other's first
+    * n−⌈τn⌉+1 shingles under the global order — only prefixes are
+    * exploded and equi-joined; candidates are then verified exactly.
+    * The further 100 TB step is the MinHash-LSH prefilter
+    * (q_minhash_lsh) when even prefixes are dense. */
+  private def dedupNearPrefixJoin(arr0: DataFrame): DataFrame = {
+    import graft.functions.SortedIntersectCount.sortedIntersectCount
+    // τ = 3/5: prefix length n - ceil(3n/5) + 1, in exact int arithmetic
+    val arr = arr0.withColumn("plen",
+      expr("n - ((n * 3 + 4) div 5) + 1").cast("int"))
+    val prefixes = arr.select(col("doc_id"),
+      explode(slice(col("hs"), lit(1), col("plen"))).as("h"))
+    val cand = prefixes.as("x").join(prefixes.as("y"),
+        col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
+      .distinct()
+    cand
+      .join(arr.as("aa"), col("da") === col("aa.doc_id"))
+      .join(arr.as("ab"), col("db") === col("ab.doc_id"))
+      .select(col("da"), col("db"),
+        sortedIntersectCount(col("aa.hs"), col("ab.hs")).as("c"),
+        col("aa.n").as("na"), col("ab.n").as("nb"))
+      .select(col("da"), col("db"),
+        round(col("c").cast("double") /
+          (col("na") + col("nb") - col("c")), 6).as("jaccard"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -1,0 +1,14 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge into Spark's `private[sql]` Column↔Expression conversions —
+  * Spark 4 backs `Column` by ColumnNode, so extension libraries need this
+  * one-hop package to lift a custom Catalyst `Expression` into a `Column`
+  * (the conventional pattern for Spark-native extension libs). */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
