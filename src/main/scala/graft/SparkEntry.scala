@@ -28,6 +28,7 @@ object SparkEntry {
     ops.Vectors.queries ++
     ops.Sketches.queries ++
     ops.Multimodal.queries ++
+    ops.Advanced.queries ++
     ops.Sources.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -41,5 +42,6 @@ object SparkEntry {
     ops.Vectors.oracleSql ++
     ops.Sketches.oracleSql ++
     ops.Multimodal.oracleSql ++
+    ops.Advanced.oracleSql ++
     ops.Sources.oracleSql
 }

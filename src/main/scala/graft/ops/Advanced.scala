@@ -1,0 +1,220 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.Events
+
+/** Second-ring operator surface: grouping sets beyond rollup, outer joins,
+  * sessionization, exact quantiles, skew-salted joins, sliding windows.
+  *
+  * Scale notes live per-operator; the salted join is the explicit
+  * skew-mitigation pattern for 100 TB fact⋈fact joins (AQE's skew-join
+  * split handles moderate skew automatically; salting is the manual
+  * fallback for pathological hot keys and is demonstrated here with its
+  * result proven identical to the unsalted plan by the oracle). */
+object Advanced {
+
+  /** X7b: CUBE grouping sets (rollup's 2^k sibling). */
+  def qCube(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .cube("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"),
+        sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("n"), col("sum_qty"))
+      .orderBy("rf", "ls")
+
+  /** Left outer join + aggregation: every customer, with zero-filled
+    * order stats (the reference has no outer joins at all — §2.3). */
+  def qOuterJoin(s: SparkSession, d: String): DataFrame = {
+    val c = customer(s, d)
+    val o = orders(s, d)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+      .groupBy(c("c_custkey"))
+      .agg(
+        count(o("o_orderkey")).as("n_orders"),
+        coalesce(sum(dec2(o("o_totalprice"))).cast("double"), lit(0.0d))
+          .as("total_spend"))
+      .orderBy("c_custkey")
+  }
+
+  /** Full outer join over two key sets, with membership flags. */
+  def qFullOuter(s: SparkSession, d: String): DataFrame = {
+    val a = orders(s, d).where(col("o_totalprice") > 100000)
+      .select(col("o_custkey").as("ka")).distinct()
+    val b = customer(s, d).where(col("c_acctbal") > 0)
+      .select(col("c_custkey").as("kb")).distinct()
+    a.join(b, col("ka") === col("kb"), "full_outer")
+      .select(
+        coalesce(col("ka"), col("kb")).as("k"),
+        col("ka").isNotNull.cast("long").as("in_high_orders"),
+        col("kb").isNotNull.cast("long").as("in_positive_bal"))
+      .orderBy("k")
+  }
+
+  /** Sessionization: per-user event sessions split at >30 min gaps —
+    * lag + cumulative boundary count, ONE shuffle on user_id (the batch
+    * twin of flatMapGroupsWithState sessionization). Timestamps are
+    * epoch-micros (ns not oracle-visible; see SetOps.qAsofJoin). */
+  def qSessionize(s: SparkSession, d: String): DataFrame = {
+    val gapUs = 30L * 60 * 1000 * 1000
+    val e = Events.events(s, d)
+      .select(col("user_id"), col("event_id"),
+        expr("ts div 1000").as("ts_us"))
+    val byTime = Window.partitionBy("user_id")
+      .orderBy(col("ts_us"), col("event_id"))
+    val sessions = e
+      .withColumn("prev_ts", lag(col("ts_us"), 1).over(byTime))
+      .withColumn("is_new",
+        (col("prev_ts").isNull ||
+          col("ts_us") - col("prev_ts") > gapUs).cast("long"))
+      .withColumn("session_id",
+        sum(col("is_new")).over(
+          byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    sessions.groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts_us")).as("session_start_us"),
+        max(col("ts_us")).as("session_end_us"))
+      .orderBy("user_id", "session_id")
+  }
+
+  /** Exact interpolated quantiles per group (rounded to 4 decimals — the
+    * engines' interpolation arithmetic differs in the last ULP). At scale
+    * the constant-memory alternative is approx_percentile (t-digest-like
+    * sketch); exact percentile needs the group's values collected per
+    * group and is kept for the oracle contract. */
+  def qQuantiles(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"))
+      .orderBy("l_returnflag")
+
+  /** Skew-salted fact⋈fact join: the lineitem side salts its key into
+    * `salts` buckets, the orders side explodes ×salts — hot keys spread
+    * across `salts` reducers. Result provably identical to the unsalted
+    * join (the oracle runs the plain join). */
+  def qSaltedJoin(s: SparkSession, d: String): DataFrame = {
+    val salts = 8
+    val li = lineitem(s, d)
+      .withColumn("salt", pmod(hash(col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey")), lit(salts)))
+    val o = orders(s, d)
+      .withColumn("salt", explode(array((0 until salts).map(lit): _*)))
+    li.join(o,
+        li("l_orderkey") === o("o_orderkey") && li("salt") === o("salt"))
+      .groupBy(o("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec2(li("l_extendedprice"))).cast("double").as("sum_price"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** Sliding event-time windows (1 h window, 30 min slide): every event
+    * lands in exactly two epoch-aligned windows. */
+  def qTimeWindowSlide(s: SparkSession, d: String): DataFrame =
+    Events.events(s, d)
+      .groupBy(window(col("ts_t"), "1 hour", "30 minutes").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("wstart"),
+        col("event_type"), col("n"))
+      .orderBy("wstart", "event_type")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cube"              -> qCube _,
+    "q_outer_join"        -> qOuterJoin _,
+    "q_full_outer"        -> qFullOuter _,
+    "q_sessionize"        -> qSessionize _,
+    "q_quantiles"         -> qQuantiles _,
+    "q_salted_join"       -> qSaltedJoin _,
+    "q_time_window_slide" -> qTimeWindowSlide _,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_cube" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+        |       COALESCE(l_linestatus, 'ALL') AS ls,
+        |       CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS sum_qty
+        |FROM lineitem
+        |GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin,
+    "q_outer_join" ->
+      """SELECT c.c_custkey,
+        |  CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders,
+        |  COALESCE(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2)))
+        |           AS DOUBLE), 0.0) AS total_spend
+        |FROM customer c
+        |LEFT OUTER JOIN orders o ON c.c_custkey = o.o_custkey
+        |GROUP BY c.c_custkey
+        |ORDER BY c.c_custkey""".stripMargin,
+    "q_full_outer" ->
+      """WITH a AS (SELECT DISTINCT o_custkey AS ka FROM orders
+        |           WHERE o_totalprice > 100000),
+        |     b AS (SELECT DISTINCT c_custkey AS kb FROM customer
+        |           WHERE c_acctbal > 0)
+        |SELECT COALESCE(ka, kb) AS k,
+        |  CAST(ka IS NOT NULL AS BIGINT) AS in_high_orders,
+        |  CAST(kb IS NOT NULL AS BIGINT) AS in_positive_bal
+        |FROM a FULL OUTER JOIN b ON ka = kb
+        |ORDER BY k""".stripMargin,
+    "q_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+        |  FROM events),
+        |g AS (
+        |  SELECT user_id, event_id, ts_us,
+        |    LAG(ts_us) OVER (PARTITION BY user_id
+        |                     ORDER BY ts_us, event_id) AS prev_ts
+        |  FROM e),
+        |m AS (
+        |  SELECT user_id, event_id, ts_us,
+        |    CAST(prev_ts IS NULL OR ts_us - prev_ts > 1800000000
+        |         AS BIGINT) AS is_new
+        |  FROM g),
+        |sess AS (
+        |  SELECT user_id, ts_us,
+        |    CAST(SUM(is_new) OVER (
+        |      PARTITION BY user_id ORDER BY ts_us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS session_id
+        |  FROM m)
+        |SELECT user_id, session_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  MIN(ts_us) AS session_start_us,
+        |  MAX(ts_us) AS session_end_us
+        |FROM sess GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+    "q_quantiles" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+        |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        |  round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+        |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_salted_join" ->
+      """SELECT o.o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_price
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY o.o_orderstatus ORDER BY o.o_orderstatus""".stripMargin,
+    "q_time_window_slide" ->
+      """WITH w AS (
+        |  SELECT event_type,
+        |    time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP))
+        |      - k * INTERVAL '30 minutes' AS wstart
+        |  FROM events, unnest([0, 1]) AS u(k))
+        |SELECT strftime(wstart, '%Y-%m-%d %H:%M:%S') AS wstart, event_type,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM w GROUP BY 1, 2 ORDER BY wstart, event_type""".stripMargin,
+  )
+}
