@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-design proof for the 100 TB posture: bucketed tables joined on
+  * the bucket key produce a sort-merge join with NO shuffle exchange —
+  * the Spark analogue of the reference's B-tree indexes on join keys
+  * (ETLCNPJFinalEmpresaEstabelecimentos.py:176-182), but one that
+  * co-locates BOTH sides of the big fact⋈fact join. */
+class BucketingSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("bucketed fact-fact join runs shuffle-free") {
+    spark.sql("DROP TABLE IF EXISTS li_bucketed")
+    spark.sql("DROP TABLE IF EXISTS o_bucketed")
+    Tables.lineitem(spark, sf)
+      .write.mode("overwrite")
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable("li_bucketed")
+    Tables.orders(spark, sf)
+      .write.mode("overwrite")
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable("o_bucketed")
+
+    val li = spark.table("li_bucketed")
+    val o = spark.table("o_bucketed")
+    // disable auto-broadcast so the join strategy decision is about
+    // co-location, not size
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .groupBy(o("o_orderstatus")).agg(count(lit(1)).as("n"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"))
+      // the join itself must not shuffle either side: the only exchange
+      // allowed is the one for the final small groupBy
+      val joinSection = plan.substring(plan.indexOf("SortMergeJoin"))
+      assert(!joinSection.contains("Exchange hashpartitioning(l_orderkey"),
+        s"lineitem side shuffled:\n$plan")
+      assert(!joinSection.contains("Exchange hashpartitioning(o_orderkey"),
+        s"orders side shuffled:\n$plan")
+      assert(joined.collect().map(_.getLong(1)).sum == 6000L)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+}

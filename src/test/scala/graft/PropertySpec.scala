@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.SortedIntersectCount.sortedIntersectCount
+import graft.functions.VectorExprs.dotProduct
+
+/** Property-based invariants (SURVEY.md §5): the custom codegen kernels
+  * must agree exactly with Spark's interpreted built-ins, and core
+  * operator laws (dedup idempotence, filter containment, N:1 join count
+  * preservation, comma-decimal round trip) must hold on generated data.
+  *
+  * Driver-side generation + one local-relation Spark job per case keeps
+  * each property to a few seconds; minSuccessfulTests is tuned down from
+  * scalacheck's default accordingly. */
+class PropertySpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def check(name: String, prop: Prop, n: Int = 20): Unit = {
+    val params = SCTest.Parameters.default
+      .withMinSuccessfulTests(n)
+      .withInitialSeed(org.scalacheck.rng.Seed(42L))
+    val res = SCTest.check(params, prop)
+    assert(res.passed, s"$name: ${res.status}")
+  }
+
+  test("SortedIntersectCount == size(array_intersect) on sorted long sets") {
+    import spark.implicits._
+    val gen = for {
+      a <- Gen.listOf(Gen.chooseNum(-50L, 50L))
+      b <- Gen.listOf(Gen.chooseNum(-50L, 50L))
+    } yield (a.distinct.sorted, b.distinct.sorted)
+    check("intersect", Prop.forAll(gen) { case (a, b) =>
+      val r = Seq((a, b)).toDF("a", "b").select(
+        sortedIntersectCount(col("a"), col("b")).as("k"),
+        size(array_intersect(col("a"), col("b"))).cast("long").as("ref"))
+        .collect().head
+      r.getLong(0) == r.getLong(1)
+    })
+  }
+
+  test("DotProduct == interpreted aggregate(zip_with) fold, bit-exact") {
+    import spark.implicits._
+    val gen = Gen.listOfN(16, Gen.chooseNum(-10.0, 10.0))
+    check("dot", Prop.forAll(gen, gen) { (a: List[Double], b: List[Double]) =>
+      val r = Seq((a, b)).toDF("a", "b").select(
+        dotProduct(col("a"), col("b")).as("k"),
+        aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+          lit(0.0d), (acc, v) => acc + v).as("ref"))
+        .collect().head
+      java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1))
+    })
+  }
+
+  test("dedup is idempotent and keeps one row per key") {
+    import spark.implicits._
+    check("dedup", Prop.forAll(Gen.nonEmptyListOf(Gen.chooseNum(0, 20))) {
+      keys: List[Int] =>
+        val once = keys.toDF("k").dropDuplicates("k")
+        once.count() == keys.distinct.length.toLong &&
+          once.dropDuplicates("k").count() == once.count()
+    }, n = 10)
+  }
+
+  test("filter output is contained in scan and satisfies the predicate") {
+    import spark.implicits._
+    check("filter", Prop.forAll(Gen.nonEmptyListOf(Gen.chooseNum(-100, 100))) {
+      xs: List[Int] =>
+        val got = xs.toDF("x").where(col("x") > 0)
+          .collect().map(_.getInt(0))
+        got.forall(_ > 0) && got.sorted.sameElements(xs.filter(_ > 0).sorted)
+    }, n = 10)
+  }
+
+  test("N:1 join preserves fact count under full FK coverage") {
+    import spark.implicits._
+    check("join", Prop.forAll(Gen.nonEmptyListOf(Gen.chooseNum(0, 9))) {
+      facts: List[Int] =>
+        val dim = (0 to 9).map(k => (k, s"d$k")).toDF("k", "name")
+        facts.toDF("fk").join(dim, col("fk") === col("k"), "inner")
+          .count() == facts.length.toLong
+    }, n = 10)
+  }
+
+  test("comma-decimal normalization round-trips DECIMAL(18,2) values") {
+    import spark.implicits._
+    check("commadec", Prop.forAll(Gen.chooseNum(-99999999L, 99999999L)) {
+      cents: Long =>
+        val dec = java.math.BigDecimal.valueOf(cents, 2)
+        val back = Seq(dec.toPlainString.replace('.', ',')).toDF("s")
+          .select(cnpj.Warehouse.commaDecimal(col("s")).as("d"))
+          .collect().head.getDecimal(0)
+        back.compareTo(dec) == 0
+    }, n = 10)
+  }
+}
