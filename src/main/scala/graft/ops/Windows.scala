@@ -73,7 +73,26 @@ object Windows {
         col("event_type"), col("n"), col("sum_value"))
       .orderBy("wstart", "event_type")
 
+  /** X9 at scale: top-k per key via the custom two-phase physical
+    * operator [[graft.plans.TopKPerKey]] — map-side partial top-k bounds
+    * shuffle volume at k·partitions·keys (the window-function form
+    * shuffles every row). Oracle: the equivalent ROW_NUMBER window SQL —
+    * proving the custom operator matches the declarative form. */
+  def qTopkPerKey(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d)
+    graft.plans.TopKPerKey.topKPerKey(li,
+      Seq(li("l_suppkey")),
+      Seq(li("l_extendedprice").desc, li("l_orderkey"), li("l_linenumber"),
+        li("l_partkey")),
+      3)
+      .select("l_suppkey", "l_orderkey", "l_linenumber", "l_partkey",
+        "l_extendedprice")
+      .orderBy(col("l_suppkey"), col("l_extendedprice").desc,
+        col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_topk_per_key"   -> qTopkPerKey _,
     "q_window_rank"    -> qWindowRank _,
     "q_window_running" -> qWindowRunning _,
     "q_topk"           -> qTopk _,
@@ -81,6 +100,19 @@ object Windows {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_topk_per_key" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber, l_partkey,
+        |       l_extendedprice
+        |FROM (
+        |  SELECT l_suppkey, l_orderkey, l_linenumber, l_partkey,
+        |         l_extendedprice,
+        |    ROW_NUMBER() OVER (PARTITION BY l_suppkey
+        |      ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber,
+        |               l_partkey) AS rn
+        |  FROM lineitem)
+        |WHERE rn <= 3
+        |ORDER BY l_suppkey, l_extendedprice DESC, l_orderkey,
+        |         l_linenumber, l_partkey""".stripMargin,
     "q_window_rank" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber, l_partkey, rn, rk
         |FROM (
