@@ -29,6 +29,7 @@ object SparkEntry {
     ops.Sketches.queries ++
     ops.Multimodal.queries ++
     ops.Advanced.queries ++
+    ops.Strings.queries ++
     ops.Sources.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -43,5 +44,6 @@ object SparkEntry {
     ops.Sketches.oracleSql ++
     ops.Multimodal.oracleSql ++
     ops.Advanced.oracleSql ++
+    ops.Strings.oracleSql ++
     ops.Sources.oracleSql
 }
