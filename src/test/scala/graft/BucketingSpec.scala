@@ -23,6 +23,15 @@ class BucketingSpec extends AnyFunSuite {
   test("bucketed fact-fact join runs shuffle-free") {
     spark.sql("DROP TABLE IF EXISTS li_bucketed")
     spark.sql("DROP TABLE IF EXISTS o_bucketed")
+    // the in-memory catalog forgets tables between JVMs but the warehouse
+    // directory persists — clear the physical locations too
+    Seq("li_bucketed", "o_bucketed").foreach { t =>
+      val dir = new java.io.File(s"spark-warehouse/$t")
+      if (dir.exists()) {
+        import scala.reflect.io.Directory
+        new Directory(dir).deleteRecursively()
+      }
+    }
     Tables.lineitem(spark, sf)
       .write.mode("overwrite")
       .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
