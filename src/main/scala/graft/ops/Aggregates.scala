@@ -32,8 +32,12 @@ object Aggregates {
       .agg(
         sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"),
         sum(dec2(col("l_extendedprice"))).cast("double").as("sum_base_price"),
-        sum(dec2(col("l_extendedprice")) *
-          (lit(1).cast("decimal(18,6)") - col("l_discount").cast("decimal(18,6)")))
+        // round exact decimal to scale 2 BEFORE the double cast: at high
+        // magnitude DuckDB's decimal->double (int128 / 10^scale in double)
+        // differs from Java's correctly-rounded conversion in the last ULP;
+        // at scale 2 both divide a <2^53 integer by 100 -> identical
+        round(sum(dec2(col("l_extendedprice")) *
+          (lit(1).cast("decimal(18,6)") - col("l_discount").cast("decimal(18,6)"))), 2)
           .cast("double").as("sum_disc_price"),
         (sum(dec2(col("l_quantity"))).cast("double") / count(lit(1)))
           .as("avg_qty"),
@@ -79,9 +83,9 @@ object Aggregates {
   def qCustomAgg(s: SparkSession, d: String): DataFrame =
     lineitem(s, d)
       .groupBy("l_returnflag")
-      .agg(DecimalSumAgg.decimalSum(
+      .agg(round(DecimalSumAgg.decimalSum(
         dec2(col("l_extendedprice")) *
-          (lit(1).cast("decimal(18,6)") - col("l_discount").cast("decimal(18,6)")))
+          (lit(1).cast("decimal(18,6)") - col("l_discount").cast("decimal(18,6)"))), 2)
         .cast("double").as("revenue"))
       .orderBy("l_returnflag")
 
@@ -98,8 +102,8 @@ object Aggregates {
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
-        |           (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |           (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))), 2) AS DOUBLE) AS sum_disc_price,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
         |  COUNT(*) AS count_order
         |FROM lineitem
@@ -120,8 +124,8 @@ object Aggregates {
         |ORDER BY rf, ls""".stripMargin,
     "q_custom_agg" ->
       """SELECT l_returnflag,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
-        |           (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))) AS DOUBLE) AS revenue
+        |  CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |           (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))), 2) AS DOUBLE) AS revenue
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
   )
 }
