@@ -30,6 +30,7 @@ object SparkEntry {
     ops.Multimodal.queries ++
     ops.Advanced.queries ++
     ops.Strings.queries ++
+    ops.CorpusPipeline.queries ++
     ops.Sources.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -45,5 +46,6 @@ object SparkEntry {
     ops.Multimodal.oracleSql ++
     ops.Advanced.oracleSql ++
     ops.Strings.oracleSql ++
+    ops.CorpusPipeline.oracleSql ++
     ops.Sources.oracleSql
 }

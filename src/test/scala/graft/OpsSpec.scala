@@ -78,6 +78,21 @@ class OpsSpec extends AnyFunSuite {
     assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
   }
 
+  test("corpus pipeline attrition is monotone and survivors are valid") {
+    val report = ops.CorpusPipeline.qCorpusClean(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(report("0_raw") == 500L)
+    assert(report("1_quality_gate") <= report("0_raw"))
+    assert(report("3_cleaned") <= report("1_quality_gate"))
+    assert(report("3_cleaned") > 0)
+    // no surviving doc may appear as the dropped side of a near-dup pair
+    val survivors = ops.CorpusPipeline.cleanedDocs(spark, sf).collect()
+      .map(_.getLong(0)).toSet
+    val losers = ops.Text.qDedupNear(spark, sf).collect()
+      .map(_.getLong(1)).toSet
+    assert(survivors.intersect(losers).isEmpty)
+  }
+
   test("multimodal decode emits deterministic features") {
     val rows = ops.Multimodal.qMultimodalDecode(spark, sf).collect()
     assert(rows.length == 500)

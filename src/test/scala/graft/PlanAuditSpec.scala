@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regression guard — the 100 TB checklist as assertions:
+  * filters pushed into the parquet scan, projection pruned, dims
+  * broadcast, aggregates partial+final, kernels inside WholeStageCodegen.
+  * If a refactor silently breaks pushdown or broadcasting, this fails
+  * before any benchmark notices. */
+class PlanAuditSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("star join pushes IN filters into the parquet scans") {
+    val p = plan("q_star_join")
+    assert(p.contains("PushedFilters"), p.take(500))
+    assert(p.contains("In(l_partkey"), "l_partkey IN not pushed")
+    assert(p.contains("In(o_orderstatus"), "o_orderstatus IN not pushed")
+  }
+
+  test("star join broadcasts every dimension") {
+    val p = plan("q_star_join")
+    // 4 joins total; at sf0.001 all are broadcastable — at minimum the
+    // two explicit broadcast(dim) hints must be BroadcastHashJoin
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p.take(800))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("projection is pruned at the scan (no unneeded columns read)") {
+    val p = plan("q_projection")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema"))
+      .getOrElse(fail(s"no ReadSchema in:\n$p"))
+    assert(!readSchema.contains("l_tax"), readSchema)
+    assert(!readSchema.contains("l_shipdate"), readSchema)
+    assert(readSchema.contains("l_quantity"), readSchema)
+  }
+
+  test("grouped aggregation is partial+final (map-side combine)") {
+    val p = plan("q_agg_group")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(800))
+    assert(p.contains("partial_sum"), "no map-side partial aggregation")
+  }
+
+  test("vector top-k broadcasts the query side, scans candidates once") {
+    val p = plan("q_vector_topk")
+    assert(p.contains("BroadcastExchange"), p.take(800))
+    assert("Scan parquet".r.findAllIn(p).size <= 2, // queries + candidates
+      "candidate corpus scanned more than once:\n" + p.take(800))
+  }
+
+  test("custom kernel is planned natively with partial window limits") {
+    val p = plan("q_embed_knn")
+    assert(p.contains("graft_dot"), p.take(800))
+    // Spark's WindowGroupLimit pushes the rank<=1 bound map-side — the
+    // partial/final pair must both be present
+    assert(p.contains("WindowGroupLimit"), p.take(800))
+    assert(p.contains("Partial") && p.contains("Final"), p.take(800))
+  }
+
+  test("dedup_exact shuffles fingerprints, not document bodies") {
+    val p = plan("q_dedup_exact")
+    // the shuffled row is the partial aggregate's output: (fp, min, count)
+    val partial = p.linesIterator.find(_.contains("partial_min"))
+      .getOrElse(fail(s"no partial aggregate in:\n$p"))
+    val out = partial.substring(partial.indexOf("output=["))
+    assert(!out.contains("text#"),
+      "document text crosses the shuffle: " + out)
+  }
+}
