@@ -115,13 +115,85 @@ object Sketches {
       .orderBy("da", "db")
   }
 
+  /** X2 composition: connected-component clustering of the near-dup
+    * pair graph via iterative label propagation (each node adopts the
+    * minimum label among itself and its neighbors until fixpoint) — the
+    * dedup-cluster primitive ("keep one doc per duplicate cluster").
+    *
+    * Scale posture: one shuffle join per iteration; iterations are
+    * bounded by the graph diameter (near-dup clusters are tiny — this
+    * converges in 1-2 rounds). The driver-side loop only reads a
+    * convergence COUNT per round, never the data. Oracle: recursive-CTE
+    * transitive closure over the same pairs. */
+  def qDedupCluster(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val pairs = Text.qDedupNear(s, d).select(col("da"), col("db"))
+    val edges = pairs
+      .union(pairs.select(col("db"), col("da")))
+      .toDF("src", "dst")
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id"))
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 20) {
+      val neighborMin = edges
+        .join(labels, edges("src") === labels("id"))
+        .groupBy(col("dst").as("nid"))
+        .agg(min(col("lbl")).as("nlbl"))
+      val next = labels.join(neighborMin, labels("id") === col("nid"), "left")
+        .select(col("id"),
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+      next.cache()
+      val changed = next.as("n")
+        .join(labels.as("o"), col("n.id") === col("o.id"))
+        .where(col("n.lbl") < col("o.lbl")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels.select(col("id").as("doc_id"), col("lbl").as("cluster_rep"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_minhash_lsh" -> qMinhashLsh _,
-    "q_simhash"     -> qSimhash _,
+    "q_minhash_lsh"   -> qMinhashLsh _,
+    "q_simhash"       -> qSimhash _,
+    "q_dedup_cluster" -> qDedupCluster _,
   )
 
-  /** Deliberately empty: xxhash64 seeds/algorithm aren't reproducible in
-    * DuckDB SQL; correctness is asserted in ScalaTest against the exact
-    * operators instead. */
-  val oracleSql: Map[String, String] = Map.empty
+  /** MinHash/SimHash are non-oracle (xxhash64 isn't reproducible in
+    * DuckDB); the cluster operator IS oracle-checked via a recursive CTE
+    * over the same exact-Jaccard pairs. */
+  val oracleSql: Map[String, String] = Map(
+    "q_dedup_cluster" ->
+      ("""WITH RECURSIVE toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                x -> x <> '') AS tk
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    unnest(list_distinct(list_transform(range(1, len(tk)),
+        |      i -> tk[i] || ' ' || tk[i+1]))) AS s
+        |  FROM toks),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |cand AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS c
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT da, db FROM cand
+        |  JOIN sizes sa ON cand.da = sa.doc_id
+        |  JOIN sizes sb ON cand.db = sb.doc_id
+        |  WHERE round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) >= 0.6),
+        |edges AS (SELECT da AS src, db AS dst FROM pairs
+        |          UNION SELECT db, da FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, r.r FROM reach r JOIN edges e ON e.src = r.id)
+        |SELECT id AS doc_id, MIN(r) AS cluster_rep
+        |FROM reach GROUP BY id ORDER BY doc_id""").stripMargin,
+  )
 }
