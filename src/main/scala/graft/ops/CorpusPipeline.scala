@@ -24,36 +24,50 @@ import graft.Tables._
   */
 object CorpusPipeline {
 
-  /** Cleaned corpus: doc_ids surviving all three gates. */
-  def cleanedDocs(s: SparkSession, d: String): DataFrame = {
-    val quality = Text.qTextQuality(s, d)
+  private def qualityGate(s: SparkSession, d: String): DataFrame =
+    Text.qTextQuality(s, d)
       .where(col("n_tokens") >= 10 && col("quality") > 0.3)
       .select("doc_id")
 
+  /** Cleaned corpus: doc_ids surviving all three gates. */
+  def cleanedDocs(s: SparkSession, d: String): DataFrame = {
     val exactKeep = Text.qDedupExact(s, d).select(col("keep_id").as("doc_id"))
-
     val nearDupLosers = Text.qDedupNear(s, d)
       .select(col("db").as("doc_id")).distinct()
-
-    quality
+    qualityGate(s, d)
       .join(exactKeep, "doc_id") // semi-ish: survivors of exact dedup
       .join(nearDupLosers, Seq("doc_id"), "left_anti")
   }
 
-  /** Per-stage attrition report (the pipeline's observable contract). */
+  /** Per-stage attrition report (the pipeline's observable contract).
+    * Each stage DataFrame is cached so its count and its role as input to
+    * the next stage share one computation — without this, the report's
+    * four actions would recompute the expensive near-dup stage from
+    * scratch. */
   def qCorpusClean(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val total = documents(s, d).count()
-    val afterQuality = Text.qTextQuality(s, d)
-      .where(col("n_tokens") >= 10 && col("quality") > 0.3).count()
-    val afterExact = Text.qDedupExact(s, d).count() // one per fingerprint
-    val cleaned = cleanedDocs(s, d).count()
-    Seq(
-      ("0_raw", total),
-      ("1_quality_gate", afterQuality),
-      ("2_exact_dedup_groups", afterExact),
-      ("3_cleaned", cleaned),
-    ).toDF("stage", "docs").orderBy("stage")
+    val quality = qualityGate(s, d).cache()
+    val exactKeep = Text.qDedupExact(s, d)
+      .select(col("keep_id").as("doc_id")).cache()
+    val nearDupLosers = Text.qDedupNear(s, d)
+      .select(col("db").as("doc_id")).distinct().cache()
+    try {
+      val total = documents(s, d).count()
+      val afterQuality = quality.count()
+      val afterExact = exactKeep.count()
+      val cleaned = quality
+        .join(exactKeep, "doc_id")
+        .join(nearDupLosers, Seq("doc_id"), "left_anti")
+        .count()
+      Seq(
+        ("0_raw", total),
+        ("1_quality_gate", afterQuality),
+        ("2_exact_dedup_groups", afterExact),
+        ("3_cleaned", cleaned),
+      ).toDF("stage", "docs").orderBy("stage")
+    } finally {
+      quality.unpersist(); exactKeep.unpersist(); nearDupLosers.unpersist()
+    }
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

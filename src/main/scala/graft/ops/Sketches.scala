@@ -128,9 +128,13 @@ object Sketches {
   def qDedupCluster(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
     val pairs = Text.qDedupNear(s, d).select(col("da"), col("db"))
+    // cache the edge list: every propagation round joins against it, and
+    // without the cache each round would recompute the entire exact
+    // near-dup pipeline upstream (the standard iterative-algorithm rule)
     val edges = pairs
       .union(pairs.select(col("db"), col("da")))
       .toDF("src", "dst")
+      .cache()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("lbl", col("id"))
     var converged = false
@@ -152,6 +156,7 @@ object Sketches {
       converged = changed == 0
       iter += 1
     }
+    edges.unpersist()
     labels.select(col("id").as("doc_id"), col("lbl").as("cluster_rep"))
       .orderBy("doc_id")
   }
