@@ -89,7 +89,23 @@ object Aggregates {
         .cast("double").as("revenue"))
       .orderBy("l_returnflag")
 
+  /** X6 third tier: KMV sketch (TypedImperativeAggregate with a mutable
+    * object buffer + explicit serialize/merge — the HLL contract).
+    * Deterministic hash-based estimate; non-oracle (sketch internals),
+    * accuracy pinned by ScalaTest against the exact counts. */
+  def qKmvDistinct(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        graft.functions.KmvDistinct.kmvDistinct(xxhash64(col("l_partkey")))
+          .as("kmv_parts"),
+        graft.functions.KmvDistinct.kmvDistinct(xxhash64(col("l_orderkey")))
+          .as("kmv_orders"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_kmv_distinct"    -> qKmvDistinct _,
     "q_agg_group"       -> qAggGroup _,
     "q_distinct"        -> qDistinct _,
     "q_approx_distinct" -> qApproxDistinct _,

@@ -78,6 +78,23 @@ class OpsSpec extends AnyFunSuite {
     assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
   }
 
+  test("KMV sketch estimates distinct counts within tolerance") {
+    val rows = ops.Aggregates.qKmvDistinct(spark, sf).collect()
+    // exact per-flag distinct counts for comparison
+    import org.apache.spark.sql.functions._
+    val exact = Tables.lineitem(spark, sf)
+      .groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("p"),
+        countDistinct(col("l_orderkey")).as("o"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    rows.foreach { r =>
+      val (ep, eo) = exact(r.getString(0))
+      val kp = r.getLong(1); val ko = r.getLong(2)
+      assert(math.abs(kp - ep).toDouble / ep < 0.2, s"parts: $kp vs $ep")
+      assert(math.abs(ko - eo).toDouble / eo < 0.2, s"orders: $ko vs $eo")
+    }
+  }
+
   test("corpus pipeline attrition is monotone and survivors are valid") {
     val report = ops.CorpusPipeline.qCorpusClean(spark, sf).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
