@@ -15,12 +15,8 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.ui.enabled", "false")
+    val spark = GraftSession
+      .builder(s"local[$cpus]", Some(cpus.toInt))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
@@ -36,8 +32,12 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // -1 marks a failed query; only successful times enter the total so a
+    // failure can't make the benchmark look FASTER
+    val ok = results.map(_._2).filter(_ >= 0)
+    val total = ok.sum
+    val failed = results.size - ok.size
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -12,13 +12,7 @@ object Explain {
   def main(args: Array[String]): Unit = {
     val name = args.headOption
     val sfDir = args.drop(1).headOption.getOrElse("/root/testdata/sf0.001")
-    val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = GraftSession.builder("local[4]", Some(4)).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val targets = name match {
       case Some(n) => Seq(n -> SparkEntry.queries(n))

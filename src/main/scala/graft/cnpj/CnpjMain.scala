@@ -19,11 +19,8 @@ object CnpjMain {
   def main(args: Array[String]): Unit = {
     val Array(rawDir, warehouseDir, exportDir, exportFile) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
+    val spark = graft.GraftSession
+      .builder(s"local[$cpus]", Some(cpus.toInt))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val result = Pipeline.run(spark, rawDir, warehouseDir, exportDir,

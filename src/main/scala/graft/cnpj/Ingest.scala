@@ -27,10 +27,22 @@ object Ingest {
     if (dest.exists()) return false // idempotent, like the reference :61-63
     val client = HttpClient.newBuilder().connectTimeout(timeout).build()
     val req = HttpRequest.newBuilder(URI.create(url)).timeout(timeout).build()
-    val resp = client.send(req, HttpResponse.BodyHandlers.ofFile(dest.toPath))
-    if (resp.statusCode() / 100 != 2)
-      throw new RuntimeException(s"HTTP ${resp.statusCode()} for $url")
-    true
+    // stream to a temp file and move only on success: writing straight to
+    // dest would leave an error-response body there, and the
+    // skip-if-exists guard above would then treat the poisoned file as a
+    // completed download forever
+    val tmp = File.createTempFile(dest.getName, ".part", dest.getParentFile)
+    try {
+      val resp = client.send(req, HttpResponse.BodyHandlers.ofFile(tmp.toPath))
+      if (resp.statusCode() / 100 != 2)
+        throw new RuntimeException(s"HTTP ${resp.statusCode()} for $url")
+      java.nio.file.Files.move(tmp.toPath, dest.toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      true
+    } finally {
+      tmp.delete() // no-op when already moved
+      ()
+    }
   }
 
   /** S2: ZIP extraction to a directory
@@ -45,8 +57,11 @@ object Ingest {
       var e = in.getNextEntry
       while (e != null) {
         val f = new File(destDir, e.getName)
-        // zip-slip guard
-        if (!f.getCanonicalPath.startsWith(destDir.getCanonicalPath))
+        // zip-slip guard; the separator matters — without it an entry
+        // escaping to a sibling dir sharing the prefix (out -> out-evil)
+        // would pass a bare startsWith
+        if (!f.getCanonicalPath
+            .startsWith(destDir.getCanonicalPath + File.separator))
           throw new RuntimeException(s"illegal zip entry path: ${e.getName}")
         if (e.isDirectory) f.mkdirs()
         else {

@@ -60,7 +60,9 @@ object Pipeline {
   def run(spark: SparkSession, rawDir: String, warehouseDir: String,
       exportDir: String, exportFile: File): DataFrame = {
     buildWarehouse(spark, rawDir, warehouseDir)
-    val result = flagship(spark, warehouseDir)
+    // cached: the export writes it and callers typically count/show it —
+    // without the cache each action re-runs the 5-way join
+    val result = flagship(spark, warehouseDir).cache()
     Export.writeCsvUtf8SigSingle(
       result.orderBy("cnpj_basico", "nome_fantasia"), exportDir, exportFile)
     result

@@ -79,8 +79,13 @@ object SetOps {
     val e = Events.events(s, d)
       .where(col("event_type").isin("view", "purchase"))
       .select("event_id", "user_id", "ts", "event_type")
+    // strict as-of (v.ts < p.ts, matching the oracle's ASOF p.ts > v.ts):
+    // at equal timestamps views must sort AFTER purchases so a same-ts
+    // view never lands in a purchase's preceding frame
     val w = Window.partitionBy("user_id")
-      .orderBy(col("ts"), col("event_id"))
+      .orderBy(col("ts"),
+        when(col("event_type") === "view", lit(1)).otherwise(lit(0)),
+        col("event_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
     e.withColumn("view_event_id",
         last(when(col("event_type") === "view", col("event_id")), true).over(w))

@@ -22,6 +22,20 @@ import graft.Tables._
   */
 object Text {
 
+  /** Memoized per-directory document count — the adaptive near-dup
+    * strategy choice needs it, and without memoization every invocation
+    * (Explain included) would run an extra count job. */
+  private val docCountCache =
+    scala.collection.concurrent.TrieMap.empty[String, Long]
+  private def docCount(s: SparkSession, d: String): Long =
+    docCountCache.getOrElseUpdate(d, documents(s, d).count())
+
+  /** Content fingerprint: md5 over whitespace-normalized lowercase text —
+    * THE definition of "exact duplicate" shared by q_fingerprint,
+    * q_dedup_exact and the corpus pipeline. */
+  private[ops] def fingerprint(c: Column): Column =
+    md5(regexp_replace(trim(lower(c)), "\\s+", " "))
+
   /** Lowercased alnum tokens; identical semantics in the DuckDB oracle via
     * string_split_regex + list_filter. */
   private[ops] def toks(c: Column): Column =
@@ -137,7 +151,7 @@ object Text {
   def qFingerprint(s: SparkSession, d: String): DataFrame =
     documents(s, d).select(
       col("doc_id"),
-      md5(regexp_replace(trim(lower(col("text"))), "\\s+", " ")).as("fp"),
+      fingerprint(col("text")).as("fp"),
       length(col("text")).cast("long").as("n_chars_m"))
       .orderBy("doc_id")
 
@@ -145,8 +159,7 @@ object Text {
     * keeps min doc_id per group. Shuffles only (fp, id) pairs. */
   def qDedupExact(s: SparkSession, d: String): DataFrame =
     documents(s, d)
-      .select(md5(regexp_replace(trim(lower(col("text"))), "\\s+", " "))
-        .as("fp"), col("doc_id"))
+      .select(fingerprint(col("text")).as("fp"), col("doc_id"))
       .groupBy("fp")
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
       .orderBy("fp")
@@ -171,7 +184,7 @@ object Text {
     // hashed shingles), all-pairs verification through the codegen kernel
     // is pure compute with ZERO shuffle and beats any candidate-join plan.
     // Beyond broadcast size, fall back to the prefix-filtered shuffle join.
-    val nDocs = documents(s, d).count()
+    val nDocs = docCount(s, d)
     val verified =
       if (nDocs <= 100000) dedupNearBroadcast(arr)
       else dedupNearPrefixJoin(arr)

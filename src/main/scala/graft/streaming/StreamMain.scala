@@ -11,11 +11,8 @@ object StreamMain {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
+    val spark = graft.GraftSession
+      .builder(s"local[$cpus]", Some(cpus.toInt))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val q = EventStream.windowedCounts(EventStream.readEvents(spark, dir))
