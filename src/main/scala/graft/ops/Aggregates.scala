@@ -104,7 +104,22 @@ object Aggregates {
         count(lit(1)).as("n_rows"))
       .orderBy("l_returnflag")
 
+  /** Grouped collection: per-customer sorted order list, emitted as a
+    * deterministic CSV string (array columns compare ambiguously across
+    * engines' client stacks; a canonical string does not). Scale note:
+    * collect_list materializes the group in memory — fine for bounded
+    * groups (orders per customer), wrong for unbounded ones. */
+  def qCollect(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .groupBy("o_custkey")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        array_join(transform(sort_array(collect_list(col("o_orderkey"))),
+          x => x.cast("string")), ",").as("orders_csv"))
+      .orderBy("o_custkey")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_collect"         -> qCollect _,
     "q_kmv_distinct"    -> qKmvDistinct _,
     "q_agg_group"       -> qAggGroup _,
     "q_distinct"        -> qDistinct _,
@@ -114,6 +129,11 @@ object Aggregates {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_collect" ->
+      """SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  string_agg(CAST(o_orderkey AS VARCHAR), ','
+        |             ORDER BY o_orderkey) AS orders_csv
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
     "q_agg_group" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
