@@ -32,7 +32,7 @@ object CorpusPipeline {
   /** Cleaned corpus: doc_ids surviving all three gates. */
   def cleanedDocs(s: SparkSession, d: String): DataFrame = {
     val exactKeep = Text.qDedupExact(s, d).select(col("keep_id").as("doc_id"))
-    val nearDupLosers = Text.qDedupNear(s, d)
+    val nearDupLosers = Text.nearDupPairs(s, d)
       .select(col("db").as("doc_id")).distinct()
     qualityGate(s, d)
       .join(exactKeep, "doc_id") // semi-ish: survivors of exact dedup
@@ -49,7 +49,7 @@ object CorpusPipeline {
     val quality = qualityGate(s, d).cache()
     val exactKeep = Text.qDedupExact(s, d)
       .select(col("keep_id").as("doc_id")).cache()
-    val nearDupLosers = Text.qDedupNear(s, d)
+    val nearDupLosers = Text.nearDupPairs(s, d)
       .select(col("db").as("doc_id")).distinct().cache()
     try {
       val total = documents(s, d).count()

@@ -127,10 +127,10 @@ object Sketches {
     * transitive closure over the same pairs. */
   def qDedupCluster(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    val pairs = Text.qDedupNear(s, d).select(col("da"), col("db"))
-    // cache the edge list: every propagation round joins against it, and
-    // without the cache each round would recompute the entire exact
-    // near-dup pipeline upstream (the standard iterative-algorithm rule)
+    // the pair set is the memoized materialized view (Text.nearDupPairs);
+    // the derived edge list is additionally cached because every
+    // propagation round joins against it
+    val pairs = Text.nearDupPairs(s, d).select(col("da"), col("db"))
     val edges = pairs
       .union(pairs.select(col("db"), col("da")))
       .toDF("src", "dst")

@@ -177,21 +177,33 @@ object Text {
     * Same output as the brute-force all-pairs form (the oracle SQL), at a
     * fraction of the join volume; the further 100 TB step is the
     * MinHash-LSH prefilter (q_minhash_lsh) when even prefixes are dense. */
-  def qDedupNear(s: SparkSession, d: String): DataFrame = {
-    val arr = shingleSets(s, d)
-    // Adaptive strategy, the same decision AQE makes for joins: when one
-    // side's sketch table fits a broadcast (each row is just doc_id + ~60
-    // hashed shingles), all-pairs verification through the codegen kernel
-    // is pure compute with ZERO shuffle and beats any candidate-join plan.
-    // Beyond broadcast size, fall back to the prefix-filtered shuffle join.
-    val nDocs = docCount(s, d)
-    val verified =
-      if (nDocs <= 100000) dedupNearBroadcast(arr)
-      else dedupNearPrefixJoin(arr)
-    verified
-      .where(col("jaccard") >= 0.6)
-      .orderBy("da", "db")
-  }
+  def qDedupNear(s: SparkSession, d: String): DataFrame =
+    nearDupPairs(s, d).orderBy("da", "db")
+
+  /** Memoized-and-cached verified near-dup pair set per directory — the
+    * materialized-view pattern: three downstream operators (near-dup
+    * report, cluster propagation, corpus pipeline) consume the same
+    * deterministic pair set, and recomputing the verification scan for
+    * each would triple the dominant cost. Session-checked so a stale DF
+    * from a stopped session is never returned. */
+  private val nearDupCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private[ops] def nearDupPairs(s: SparkSession, d: String): DataFrame =
+    nearDupCache.get(d).filter(_.sparkSession eq s).getOrElse {
+      val arr = shingleSets(s, d)
+      // Adaptive strategy, the same decision AQE makes for joins: when
+      // one side's sketch table fits a broadcast (each row is doc_id +
+      // ~60 hashed shingles), all-pairs verification through the codegen
+      // kernel is pure compute with ZERO shuffle and beats any
+      // candidate-join plan. Beyond broadcast size, fall back to the
+      // prefix-filtered shuffle join.
+      val verified =
+        if (docCount(s, d) <= 100000) dedupNearBroadcast(arr)
+        else dedupNearPrefixJoin(arr)
+      val df = verified.where(col("jaccard") >= 0.6).cache()
+      nearDupCache.put(d, df)
+      df
+    }
 
   /** Per-doc sorted shingle-hash sets. 64-bit hashes make collisions
     * negligible at any realistic shingle cardinality; sorting under the
