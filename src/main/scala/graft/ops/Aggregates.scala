@@ -118,7 +118,39 @@ object Aggregates {
           x => x.cast("string")), ",").as("orders_csv"))
       .orderBy("o_custkey")
 
+  /** Statistical moments from EXACT decimal component sums: built-in
+    * stddev/corr use Welford-style streaming updates whose result depends
+    * on accumulation order (nondeterministic under partitioning and
+    * engine-specific). Here Σx, Σx², Σxy are exact decimals — associative,
+    * any partitioning — rounded to integers (< 2^53, exactly double-
+    * representable), and the variance/correlation formulas are evaluated
+    * with the identical expression tree in both engines, so every IEEE
+    * operation matches bit for bit. */
+  def qStatsMoments(s: SparkSession, d: String): DataFrame = {
+    val x = dec2(col("l_extendedprice"))
+    val y = dec2(col("l_quantity"))
+    lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum(x), 2).cast("double").as("sx"),
+        round(sum(y), 2).cast("double").as("sy"),
+        round(sum(x * x), 0).cast("double").as("sxx"),
+        round(sum(y * y), 0).cast("double").as("syy"),
+        round(sum(x * y), 0).cast("double").as("sxy"))
+      .select(col("l_returnflag"), col("n"),
+        (col("sx") / col("n")).as("mean_price"),
+        ((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1))
+          .as("var_price"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")) /
+          sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+            (col("n") * col("syy") - col("sy") * col("sy"))))
+          .as("corr_price_qty"))
+      .orderBy("l_returnflag")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stats_moments"   -> qStatsMoments _,
     "q_collect"         -> qCollect _,
     "q_kmv_distinct"    -> qKmvDistinct _,
     "q_agg_group"       -> qAggGroup _,
@@ -129,6 +161,31 @@ object Aggregates {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_stats_moments" ->
+      """WITH m AS (
+        |  SELECT l_returnflag,
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 2)
+        |         AS DOUBLE) AS sx,
+        |    CAST(round(SUM(CAST(l_quantity AS DECIMAL(18,2))), 2)
+        |         AS DOUBLE) AS sy,
+        |    CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |                   CAST(l_extendedprice AS DECIMAL(18,2))), 0)
+        |         AS DOUBLE) AS sxx,
+        |    CAST(round(SUM(CAST(l_quantity AS DECIMAL(18,2)) *
+        |                   CAST(l_quantity AS DECIMAL(18,2))), 0)
+        |         AS DOUBLE) AS syy,
+        |    CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |                   CAST(l_quantity AS DECIMAL(18,2))), 0)
+        |         AS DOUBLE) AS sxy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  (sx / n) AS mean_price,
+        |  ((sxx - sx * sx / n) / (n - 1)) AS var_price,
+        |  ((n * sxy - sx * sy) /
+        |   sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)))
+        |    AS corr_price_qty
+        |FROM m ORDER BY l_returnflag""".stripMargin,
     "q_collect" ->
       """SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
         |  string_agg(CAST(o_orderkey AS VARCHAR), ','
