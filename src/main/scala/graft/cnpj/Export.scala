@@ -20,11 +20,16 @@ import org.apache.spark.sql.DataFrame
   */
 object Export {
 
-  /** S6: sharded `;`-CSV, latin-1, with header. */
+  /** S6: sharded `;`-CSV, latin-1, with header. The two whitespace
+    * options matter: Spark's CSV WRITER trims cell whitespace by default,
+    * which would destroy the golden file's fixed-width padding
+    * (nome_municipio, SURVEY §1.3) — pandas to_csv never trims. */
   def writeCsvLatin1(df: DataFrame, dir: String): Unit =
     df.write.mode("overwrite")
       .option("sep", ";").option("header", "true")
       .option("encoding", "ISO-8859-1")
+      .option("ignoreLeadingWhiteSpace", "false")
+      .option("ignoreTrailingWhiteSpace", "false")
       .csv(dir)
 
   /** S7: single `;`-CSV file, UTF-8 with BOM, header once — byte-compatible
@@ -36,6 +41,8 @@ object Export {
     df.write.mode("overwrite")
       .option("sep", ";").option("header", "true")
       .option("encoding", "UTF-8")
+      .option("ignoreLeadingWhiteSpace", "false")
+      .option("ignoreTrailingWhiteSpace", "false")
       .csv(dir)
     val parts = new File(dir).listFiles()
       .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".csv"))

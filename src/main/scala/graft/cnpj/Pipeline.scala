@@ -46,6 +46,22 @@ object Pipeline {
       Warehouse.typedMotivoSituacao(
         raw("motivo_situacao_cadastral", Schemas.motivoSituacaoRaw)),
       s"$warehouseDir/motivo_situacao_cadastral", None)
+
+    // FK-only catalogs (referenced by the DDL's FOREIGN KEYs, never queried
+    // — ETLCNPJFinalEmpresaEstabelecimentos.py:122-152). Optional: loaded
+    // when the raw directory ships them, skipped otherwise, matching the
+    // reference running its load with FKs off and these tables absent.
+    Seq(
+      ("natureza_juridica", Schemas.naturezaJuridicaRaw,
+        Warehouse.typedNaturezaJuridica _),
+      ("qualificacao_responsavel", Schemas.qualificacaoResponsavelRaw,
+        Warehouse.typedQualificacaoResponsavel _),
+      ("pais", Schemas.paisRaw, Warehouse.typedPais _)
+    ).foreach { case (sub, schema, typed) =>
+      if (new File(s"$rawDir/$sub").isDirectory)
+        Warehouse.writeTable(typed(raw(sub, schema)),
+          s"$warehouseDir/$sub", None)
+    }
   }
 
   /** Run the flagship query over the warehouse. */
@@ -63,6 +79,19 @@ object Pipeline {
     // cached: the export writes it and callers typically count/show it —
     // without the cache each action re-runs the 5-way join
     val result = flagship(spark, warehouseDir).cache()
+    Export.writeCsvUtf8SigSingle(
+      result.orderBy("cnpj_basico", "nome_fantasia"), exportDir, exportFile)
+    result
+  }
+
+  /** Full run rendered pandas-compat (the golden resultado_final.csv
+    * artifacts — float-formatted ddd/telefone, comma-decimal
+    * capital_social; see [[PandasCompat]]). The warehouse itself stays
+    * canonically typed; compat is applied only at export. */
+  def runCompat(spark: SparkSession, rawDir: String, warehouseDir: String,
+      exportDir: String, exportFile: File): DataFrame = {
+    buildWarehouse(spark, rawDir, warehouseDir)
+    val result = PandasCompat(flagship(spark, warehouseDir)).cache()
     Export.writeCsvUtf8SigSingle(
       result.orderBy("cnpj_basico", "nome_fantasia"), exportDir, exportFile)
     result

@@ -43,4 +43,16 @@ object Schemas {
     allString(Seq("id_municipio", "nome_municipio"))
   val motivoSituacaoRaw: StructType =
     allString(Seq("id_situacao_cadastral", "descricao_situacao_cadastral"))
+
+  /** FK-only dimension catalogs: referenced by the warehouse DDL's FOREIGN
+    * KEYs (ETLCNPJFinalEmpresaEstabelecimentos.py:122-152) but never joined
+    * by any reference query — carried for catalog completeness. Receita
+    * publishes each as a 2-column `codigo;descricao` CSV in the same
+    * headerless latin-1 dialect. */
+  val naturezaJuridicaRaw: StructType =
+    allString(Seq("natureza_juridica", "descricao_natureza_juridica"))
+  val qualificacaoResponsavelRaw: StructType =
+    allString(Seq("qualificacao_responsavel",
+      "descricao_qualificacao_responsavel"))
+  val paisRaw: StructType = allString(Seq("pais", "descricao_pais"))
 }

@@ -79,4 +79,19 @@ object Warehouse {
     raw.select(
       col("id_situacao_cadastral").cast("int").as("id_situacao_cadastral"),
       col("descricao_situacao_cadastral"))
+
+  /** FK-only catalogs (Schemas.naturezaJuridicaRaw etc.): integer code +
+    * description, same typing rule as the other dims. */
+  def typedNaturezaJuridica(raw: DataFrame): DataFrame =
+    raw.select(col("natureza_juridica").cast("int").as("natureza_juridica"),
+      col("descricao_natureza_juridica"))
+
+  def typedQualificacaoResponsavel(raw: DataFrame): DataFrame =
+    raw.select(
+      col("qualificacao_responsavel").cast("int")
+        .as("qualificacao_responsavel"),
+      col("descricao_qualificacao_responsavel"))
+
+  def typedPais(raw: DataFrame): DataFrame =
+    raw.select(col("pais").cast("int").as("pais"), col("descricao_pais"))
 }

@@ -64,8 +64,13 @@ object Multimodal {
 
   /** Distributed decode/feature-extract over the binary column via
     * mapPartitions (per-partition batch processing — codec init would be
-    * amortized here). Non-oracle (binary lambda), rows-only checked;
-    * ScalaTest pins exact values. */
+    * amortized here).
+    *
+    * Oracle-checkable: the feature vector is rendered as a canonical
+    * comma-joined integer string (arrays are unsortable in the driver's
+    * pandas comparison), and `mean_byte` is computed as one integer sum
+    * followed by a single double division — bit-identical to DuckDB's
+    * codepoint arithmetic since the corpus is pure ASCII. */
   def qMultimodalDecode(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     payloads(s, d)
@@ -77,7 +82,11 @@ object Multimodal {
           (id, bytes.length.toLong, mean, feat)
         }
       }
-      .toDF("doc_id", "byte_len", "mean_byte", "feature")
+      .toDF("doc_id", "byte_len", "mean_byte", "feature_vec")
+      .select(
+        col("doc_id"), col("byte_len"), col("mean_byte"),
+        array_join(transform(col("feature_vec"), f => f.cast("int")), ",")
+          .as("feature"))
       .orderBy("doc_id")
   }
 
@@ -93,6 +102,28 @@ object Multimodal {
         |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
         |  CAST(octet_length(encode(text)) % 640 AS BIGINT) AS width,
         |  CAST(octet_length(encode(text)) * 7 % 480 AS BIGINT) AS height
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // The corpus is pure ASCII (verified: octet_length(encode(text)) ==
+    // length(text) for every row at every SF), so byte values == codepoints
+    // and the fake decoder's byte arithmetic is expressible over text.
+    "q_multimodal_decode" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        |  CASE WHEN length(text) = 0 THEN 0.0
+        |       ELSE CAST(list_aggregate(
+        |              list_transform(string_split(text, ''), x -> ascii(x)),
+        |              'sum') AS DOUBLE) / length(text)
+        |  END AS mean_byte,
+        |  concat_ws(',',
+        |    CASE WHEN length(text) >= 1 THEN ascii(substring(text, 1, 1)) ELSE 0 END,
+        |    CASE WHEN length(text) >= 2 THEN ascii(substring(text, 2, 1)) ELSE 0 END,
+        |    CASE WHEN length(text) >= 3 THEN ascii(substring(text, 3, 1)) ELSE 0 END,
+        |    CASE WHEN length(text) >= 4 THEN ascii(substring(text, 4, 1)) ELSE 0 END,
+        |    CASE WHEN length(text) >= 5 THEN ascii(substring(text, 5, 1)) ELSE 0 END,
+        |    CASE WHEN length(text) >= 6 THEN ascii(substring(text, 6, 1)) ELSE 0 END,
+        |    CASE WHEN length(text) >= 7 THEN ascii(substring(text, 7, 1)) ELSE 0 END,
+        |    CASE WHEN length(text) >= 8 THEN ascii(substring(text, 8, 1)) ELSE 0 END
+        |  ) AS feature
         |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }

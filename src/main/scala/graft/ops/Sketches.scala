@@ -131,22 +131,40 @@ object Sketches {
     // the derived edge list is additionally cached because every
     // propagation round joins against it
     val pairs = Text.nearDupPairs(s, d).select(col("da"), col("db"))
+    labelPropagation(pairs, maxIter = 20)
+      .select(col("id").as("doc_id"), col("lbl").as("cluster_rep"))
+      .orderBy("doc_id")
+  }
+
+  /** Iterative min-label propagation over an undirected edge list given as
+    * (da, db) pairs; returns (id, lbl) with lbl = the component's minimum
+    * id. One shuffle join per round; the driver-side loop only reads a
+    * convergence COUNT. Lineage is truncated with localCheckpoint every 5
+    * rounds — without that, each iteration's plan embeds all previous
+    * iterations' joins and a large-diameter graph blows up optimizer time
+    * and stack depth long before data volume is a problem
+    * (LabelPropagationSpec asserts the plan stays bounded). */
+  private[graft] def labelPropagation(pairs: DataFrame, maxIter: Int)
+      : DataFrame = {
+    import org.apache.spark.sql.functions._
+    val cols = pairs.columns
     val edges = pairs
-      .union(pairs.select(col("db"), col("da")))
+      .union(pairs.select(col(cols(1)), col(cols(0))))
       .toDF("src", "dst")
       .cache()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("lbl", col("id"))
     var converged = false
     var iter = 0
-    while (!converged && iter < 20) {
+    while (!converged && iter < maxIter) {
       val neighborMin = edges
         .join(labels, edges("src") === labels("id"))
         .groupBy(col("dst").as("nid"))
         .agg(min(col("lbl")).as("nlbl"))
-      val next = labels.join(neighborMin, labels("id") === col("nid"), "left")
+      var next = labels.join(neighborMin, labels("id") === col("nid"), "left")
         .select(col("id"),
           least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+      if (iter % 5 == 4) next = next.localCheckpoint(eager = false)
       next.cache()
       val changed = next.as("n")
         .join(labels.as("o"), col("n.id") === col("o.id"))
@@ -157,8 +175,7 @@ object Sketches {
       iter += 1
     }
     edges.unpersist()
-    labels.select(col("id").as("doc_id"), col("lbl").as("cluster_rep"))
-      .orderBy("doc_id")
+    labels
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -30,6 +30,22 @@ object Text {
   private def docCount(s: SparkSession, d: String): Long =
     docCountCache.getOrElseUpdate(d, documents(s, d).count())
 
+  /** All-pairs → prefix-join crossover (see cost model at the use site). */
+  private[graft] val ALL_PAIRS_MAX_DOCS = 16384L
+
+  /** Drop every memoized/cached intermediate (near-dup pair sets, doc
+    * counts). The bench calls this between keys so each per-query timing
+    * is independent of execution order — without it, whichever of
+    * q_dedup_near / q_dedup_cluster / q_corpus_clean runs first pays the
+    * materialization and the rest measure cache hits. */
+  def clearCaches(): Unit = {
+    nearDupCache.values.foreach { df =>
+      try df.unpersist(blocking = false) catch { case _: Throwable => () }
+    }
+    nearDupCache.clear()
+    docCountCache.clear()
+  }
+
   /** Content fingerprint: md5 over whitespace-normalized lowercase text —
     * THE definition of "exact duplicate" shared by q_fingerprint,
     * q_dedup_exact and the corpus pipeline. */
@@ -191,14 +207,22 @@ object Text {
   private[ops] def nearDupPairs(s: SparkSession, d: String): DataFrame =
     nearDupCache.get(d).filter(_.sparkSession eq s).getOrElse {
       val arr = shingleSets(s, d)
-      // Adaptive strategy, the same decision AQE makes for joins: when
-      // one side's sketch table fits a broadcast (each row is doc_id +
-      // ~60 hashed shingles), all-pairs verification through the codegen
-      // kernel is pure compute with ZERO shuffle and beats any
-      // candidate-join plan. Beyond broadcast size, fall back to the
-      // prefix-filtered shuffle join.
+      // Adaptive strategy, the same decision AQE makes for joins: when the
+      // corpus is small, all-pairs verification through the codegen kernel
+      // is pure compute with ZERO shuffle and beats any candidate-join
+      // plan; beyond that, the prefix-filtered shuffle join wins.
+      //
+      // Crossover cost model: the broadcast path evaluates n²/2 pairs at
+      // ~0.5 µs each through the BNL join + intersect kernel (measured:
+      // 5000 docs → 12.5 M pairs in ~6 core-seconds at sf0.1), so
+      // n = 16384 costs n²/2 ≈ 1.3e8 pairs ≈ 67 core-s ≈ ~2 s on 32
+      // cores — about what the prefix join's fixed shuffle overhead costs
+      // on the same corpus. Above that, all-pairs grows quadratically
+      // while the prefix join grows ~linearly in candidate volume, so the
+      // broadcast path loses ground fast (the old 100k threshold would
+      // have been ~5e9 kernel evals ≈ minutes of pure compute).
       val verified =
-        if (docCount(s, d) <= 100000) dedupNearBroadcast(arr)
+        if (docCount(s, d) <= ALL_PAIRS_MAX_DOCS) dedupNearBroadcast(arr)
         else dedupNearPrefixJoin(arr)
       val df = verified.where(col("jaccard") >= 0.6).cache()
       nearDupCache.put(d, df)
@@ -226,7 +250,7 @@ object Text {
     * volume, wrong for this compute-bound stage (n²/2 kernel evals would
     * land on one core). Pinning partitions to cluster parallelism keeps
     * the verification scan CPU-bound across all cores. */
-  private def dedupNearBroadcast(arr: DataFrame): DataFrame = {
+  private[graft] def dedupNearBroadcast(arr: DataFrame): DataFrame = {
     import graft.functions.SortedIntersectCount.sortedIntersectCount
     val par = arr.sparkSession.sparkContext.defaultParallelism
     arr.repartition(par).as("aa")
@@ -245,7 +269,7 @@ object Text {
     * exploded and equi-joined; candidates are then verified exactly.
     * The further 100 TB step is the MinHash-LSH prefilter
     * (q_minhash_lsh) when even prefixes are dense. */
-  private def dedupNearPrefixJoin(arr0: DataFrame): DataFrame = {
+  private[graft] def dedupNearPrefixJoin(arr0: DataFrame): DataFrame = {
     import graft.functions.SortedIntersectCount.sortedIntersectCount
     // τ = 3/5: prefix length n - ceil(3n/5) + 1, in exact int arithmetic
     val arr = arr0.withColumn("plen",

@@ -43,17 +43,28 @@ class CnpjPipelineSpec extends AnyFunSuite {
         "1622601;;ESTRADA;ERNESTINA VIEIRA;345;GALPAO3 - SUPERIOR;" +
         "JARDIM PLANALTO;06382260;SP;6313;11;41898282;;;;;" +
         "FISCAL@MARCETEX.COM.BR;;",
+      // ddd1/telefone1 EMPTY here: with row 1 carrying "11"/"41898282",
+      // the columns are all-int-with-nulls → pandas float64 → the golden
+      // "11.0" artifact (SURVEY §1.3); numero "001A" keeps them honest on
+      // the object-dtype path.
       "9612481;0001;99;1;AÇAÍ DO PORTO;3;20100101;0;;;20100101;" +
-        "4321500;;RUA;DAS FLORES;001A;;CENTRO;06000000;SP;7157;11;" +
-        "99990000;;;;;CONTATO@ACAI.BR;;",
+        "4321500;;RUA;DAS FLORES;001A;;CENTRO;06000000;SP;7157;;" +
+        ";;;;;CONTATO@ACAI.BR;;",
       "9612479;0002;64;2;FILIAL FORA;2;20080409;0;;;20080409;" +
         "9999999;;RUA;OUTRA;10;;BAIRRO;06382261;SP;9999;11;1234;;;;;;;"))
     writeCsv("cnae", Seq(
       "1622601;Fabricação de esquadrias de madeira",
       "4321500;Instalação e manutenção elétrica",
       "9999999;Fora do filtro"))
+    // CARAPICUIBA carries the golden file's fixed-width padding
+    // (resultado_final.csv row 2 — never trimmed anywhere in the pipeline)
     writeCsv("municipios", Seq(
-      "6313;CARAPICUIBA", "7157;TABOÃO DA SERRA", "9999;OUTRO"))
+      s"6313;${"CARAPICUIBA".padTo(45, ' ')}",
+      "7157;TABOÃO DA SERRA", "9999;OUTRO"))
+    // FK-only catalogs (optional dirs; loaded for completeness)
+    writeCsv("natureza_juridica", Seq("2062;Sociedade Empresária Limitada"))
+    writeCsv("qualificacao_responsavel", Seq("49;Sócio-Administrador"))
+    writeCsv("pais", Seq("105;BRASIL"))
     writeCsv("motivo_situacao_cadastral", Seq(
       "2;ATIVA", "3;SUSPENSA", "8;BAIXADA"))
   }
@@ -91,7 +102,7 @@ class CnpjPipelineSpec extends AnyFunSuite {
     assert(rows.length == 2) // third estabelecimento fails every IN filter
     val byName = rows.map(r => r.getAs[String]("nome_fantasia") -> r).toMap
     assert(byName("MARCETEX DIVISORIAS")
-      .getAs[String]("nome_municipio") == "CARAPICUIBA")
+      .getAs[String]("nome_municipio") == "CARAPICUIBA".padTo(45, ' '))
     assert(byName("AÇAÍ DO PORTO")
       .getAs[String]("descricao_situacao_cadastral") == "SUSPENSA")
     // SQL-text form returns the identical result set
@@ -115,6 +126,55 @@ class CnpjPipelineSpec extends AnyFunSuite {
     assert(lines.count(_.startsWith("cnpj_basico")) == 1)
     assert(lines.length == 3) // header + 2 data rows
     assert(text.contains("AÇAÍ DO PORTO")) // UTF-8 re-encoded from latin-1
+  }
+
+  test("pandas-compat golden export reproduces the reference artifacts byte-for-byte") {
+    fixture()
+    val out = new File(s"$base/resultado_compat.csv")
+    Pipeline.runCompat(spark, s"$base/raw", s"$base/wh_compat",
+      s"$base/export_compat", out)
+    val bytes = Files.readAllBytes(out.toPath)
+    assert(bytes(0) == 0xEF.toByte && bytes(1) == 0xBB.toByte &&
+      bytes(2) == 0xBF.toByte)
+    val pad = "CARAPICUIBA".padTo(45, ' ')
+    // The golden artifacts under test (SURVEY §1.3 / resultado_final.csv):
+    // float-rendered nullable ints ("11.0", "41898282.0"), object-dtype
+    // mixed numero ("345" bare int next to "001A" text), comma-decimal
+    // capital_social kept as TEXT, fixed-width nome_municipio padding.
+    val expected = Seq(
+      "cnpj_basico;nome_fantasia;razao_social;descricao_cnae;bairro;" +
+        "nome_municipio;tipo_do_logradouro;logradouro;numero;cep;" +
+        "complemento;ddd1;telefone1;ddd2;telefone2;correio_eletronico;" +
+        "data_de_inicio_atividade;data_situacao_cadastro;capital_social;" +
+        "descricao_situacao_cadastral",
+      "9612479;MARCETEX DIVISORIAS;MARCETEX SOLUCOES LTDA;" +
+        s"Fabricação de esquadrias de madeira;JARDIM PLANALTO;$pad;" +
+        "ESTRADA;ERNESTINA VIEIRA;345;06382260;GALPAO3 - SUPERIOR;" +
+        "11.0;41898282.0;;;FISCAL@MARCETEX.COM.BR;20080409;20080409;" +
+        "195400,00;ATIVA",
+      "9612481;AÇAÍ DO PORTO;FORA DO FILTRO SA;" +
+        "Instalação e manutenção elétrica;CENTRO;TABOÃO DA SERRA;RUA;" +
+        "DAS FLORES;001A;06000000;;;;;;CONTATO@ACAI.BR;20100101;20100101;" +
+        "99,99;SUSPENSA"
+    ).mkString("", "\n", "\n")
+    val text = new String(bytes, 3, bytes.length - 3, "UTF-8")
+    assert(text == expected)
+  }
+
+  test("FK-only catalogs load with typed keys") {
+    fixture()
+    Pipeline.buildWarehouse(spark, s"$base/raw", s"$base/wh_fk")
+    val nj = Warehouse.readTable(spark, s"$base/wh_fk/natureza_juridica")
+      .collect().head
+    assert(nj.getAs[Int]("natureza_juridica") == 2062)
+    assert(nj.getAs[String]("descricao_natureza_juridica")
+      .startsWith("Sociedade"))
+    val qr = Warehouse.readTable(spark,
+      s"$base/wh_fk/qualificacao_responsavel").collect().head
+    assert(qr.getAs[Int]("qualificacao_responsavel") == 49)
+    val pais = Warehouse.readTable(spark, s"$base/wh_fk/pais").collect().head
+    assert(pais.getAs[Int]("pais") == 105)
+    assert(pais.getAs[String]("descricao_pais") == "BRASIL")
   }
 
   test("zip extraction round-trips files and rejects path escapes") {

@@ -95,6 +95,23 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("HLL++ approx distinct is within its declared 1% rsd (5 sigma)") {
+    import org.apache.spark.sql.functions._
+    val approx = ops.Aggregates.qApproxDistinct(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val exact = Tables.lineitem(spark, sf)
+      .groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("p"),
+        countDistinct(col("l_orderkey")).as("o"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (flag, (ep, eo)) =>
+      val (ap, ao) = approx(flag)
+      assert(math.abs(ap - ep).toDouble / ep < 0.05, s"$flag parts: $ap vs $ep")
+      assert(math.abs(ao - eo).toDouble / eo < 0.05, s"$flag orders: $ao vs $eo")
+    }
+  }
+
   test("corpus pipeline attrition is monotone and survivors are valid") {
     val report = ops.CorpusPipeline.qCorpusClean(spark, sf).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -110,13 +127,33 @@ class OpsSpec extends AnyFunSuite {
     assert(survivors.intersect(losers).isEmpty)
   }
 
+  test("near-dup broadcast and prefix-join paths agree (explicitly forced)") {
+    // The adaptive threshold (Text.ALL_PAIRS_MAX_DOCS) picks one path per
+    // corpus size; force BOTH over the same corpus and require identical
+    // verified pair sets, so the crossover constant can move freely
+    // without a correctness risk.
+    val arr = ops.Text.shingleSets(spark, sf).cache()
+    try {
+      def pairs(df: org.apache.spark.sql.DataFrame) =
+        df.where(org.apache.spark.sql.functions.col("jaccard") >= 0.6)
+          .orderBy("da", "db")
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+          .toSeq
+      val bc = pairs(ops.Text.dedupNearBroadcast(arr))
+      val pj = pairs(ops.Text.dedupNearPrefixJoin(arr))
+      assert(bc.nonEmpty)
+      assert(bc == pj)
+    } finally arr.unpersist()
+  }
+
   test("multimodal decode emits deterministic features") {
     val rows = ops.Multimodal.qMultimodalDecode(spark, sf).collect()
     assert(rows.length == 500)
     val r0 = rows.find(_.getLong(0) == 0L).get
     // doc 0 starts "the " → bytes t,h,e,space
-    val feat = r0.getAs[scala.collection.Seq[Float]]("feature")
-    assert(feat.take(4) == Seq(116f, 104f, 101f, 32f))
+    val feat = r0.getAs[String]("feature")
+    assert(feat.startsWith("116,104,101,32,"))
     assert(r0.getAs[Long]("byte_len") > 0)
   }
 }

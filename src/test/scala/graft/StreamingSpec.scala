@@ -34,6 +34,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(sTotal == bTotal && sTotal == 1000L)
   }
 
+  test("watermark accepts in-horizon late data and drops beyond-horizon late data") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // (epoch-seconds, event_type, value) driven batch by batch so the
+    // 2-hour watermark in EventStream.windowedCounts visibly advances.
+    val ms = MemoryStream[(Long, String, Double)](spark)
+    val events = ms.toDF().toDF("tsec", "event_type", "value")
+      .withColumn("ts_t", timestamp_seconds(col("tsec")))
+    val q = EventStream.windowedCounts(events)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("wm_out")
+      .start()
+    def h(hh: Int, mm: Int): Long = hh * 3600L + mm * 60L
+    try {
+      // batch 1: two rows in window [10:00,11:00) + one at 13:30 that
+      // moves the watermark to 11:30 at batch end
+      ms.addData((h(10, 0), "a", 1.0), (h(10, 30), "a", 1.0),
+        (h(13, 30), "a", 1.0))
+      q.processAllAvailable()
+      // batch 2: 10:45 is LATE beyond the 11:30 watermark → dropped;
+      // 12:15 is within horizon → accepted. [10:00,11:00) closes & emits.
+      ms.addData((h(10, 45), "a", 1.0), (h(12, 15), "a", 1.0))
+      q.processAllAvailable()
+      // batch 3: 16:30 advances the watermark to 14:30 at batch end
+      ms.addData((h(16, 30), "a", 1.0))
+      q.processAllAvailable()
+      // batch 4: triggers emission of [12:00,13:00) and [13:00,14:00)
+      ms.addData((h(17, 0), "a", 1.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("wm_out")
+      .select(col("wstart").cast("long").as("ws"), col("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(h(10, 0)) == 2L, "late 10:45 beyond watermark must be dropped")
+    assert(out(h(12, 0)) == 1L, "in-horizon 12:15 must be accepted")
+    assert(out(h(13, 0)) == 1L)
+    assert(!out.contains(h(16, 0)), "open window must not emit in append mode")
+  }
+
   test("streaming dedup passes through unique event_ids") {
     val q = EventStream.dedupedEvents(EventStream.readEvents(spark, sf))
       .writeStream.outputMode("append")
