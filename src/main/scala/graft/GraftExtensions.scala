@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProduct, SortedIntersectCount, SquaredDistance}
+import graft.functions.{DotProduct, ShingleSet, SortedIntersectCount, SquaredDistance}
 import graft.plans.TopKStrategy
 
 /** Session extensions: `SparkSession.builder().withExtensions(new
@@ -16,6 +16,7 @@ import graft.plans.TopKStrategy
   *       graft_dot(a, b)      — Σ aᵢ·bᵢ over array<double>
   *       graft_l2sq(a, b)     — Σ (aᵢ−bᵢ)² over array<double>
   *       graft_set_intersect(a, b) — |A∩B| over sorted array<long>
+  *       graft_shingle_set(text)   — sorted distinct hashed bigram shingles
   *
   * so `spark.sql("SELECT graft_dot(e1, e2) ...")` works without touching
   * the Scala API.
@@ -34,10 +35,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         make(exprs(0), exprs(1))
       })
 
+  private def unary(name: String, make: Expression => Expression)
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier(name), info(name, s"$name(a)"),
+      { exprs: Seq[Expression] =>
+        require(exprs.length == 1, s"$name takes exactly 1 argument")
+        make(exprs(0))
+      })
+
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => TopKStrategy)
     e.injectFunction(binary("graft_dot", DotProduct))
     e.injectFunction(binary("graft_l2sq", SquaredDistance))
     e.injectFunction(binary("graft_set_intersect", SortedIntersectCount))
+    e.injectFunction(unary("graft_shingle_set", ShingleSet))
   }
 }

@@ -54,13 +54,13 @@ object Text {
 
   /** Lowercased alnum tokens; identical semantics in the DuckDB oracle via
     * string_split_regex + list_filter. */
-  private[ops] def toks(c: Column): Column =
+  private[graft] def toks(c: Column): Column =
     filter(split(lower(c), "[^a-z0-9]+"), t => t =!= "")
 
   /** Adjacent-word bigram shingles over distinct tokensequence positions.
     * zip_with(slice,slice) instead of sequence() — Spark's sequence(1,0)
     * DESCENDS for single-token docs, which would fabricate shingles. */
-  private[ops] def bigrams(tk: Column): Column =
+  private[graft] def bigrams(tk: Column): Column =
     array_distinct(zip_with(
       slice(tk, lit(1), size(tk) - 1),
       slice(tk, lit(2), size(tk) - 1),
@@ -229,17 +229,18 @@ object Text {
       df
     }
 
-  /** Per-doc sorted shingle-hash sets. 64-bit hashes make collisions
+  /** Per-doc sorted shingle-hash sets, via the codegen [[ShingleSet]]
+    * kernel — a narrow per-row map with ZERO shuffle. (The composed
+    * explode → xxhash64 → collect_set form computes the same sets but
+    * shuffles ~60 exploded rows per document to regroup them; ShingleSpec
+    * asserts the two forms are identical.) 64-bit hashes make collisions
     * negligible at any realistic shingle cardinality; sorting under the
     * hash order gives a consistent global order for both the two-pointer
     * kernel and the prefix filter. */
   private[graft] def shingleSets(s: SparkSession, d: String): DataFrame =
     documents(s, d)
       .select(col("doc_id"),
-        explode(bigrams(toks(col("text")))).as("sstr"))
-      .select(col("doc_id"), xxhash64(col("sstr")).as("h"))
-      .groupBy("doc_id")
-      .agg(sort_array(collect_set(col("h"))).as("hs"))
+        graft.functions.ShingleSet.shingleSet(col("text")).as("hs"))
       .withColumn("n", size(col("hs")))
 
   /** Small-corpus path: broadcast nested-loop over doc pairs, exact
