@@ -31,25 +31,30 @@ object Sketches {
   private val NumBands  = 8 // × 4 rows per band
 
   /** X2 scale path: MinHash-LSH candidate generation + exact-Jaccard
-    * verification. Output shape matches q_dedup_near (da, db, jaccard). */
+    * verification. Output shape matches q_dedup_near (da, db, jaccard).
+    *
+    * Every per-document stage is a narrow map through the codegen
+    * kernels: [[graft.functions.ShingleSet]] builds the shingle-hash set
+    * and [[graft.functions.MinHashSketch]] derives the 32 minhashes from
+    * it in one pass — no exploded shingle rows, no k-column min groupBy.
+    * The only shuffles left are the ones that move information BETWEEN
+    * documents: the (band, bucket) candidate self-join and the candidate
+    * verification lookups, both bounded by bucket occupancy rather than
+    * corpus size. */
   def qMinhashLsh(s: SparkSession, d: String): DataFrame = {
-    val sh = documents(s, d)
-      .select(col("doc_id"),
-        explode(Text.bigrams(Text.toks(col("text")))).as("s"))
+    import graft.functions.SketchKernels.minHashSketch
+    import graft.functions.SortedIntersectCount.sortedIntersectCount
+    val arr = Text.shingleSets(s, d).where(size(col("hs")) > 0)
+    val mh = arr.select(col("doc_id"),
+      minHashSketch(col("hs"), NumHashes).as("mh"))
 
-    // 32 independent min-hashes, computed in ONE map-side-combined groupBy
-    val minhashes = sh.groupBy("doc_id").agg(
-      min(xxhash64(lit(0), col("s"))).as("h0"),
-      (1 until NumHashes).map(i =>
-        min(xxhash64(lit(i), col("s"))).as(s"h$i")): _*)
-
-    // 8 band keys, each hashing 4 consecutive minhash rows
+    // 8 band keys, each hashing 4 consecutive minhash positions
     val bandStructs = (0 until NumBands).map { b =>
       struct(lit(b).as("band"),
-        xxhash64((4 * b until 4 * b + 4).map(i => col(s"h$i")): _*)
-          .as("bkey"))
+        xxhash64((4 * b until 4 * b + 4).map(i =>
+          element_at(col("mh"), i + 1)): _*).as("bkey"))
     }
-    val banded = minhashes
+    val banded = mh
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"),
         col("bk.bkey").as("bkey"))
@@ -60,40 +65,31 @@ object Sketches {
       .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
       .distinct()
 
-    // exact verification restricted to candidates
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val common = cand
-      .join(sh.as("sa"), col("da") === col("sa.doc_id"))
-      .join(sh.as("sb"),
-        col("db") === col("sb.doc_id") && col("sa.s") === col("sb.s"))
-      .groupBy("da", "db").agg(count(lit(1)).as("c"))
-    common
-      .join(sizes.as("za"), col("da") === col("za.doc_id"))
-      .join(sizes.as("zb"), col("db") === col("zb.doc_id"))
+    // exact verification restricted to candidates, via the two-pointer
+    // intersect kernel over the already-materialized sorted sets
+    cand
+      .join(arr.as("aa"), col("da") === col("aa.doc_id"))
+      .join(arr.as("ab"), col("db") === col("ab.doc_id"))
+      .select(col("da"), col("db"),
+        sortedIntersectCount(col("aa.hs"), col("ab.hs")).as("c"),
+        col("aa.n").as("na"), col("ab.n").as("nb"))
       .select(col("da"), col("db"),
         round(col("c").cast("double") /
-          (col("za.n") + col("zb.n") - col("c")), 6).as("jaccard"))
+          (col("na") + col("nb") - col("c")), 6).as("jaccard"))
       .where(col("jaccard") >= 0.6)
       .orderBy("da", "db")
   }
 
   /** X2 alternative sketch: 64-bit SimHash signatures + Hamming-banded
-    * near-dup pairs (Hamming ≤ 3 over distinct-token signatures). */
+    * near-dup pairs (Hamming ≤ 3 over distinct-token signatures).
+    * Signatures come from the per-row [[graft.functions.SimHash64]]
+    * kernel (value-identical to the exploded 64-column bit-vote
+    * aggregation it replaced — SketchSpec pins this); only the chunk
+    * banding join shuffles. */
   def qSimhash(s: SparkSession, d: String): DataFrame = {
-    val tok = documents(s, d)
-      .select(col("doc_id"),
-        explode(array_distinct(Text.toks(col("text")))).as("t"))
-      .withColumn("h", xxhash64(col("t")))
-
-    // bit-vote: +1/-1 per token per bit position, sign → signature bit
-    val votes = tok.groupBy("doc_id").agg(
-      sum(shiftright(col("h"), 0).bitwiseAND(1) * 2 - 1).as("b0"),
-      (1 until 64).map(j =>
-        sum(shiftright(col("h"), j).bitwiseAND(1) * 2 - 1).as(s"b$j")): _*)
-    val sig = votes.select(col("doc_id"),
-      (0 until 64).map(j =>
-        when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
-        .reduce(_.bitwiseOR(_)).as("simhash"))
+    import graft.functions.SketchKernels.simHash64
+    val sig = documents(s, d)
+      .select(col("doc_id"), simHash64(col("text")).as("simhash"))
 
     // banding: Hamming ≤ 3 ⇒ at least one of 4 16-bit chunks identical
     val chunks = sig.select(col("doc_id"), col("simhash"),
