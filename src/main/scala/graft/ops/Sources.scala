@@ -77,9 +77,28 @@ object Sources {
       .orderBy("o_orderstatus")
   }
 
+  /** S-surface widening: ORC warehouse round trip — same overwrite-write /
+    * read-back / aggregate contract as [[qTableRoundtrip]] but through
+    * Spark's second first-class columnar format (predicate pushdown +
+    * column pruning work identically). The oracle aggregates the source
+    * parquet directly: equality proves the ORC round trip is lossless. */
+  def qOrcRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val out = s"${ioDir(d)}/part_orc"
+    part(s, d)
+      .select(col("p_partkey"), col("p_brand"),
+        dec2(col("p_retailprice")).as("price"))
+      .write.mode("overwrite").orc(out)
+    s.read.orc(out)
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n"),
+        sum(col("price")).cast("double").as("sum_price"))
+      .orderBy("p_brand")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_csv_scan"        -> qCsvScan _,
     "q_table_roundtrip" -> qTableRoundtrip _,
+    "q_orc_roundtrip"   -> qOrcRoundtrip _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -93,5 +112,10 @@ object Sources {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
         |    AS sum_price
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q_orc_roundtrip" ->
+      """SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_price
+        |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin,
   )
 }

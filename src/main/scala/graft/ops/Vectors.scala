@@ -137,13 +137,47 @@ object Vectors {
       .orderBy("probe_id")
   }
 
+  /** X2 embedding flavor: embedding-cosine near-duplicate PAIRS — every
+    * (va < vb) with cosine ≥ 0.45, the vector-space analogue of the
+    * shingle-Jaccard near-dup contract. Exact all-pairs with the codegen
+    * dot kernel and a broadcast of the (norm-annotated) right side; the
+    * explicit repartition defeats AQE's tiny-bytes coalescing so the
+    * O(n²) scoring stays CPU-parallel (same reasoning as
+    * Text.dedupNearBroadcast). At corpus scale the identical verify runs
+    * per sign-LSH bucket (random-hyperplane SimHash over the embedding)
+    * instead of all-pairs — the [[qEmbedKnn]] note applies. */
+  def qEmbedPairs(s: SparkSession, d: String): DataFrame = {
+    val e = withNorm(embeddings(s, d).select(col("vec_id"),
+      asDouble(col("embedding")).as("emb")), "emb")
+    val par = s.sparkContext.defaultParallelism
+    val a = e.select(col("vec_id").as("va"), col("emb").as("ea"),
+      col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("vb"), col("emb").as("eb"),
+      col("nrm").as("nb"))
+    a.repartition(par).join(broadcast(b), col("va") < col("vb"))
+      .withColumn("cosine",
+        cosine(col("ea"), col("na"), col("eb"), col("nb")))
+      .where(col("cosine") >= 0.45)
+      .select("va", "vb", "cosine")
+      .orderBy("va", "vb")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_vector_topk"    -> qVectorTopk _,
     "q_vector_ann_ivf" -> qVectorAnnIvf _,
     "q_embed_knn"      -> qEmbedKnn _,
+    "q_embed_pairs"    -> qEmbedPairs _,
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_embed_pairs" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+        |           FROM embeddings)
+        |SELECT a.vec_id AS va, b.vec_id AS vb,
+        |       list_cosine_similarity(a.emb, b.emb) AS cosine
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.emb, b.emb) >= 0.45
+        |ORDER BY va, vb""".stripMargin,
     "q_vector_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) qe
         |           FROM embeddings WHERE vec_id < 5),
