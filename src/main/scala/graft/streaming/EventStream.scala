@@ -53,4 +53,27 @@ object EventStream {
     events
       .withWatermark("ts_t", "2 hours")
       .dropDuplicates("event_id")
+
+  /** Stream-stream interval join: each purchase joins the same user's
+    * clicks from the preceding hour. Both sides carry watermarks and the
+    * join condition bounds event time on BOTH ends, so Spark can evict
+    * buffered rows once the watermark passes the interval — state stays
+    * bounded no matter how long the streams run (the unbounded-state
+    * stream-stream join is rejected by the planner in append mode).
+    * StreamingSpec proves streaming == batch on the same window. */
+  def purchaseClickJoin(events: DataFrame): DataFrame = {
+    val clicks = events.where(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts_t").as("c_ts"))
+      .withWatermark("c_ts", "2 hours")
+    val purchases = events.where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user"), col("ts_t").as("p_ts"))
+      .withWatermark("p_ts", "2 hours")
+    purchases.join(clicks,
+      col("c_user") === col("p_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("c_ts") <= col("p_ts"))
+      .select(col("purchase_id"), col("click_id"), col("p_user").as("user_id"))
+  }
 }

@@ -74,6 +74,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(!out.contains(h(16, 0)), "open window must not emit in append mode")
   }
 
+  test("stream-stream interval join == batch interval join") {
+    val q = EventStream.purchaseClickJoin(EventStream.readEvents(spark, sf))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ssj_out")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("ssj_out")
+    // batch form over the same data and the same join window
+    import org.apache.spark.sql.functions._
+    val ev = graft.Events.events(spark, sf)
+      .withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts_t").as("c_ts"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user"), col("ts_t").as("p_ts"))
+    val batch = purchases.join(clicks,
+      col("c_user") === col("p_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("c_ts") <= col("p_ts"))
+    assert(streamed.count() == batch.count())
+    assert(streamed.count() > 0)
+    val sPairs = streamed.select("purchase_id", "click_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bPairs = batch.select("purchase_id", "click_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sPairs == bPairs)
+  }
+
   test("streaming dedup passes through unique event_ids") {
     val q = EventStream.dedupedEvents(EventStream.readEvents(spark, sf))
       .writeStream.outputMode("append")
