@@ -95,10 +95,33 @@ object Sources {
       .orderBy("p_brand")
   }
 
+  /** S-surface widening: JSON-lines round trip — write a customer
+    * projection as JSONL (the interchange format of most LLM-corpus
+    * tooling), read it back schema-on-read, aggregate. Splittable text,
+    * schema applied on read like the CSV path; the parquet-direct oracle
+    * proves losslessness. */
+  def qJsonlRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val out = s"${ioDir(d)}/customer_jsonl"
+    customer(s, d)
+      .select(col("c_custkey"), col("c_mktsegment"),
+        dec2(col("c_acctbal")).as("bal"))
+      .write.mode("overwrite").json(out)
+    val schema = StructType(Seq(
+      StructField("c_custkey", LongType),
+      StructField("c_mktsegment", StringType),
+      StructField("bal", DecimalType(18, 2))))
+    s.read.schema(schema).json(out)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"),
+        sum(col("bal")).cast("double").as("sum_bal"))
+      .orderBy("c_mktsegment")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_csv_scan"        -> qCsvScan _,
     "q_table_roundtrip" -> qTableRoundtrip _,
     "q_orc_roundtrip"   -> qOrcRoundtrip _,
+    "q_jsonl_roundtrip" -> qJsonlRoundtrip _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -117,5 +140,10 @@ object Sources {
         |  CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE)
         |    AS sum_price
         |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "q_jsonl_roundtrip" ->
+      """SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+        |FROM customer GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
   )
 }

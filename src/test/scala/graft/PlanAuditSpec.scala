@@ -59,6 +59,23 @@ class PlanAuditSpec extends AnyFunSuite {
       "candidate corpus scanned more than once:\n" + p.take(800))
   }
 
+  test("embed pairs: broadcast BNL with codegen dot, parallel scoring") {
+    val p = plan("q_embed_pairs")
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(800))
+    assert(p.contains("graft_dot"), p.take(800))
+    // AQE must not collapse the compute-bound scoring to one partition
+    assert(p.contains("RoundRobinPartitioning"), p.take(800))
+  }
+
+  test("format round trips prune columns at the scan") {
+    Seq("q_orc_roundtrip" -> "orc", "q_jsonl_roundtrip" -> "json")
+      .foreach { case (key, fmt) =>
+        val p = plan(key)
+        assert(p.toLowerCase.contains(fmt), s"$key: no $fmt scan\n" + p.take(400))
+        assert(p.contains("HashAggregate"), s"$key: no partial agg")
+      }
+  }
+
   test("custom kernel is planned natively with partial window limits") {
     val p = plan("q_embed_knn")
     assert(p.contains("graft_dot"), p.take(800))
