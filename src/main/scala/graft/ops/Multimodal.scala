@@ -90,9 +90,36 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** Frame sampling over the binary payload — the video-style access
+    * pattern: treat the payload as fixed-64-byte frames, keep every 4th
+    * frame, fingerprint each sampled frame with md5. All slicing happens
+    * on the binary column inside the scan stage (substr on BINARY is
+    * zero-copy into the payload buffer); only (doc_id, idx, md5) rows —
+    * never frame bytes — leave the stage. A real codec would decode the
+    * sampled frames here via the same mapPartitions shape as
+    * [[qMultimodalDecode]]; the sampling/fingerprint plumbing is the
+    * Spark-side contract and is oracle-checked byte-exact. */
+  def qMultimodalFrames(s: SparkSession, d: String): DataFrame = {
+    val frameSize = 64
+    val stride = 4
+    payloads(s, d)
+      .select(col("doc_id"), col("payload"),
+        expr(s"(meta.byte_len + ${frameSize - 1}) div $frameSize")
+          .as("n_frames"))
+      .select(col("doc_id"), col("payload"), col("n_frames"),
+        explode(sequence(lit(0L), col("n_frames") - 1L, lit(stride.toLong)))
+          .as("frame_idx"))
+      .select(col("doc_id"), col("n_frames"), col("frame_idx"),
+        md5(col("payload").substr(
+          (col("frame_idx") * frameSize + 1).cast("int"), lit(frameSize)))
+          .as("frame_md5"))
+      .orderBy("doc_id", "frame_idx")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal_meta"   -> qMultimodalMeta _,
     "q_multimodal_decode" -> qMultimodalDecode _,
+    "q_multimodal_frames" -> qMultimodalFrames _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -125,5 +152,17 @@ object Multimodal {
         |    CASE WHEN length(text) >= 8 THEN ascii(substring(text, 8, 1)) ELSE 0 END
         |  ) AS feature
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // ASCII corpus ⇒ text substrings == payload byte frames, so DuckDB's
+    // md5 over character slices reproduces the binary frame fingerprints.
+    "q_multimodal_frames" ->
+      """WITH f AS (
+        |  SELECT doc_id, text,
+        |    (octet_length(encode(text)) + 63) // 64 AS n_frames
+        |  FROM documents)
+        |SELECT doc_id, n_frames,
+        |  CAST(u AS BIGINT) AS frame_idx,
+        |  md5(substring(text, CAST(u * 64 + 1 AS INT), 64)) AS frame_md5
+        |FROM f, unnest(range(0, CAST(n_frames AS BIGINT), 4)) AS t(u)
+        |ORDER BY doc_id, frame_idx""".stripMargin,
   )
 }

@@ -171,6 +171,23 @@ object Text {
       length(col("text")).cast("long").as("n_chars_m"))
       .orderBy("doc_id")
 
+  /** X4 rolling-hash form: winnowing fingerprints (Rabin-Karp rolling
+    * k-gram hashes + MOSS window minima — [[graft.functions
+    * .WinnowFingerprint]]), the copied-span localization primitive.
+    * Emitted as count + canonical CSV string (arrays are unsortable in
+    * the driver compare); non-oracle (custom hash family), WinnowSpec
+    * pins the shared-substring guarantee and near-dup separation. */
+  def qWinnowFp(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.WinnowFingerprint.winnowFingerprint
+    documents(s, d)
+      .select(col("doc_id"), winnowFingerprint(col("text")).as("fps"))
+      .select(col("doc_id"),
+        size(col("fps")).cast("long").as("n_fp"),
+        array_join(transform(col("fps"), f => f.cast("string")), ",")
+          .as("fp_csv"))
+      .orderBy("doc_id")
+  }
+
   /** X1: exact deduplication — hash-groupBy on the content fingerprint;
     * keeps min doc_id per group. Shuffles only (fp, id) pairs. */
   def qDedupExact(s: SparkSession, d: String): DataFrame =
@@ -301,6 +318,7 @@ object Text {
     "q_fingerprint"  -> qFingerprint _,
     "q_dedup_exact"  -> qDedupExact _,
     "q_dedup_near"   -> qDedupNear _,
+    "q_winnow_fp"    -> qWinnowFp _,
   )
 
   val oracleSql: Map[String, String] = Map(
