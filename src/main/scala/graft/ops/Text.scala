@@ -238,10 +238,15 @@ object Text {
       // while the prefix join grows ~linearly in candidate volume, so the
       // broadcast path loses ground fast (the old 100k threshold would
       // have been ~5e9 kernel evals ≈ minutes of pure compute).
+      // The broadcast path applies the τ cut inside its join condition
+      // (integer-exact ≡ round(J,6) ≥ 0.6), so no further WHERE — an
+      // outer filter would be pushed back into the join and triple the
+      // kernel evaluations. The prefix-join path emits unfiltered
+      // verified candidates and is cut here.
       val verified =
         if (docCount(s, d) <= ALL_PAIRS_MAX_DOCS) dedupNearBroadcast(arr)
-        else dedupNearPrefixJoin(arr)
-      val df = verified.where(col("jaccard") >= 0.6).cache()
+        else dedupNearPrefixJoin(arr).where(col("jaccard") >= 0.6)
+      val df = verified.cache()
       nearDupCache.put(d, df)
       df
     }
@@ -271,8 +276,23 @@ object Text {
   private[graft] def dedupNearBroadcast(arr: DataFrame): DataFrame = {
     import graft.functions.SortedIntersectCount.sortedIntersectCount
     val par = arr.sparkSession.sparkContext.defaultParallelism
+    // The similarity test lives INSIDE the join condition: the BNL join
+    // evaluates the intersect kernel per (broadcast-resident) pair and
+    // only MATERIALIZES the ~handful of qualifying rows — with a filter
+    // applied after the join, every one of the n²/2 joined rows (both
+    // 60-hash arrays copied into an output row) would be built first.
+    // The cut is the division-free integer-exact form of
+    // round(J, 6) ≥ 0.6  ⟺  J ≥ 0.5999995  ⟺
+    // c·(10⁷+5999995) ≥ 5999995·(na+nb), so ONE kernel call per pair
+    // decides (a separate post-join WHERE would be pushed back into the
+    // condition by Catalyst and re-evaluate the kernel 2-3×/pair — seen
+    // in the executed plan before this form). The cheap doc_id ordering
+    // conjunct runs first and short-circuits half the pairs.
+    val cond = col("aa.doc_id") < col("ab.doc_id") &&
+      sortedIntersectCount(col("aa.hs"), col("ab.hs")) * lit(15999995L) >=
+        lit(5999995L) * (col("aa.n") + col("ab.n"))
     arr.repartition(par).as("aa")
-      .join(broadcast(arr.as("ab")), col("aa.doc_id") < col("ab.doc_id"))
+      .join(broadcast(arr.as("ab")), cond)
       .select(col("aa.doc_id").as("da"), col("ab.doc_id").as("db"),
         sortedIntersectCount(col("aa.hs"), col("ab.hs")).as("c"),
         col("aa.n").as("na"), col("ab.n").as("nb"))

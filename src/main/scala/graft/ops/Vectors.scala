@@ -154,10 +154,15 @@ object Vectors {
       col("nrm").as("na"))
     val b = e.select(col("vec_id").as("vb"), col("emb").as("eb"),
       col("nrm").as("nb"))
-    a.repartition(par).join(broadcast(b), col("va") < col("vb"))
+    // threshold inside the join condition: the BNL join only materializes
+    // qualifying pairs (~1e-4 of n²/2) instead of building every joined
+    // row and filtering after — row materialization, not the dot kernel,
+    // dominates all-pairs cost (same reasoning as Text.dedupNearBroadcast)
+    a.repartition(par).join(broadcast(b),
+        col("va") < col("vb") &&
+          cosine(col("ea"), col("na"), col("eb"), col("nb")) >= 0.45)
       .withColumn("cosine",
         cosine(col("ea"), col("na"), col("eb"), col("nb")))
-      .where(col("cosine") >= 0.45)
       .select("va", "vb", "cosine")
       .orderBy("va", "vb")
   }
