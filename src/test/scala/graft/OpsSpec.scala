@@ -95,7 +95,7 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
-  test("HLL++ approx distinct is within its declared 1% rsd (5 sigma)") {
+  test("HLL++ approx distinct is within 5% of exact (2% declared rsd)") {
     import org.apache.spark.sql.functions._
     val approx = ops.Aggregates.qApproxDistinct(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
