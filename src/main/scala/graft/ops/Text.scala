@@ -188,6 +188,43 @@ object Text {
       .orderBy("doc_id")
   }
 
+  /** Deterministic hash-based train/val/test split — the reproducible-
+    * sampling primitive every training pipeline needs: membership is a
+    * pure function of doc_id (first md5 hex nibble: 0-b train ≈ 75%,
+    * c-d val, e-f test), so the split is stable across runs, engines and
+    * cluster layouts, needs no RNG state, and any worker can answer
+    * "which split?" without coordination. Narrow per-row map; the oracle
+    * reproduces it exactly because md5 over the decimal-string key is
+    * engine-independent. */
+  def qSampleSplit(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"),
+        substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1)
+          .as("bucket"))
+      .select(col("doc_id"), col("bucket"),
+        when(col("bucket") < "c", lit("train"))
+          .when(col("bucket") < "e", lit("val"))
+          .otherwise(lit("test")).as("split"))
+      .orderBy("doc_id")
+
+  /** Text normalization — the cleaning primitive applied before
+    * fingerprinting/tokenization at corpus scale: lowercase, trim,
+    * collapse runs of whitespace, strip non-printable/non-ASCII bytes.
+    * Pure per-row map; every step is expressible in both engines with
+    * identical semantics (char-class regexes shared by Java regex and
+    * RE2). */
+  def qNormalize(s: SparkSession, d: String): DataFrame = {
+    val cleaned = regexp_replace(
+      regexp_replace(trim(lower(col("text"))), "[^ -~]", ""),
+      "\\s+", " ")
+    documents(s, d)
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("n_raw"),
+        cleaned.as("norm_text"))
+      .withColumn("n_norm", length(col("norm_text")).cast("long"))
+      .orderBy("doc_id")
+  }
+
   /** X1: exact deduplication — hash-groupBy on the content fingerprint;
     * keeps min doc_id per group. Shuffles only (fp, id) pairs. */
   def qDedupExact(s: SparkSession, d: String): DataFrame =
@@ -339,9 +376,28 @@ object Text {
     "q_dedup_exact"  -> qDedupExact _,
     "q_dedup_near"   -> qDedupNear _,
     "q_winnow_fp"    -> qWinnowFp _,
+    "q_sample_split" -> qSampleSplit _,
+    "q_normalize"    -> qNormalize _,
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_sample_split" ->
+      """SELECT doc_id,
+        |  substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS bucket,
+        |  CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c'
+        |         THEN 'train'
+        |       WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'e'
+        |         THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_normalize" ->
+      """SELECT doc_id,
+        |  CAST(length(text) AS BIGINT) AS n_raw,
+        |  regexp_replace(regexp_replace(trim(lower(text)), '[^ -~]', '', 'g'),
+        |                 '\s+', ' ', 'g') AS norm_text,
+        |  CAST(length(regexp_replace(regexp_replace(trim(lower(text)),
+        |    '[^ -~]', '', 'g'), '\s+', ' ', 'g')) AS BIGINT) AS n_norm
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_scalar_funcs" ->
       """SELECT o_orderkey,
         |  upper(o_orderpriority) AS pri_up,
