@@ -225,6 +225,47 @@ object Text {
       .orderBy("doc_id")
   }
 
+  /** Stratified deterministic sampling — k=25 docs per language stratum,
+    * chosen by md5 hash order (not "first k"), so the sample is unbiased
+    * w.r.t. ingestion order yet fully reproducible. One shuffle on the
+    * stratum key; rank is a window, so heavy strata parallelize the scan
+    * and only the per-stratum sort pays. */
+  def qStratifiedSample(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("lang")
+      .orderBy(col("h"), col("doc_id"))
+    documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        md5(col("doc_id").cast("string").cast("binary")).as("h"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= 25)
+      .select("lang", "rk", "doc_id")
+      .orderBy("lang", "rk")
+  }
+
+  /** Sequence packing — the sample-packing primitive for training
+    * batches: documents are laid out in deterministic id order and cut
+    * into packs of ≤ 2048 whitespace tokens by running token count
+    * (pack_id = prior-cumsum div budget; oversized docs spill into their
+    * own packs). The running sum is one window over a single global
+    * order — at corpus scale the same computation runs per (split,
+    * shard) partition so no global sort is needed; the global form here
+    * is the oracle-checkable contract. */
+  def qPackSequences(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val budget = 2048L
+    val w = Window.orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    documents(s, d)
+      .select(col("doc_id"),
+        size(filter(split(col("text"), "\\s+"), t => t =!= ""))
+          .cast("long").as("n_tok"))
+      .withColumn("cum_tok", sum(col("n_tok")).over(w))
+      .select(col("doc_id"), col("n_tok"), col("cum_tok"),
+        expr(s"(cum_tok - n_tok) div $budget").as("pack_id"))
+      .orderBy("doc_id")
+  }
+
   /** X1: exact deduplication — hash-groupBy on the content fingerprint;
     * keeps min doc_id per group. Shuffles only (fp, id) pairs. */
   def qDedupExact(s: SparkSession, d: String): DataFrame =
@@ -378,6 +419,8 @@ object Text {
     "q_winnow_fp"    -> qWinnowFp _,
     "q_sample_split" -> qSampleSplit _,
     "q_normalize"    -> qNormalize _,
+    "q_stratified_sample" -> qStratifiedSample _,
+    "q_pack_sequences"    -> qPackSequences _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -390,6 +433,32 @@ object Text {
         |         THEN 'val'
         |       ELSE 'test' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_stratified_sample" ->
+      """WITH h AS (
+        |  SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents),
+        |r AS (
+        |  SELECT lang, doc_id,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY h, doc_id) AS BIGINT) AS rk
+        |  FROM h)
+        |SELECT lang, rk, doc_id FROM r
+        |WHERE rk <= 25 ORDER BY lang, rk""".stripMargin,
+    "q_pack_sequences" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split_regex(text, '\s+'),
+        |      x -> x <> '')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tok,
+        |    CAST(SUM(n_tok) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum_tok
+        |  FROM t)
+        |SELECT doc_id, n_tok, cum_tok,
+        |  (cum_tok - n_tok) // 2048 AS pack_id
+        |FROM c ORDER BY doc_id""".stripMargin,
     "q_normalize" ->
       """SELECT doc_id,
         |  CAST(length(text) AS BIGINT) AS n_raw,
