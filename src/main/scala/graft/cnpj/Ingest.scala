@@ -7,7 +7,7 @@ import java.time.Duration
 import java.util.zip.ZipInputStream
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
 /** CNPJ ingest utilities (SURVEY.md §2.1 S1–S5).
   *
@@ -91,5 +91,32 @@ object Ingest {
       .option("header", "false")
       .option("encoding", "ISO-8859-1")
     glob.fold(r)(g => r.option("pathGlobFilter", g)).csv(path)
+  }
+
+  /** Quarantining variant of [[readRawCsv]]: rows that don't parse against
+    * the schema (wrong column count, mangled quoting — routine in the
+    * real Receita drops) land in a `_corrupt_record` column instead of
+    * failing the job or silently vanishing. Returns (clean, quarantined):
+    * clean rows with the declared schema, quarantined raw lines for
+    * audit/replay — the pattern that keeps a 100 TB ingest running when
+    * 0.001% of a drop is malformed. */
+  def readRawCsvQuarantine(spark: SparkSession, path: String,
+      schema: StructType): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.functions.col
+    val withCorrupt = StructType(schema.fields :+
+      StructField("_corrupt_record", StringType, nullable = true))
+    val raw = spark.read.schema(withCorrupt)
+      .option("sep", ";")
+      .option("header", "false")
+      .option("encoding", "ISO-8859-1")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(path)
+      .cache() // PERMISSIVE corrupt-column reads require a materialized scan
+    val clean = raw.where(col("_corrupt_record").isNull)
+      .select(schema.fieldNames.map(col).toSeq: _*)
+    val quarantined = raw.where(col("_corrupt_record").isNotNull)
+      .select(col("_corrupt_record"))
+    (clean, quarantined)
   }
 }

@@ -54,6 +54,28 @@ object EventStream {
       .withWatermark("ts_t", "2 hours")
       .dropDuplicates("event_id")
 
+  /** Streaming warehouse ingest via foreachBatch: each micro-batch is
+    * aggregated and appended to a parquet table keyed by batchId, so a
+    * replayed batch overwrites its own output instead of duplicating it
+    * (the standard idempotent-sink recipe when the format has no
+    * transactional upsert). The checkpoint dir carries the source offsets
+    * — together they give effectively-once delivery into the warehouse. */
+  def ingestToWarehouse(events: DataFrame, warehouseDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        batch
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .parquet(s"$warehouseDir/batch_id=$batchId")
+        ()
+      }
+      .start()
+
   /** Stream-stream interval join: each purchase joins the same user's
     * clicks from the preceding hour. Both sides carry watermarks and the
     * join condition bounds event time on BOTH ends, so Spark can evict

@@ -177,6 +177,23 @@ class CnpjPipelineSpec extends AnyFunSuite {
     assert(pais.getAs[String]("descricao_pais") == "BRASIL")
   }
 
+  test("quarantine ingest separates malformed rows without failing the job") {
+    val dir = Paths.get(s"$base/raw_dirty/empresas")
+    Files.createDirectories(dir)
+    Files.write(dir.resolve("data.csv"), Seq(
+      "9612479;MARCETEX SOLUCOES LTDA;2062;49;195400,00;03;", // clean
+      "1;2;3;4;5;6;7;EXTRA;FIELDS;BEYOND;SCHEMA;WIDTH", // too many columns
+      "9612480;ACUCAR LTDA;2062;49;1000,50;01;" // clean
+    ).mkString("\n").getBytes(latin1))
+    val (clean, quarantined) = Ingest.readRawCsvQuarantine(spark,
+      s"$base/raw_dirty/empresas", Schemas.empresasRaw)
+    assert(clean.columns.toSeq == Schemas.empresasCols)
+    assert(clean.count() == 2)
+    val bad = quarantined.collect().map(_.getString(0))
+    assert(bad.length == 1)
+    assert(bad.head.contains("EXTRA"))
+  }
+
   test("zip extraction round-trips files and rejects path escapes") {
     val dir = new File(s"$base/zip"); dir.mkdirs()
     val zipFile = new File(dir, "shard.zip")

@@ -104,6 +104,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(sPairs == bPairs)
   }
 
+  test("foreachBatch warehouse ingest totals equal the batch aggregation") {
+    import org.apache.spark.sql.functions._
+    val wh = "target/test_stream_wh"
+    val ckpt = "target/test_stream_ckpt"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    val q = EventStream.ingestToWarehouse(
+      EventStream.readEvents(spark, sf), wh, ckpt)
+    try q.processAllAvailable() finally q.stop()
+    val warehoused = spark.read.parquet(wh)
+      .groupBy("event_type")
+      .agg(sum("n").cast("long").as("n"), sum("sum_value").as("v"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val direct = graft.Events.events(spark, sf)
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(warehoused == direct)
+  }
+
   test("streaming dedup passes through unique event_ids") {
     val q = EventStream.dedupedEvents(EventStream.readEvents(spark, sf))
       .writeStream.outputMode("append")
