@@ -70,6 +70,40 @@ object SetOps {
       .orderBy("band")
   }
 
+  /** X12 scale path: the same interval join, BINNED — each band explodes
+    * into the fixed-width bins it covers (multiplying only the tiny dim
+    * side), each event computes its bin in O(1), and the join becomes a
+    * hash EQUI-join on bin + residual range check. The plain form is a
+    * nested-loop scan of every band per event: fine at 4 bands, fatal at
+    * 100k intervals; the binned form's per-event cost is one hash lookup
+    * regardless of band count (RangeBinSpec asserts BroadcastHashJoin vs
+    * the plain form's BNL, and the oracle is the identical interval-join
+    * SQL). Bin width trades dim-side blowup (wide intervals → many bins)
+    * against residual selectivity — a production operator would derive it
+    * from the interval-length histogram. */
+  def qRangeJoinBinned(s: SparkSession, d: String): DataFrame = {
+    val binW = 50.0
+    val bands = s.createDataFrame(Seq(
+      ("b0_low", 0.0, 50.0),
+      ("b1_mid", 50.0, 100.0),
+      ("b2_high", 100.0, 150.0),
+      ("b3_top", 150.0, 1000000.0),
+    )).toDF("band", "lo", "hi")
+    val binned = bands.select(col("band"), col("lo"), col("hi"),
+      explode(sequence(
+        floor(col("lo") / binW).cast("long"),
+        floor((col("hi") - lit(1e-9)) / binW).cast("long"))).as("bin"))
+    val e = Events.events(s, d)
+      .withColumn("bin", floor(col("value") / binW).cast("long"))
+    e.join(broadcast(binned),
+        e("bin") === binned("bin") &&
+          e("value") >= binned("lo") && e("value") < binned("hi"), "inner")
+      .groupBy("band")
+      .agg(count(lit(1)).as("n"),
+        sum(dec2(col("value"))).cast("double").as("sum_value"))
+      .orderBy("band")
+  }
+
   /** X12b: as-of join — each purchase matched to the latest earlier 'view'
     * of the same user. Implemented as union + sorted window (single shuffle
     * on user_id), the scalable alternative to a per-row lookup join.
@@ -105,6 +139,7 @@ object SetOps {
     "q_setops"     -> qSetops _,
     "q_semi_anti"  -> qSemiAnti _,
     "q_range_join" -> qRangeJoin _,
+    "q_range_join_binned" -> qRangeJoinBinned _,
     "q_asof_join"  -> qAsofJoin _,
   )
 
@@ -130,6 +165,18 @@ object SetOps {
         |FROM customer c
         |ORDER BY c_custkey, tag""".stripMargin,
     "q_range_join" ->
+      """SELECT r.band, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS sum_value
+        |FROM events e
+        |JOIN (VALUES ('b0_low', 0.0, 50.0), ('b1_mid', 50.0, 100.0),
+        |             ('b2_high', 100.0, 150.0), ('b3_top', 150.0, 1000000.0))
+        |     AS r(band, lo, hi)
+        |  ON e.value >= r.lo AND e.value < r.hi
+        |GROUP BY r.band
+        |ORDER BY r.band""".stripMargin,
+    // binned form computes the SAME interval join — same oracle
+    "q_range_join_binned" ->
       """SELECT r.band, CAST(COUNT(*) AS BIGINT) AS n,
         |       CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE)
         |         AS sum_value
