@@ -116,10 +116,31 @@ object Multimodal {
       .orderBy("doc_id", "frame_idx")
   }
 
+  /** Resize: stride-2 nearest-neighbor downsample of the payload (see
+    * [[graft.functions.ByteStride]]) with metadata halved accordingly;
+    * the output row carries the resized length and an md5 of the resized
+    * bytes — never the blob itself — so only fixed-width columns leave
+    * the stage. Oracle-checked byte-exact: with the ASCII corpus the
+    * strided payload equals the strided character string. */
+  def qMultimodalResize(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.ByteStride.byteStride
+    payloads(s, d)
+      .select(col("doc_id"),
+        col("meta.byte_len").as("byte_len"),
+        (col("meta.width") - col("meta.width") % 2).as("new_width"),
+        byteStride(col("payload"), 2).as("resized"))
+      .select(col("doc_id"), col("byte_len"),
+        octet_length(col("resized")).cast("long").as("resized_len"),
+        col("new_width"),
+        md5(col("resized")).as("resized_md5"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal_meta"   -> qMultimodalMeta _,
     "q_multimodal_decode" -> qMultimodalDecode _,
     "q_multimodal_frames" -> qMultimodalFrames _,
+    "q_multimodal_resize" -> qMultimodalResize _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -164,5 +185,19 @@ object Multimodal {
         |  md5(substring(text, CAST(u * 64 + 1 AS INT), 64)) AS frame_md5
         |FROM f, unnest(range(0, CAST(n_frames AS BIGINT), 4)) AS t(u)
         |ORDER BY doc_id, frame_idx""".stripMargin,
+    "q_multimodal_resize" ->
+      """WITH r AS (
+        |  SELECT doc_id,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        |    CAST(octet_length(encode(text)) % 640 AS BIGINT) AS w,
+        |    array_to_string(list_transform(
+        |      range(1, length(text) + 1, 2), i -> substring(text, i, 1)),
+        |      '') AS resized
+        |  FROM documents)
+        |SELECT doc_id, byte_len,
+        |  CAST(length(resized) AS BIGINT) AS resized_len,
+        |  w - w % 2 AS new_width,
+        |  md5(resized) AS resized_md5
+        |FROM r ORDER BY doc_id""".stripMargin,
   )
 }
