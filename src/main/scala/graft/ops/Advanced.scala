@@ -127,6 +127,27 @@ object Advanced {
       .orderBy("l_returnflag")
   }
 
+  /** The quantile SCALE path: approx_percentile's mergeable sketch —
+    * constant memory per group, one shuffle of sketches, no per-group
+    * value collection — versus [[qQuantiles]]' exact window sort. At
+    * accuracy 10000 the rank error is ≤ n/10000; non-oracle (sketch
+    * internals engine-specific), OpsSpec bounds each estimate against
+    * the exact percentiles. */
+  def qQuantilesApprox(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        expr("approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75, 0.9), 10000)")
+          .as("qs"),
+        count(lit(1)).as("n_rows"))
+      .select(col("l_returnflag"),
+        element_at(col("qs"), 1).as("p25"),
+        element_at(col("qs"), 2).as("p50"),
+        element_at(col("qs"), 3).as("p75"),
+        element_at(col("qs"), 4).as("p90"),
+        col("n_rows"))
+      .orderBy("l_returnflag")
+
   /** Skew-salted fact⋈fact join: the lineitem side salts its key into
     * `salts` buckets, the orders side explodes ×salts — hot keys spread
     * across `salts` reducers. Result provably identical to the unsalted
@@ -168,6 +189,7 @@ object Advanced {
     "q_full_outer"        -> qFullOuter _,
     "q_sessionize"        -> qSessionize _,
     "q_quantiles"         -> qQuantiles _,
+    "q_quantiles_approx"  -> qQuantilesApprox _,
     "q_salted_join"       -> qSaltedJoin _,
     "q_time_window_slide" -> qTimeWindowSlide _,
   )

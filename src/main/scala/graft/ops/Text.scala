@@ -225,6 +225,27 @@ object Text {
       .orderBy("doc_id")
   }
 
+  /** Incremental (MERGE-style) dedup-on-append — the steady-state shape
+    * of a growing corpus: an incoming batch (every 5th doc id here) is
+    * deduped WITHIN the batch (keep lowest id per fingerprint) and then
+    * anti-joined against the existing corpus's fingerprint set, so only
+    * genuinely-new content lands. Shuffles fingerprints and ids only;
+    * at scale the existing side is the warehouse's fingerprint column —
+    * a narrow scan, broadcastable while small, bucketed when not. */
+  def qIncrementalDedup(s: SparkSession, d: String): DataFrame = {
+    val fp = fingerprint(col("text"))
+    val existing = documents(s, d).where(col("doc_id") % 5 =!= 0)
+      .select(fp.as("fp"))
+    val incoming = documents(s, d).where(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), fp.as("fp"))
+    val batchDeduped = incoming
+      .groupBy("fp").agg(min(col("doc_id")).as("doc_id"))
+    batchDeduped
+      .join(existing, Seq("fp"), "left_anti")
+      .select("doc_id", "fp")
+      .orderBy("doc_id")
+  }
+
   /** Stratified deterministic sampling — k=25 docs per language stratum,
     * chosen by md5 hash order (not "first k"), so the sample is unbiased
     * w.r.t. ingestion order yet fully reproducible. One shuffle on the
@@ -421,6 +442,7 @@ object Text {
     "q_normalize"    -> qNormalize _,
     "q_stratified_sample" -> qStratifiedSample _,
     "q_pack_sequences"    -> qPackSequences _,
+    "q_incremental_dedup" -> qIncrementalDedup _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -433,6 +455,18 @@ object Text {
         |         THEN 'val'
         |       ELSE 'test' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_incremental_dedup" ->
+      """WITH fp AS (
+        |  SELECT doc_id,
+        |    md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM documents),
+        |existing AS (SELECT fp FROM fp WHERE doc_id % 5 <> 0),
+        |incoming AS (SELECT doc_id, fp FROM fp WHERE doc_id % 5 = 0),
+        |batch AS (SELECT fp, CAST(MIN(doc_id) AS BIGINT) AS doc_id
+        |          FROM incoming GROUP BY fp)
+        |SELECT doc_id, fp FROM batch
+        |WHERE fp NOT IN (SELECT fp FROM existing)
+        |ORDER BY doc_id""".stripMargin,
     "q_stratified_sample" ->
       """WITH h AS (
         |  SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS h

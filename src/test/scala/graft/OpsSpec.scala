@@ -112,6 +112,39 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("approx quantiles track the exact window-sort quantiles closely") {
+    val exact = ops.Advanced.qQuantiles(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    val approx = ops.Advanced.qQuantilesApprox(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (flag, es) =>
+      approx(flag).zip(es).foreach { case (a, e) =>
+        assert(math.abs(a - e) / e < 0.02, s"$flag: $a vs $e")
+      }
+    }
+  }
+
+  test("incremental dedup admits only novel, batch-unique fingerprints") {
+    import org.apache.spark.sql.functions._
+    val admitted = ops.Text.qIncrementalDedup(spark, sf).collect()
+    assert(admitted.nonEmpty)
+    assert(admitted.forall(_.getLong(0) % 5 == 0)) // only incoming ids
+    // no admitted fingerprint may exist in the existing corpus
+    val existingFps = Tables.documents(spark, sf)
+      .where(col("doc_id") % 5 =!= 0)
+      .select(md5(regexp_replace(trim(lower(col("text"))), "\\s+", " ")))
+      .collect().map(_.getString(0)).toSet
+    assert(admitted.forall(r => !existingFps(r.getString(1))))
+    // batch-unique: one row per fingerprint
+    val fps = admitted.map(_.getString(1))
+    assert(fps.length == fps.distinct.length)
+  }
+
   test("corpus pipeline attrition is monotone and survivors are valid") {
     val report = ops.CorpusPipeline.qCorpusClean(spark, sf).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
