@@ -1,0 +1,171 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Corpus-hygiene signals beyond [[Text.qTextQuality]]'s length/stopword
+  * heuristics: within-document repetition (the Gopher-style "repetitive
+  * junk" filters), PII redaction, and the corpus length profile.
+  *
+  * Scale posture:
+  *   - Repetition ratios are per-row except the top-token mode, which is
+  *     one (doc_id, token) explode + regroup — partial-aggregated map-side
+  *     so the shuffle carries (doc, token, count) triples, never text.
+  *   - PII scrubbing is a pure per-row regex pass, codegen'd, zero
+  *     shuffle — the shape of every masking/filter pass over 100 TB.
+  *   - The histogram is a classic low-cardinality groupBy: partial
+  *     aggregation collapses each partition to ≤ n_bins rows before the
+  *     one tiny shuffle.
+  */
+object QualitySignals {
+
+  /** Within-doc repetition signals: duplicate-token ratio, duplicate-
+    * bigram ratio, and the most-frequent token with its mass fraction
+    * (ties broken lexicographically — determinism is part of the
+    * contract). High values flag boilerplate/spam for corpus filtering. */
+  def qRepetition(s: SparkSession, d: String): DataFrame = {
+    val tk = Text.toks(col("text"))
+    val base = documents(s, d).select(
+      col("doc_id"),
+      size(tk).cast("long").as("n_tok"),
+      size(array_distinct(tk)).cast("long").as("n_distinct"),
+      size(Text.bigrams(tk)).cast("long").as("n_bg_distinct"))
+    val top = documents(s, d)
+      .select(col("doc_id"), explode(tk).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("n"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("n").desc, col("token"))))
+      .where(col("rn") === 1)
+      .select(col("doc_id"), col("token").as("top_tok"), col("n").as("top_n"))
+    base.join(top, "doc_id")
+      .select(col("doc_id"), col("n_tok"), col("n_distinct"),
+        col("top_tok"), col("top_n"),
+        (lit(1.0d) - col("n_distinct").cast("double") / col("n_tok"))
+          .as("dup_tok_ratio"),
+        (col("top_n").cast("double") / col("n_tok")).as("top_tok_frac"),
+        when(col("n_tok") >= 2,
+          lit(1.0d) - col("n_bg_distinct").cast("double") / (col("n_tok") - 1))
+          .otherwise(lit(0.0d)).as("dup_bigram_ratio"))
+      .orderBy("doc_id")
+  }
+
+  /** PII redaction: the corpus rows are augmented with deterministic
+    * synthetic contact strings (the test corpus contains none), then
+    * emails, IPv4s and phone-shaped numbers are counted and masked.
+    * Regexes stay in the Java∩RE2 common dialect so the oracle replays
+    * them exactly; output carries the match counts plus the fingerprint
+    * of the scrubbed text, not the text itself. */
+  def qPiiScrub(s: SparkSession, d: String): DataFrame = {
+    val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    val ipRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+    val phoneRe = "\\b\\d{3}-\\d{4}\\b"
+    val aug = concat(col("text"),
+      lit(" contact user"), col("doc_id").cast("string"),
+      lit("@mail.example.com via 10.0."),
+      (col("doc_id") % 256).cast("string"), lit("."),
+      (col("doc_id") % 100).cast("string"), lit(" or call 555-01"),
+      lpad((col("doc_id") % 100).cast("string"), 2, "0"))
+    val scrubbed = regexp_replace(
+      regexp_replace(
+        regexp_replace(aug, emailRe, "<EMAIL>"),
+        ipRe, "<IP>"),
+      phoneRe, "<PHONE>")
+    documents(s, d).select(
+      col("doc_id"),
+      size(regexp_extract_all(aug, lit(emailRe), lit(0)))
+        .cast("long").as("n_email"),
+      size(regexp_extract_all(aug, lit(ipRe), lit(0)))
+        .cast("long").as("n_ip"),
+      size(regexp_extract_all(aug, lit(phoneRe), lit(0)))
+        .cast("long").as("n_phone"),
+      length(scrubbed).cast("long").as("n_scrub"),
+      md5(scrubbed).as("scrub_fp"))
+      .orderBy("doc_id")
+  }
+
+  /** Corpus length profile: equi-width histogram of document char
+    * lengths (200-char bins). */
+  def qLengthHistogram(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(expr("n_chars div 200").as("bin"), col("n_chars"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"),
+        (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"))
+      .orderBy("bin")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_repetition" -> qRepetition _,
+    "q_pii_scrub"  -> qPiiScrub _,
+    "q_length_histogram" -> qLengthHistogram _,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                x -> x <> '') AS tk
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tok,
+        |    CAST(len(list_distinct(tk)) AS BIGINT) AS n_distinct,
+        |    CAST(len(list_distinct(list_transform(range(1, len(tk)),
+        |      i -> tk[i] || ' ' || tk[i+1]))) AS BIGINT) AS n_bg_distinct
+        |  FROM t),
+        |c AS (
+        |  SELECT doc_id, token, COUNT(*) AS n
+        |  FROM (SELECT doc_id, unnest(tk) AS token FROM t)
+        |  GROUP BY 1, 2),
+        |r AS (
+        |  SELECT doc_id, token, n,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id
+        |      ORDER BY n DESC, token) AS rn
+        |  FROM c)
+        |SELECT b.doc_id, n_tok, n_distinct,
+        |  token AS top_tok, CAST(n AS BIGINT) AS top_n,
+        |  1.0 - CAST(n_distinct AS DOUBLE) / n_tok AS dup_tok_ratio,
+        |  CAST(n AS DOUBLE) / n_tok AS top_tok_frac,
+        |  CASE WHEN n_tok >= 2
+        |    THEN 1.0 - CAST(n_bg_distinct AS DOUBLE) / (n_tok - 1)
+        |    ELSE 0.0 END AS dup_bigram_ratio
+        |FROM b JOIN r ON b.doc_id = r.doc_id AND rn = 1
+        |ORDER BY doc_id""".stripMargin,
+    "q_pii_scrub" ->
+      """WITH a AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |      || '@mail.example.com via 10.0.'
+        |      || CAST(doc_id % 256 AS VARCHAR) || '.'
+        |      || CAST(doc_id % 100 AS VARCHAR) || ' or call 555-01'
+        |      || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') AS aug
+        |  FROM documents),
+        |sc AS (
+        |  SELECT doc_id, aug,
+        |    regexp_replace(regexp_replace(regexp_replace(aug,
+        |      '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |      '\b\d{3}-\d{4}\b', '<PHONE>', 'g') AS scrubbed
+        |  FROM a)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(aug,
+        |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_email,
+        |  CAST(len(regexp_extract_all(aug,
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ip,
+        |  CAST(len(regexp_extract_all(aug,
+        |    '\b\d{3}-\d{4}\b')) AS BIGINT) AS n_phone,
+        |  CAST(length(scrubbed) AS BIGINT) AS n_scrub,
+        |  md5(scrubbed) AS scrub_fp
+        |FROM sc ORDER BY doc_id""".stripMargin,
+    "q_length_histogram" ->
+      """SELECT n_chars // 200 AS bin,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  MIN(n_chars) AS min_chars,
+        |  MAX(n_chars) AS max_chars,
+        |  CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
+        |FROM documents GROUP BY 1 ORDER BY bin""".stripMargin,
+  )
+}

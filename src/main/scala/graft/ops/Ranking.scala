@@ -1,0 +1,145 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Lexical retrieval primitives over the `documents` table — the ranking
+  * half of a training-data curation loop (query-focused corpus selection,
+  * retrieval-based decontamination checks).
+  *
+  * Scale posture:
+  *   - BM25 here is per-row tf computation (narrow, codegen'd) plus ONE
+  *     single-row global statistics aggregate broadcast back to every
+  *     partition — no explode, no per-token shuffle, one scan. At 100 TB
+  *     the stats row is a one-off metadata job (or maintained
+  *     incrementally by the warehouse); scoring stays embarrassingly
+  *     parallel.
+  *   - The inverted index is the one genuinely shuffle-heavy build
+  *     (explode (doc, token) pairs, regroup by token) — that IS the
+  *     operator; posting lists are capped and counts carried separately
+  *     so no unbounded row ever materializes.
+  */
+object Ranking {
+
+  /** Fixed query-term set for the oracle-checkable BM25 contract; the
+    * library form takes any term list. */
+  private val Terms = Seq("table", "hash", "window")
+
+  /** Okapi BM25 (k1=1.2, b=0.75) of every document against [[Terms]].
+    *
+    * Per-term scores land in fixed columns and the total is the fixed-
+    * order sum of those columns — no grouped double-sum whose addend
+    * order could differ between engines; with ln() the only libm call,
+    * round(…,4) on both sides absorbs the last-ULP difference. */
+  def qBm25(s: SparkSession, d: String): DataFrame = {
+    val tk = Text.toks(col("text"))
+    val perDoc = documents(s, d).select(
+      col("doc_id"),
+      size(tk).cast("long").as("dl"),
+      size(filter(tk, t => t === Terms(0))).cast("long").as("tf_table"),
+      size(filter(tk, t => t === Terms(1))).cast("long").as("tf_hash"),
+      size(filter(tk, t => t === Terms(2))).cast("long").as("tf_window"))
+    val stats = perDoc.agg(
+      count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"),
+      sum(when(col("tf_table") > 0, 1L).otherwise(0L)).as("df_table"),
+      sum(when(col("tf_hash") > 0, 1L).otherwise(0L)).as("df_hash"),
+      sum(when(col("tf_window") > 0, 1L).otherwise(0L)).as("df_window"))
+    // identical double expression text on both engines:
+    //   idf = ln((n - df + 0.5)/(df + 0.5) + 1)
+    //   s   = idf * tf*2.2 / (tf + 1.2*(0.25 + 0.75*dl/avgdl))
+    def score(tf: String, df: String) =
+      log((col("n_docs").cast("double") - col(df) + 0.5d) /
+            (col(df).cast("double") + 0.5d) + 1.0d) *
+        (col(tf).cast("double") * 2.2d) /
+        (col(tf).cast("double") +
+          1.2d * (0.25d + 0.75d * col("dl").cast("double") / col("avgdl")))
+    perDoc.crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("dl"),
+        col("tf_table"), col("tf_hash"), col("tf_window"),
+        round(score("tf_table", "df_table"), 4).as("s_table"),
+        round(score("tf_hash", "df_hash"), 4).as("s_hash"),
+        round(score("tf_window", "df_window"), 4).as("s_window"),
+        round(score("tf_table", "df_table") + score("tf_hash", "df_hash") +
+          score("tf_window", "df_window"), 4).as("bm25"))
+      .orderBy("doc_id")
+  }
+
+  /** Inverted-index build: token → document frequency + capped posting
+    * list (first 10 doc ids, ascending, as a canonical CSV string — the
+    * driver compare can't sort arrays). One explode of DISTINCT per-doc
+    * tokens, one shuffle on token; the full posting list at scale is
+    * written bucketed-by-token, the cap here keeps the contract
+    * deterministic and rows bounded. */
+  def qInvertedIndex(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"),
+        explode(array_distinct(Text.toks(col("text")))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("df"),
+        array_join(
+          transform(slice(sort_array(collect_list(col("doc_id"))), 1, 10),
+            x => x.cast("string")), ",").as("postings10"))
+      .orderBy("token")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bm25"           -> qBm25 _,
+    "q_inverted_index" -> qInvertedIndex _,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_bm25" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                x -> x <> '') AS tk
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl,
+        |    CAST(len(list_filter(tk, x -> x = 'table')) AS BIGINT) AS tf_table,
+        |    CAST(len(list_filter(tk, x -> x = 'hash')) AS BIGINT) AS tf_hash,
+        |    CAST(len(list_filter(tk, x -> x = 'window')) AS BIGINT) AS tf_window
+        |  FROM tk),
+        |st AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+        |    CAST(SUM(CASE WHEN tf_table > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS df_table,
+        |    CAST(SUM(CASE WHEN tf_hash > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS df_hash,
+        |    CAST(SUM(CASE WHEN tf_window > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS df_window
+        |  FROM p)
+        |SELECT doc_id, dl, tf_table, tf_hash, tf_window,
+        |  round(ln((CAST(n_docs AS DOUBLE) - df_table + 0.5)/(CAST(df_table AS DOUBLE) + 0.5) + 1.0)
+        |    * (CAST(tf_table AS DOUBLE) * 2.2)
+        |    / (CAST(tf_table AS DOUBLE) + 1.2*(0.25 + 0.75*CAST(dl AS DOUBLE)/avgdl)), 4) AS s_table,
+        |  round(ln((CAST(n_docs AS DOUBLE) - df_hash + 0.5)/(CAST(df_hash AS DOUBLE) + 0.5) + 1.0)
+        |    * (CAST(tf_hash AS DOUBLE) * 2.2)
+        |    / (CAST(tf_hash AS DOUBLE) + 1.2*(0.25 + 0.75*CAST(dl AS DOUBLE)/avgdl)), 4) AS s_hash,
+        |  round(ln((CAST(n_docs AS DOUBLE) - df_window + 0.5)/(CAST(df_window AS DOUBLE) + 0.5) + 1.0)
+        |    * (CAST(tf_window AS DOUBLE) * 2.2)
+        |    / (CAST(tf_window AS DOUBLE) + 1.2*(0.25 + 0.75*CAST(dl AS DOUBLE)/avgdl)), 4) AS s_window,
+        |  round(ln((CAST(n_docs AS DOUBLE) - df_table + 0.5)/(CAST(df_table AS DOUBLE) + 0.5) + 1.0)
+        |    * (CAST(tf_table AS DOUBLE) * 2.2)
+        |    / (CAST(tf_table AS DOUBLE) + 1.2*(0.25 + 0.75*CAST(dl AS DOUBLE)/avgdl))
+        |  + ln((CAST(n_docs AS DOUBLE) - df_hash + 0.5)/(CAST(df_hash AS DOUBLE) + 0.5) + 1.0)
+        |    * (CAST(tf_hash AS DOUBLE) * 2.2)
+        |    / (CAST(tf_hash AS DOUBLE) + 1.2*(0.25 + 0.75*CAST(dl AS DOUBLE)/avgdl))
+        |  + ln((CAST(n_docs AS DOUBLE) - df_window + 0.5)/(CAST(df_window AS DOUBLE) + 0.5) + 1.0)
+        |    * (CAST(tf_window AS DOUBLE) * 2.2)
+        |    / (CAST(tf_window AS DOUBLE) + 1.2*(0.25 + 0.75*CAST(dl AS DOUBLE)/avgdl)), 4) AS bm25
+        |FROM p CROSS JOIN st ORDER BY doc_id""".stripMargin,
+    "q_inverted_index" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    unnest(list_distinct(list_filter(
+        |      string_split_regex(lower(text), '[^a-z0-9]+'),
+        |      x -> x <> ''))) AS token
+        |  FROM documents)
+        |SELECT token, CAST(COUNT(*) AS BIGINT) AS df,
+        |  array_to_string(list_sort(list(doc_id))[1:10], ',') AS postings10
+        |FROM tk GROUP BY token ORDER BY token""".stripMargin,
+  )
+}
