@@ -31,7 +31,9 @@ object SparkEntry {
     ops.Advanced.queries ++
     ops.Strings.queries ++
     ops.CorpusPipeline.queries ++
-    ops.Sources.queries
+    ops.Sources.queries ++
+    ops.Ranking.queries ++
+    ops.QualitySignals.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -47,5 +49,7 @@ object SparkEntry {
     ops.Advanced.oracleSql ++
     ops.Strings.oracleSql ++
     ops.CorpusPipeline.oracleSql ++
-    ops.Sources.oracleSql
+    ops.Sources.oracleSql ++
+    ops.Ranking.oracleSql ++
+    ops.QualitySignals.oracleSql
 }

@@ -133,7 +133,7 @@ object QualitySignals {
         |    THEN 1.0 - CAST(n_bg_distinct AS DOUBLE) / (n_tok - 1)
         |    ELSE 0.0 END AS dup_bigram_ratio
         |FROM b JOIN r ON b.doc_id = r.doc_id AND rn = 1
-        |ORDER BY doc_id""".stripMargin,
+        |ORDER BY b.doc_id""".stripMargin,
     "q_pii_scrub" ->
       """WITH a AS (
         |  SELECT doc_id,

@@ -54,7 +54,7 @@ object Ranking {
             (col(df).cast("double") + 0.5d) + 1.0d) *
         (col(tf).cast("double") * 2.2d) /
         (col(tf).cast("double") +
-          1.2d * (0.25d + 0.75d * col("dl").cast("double") / col("avgdl")))
+          lit(1.2d) * (lit(0.25d) + lit(0.75d) * col("dl").cast("double") / col("avgdl")))
     perDoc.crossJoin(broadcast(stats))
       .select(col("doc_id"), col("dl"),
         col("tf_table"), col("tf_hash"), col("tf_window"),
