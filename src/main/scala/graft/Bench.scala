@@ -33,6 +33,14 @@ object Bench {
       catch { case _: Throwable => return -1 }
       (System.nanoTime() - t0) / 1e9
     }
+    // One untimed global warmup before the loop: the first keys in
+    // alphabetical order otherwise absorb JVM/codegen/parquet-footer
+    // warmup that later keys don't pay, making per-key numbers
+    // incomparable across rounds (q_agg_group swung 0.6 s ↔ 1.4 s purely
+    // by bench position). A join+agg+window composite touches the major
+    // codepaths once.
+    timeOnce(ops.Relational.queries("q_star_join"))
+    timeOnce(ops.Windows.queries("q_window_rank"))
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (n, fn) =>
       val a = timeOnce(fn)
       val b = timeOnce(fn)

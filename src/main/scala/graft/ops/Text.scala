@@ -287,6 +287,30 @@ object Text {
       .orderBy("doc_id")
   }
 
+  /** Sequence packing, production form: the SAME running-sum cut as
+    * [[qPackSequences]], but the window is PARTITIONED by a shard key
+    * (here doc_id div 256; in a real pipeline the train/val/test split
+    * or a writer-task id), so each shard sorts and packs independently —
+    * no global single-partition sort, arbitrarily parallel at 100 TB.
+    * Pack ids are made globally unique by offsetting with the shard id;
+    * packs never span shards, which is exactly the property a
+    * distributed writer wants (each task owns whole packs). */
+  def qPackSequencesSharded(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val budget = 2048L
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    documents(s, d)
+      .select(col("doc_id"), expr("doc_id div 256").as("shard"),
+        size(filter(split(col("text"), "\\s+"), t => t =!= ""))
+          .cast("long").as("n_tok"))
+      .withColumn("cum_tok", sum(col("n_tok")).over(w))
+      .select(col("doc_id"), col("shard"), col("n_tok"), col("cum_tok"),
+        (col("shard") * lit(1000000L) +
+          expr(s"(cum_tok - n_tok) div $budget")).as("pack_id"))
+      .orderBy("doc_id")
+  }
+
   /** X1: exact deduplication — hash-groupBy on the content fingerprint;
     * keeps min doc_id per group. Shuffles only (fp, id) pairs. */
   def qDedupExact(s: SparkSession, d: String): DataFrame =
@@ -442,6 +466,7 @@ object Text {
     "q_normalize"    -> qNormalize _,
     "q_stratified_sample" -> qStratifiedSample _,
     "q_pack_sequences"    -> qPackSequences _,
+    "q_pack_sequences_sharded" -> qPackSequencesSharded _,
     "q_incremental_dedup" -> qIncrementalDedup _,
   )
 
@@ -492,6 +517,21 @@ object Text {
         |  FROM t)
         |SELECT doc_id, n_tok, cum_tok,
         |  (cum_tok - n_tok) // 2048 AS pack_id
+        |FROM c ORDER BY doc_id""".stripMargin,
+    "q_pack_sequences_sharded" ->
+      """WITH t AS (
+        |  SELECT doc_id, doc_id // 256 AS shard,
+        |    CAST(len(list_filter(string_split_regex(text, '\s+'),
+        |      x -> x <> '')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, shard, n_tok,
+        |    CAST(SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum_tok
+        |  FROM t)
+        |SELECT doc_id, shard, n_tok, cum_tok,
+        |  shard * 1000000 + (cum_tok - n_tok) // 2048 AS pack_id
         |FROM c ORDER BY doc_id""".stripMargin,
     "q_normalize" ->
       """SELECT doc_id,

@@ -115,6 +115,99 @@ object Vectors {
       .orderBy("query_id", "rnk")
   }
 
+  /** X3 scale path with TRAINED centroids: one deterministic Lloyd
+    * iteration refines the 8 seed centroids before the IVF probe.
+    *
+    * Distributed k-means is normally unreproducible: the centroid
+    * update is a floating-point mean whose accumulation order varies
+    * run to run. Here the embedding is quantized to exact integers
+    * (round(x·2^20) — the scaled float is a multiple of 2^-4, so both
+    * engines round identically) and the update keeps the EXACT rational
+    * centroid (per-dim BIGINT sum, member count): sums are associative,
+    * so the result is identical for any partitioning. The re-assignment
+    * compares dist(x, s/c) by the equivalent integer form
+    * Σ(c·x_d − s_d)² / c² with the numerator in DECIMAL(38,0) — exact —
+    * so cluster membership is a pure function of the data, not the
+    * execution. The final top-5 ranks probed candidates by exact cosine
+    * over the ORIGINAL doubles, so output values carry no quantization. */
+  def qVectorAnnKmeans(s: SparkSession, d: String): DataFrame = {
+    val S = 1048576L // 2^20
+    val dec0 = lit(0).cast("decimal(38,0)")
+    val e = embeddings(s, d).select(col("vec_id"),
+      transform(asDouble(col("embedding")),
+        x => round(x * S, 0).cast("long")).as("xq"),
+      asDouble(col("embedding")).as("emb"))
+    val seeds = e.where(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("xq").as("cq"))
+    // assignment 1: exact BIGINT L2² in the scaled domain (≤ 64·(1.2e6)²
+    // ≈ 9e13, comfortably exact)
+    val d1 = aggregate(
+      zip_with(col("xq"), col("cq"), (a, b) => (a - b) * (a - b)),
+      lit(0L), (acc, v) => acc + v)
+    val a1W = Window.partitionBy("vec_id")
+      .orderBy(col("dist").asc, col("cid").asc)
+    val asg1 = e.crossJoin(broadcast(seeds))
+      .withColumn("dist", d1)
+      .withColumn("rn", row_number().over(a1W))
+      .where(col("rn") === 1)
+      .select(col("vec_id"), col("xq"), col("cid").as("acid"))
+    // Lloyd update: exact per-dimension integer sums + member counts.
+    // The shuffle carries (cluster, dim, partial BIGINT sum) — at 100 TB
+    // this is the classic map-side-combined k-means update, and exactness
+    // means the result is independent of partition count.
+    val sums = asg1
+      .select(col("acid"), posexplode(col("xq")).as(Seq("pos", "v")))
+      .groupBy("acid", "pos").agg(sum(col("v")).as("sv"))
+      .groupBy("acid").agg(
+        transform(array_sort(collect_list(struct(col("pos"), col("sv")))),
+          x => x.getField("sv")).as("sq"))
+    val cent = sums.join(
+      asg1.groupBy("acid").agg(count(lit(1)).as("c")), "acid")
+    // assignment 2 against rational centroids s/c without ever forming a
+    // float mean: argmin of Σ(c·x−s)²/c², numerator exact in decimal
+    def d2(x: Column, sq: Column, c: Column): Column =
+      aggregate(
+        zip_with(x, sq, (xd, sd) =>
+          ((c * xd - sd).cast("decimal(19,0)") *
+            (c * xd - sd).cast("decimal(19,0)"))),
+        dec0, (acc, v) => acc + v).cast("double") /
+        (c * c).cast("double")
+    val a2W = Window.partitionBy("vec_id")
+      .orderBy(col("dist").asc, col("acid").asc)
+    val asg2 = e.crossJoin(broadcast(cent))
+      .withColumn("dist", d2(col("xq"), col("sq"), col("c")))
+      .withColumn("rn", row_number().over(a2W))
+      .where(col("rn") === 1)
+      .select(col("vec_id"), col("acid").as("acid2"))
+    // probe: each query's nprobe=2 nearest TRAINED centroids
+    val q = withNorm(e.where(col("vec_id") < 5), "emb")
+      .select(col("vec_id").as("query_id"), col("xq").as("qx"),
+        col("emb").as("qe"), col("nrm").as("qn"))
+    val pW = Window.partitionBy("query_id")
+      .orderBy(col("dist").asc, col("acid").asc)
+    val probes = q.select(col("query_id"), col("qx"))
+      .crossJoin(broadcast(cent))
+      .withColumn("dist", d2(col("qx"), col("sq"), col("c")))
+      .withColumn("rn", row_number().over(pW))
+      .where(col("rn") <= 2)
+      .select(col("query_id"), col("acid").as("pcid"))
+    val cands = withNorm(e.where(col("vec_id") >= 5), "emb")
+      .select(col("vec_id").as("cand_id"), col("emb").as("ce"),
+        col("nrm").as("cn"))
+      .join(asg2, col("cand_id") === asg2("vec_id"))
+      .select(col("cand_id"), col("ce"), col("cn"), col("acid2"))
+    val topW = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("cand_id"))
+    cands.join(broadcast(probes), col("acid2") === probes("pcid"))
+      .join(broadcast(q.select(col("query_id"), col("qe"), col("qn"))),
+        "query_id")
+      .withColumn("cosine", cosine(col("qe"), col("qn"), col("ce"), col("cn")))
+      .withColumn("rnk", row_number().over(topW))
+      .where(col("rnk") <= 5)
+      .select("query_id", "cand_id", "rnk", "cosine")
+      .orderBy("query_id", "rnk")
+  }
+
   /** X3 / near-dup primitive: exact cosine 1-NN for each probe vector
     * (vec_id < 100) against the full corpus. */
   def qEmbedKnn(s: SparkSession, d: String): DataFrame = {
@@ -170,6 +263,7 @@ object Vectors {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_vector_topk"    -> qVectorTopk _,
     "q_vector_ann_ivf" -> qVectorAnnIvf _,
+    "q_vector_ann_kmeans" -> qVectorAnnKmeans _,
     "q_embed_knn"      -> qEmbedKnn _,
     "q_embed_pairs"    -> qEmbedPairs _,
   )
@@ -228,6 +322,72 @@ object Vectors {
         |        ROW_NUMBER() OVER (PARTITION BY query_id
         |          ORDER BY cosine DESC, cand_id) AS rnk
         |      FROM scored)
+        |SELECT query_id, cand_id, rnk, cosine FROM r
+        |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+    "q_vector_ann_kmeans" ->
+      """WITH e AS (
+        |  SELECT vec_id,
+        |    list_transform(CAST(embedding AS DOUBLE[]),
+        |      x -> CAST(round(x * 1048576) AS BIGINT)) AS xq,
+        |    CAST(embedding AS DOUBLE[]) AS emb
+        |  FROM embeddings),
+        |seeds AS (SELECT vec_id AS cid, xq AS cq FROM e WHERE vec_id < 8),
+        |a1 AS (
+        |  SELECT e.vec_id, s.cid,
+        |    list_sum(list_transform(list_zip(e.xq, s.cq),
+        |      z -> (z[1]-z[2])*(z[1]-z[2]))) AS dist
+        |  FROM e, seeds s),
+        |asg1 AS (
+        |  SELECT vec_id, cid AS acid FROM (
+        |    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id
+        |      ORDER BY dist ASC, cid ASC) AS rn FROM a1) WHERE rn = 1),
+        |dims AS (
+        |  SELECT asg1.acid, generate_subscripts(e.xq, 1) AS pos,
+        |         unnest(e.xq) AS v
+        |  FROM asg1 JOIN e USING (vec_id)),
+        |persum AS (
+        |  SELECT acid, pos, SUM(v) AS sv FROM dims GROUP BY 1, 2),
+        |sums AS (
+        |  SELECT acid, list(sv ORDER BY pos) AS sq FROM persum GROUP BY 1),
+        |cnt AS (SELECT acid, COUNT(*) AS c FROM asg1 GROUP BY 1),
+        |cent AS (SELECT sums.acid, sq, c FROM sums JOIN cnt USING (acid)),
+        |a2 AS (
+        |  SELECT e.vec_id, ct.acid,
+        |    CAST(list_sum(list_transform(list_zip(e.xq, ct.sq),
+        |      z -> CAST(ct.c*z[1]-z[2] AS HUGEINT)
+        |         * CAST(ct.c*z[1]-z[2] AS HUGEINT))) AS DOUBLE)
+        |      / (CAST(ct.c AS DOUBLE) * CAST(ct.c AS DOUBLE)) AS dist
+        |  FROM e, cent ct),
+        |asg2 AS (
+        |  SELECT vec_id, acid AS acid2 FROM (
+        |    SELECT vec_id, acid, ROW_NUMBER() OVER (PARTITION BY vec_id
+        |      ORDER BY dist ASC, acid ASC) AS rn FROM a2) WHERE rn = 1),
+        |q AS (SELECT vec_id AS query_id, xq AS qx, emb AS qe FROM e
+        |      WHERE vec_id < 5),
+        |pd AS (
+        |  SELECT q.query_id, ct.acid,
+        |    CAST(list_sum(list_transform(list_zip(q.qx, ct.sq),
+        |      z -> CAST(ct.c*z[1]-z[2] AS HUGEINT)
+        |         * CAST(ct.c*z[1]-z[2] AS HUGEINT))) AS DOUBLE)
+        |      / (CAST(ct.c AS DOUBLE) * CAST(ct.c AS DOUBLE)) AS dist
+        |  FROM q, cent ct),
+        |probes AS (
+        |  SELECT query_id, acid AS pcid FROM (
+        |    SELECT query_id, acid, ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY dist ASC, acid ASC) AS rn FROM pd) WHERE rn <= 2),
+        |cands AS (
+        |  SELECT e.vec_id AS cand_id, e.emb AS ce, asg2.acid2
+        |  FROM e JOIN asg2 USING (vec_id) WHERE e.vec_id >= 5),
+        |scored AS (
+        |  SELECT p.query_id, c.cand_id,
+        |    list_cosine_similarity(q.qe, c.ce) AS cosine
+        |  FROM cands c JOIN probes p ON c.acid2 = p.pcid
+        |  JOIN q ON q.query_id = p.query_id),
+        |r AS (
+        |  SELECT query_id, cand_id, cosine,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, cand_id) AS rnk
+        |  FROM scored)
         |SELECT query_id, cand_id, rnk, cosine FROM r
         |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
     "q_embed_knn" ->
