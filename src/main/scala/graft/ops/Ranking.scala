@@ -83,6 +83,46 @@ object Ranking {
             x => x.cast("string")), ",").as("postings10"))
       .orderBy("token")
 
+  /** Library form of BM25: any term list, same per-row-tf + one-broadcast-
+    * stats plan as [[qBm25]] (which pins the 3-term oracle contract). */
+  def bm25(s: SparkSession, d: String, terms: Seq[String],
+           k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty && terms == terms.distinct)
+    val tk = Text.toks(col("text"))
+    def tfc(t: String) = s"tf_$t"
+    def dfc(t: String) = s"df_$t"
+    val perDoc = documents(s, d).select(
+      col("doc_id") +: size(tk).cast("long").as("dl") +:
+        terms.map(t =>
+          size(filter(tk, x => x === t)).cast("long").as(tfc(t))): _*)
+    val stats = perDoc.agg(
+      count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl") +:
+        terms.map(t =>
+          sum(when(col(tfc(t)) > 0, 1L).otherwise(0L)).as(dfc(t))): _*)
+    def score(t: String) =
+      log((col("n_docs").cast("double") - col(dfc(t)) + 0.5d) /
+            (col(dfc(t)).cast("double") + 0.5d) + 1.0d) *
+        (col(tfc(t)).cast("double") * (k1 + 1.0)) /
+        (col(tfc(t)).cast("double") +
+          lit(k1) * (lit(1.0 - b) +
+            lit(b) * col("dl").cast("double") / col("avgdl")))
+    perDoc.crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        terms.map(score).reduce(_ + _).as("bm25"))
+      .orderBy("doc_id")
+  }
+
+  /** Full (uncapped) inverted index as a DataFrame of (token, doc_id, tf)
+    * postings — the layout that gets WRITTEN bucketed-by-token at scale,
+    * so every retrieval/scoring join on `token` is co-located and
+    * shuffle-free (proof: InvertedIndexSpec). */
+  def postings(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), explode(Text.toks(col("text"))).as("token"))
+      .groupBy("token", "doc_id")
+      .agg(count(lit(1)).cast("long").as("tf"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bm25"           -> qBm25 _,
     "q_inverted_index" -> qInvertedIndex _,
