@@ -33,7 +33,8 @@ object SparkEntry {
     ops.CorpusPipeline.queries ++
     ops.Sources.queries ++
     ops.Ranking.queries ++
-    ops.QualitySignals.queries
+    ops.QualitySignals.queries ++
+    ops.Curation.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -51,5 +52,6 @@ object SparkEntry {
     ops.CorpusPipeline.oracleSql ++
     ops.Sources.oracleSql ++
     ops.Ranking.oracleSql ++
-    ops.QualitySignals.oracleSql
+    ops.QualitySignals.oracleSql ++
+    ops.Curation.oracleSql
 }

@@ -260,12 +260,64 @@ object Vectors {
       .orderBy("va", "vb")
   }
 
+  /** X2 scale path for embedding near-dup: banded sign-LSH
+    * (random-hyperplane SimHash). Bit j is the sign of the dot product
+    * with hyperplane j (the first 16 corpus vectors serve as
+    * deterministic hyperplanes); the 16 bits form 4 BANDS of 4 bits, and
+    * a pair is a candidate if it collides in ANY band — the classic
+    * bands/rows recall dial (for cos ≥ 0.9: P[bit agree] ≈ 0.86,
+    * P[≥1 of 4 band hits] ≈ 95%). Only same-band-bucket pairs are
+    * cosine-verified, so candidate volume is Σ_bucket n_b²/2 per band
+    * instead of n²/2. This materializes the per-bucket verify promised
+    * in [[qEmbedPairs]]'s scale note as its own contract (an LSH
+    * prefilter is a recall<1 operator — its output is "pairs the index
+    * retrieves", matched exactly by the oracle replaying the same bands).
+    *
+    * Signatures are reproducible across engines because the dot product
+    * is the same sequential fold on both sides (bit-identical per the
+    * determinism rules); a sign could only differ if a dot were within
+    * one ULP of zero — measure-zero for real embeddings. */
+  def qEmbedLshPairs(s: SparkSession, d: String): DataFrame = {
+    val e = withNorm(embeddings(s, d).select(col("vec_id"),
+      asDouble(col("embedding")).as("emb")), "emb")
+    val hyper = e.where(col("vec_id") < 16)
+      .select(col("vec_id").as("hid"), col("emb").as("hemb"))
+    // (vec, band, 4-bit band signature)
+    val bandSigs = e.crossJoin(broadcast(hyper))
+      .select(col("vec_id"), expr("hid div 4").as("band"),
+        when(dot(col("emb"), col("hemb")) > 0,
+          expr("shiftleft(cast(1 as bigint), cast(hid % 4 as int))"))
+          .otherwise(lit(0L)).as("bit"))
+      .groupBy("vec_id", "band").agg(sum(col("bit")).as("bsig"))
+    val a = bandSigs.select(col("vec_id").as("va"), col("band"),
+      col("bsig"))
+    val b = bandSigs.select(col("vec_id").as("vb"),
+      col("band").as("band_b"), col("bsig").as("bsig_b"))
+    // candidates: collide in ≥1 band; distinct BEFORE the verify join so
+    // multi-band collisions are scored once
+    val cand = a.join(b,
+        col("band") === col("band_b") && col("bsig") === col("bsig_b") &&
+          col("va") < col("vb"))
+      .select("va", "vb").distinct()
+    val ea = e.select(col("vec_id").as("va"), col("emb").as("ea"),
+      col("nrm").as("na"))
+    val eb = e.select(col("vec_id").as("vb"), col("emb").as("eb"),
+      col("nrm").as("nb"))
+    cand.join(ea, "va").join(eb, "vb")
+      .withColumn("cosine",
+        cosine(col("ea"), col("na"), col("eb"), col("nb")))
+      .where(col("cosine") >= 0.45)
+      .select("va", "vb", "cosine")
+      .orderBy("va", "vb")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_vector_topk"    -> qVectorTopk _,
     "q_vector_ann_ivf" -> qVectorAnnIvf _,
     "q_vector_ann_kmeans" -> qVectorAnnKmeans _,
     "q_embed_knn"      -> qEmbedKnn _,
     "q_embed_pairs"    -> qEmbedPairs _,
+    "q_embed_lsh_pairs" -> qEmbedLshPairs _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -276,6 +328,30 @@ object Vectors {
         |       list_cosine_similarity(a.emb, b.emb) AS cosine
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.emb, b.emb) >= 0.45
+        |ORDER BY va, vb""".stripMargin,
+    "q_embed_lsh_pairs" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+        |           FROM embeddings),
+        |h AS (SELECT vec_id AS hid, emb AS hemb FROM e WHERE vec_id < 16),
+        |bits AS (
+        |  SELECT e.vec_id, h.hid // 4 AS band,
+        |    CASE WHEN list_dot_product(e.emb, h.hemb) > 0
+        |         THEN CAST(1 AS BIGINT) << CAST(h.hid % 4 AS INTEGER)
+        |         ELSE 0 END AS bit
+        |  FROM e, h),
+        |bsigs AS (SELECT vec_id, band, CAST(SUM(bit) AS BIGINT) AS bsig
+        |          FROM bits GROUP BY vec_id, band),
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+        |  FROM bsigs a JOIN bsigs b
+        |    ON a.band = b.band AND a.bsig = b.bsig
+        |   AND a.vec_id < b.vec_id)
+        |SELECT va, vb,
+        |       list_cosine_similarity(ea.emb, eb.emb) AS cosine
+        |FROM cand
+        |JOIN e ea ON ea.vec_id = va
+        |JOIN e eb ON eb.vec_id = vb
+        |WHERE list_cosine_similarity(ea.emb, eb.emb) >= 0.45
         |ORDER BY va, vb""".stripMargin,
     "q_vector_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) qe

@@ -85,6 +85,43 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("Partial") && p.contains("Final"), p.take(800))
   }
 
+  test("decontaminate broadcasts the eval side over one corpus scan") {
+    val p = plan("q_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    // the training corpus (the big side) must not be shuffle-exchanged
+    // before the contamination join — only the final groupBy shuffles
+    val joinSection = p.substring(p.indexOf("BroadcastHashJoin"))
+    assert(!joinSection.substring(0, joinSection.indexOf("HashAggregate")
+        .max(1)).contains("Exchange hashpartitioning"),
+      "training side shuffled before the contamination join:\n" + p.take(1200))
+  }
+
+  test("domain mix reads only the two metadata columns") {
+    val p = plan("q_domain_mix")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema"))
+      .getOrElse(fail(s"no ReadSchema in:\n$p"))
+    assert(!readSchema.contains("text"), readSchema)
+    assert(readSchema.contains("source") && readSchema.contains("n_chars"),
+      readSchema)
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "no map-side partial aggregation")
+  }
+
+  test("sharded packing has no single-partition global window") {
+    val p = plan("q_pack_sequences_sharded")
+    // the window must be hash-partitioned by shard, never SinglePartition
+    assert(p.contains("Window"), p.take(500))
+    val winSection = p.substring(p.indexOf("Window"))
+    assert(winSection.contains("hashpartitioning(shard"),
+      "window not partitioned by shard:\n" + p.take(1200))
+  }
+
+  test("kmeans assignment broadcasts centroids, never shuffles the corpus") {
+    val p = plan("q_vector_ann_kmeans")
+    assert("BroadcastExchange".r.findAllIn(p).size >= 2, p.take(800))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+  }
+
   test("dedup_exact shuffles fingerprints, not document bodies") {
     val p = plan("q_dedup_exact")
     // the shuffled row is the partial aggregate's output: (fp, min, count)
