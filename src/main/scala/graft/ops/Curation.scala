@@ -26,14 +26,16 @@ object Curation {
   private val N = 4 // gram width; 4 catches phrase-level contamination
                     // in the synthetic corpus at every SF
 
-  /** Distinct word-N-grams of a document as strings. */
-  private def grams(text: Column): Column = {
-    val tk = Text.toks(text)
+  /** Distinct word-N-grams from an already-materialized token array.
+    * `tk` must be a plain column reference: Column trees are inlined at
+    * every use site and Spark disables codegen subexpression elimination
+    * for lambda-bearing expressions, so passing the tokenizer expression
+    * here directly would re-run the regex split 3× per row. */
+  private def gramsFromToks(tk: Column): Column =
     when(size(tk) >= N,
       array_distinct(transform(sequence(lit(1), size(tk) - (N - 1)),
         i => concat_ws(" ", slice(tk, i, lit(N))))))
       .otherwise(array().cast("array<string>"))
-  }
 
   /** Benchmark decontamination report: training docs (doc_id % 97 ≠ 0)
     * sharing at least one word-4-gram with the held-out eval slice
@@ -41,12 +43,12 @@ object Curation {
     * many distinct grams and eval docs each contaminated training doc
     * touches; a real pipeline would drop or redact these rows. */
   def qDecontaminate(s: SparkSession, d: String): DataFrame = {
-    val ev = documents(s, d).where(col("doc_id") % 97 === 0)
-      .select(col("doc_id").as("eval_id"),
-        explode(grams(col("text"))).as("g"))
-    val tr = documents(s, d).where(col("doc_id") % 97 =!= 0)
-      .select(col("doc_id").as("train_id"),
-        explode(grams(col("text"))).as("g"))
+    def side(pred: Column, as: String) =
+      documents(s, d).where(pred)
+        .select(col("doc_id").as(as), Text.toks(col("text")).as("tk"))
+        .select(col(as), explode(gramsFromToks(col("tk"))).as("g"))
+    val ev = side(col("doc_id") % 97 === 0, "eval_id")
+    val tr = side(col("doc_id") % 97 =!= 0, "train_id")
     tr.join(broadcast(ev), "g")
       .groupBy("train_id")
       .agg(countDistinct(col("g")).as("n_shared_grams"),

@@ -26,13 +26,18 @@ object QualitySignals {
     * (ties broken lexicographically — determinism is part of the
     * contract). High values flag boilerplate/spam for corpus filtering. */
   def qRepetition(s: SparkSession, d: String): DataFrame = {
-    val tk = Text.toks(col("text"))
-    val base = documents(s, d).select(
+    // tokens materialized once: the Column tree would otherwise be
+    // inlined at 3 use sites and lambda-bearing exprs defeat codegen
+    // subexpression elimination (regex split re-run per use)
+    val toked = documents(s, d)
+      .select(col("doc_id"), Text.toks(col("text")).as("tk"))
+    val tk = col("tk")
+    val base = toked.select(
       col("doc_id"),
       size(tk).cast("long").as("n_tok"),
       size(array_distinct(tk)).cast("long").as("n_distinct"),
       size(Text.bigrams(tk)).cast("long").as("n_bg_distinct"))
-    val top = documents(s, d)
+    val top = toked
       .select(col("doc_id"), explode(tk).as("token"))
       .groupBy("doc_id", "token").agg(count(lit(1)).as("n"))
       .withColumn("rn", row_number().over(

@@ -33,13 +33,19 @@ object Ranking {
     * order could differ between engines; with ln() the only libm call,
     * round(…,4) on both sides absorbs the last-ULP difference. */
   def qBm25(s: SparkSession, d: String): DataFrame = {
-    val tk = Text.toks(col("text"))
-    val perDoc = documents(s, d).select(
-      col("doc_id"),
-      size(tk).cast("long").as("dl"),
-      size(filter(tk, t => t === Terms(0))).cast("long").as("tf_table"),
-      size(filter(tk, t => t === Terms(1))).cast("long").as("tf_hash"),
-      size(filter(tk, t => t === Terms(2))).cast("long").as("tf_window"))
+    // tokens materialized in their own projection: the Column tree is
+    // inlined at each of the 4 use sites below and lambda-bearing
+    // expressions defeat codegen subexpression elimination, so inlining
+    // the tokenizer would re-run the regex split 4x per row
+    val tk = col("tk")
+    val perDoc = documents(s, d)
+      .select(col("doc_id"), Text.toks(col("text")).as("tk"))
+      .select(
+        col("doc_id"),
+        size(tk).cast("long").as("dl"),
+        size(filter(tk, t => t === Terms(0))).cast("long").as("tf_table"),
+        size(filter(tk, t => t === Terms(1))).cast("long").as("tf_hash"),
+        size(filter(tk, t => t === Terms(2))).cast("long").as("tf_window"))
     val stats = perDoc.agg(
       count(lit(1)).as("n_docs"),
       (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"),
@@ -91,10 +97,13 @@ object Ranking {
     val tk = Text.toks(col("text"))
     def tfc(t: String) = s"tf_$t"
     def dfc(t: String) = s"df_$t"
-    val perDoc = documents(s, d).select(
-      col("doc_id") +: size(tk).cast("long").as("dl") +:
-        terms.map(t =>
-          size(filter(tk, x => x === t)).cast("long").as(tfc(t))): _*)
+    val perDoc = documents(s, d)
+      .select(col("doc_id"), tk.as("tk"))
+      .select(
+        col("doc_id") +: size(col("tk")).cast("long").as("dl") +:
+          terms.map(t =>
+            size(filter(col("tk"), x => x === t)).cast("long")
+              .as(tfc(t))): _*)
     val stats = perDoc.agg(
       count(lit(1)).as("n_docs"),
       (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl") +:
