@@ -90,6 +90,29 @@ object QualitySignals {
       .orderBy("doc_id")
   }
 
+  /** Unigram surprisal — the model-free perplexity surrogate used to
+    * rank corpus quality: mean −ln(p(token)) per document under the
+    * corpus's own unigram distribution. Two narrow passes: the token
+    * frequency table (a (token, n) aggregate, broadcast back — at 100 TB
+    * it's the warehouse's maintained vocabulary table), then a per-doc
+    * mean over the exploded tokens. Shuffles carry (token, count) and
+    * (doc, partial-sum) pairs only; round(…,4) absorbs ln() ULPs. */
+  def qUnigramSurprisal(s: SparkSession, d: String): DataFrame = {
+    val toked = documents(s, d)
+      .select(col("doc_id"), Text.toks(col("text")).as("tk"))
+    val tokens = toked.select(col("doc_id"), explode(col("tk")).as("token"))
+    val freq = tokens.groupBy("token").agg(count(lit(1)).as("n"))
+    val total = freq.agg(sum(col("n")).as("n_total"))
+    tokens
+      .join(broadcast(freq.crossJoin(total)), "token")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok"),
+        round(
+          (sum(-log(col("n").cast("double") / col("n_total"))) /
+            count(lit(1))), 4).as("surprisal"))
+      .orderBy("doc_id")
+  }
+
   /** Corpus length profile: equi-width histogram of document char
     * lengths (200-char bins). */
   def qLengthHistogram(s: SparkSession, d: String): DataFrame =
@@ -102,10 +125,45 @@ object QualitySignals {
         (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"))
       .orderBy("bin")
 
+  /** Compression-ratio quality signal (the Gopher-style "too
+    * compressible = boilerplate, incompressible = noise" filter):
+    * deflate(level 6) output bytes over input bytes per document. zlib
+    * is deterministic for a fixed level, so the column is reproducible;
+    * it is NOT SQL-expressible, so the contract is the rows-only check
+    * plus CompressRatioSpec (stability + boilerplate ordering). Pure
+    * per-row map — the UDF is interpreted, but deflate dominates the
+    * call overhead; zero shuffle. */
+  def qCompressRatio(s: SparkSession, d: String): DataFrame = {
+    val deflateLen = udf { (text: String) =>
+      if (text == null) 0L
+      else {
+        val in = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val defl = new java.util.zip.Deflater(6, false)
+        defl.setInput(in)
+        defl.finish()
+        val buf = new Array[Byte](8192)
+        var total = 0L
+        while (!defl.finished()) total += defl.deflate(buf)
+        defl.end()
+        total
+      }
+    }
+    documents(s, d)
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("n_raw"),
+        deflateLen(col("text")).as("n_deflate"))
+      .select(col("doc_id"), col("n_raw"), col("n_deflate"),
+        round(col("n_deflate").cast("double") / col("n_raw"), 4)
+          .as("ratio"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_repetition" -> qRepetition _,
     "q_pii_scrub"  -> qPiiScrub _,
     "q_length_histogram" -> qLengthHistogram _,
+    "q_unigram_surprisal" -> qUnigramSurprisal _,
+    "q_compress_ratio" -> qCompressRatio _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -165,6 +223,21 @@ object QualitySignals {
         |  CAST(length(scrubbed) AS BIGINT) AS n_scrub,
         |  md5(scrubbed) AS scrub_fp
         |FROM sc ORDER BY doc_id""".stripMargin,
+    "q_unigram_surprisal" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                x -> x <> '') AS tk
+        |  FROM documents),
+        |t AS (SELECT doc_id, unnest(tk) AS token FROM tk),
+        |f AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+        |      FROM t GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total FROM f)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok,
+        |  round(SUM(-ln(CAST(n AS DOUBLE) / n_total)) / COUNT(*), 4)
+        |    AS surprisal
+        |FROM t JOIN f USING (token) CROSS JOIN tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_length_histogram" ->
       """SELECT n_chars // 200 AS bin,
         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
