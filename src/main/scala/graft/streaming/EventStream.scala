@@ -76,6 +76,19 @@ object EventStream {
       }
       .start()
 
+  /** Stream-static enrichment: every event joins the (batch) customer
+    * dimension on user_id. The static side is planned per micro-batch as
+    * an ordinary broadcast join — no state, no watermark needed — which
+    * is why dimension enrichment is the cheapest streaming join and the
+    * default way to attach warehouse attributes to a firehose. */
+  def enrichedEvents(events: DataFrame, customers: DataFrame): DataFrame =
+    events.join(
+      broadcast(customers.select(col("c_custkey").as("user_id"),
+        col("c_mktsegment"))),
+      Seq("user_id"), "left")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("c_mktsegment"))
+
   /** Stream-stream interval join: each purchase joins the same user's
     * clicks from the preceding hour. Both sides carry watermarks and the
     * join condition bounds event time on BOTH ends, so Spark can evict

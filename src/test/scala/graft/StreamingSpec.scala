@@ -132,4 +132,23 @@ class StreamingSpec extends AnyFunSuite {
     val n = spark.table("dedup_out").count()
     assert(n == 1000L) // ids are unique in the fixture → all pass
   }
+
+  test("stream-static enrichment join equals the batch join") {
+    import org.apache.spark.sql.functions._
+    val customers = Tables.customer(spark, sf)
+    val q = EventStream.enrichedEvents(
+        EventStream.readEvents(spark, sf), customers)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("enrich_out")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("enrich_out")
+    assert(streamed.count() == 1000L) // left join preserves every event
+    val batch = graft.Events.events(spark, sf)
+      .join(broadcast(customers.select(col("c_custkey").as("user_id"),
+        col("c_mktsegment"))), Seq("user_id"), "left")
+    val sMatched = streamed.where(col("c_mktsegment").isNotNull).count()
+    val bMatched = batch.where(col("c_mktsegment").isNotNull).count()
+    assert(sMatched == bMatched && sMatched > 0)
+  }
 }
