@@ -77,14 +77,15 @@ object Vectors {
       .select(col("vec_id").as("cid"), col("emb").as("cemb"))
     def l2sq(a: Column, b: Column): Column = squaredDistance(a, b)
 
-    // cluster assignment: one broadcast-join pass over the corpus
-    val asgW = Window.partitionBy("vec_id")
-      .orderBy(col("dist").asc, col("cid").asc)
+    // cluster assignment: one broadcast-join pass over the corpus.
+    // argmin via min_by over the (dist, cid) struct — partial-aggregated
+    // map-side, so the shuffle carries ONE row per vector instead of the
+    // k_centroids-times-larger sorted window input (ties broken by cid,
+    // same order the row_number form used)
     val asg = e.crossJoin(broadcast(cent))
       .withColumn("dist", l2sq(col("emb"), col("cemb")))
-      .withColumn("rn", row_number().over(asgW))
-      .where(col("rn") === 1)
-      .select(col("vec_id"), col("cid").as("acid"))
+      .groupBy("vec_id")
+      .agg(min_by(col("cid"), struct(col("dist"), col("cid"))).as("acid"))
 
     val q = withNorm(e.where(col("vec_id") < 5), "emb")
       .select(col("vec_id").as("query_id"), col("emb").as("qe"),
@@ -144,13 +145,16 @@ object Vectors {
     val d1 = aggregate(
       zip_with(col("xq"), col("cq"), (a, b) => (a - b) * (a - b)),
       lit(0L), (acc, v) => acc + v)
-    val a1W = Window.partitionBy("vec_id")
-      .orderBy(col("dist").asc, col("cid").asc)
+    // argmin as a map-side-combined min_by, not a sorted window: the
+    // shuffle carries one (vec, winner) row, not 8 sorted candidates.
+    // first(xq) is deterministic — xq is functionally dependent on the
+    // group key.
     val asg1 = e.crossJoin(broadcast(seeds))
       .withColumn("dist", d1)
-      .withColumn("rn", row_number().over(a1W))
-      .where(col("rn") === 1)
-      .select(col("vec_id"), col("xq"), col("cid").as("acid"))
+      .groupBy("vec_id")
+      .agg(min_by(col("cid"), struct(col("dist"), col("cid"))).as("acid"),
+        first(col("xq")).as("xq"))
+      .select(col("vec_id"), col("xq"), col("acid"))
     // Lloyd update: exact per-dimension integer sums + member counts.
     // The shuffle carries (cluster, dim, partial BIGINT sum) — at 100 TB
     // this is the classic map-side-combined k-means update, and exactness
@@ -172,13 +176,11 @@ object Vectors {
             (c * xd - sd).cast("decimal(19,0)"))),
         dec0, (acc, v) => acc + v).cast("double") /
         (c * c).cast("double")
-    val a2W = Window.partitionBy("vec_id")
-      .orderBy(col("dist").asc, col("acid").asc)
     val asg2 = e.crossJoin(broadcast(cent))
       .withColumn("dist", d2(col("xq"), col("sq"), col("c")))
-      .withColumn("rn", row_number().over(a2W))
-      .where(col("rn") === 1)
-      .select(col("vec_id"), col("acid").as("acid2"))
+      .groupBy("vec_id")
+      .agg(min_by(col("acid"), struct(col("dist"), col("acid")))
+        .as("acid2"))
     // probe: each query's nprobe=2 nearest TRAINED centroids
     val q = withNorm(e.where(col("vec_id") < 5), "emb")
       .select(col("vec_id").as("query_id"), col("xq").as("qx"),
