@@ -77,9 +77,43 @@ object Curation {
       .orderBy("source")
   }
 
+  /** Data selection under a token budget: per language, take documents
+    * in quality order (best first) until 2000 tokens are claimed — the
+    * "which slice of the corpus do we actually train on" primitive.
+    * A doc is kept while the budget has room BEFORE it (same prior-cumsum
+    * convention as sequence packing, so one oversized best doc still
+    * ships). One shuffle on the stratum key; the per-stratum sort is the
+    * operator. Quality here is the same integer-derived-and-one-division
+    * score as q_text_quality, so the ordering is engine-exact. */
+  def qBudgetSelect(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val budget = 2000L
+    val scored = documents(s, d)
+      .select(col("doc_id"), col("lang"), Text.toks(col("text")).as("tk"))
+      .select(col("doc_id"), col("lang"),
+        size(col("tk")).cast("long").as("n_tok"),
+        size(filter(col("tk"), t => t.isin(Seq("the", "a", "of", "and",
+          "to", "in", "is", "on", "for", "with"): _*)))
+          .cast("long").as("n_stop"))
+      .where(col("n_tok") > 0)
+      .withColumn("quality",
+        least(col("n_tok"), lit(100L)).cast("double") / 100.0d * 0.5d +
+          col("n_stop").cast("double") / col("n_tok") * 0.5d)
+    val w = Window.partitionBy("lang")
+      .orderBy(col("quality").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    scored
+      .withColumn("cum_tok", sum(col("n_tok")).over(w))
+      .where(col("cum_tok") - col("n_tok") < budget)
+      .select(col("doc_id"), col("lang"), col("n_tok"),
+        round(col("quality"), 6).as("quality"), col("cum_tok"))
+      .orderBy("lang", "cum_tok", "doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_decontaminate" -> qDecontaminate _,
     "q_domain_mix"    -> qDomainMix _,
+    "q_budget_select" -> qBudgetSelect _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -103,6 +137,33 @@ object Curation {
         |  CAST(COUNT(DISTINCT eval_id) AS BIGINT) AS n_eval_docs
         |FROM tr JOIN ev USING (g)
         |GROUP BY train_id ORDER BY train_id""".stripMargin,
+    "q_budget_select" ->
+      """WITH tk AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                x -> x <> '') AS tk
+        |  FROM documents),
+        |sc AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(tk) AS BIGINT) AS n_tok,
+        |    CAST(len(list_filter(tk, x -> x IN ('the','a','of','and','to',
+        |      'in','is','on','for','with'))) AS BIGINT) AS n_stop
+        |  FROM tk WHERE len(tk) > 0),
+        |q AS (
+        |  SELECT doc_id, lang, n_tok,
+        |    CAST(least(n_tok, 100) AS DOUBLE) / 100.0 * 0.5
+        |      + CAST(n_stop AS DOUBLE) / n_tok * 0.5 AS quality
+        |  FROM sc),
+        |c AS (
+        |  SELECT doc_id, lang, n_tok, quality,
+        |    CAST(SUM(n_tok) OVER (PARTITION BY lang
+        |      ORDER BY quality DESC, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum_tok
+        |  FROM q)
+        |SELECT doc_id, lang, n_tok, round(quality, 6) AS quality, cum_tok
+        |FROM c WHERE cum_tok - n_tok < 2000
+        |ORDER BY lang, cum_tok, doc_id""".stripMargin,
     "q_domain_mix" ->
       """WITH c AS (
         |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
