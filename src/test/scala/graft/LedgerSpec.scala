@@ -1,0 +1,33 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The SURVEY.md §2.5 ledger is the contract surface — this spec keeps it
+  * impossible for a key to exist in code but not in the ledger (the
+  * round-2 failure mode) or vice versa. */
+class LedgerSpec extends AnyFunSuite {
+
+  test("every query key appears in the SURVEY ledger, and the counts match") {
+    val survey = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get("SURVEY.md")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val keys = SparkEntry.queries.keySet
+    val missing = keys.filterNot(k => survey.contains(s"| $k "))
+    assert(missing.isEmpty, s"keys absent from SURVEY.md §2.5: $missing")
+    assert(survey.contains(s"${keys.size} keys total"),
+      s"SURVEY.md ledger count stale: code has ${keys.size} keys")
+  }
+
+  test("every oracle key has a query, and oracle coverage is total minus rows-only") {
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracleSql without queries entry: $orphans")
+    val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    // every rows-only key must be one of the documented sketch/report keys
+    val documented = Set("q_approx_distinct", "q_kmv_distinct", "q_winnow_fp",
+      "q_minhash_lsh", "q_simhash", "q_corpus_clean", "q_quantiles_approx",
+      "q_compress_ratio")
+    assert(rowsOnly == documented,
+      s"undocumented rows-only keys: ${rowsOnly -- documented}; " +
+        s"stale documented: ${documented -- rowsOnly}")
+  }
+}
