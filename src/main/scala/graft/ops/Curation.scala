@@ -110,10 +110,142 @@ object Curation {
       .orderBy("lang", "cum_tok", "doc_id")
   }
 
+  /** Segment-level (a.k.a. paragraph-level) dedup: each doc is chunked
+    * into fixed 10-token segments, and only the globally FIRST occurrence
+    * of each distinct segment survives (first = smallest (doc_id,
+    * seg_idx)); the doc is rebuilt from its surviving segments. This is
+    * the line/paragraph dedup pass web-scale corpora run before doc-level
+    * dedup — boilerplate repeats across pages even when whole docs don't.
+    *
+    * One shuffle, keyed by segment text: the window that picks the first
+    * occurrence. Segments are bounded (10 tokens), so shuffle rows stay
+    * small; at 100 TB the key becomes xxhash64(segment) with the text
+    * carried only by the winning row. */
+  def qSegmentDedup(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val L = 10 // segment width in tokens
+    val segs = documents(s, d)
+      .select(col("doc_id"), Text.toks(col("text")).as("tk"))
+      .where(size(col("tk")) > 0)
+      .select(col("doc_id"),
+        explode(transform(expr(s"sequence(0, (size(tk) - 1) div $L)"),
+          i => struct(i.as("seg_idx"),
+            concat_ws(" ", slice(col("tk"), i * L + 1, lit(L))).as("seg"))))
+          .as("x"))
+      .select(col("doc_id"), col("x.seg_idx").as("seg_idx"),
+        col("x.seg").as("seg"))
+    val firstW = Window.partitionBy("seg").orderBy("doc_id", "seg_idx")
+    segs.withColumn("rn", row_number().over(firstW))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_segs"),
+        count(when(col("rn") === 1, lit(1))).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(when(col("rn") === 1,
+            struct(col("seg_idx"), col("seg"))))),
+          x => x.getField("seg"))).as("clean_text"))
+      .orderBy("doc_id")
+  }
+
+  /** Corpus-duplicated n-gram profile — the exact-substring-dedup signal
+    * (per-doc fraction of 8-gram positions whose gram appears in ≥ 2
+    * docs, and the fraction of token positions covered by such grams).
+    * A doc with high dup_token_frac is boilerplate or a near-copy even
+    * when no single whole-doc fingerprint matches.
+    *
+    * The gram→doc-count aggregation and the hit join both shuffle
+    * (gram, doc, pos) triples only — never document bodies; at 100 TB
+    * grams hash to 64-bit longs exactly as in [[qDecontaminate]]. */
+  def qDupNgrams(s: SparkSession, d: String): DataFrame = {
+    val n = 8
+    val grams = documents(s, d)
+      .select(col("doc_id"), Text.toks(col("text")).as("tk"))
+      .where(size(col("tk")) >= n)
+      .select(col("doc_id"), size(col("tk")).cast("long").as("n_tok"),
+        explode(transform(sequence(lit(1), size(col("tk")) - (n - 1)),
+          i => struct(i.as("i"),
+            concat_ws(" ", slice(col("tk"), i, lit(n))).as("g")))).as("x"))
+      .select(col("doc_id"), col("n_tok"), col("x.i").as("i"),
+        col("x.g").as("g"))
+    val dup = grams.groupBy("g")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .where(col("nd") >= 2).select("g")
+    val hits = grams.join(dup, "g").select("doc_id", "i")
+    val cov = hits
+      .select(col("doc_id"), explode(sequence(col("i"), col("i") + (n - 1)))
+        .as("p"))
+      .groupBy("doc_id").agg(countDistinct(col("p")).as("n_cov"))
+    val perDoc = grams.groupBy("doc_id")
+      .agg(first(col("n_tok")).as("n_tok"), count(lit(1)).as("n_grams"))
+    val dupPos = hits.groupBy("doc_id").agg(count(lit(1)).as("n_dup_pos"))
+    perDoc
+      .join(dupPos, Seq("doc_id"), "left")
+      .join(cov, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tok"), col("n_grams"),
+        coalesce(col("n_dup_pos"), lit(0L)).as("n_dup_pos"),
+        round(coalesce(col("n_dup_pos"), lit(0L)).cast("double") /
+          col("n_grams"), 6).as("dup_ratio"),
+        round(coalesce(col("n_cov"), lit(0L)).cast("double") /
+          col("n_tok"), 6).as("dup_token_frac"))
+      .orderBy("doc_id")
+  }
+
+  /** Model-based quality filtering, the fasttext-classifier pattern
+    * (CCNet-style): train a Naive-Bayes token log-odds model for
+    * "is English" on the 80% train split (doc_id % 10 < 8), score the
+    * held-out 20% as prior + Σ per-token weights. The weight table is the
+    * broadcast side of the scoring join — at 100 TB the model stays a few
+    * MB while the corpus side streams through one narrow join.
+    *
+    * Determinism: weights are ln-ratios rounded to 6 dp and summed as
+    * DECIMAL(18,6) (associative — partition-order-proof), per the oracle
+    * determinism rules; only the finished score is cast back to double. */
+  def qClassifierScore(s: SparkSession, d: String): DataFrame = {
+    val base = documents(s, d)
+      .select(col("doc_id"), (col("lang") === "en").cast("int").as("y"),
+        Text.toks(col("text")).as("tk"))
+      .where(size(col("tk")) > 0)
+    val train = base.where(col("doc_id") % 10 < 8)
+    val counts = train.select(col("y"), explode(col("tk")).as("t"))
+      .groupBy("t")
+      .agg(sum(col("y")).as("c1"), sum(lit(1) - col("y")).as("c0"))
+    val stats = counts
+      .agg(sum(col("c1")).as("t1"), sum(col("c0")).as("t0"),
+        count(lit(1)).as("v"))
+      .crossJoin(train.agg(sum(col("y")).as("d1"),
+        sum(lit(1) - col("y")).as("d0")))
+    def dec6(c: Column): Column = round(c, 6).cast("decimal(18,6)")
+    val w = counts.crossJoin(broadcast(stats))
+      .select(col("t"), dec6(
+        log((col("c1") + 1).cast("double") / (col("t1") + col("v"))
+          .cast("double")) -
+        log((col("c0") + 1).cast("double") / (col("t0") + col("v"))
+          .cast("double"))).as("w"))
+    val defaults = stats.select(
+      dec6(log(lit(1.0) / (col("t1") + col("v")).cast("double")) -
+        log(lit(1.0) / (col("t0") + col("v")).cast("double"))).as("w0"),
+      dec6(log((col("d1") + 1).cast("double") /
+        (col("d0") + 1).cast("double"))).as("prior"))
+    base.where(col("doc_id") % 10 >= 8)
+      .select(col("doc_id"), col("y"), explode(col("tk")).as("t"))
+      .join(broadcast(w), Seq("t"), "left")
+      .crossJoin(broadcast(defaults))
+      .groupBy(col("doc_id"), col("y"), col("prior"))
+      .agg(count(lit(1)).as("n_tok"),
+        sum(coalesce(col("w"), col("w0"))).as("sw"))
+      .select(col("doc_id"), col("n_tok"),
+        round((col("prior") + col("sw")).cast("double"), 4).as("score"),
+        (col("prior") + col("sw") > 0).cast("int").as("pred_en"),
+        col("y").as("is_en"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_decontaminate" -> qDecontaminate _,
     "q_domain_mix"    -> qDomainMix _,
     "q_budget_select" -> qBudgetSelect _,
+    "q_segment_dedup" -> qSegmentDedup _,
+    "q_dup_ngrams"    -> qDupNgrams _,
+    "q_classifier_score" -> qClassifierScore _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -164,6 +296,105 @@ object Curation {
         |SELECT doc_id, lang, n_tok, round(quality, 6) AS quality, cum_tok
         |FROM c WHERE cum_tok - n_tok < 2000
         |ORDER BY lang, cum_tok, doc_id""".stripMargin,
+    "q_segment_dedup" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                x -> x <> '') AS tk
+        |  FROM documents),
+        |e AS (
+        |  SELECT doc_id, unnest(range(0, (len(tk)-1)//10 + 1)) AS i, tk
+        |  FROM tk WHERE len(tk) > 0),
+        |s AS (
+        |  SELECT doc_id, CAST(i AS INTEGER) AS seg_idx,
+        |    array_to_string(
+        |      tk[(CAST(i AS INTEGER)*10+1):(CAST(i AS INTEGER)*10+10)],
+        |      ' ') AS seg
+        |  FROM e),
+        |r AS (
+        |  SELECT doc_id, seg_idx, seg,
+        |    ROW_NUMBER() OVER (PARTITION BY seg
+        |      ORDER BY doc_id, seg_idx) AS rn
+        |  FROM s)
+        |SELECT doc_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_segs,
+        |  CAST(COUNT(CASE WHEN rn = 1 THEN 1 END) AS BIGINT) AS n_kept,
+        |  coalesce(string_agg(CASE WHEN rn = 1 THEN seg END, ' '
+        |    ORDER BY seg_idx), '') AS clean_text
+        |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_dup_ngrams" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                x -> x <> '') AS tk
+        |  FROM documents),
+        |e AS (
+        |  SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tok,
+        |    unnest(range(1, len(tk)-6)) AS i, tk
+        |  FROM tk WHERE len(tk) >= 8),
+        |gr AS (
+        |  SELECT doc_id, n_tok, CAST(i AS INTEGER) AS i,
+        |    array_to_string(tk[CAST(i AS INTEGER):CAST(i AS INTEGER)+7],
+        |      ' ') AS g
+        |  FROM e),
+        |dup AS (SELECT g FROM (
+        |  SELECT g, COUNT(DISTINCT doc_id) AS nd FROM gr GROUP BY g)
+        |  WHERE nd >= 2),
+        |hits AS (SELECT gr.doc_id, gr.i FROM gr JOIN dup USING (g)),
+        |cov AS (SELECT doc_id, COUNT(DISTINCT p) AS n_cov FROM (
+        |  SELECT doc_id, unnest(range(i, i+8)) AS p FROM hits)
+        |  GROUP BY doc_id),
+        |pd AS (SELECT doc_id, MIN(n_tok) AS n_tok,
+        |         CAST(COUNT(*) AS BIGINT) AS n_grams
+        |       FROM gr GROUP BY doc_id),
+        |dp AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_pos
+        |       FROM hits GROUP BY doc_id)
+        |SELECT pd.doc_id, pd.n_tok, pd.n_grams,
+        |  coalesce(dp.n_dup_pos, 0) AS n_dup_pos,
+        |  round(CAST(coalesce(dp.n_dup_pos, 0) AS DOUBLE) / pd.n_grams, 6)
+        |    AS dup_ratio,
+        |  round(CAST(coalesce(cov.n_cov, 0) AS DOUBLE) / pd.n_tok, 6)
+        |    AS dup_token_frac
+        |FROM pd LEFT JOIN dp USING (doc_id) LEFT JOIN cov USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    "q_classifier_score" ->
+      """WITH base AS (
+        |  SELECT doc_id, CAST(lang = 'en' AS INTEGER) AS y,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                x -> x <> '') AS tk
+        |  FROM documents),
+        |b AS (SELECT * FROM base WHERE len(tk) > 0),
+        |trtok AS (SELECT y, unnest(tk) AS t FROM b WHERE doc_id % 10 < 8),
+        |cnt AS (SELECT t, SUM(y) AS c1, SUM(1 - y) AS c0
+        |        FROM trtok GROUP BY t),
+        |tot AS (SELECT SUM(c1) AS t1, SUM(c0) AS t0, COUNT(*) AS v
+        |        FROM cnt),
+        |dc AS (SELECT SUM(y) AS d1, SUM(1 - y) AS d0 FROM b
+        |       WHERE doc_id % 10 < 8),
+        |st AS (SELECT * FROM tot, dc),
+        |w AS (SELECT t,
+        |        CAST(round(
+        |          ln(CAST(c1 + 1 AS DOUBLE) / CAST(t1 + v AS DOUBLE))
+        |        - ln(CAST(c0 + 1 AS DOUBLE) / CAST(t0 + v AS DOUBLE)), 6)
+        |          AS DECIMAL(18,6)) AS w
+        |      FROM cnt, st),
+        |df AS (SELECT
+        |        CAST(round(ln(1.0 / CAST(t1 + v AS DOUBLE))
+        |          - ln(1.0 / CAST(t0 + v AS DOUBLE)), 6)
+        |          AS DECIMAL(18,6)) AS w0,
+        |        CAST(round(ln(CAST(d1 + 1 AS DOUBLE)
+        |          / CAST(d0 + 1 AS DOUBLE)), 6)
+        |          AS DECIMAL(18,6)) AS prior
+        |       FROM st),
+        |sc AS (SELECT s.doc_id, s.y, coalesce(w.w, df.w0) AS w, df.prior
+        |       FROM (SELECT doc_id, y, unnest(tk) AS t FROM b
+        |             WHERE doc_id % 10 >= 8) s
+        |       LEFT JOIN w USING (t) CROSS JOIN df)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok,
+        |  round(CAST(prior + SUM(w) AS DOUBLE), 4) AS score,
+        |  CAST(prior + SUM(w) > 0 AS INTEGER) AS pred_en,
+        |  y AS is_en
+        |FROM sc GROUP BY doc_id, y, prior ORDER BY doc_id""".stripMargin,
     "q_domain_mix" ->
       """WITH c AS (
         |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,

@@ -313,6 +313,41 @@ object Vectors {
       .orderBy("va", "vb")
   }
 
+  /** SemDeDup-style semantic dedup: cluster the embedding space (the
+    * same deterministic IVF seed-centroid assignment as
+    * [[qVectorAnnIvf]]), then compare pairs only WITHIN a cluster and
+    * drop every vector that has a lower-id cluster-mate with cosine
+    * ≥ 0.45 (reported with its keeper and that cosine). The clustering
+    * is what makes semantic dedup tractable: candidate pairs are
+    * Σ_cluster n_c²/2 instead of n²/2, and the per-cluster verify is an
+    * equi-join on the cluster id — one shuffle keyed by cluster. At
+    * corpus scale k_centroids grows with n to hold cluster sizes
+    * roughly constant (n/k docs each), exactly the SemDeDup recipe. */
+  def qSemanticDedup(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d).select(col("vec_id"),
+      asDouble(col("embedding")).as("emb"))
+    val cent = e.where(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("emb").as("cemb"))
+    val asg = e.crossJoin(broadcast(cent))
+      .withColumn("dist", squaredDistance(col("emb"), col("cemb")))
+      .groupBy("vec_id")
+      .agg(min_by(col("cid"), struct(col("dist"), col("cid"))).as("acid"),
+        first(col("emb")).as("emb"))
+    val m = withNorm(asg, "emb")
+    val a = m.select(col("acid"), col("vec_id").as("va"),
+      col("emb").as("ea"), col("nrm").as("na"))
+    val b = m.select(col("acid").as("acid_b"), col("vec_id").as("vb"),
+      col("emb").as("eb"), col("nrm").as("nb"))
+    a.join(b, col("acid") === col("acid_b") && col("va") < col("vb") &&
+        cosine(col("ea"), col("na"), col("eb"), col("nb")) >= 0.45)
+      .withColumn("cosine",
+        cosine(col("ea"), col("na"), col("eb"), col("nb")))
+      .groupBy(col("vb").as("vec_id"))
+      .agg(min(col("va")).as("kept_by"),
+        min_by(col("cosine"), col("va")).as("kept_cosine"))
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_vector_topk"    -> qVectorTopk _,
     "q_vector_ann_ivf" -> qVectorAnnIvf _,
@@ -320,9 +355,33 @@ object Vectors {
     "q_embed_knn"      -> qEmbedKnn _,
     "q_embed_pairs"    -> qEmbedPairs _,
     "q_embed_lsh_pairs" -> qEmbedLshPairs _,
+    "q_semantic_dedup" -> qSemanticDedup _,
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_semantic_dedup" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+        |           FROM embeddings),
+        |cent AS (SELECT vec_id AS cid, emb AS cemb FROM e
+        |         WHERE vec_id < 8),
+        |ad AS (SELECT e.vec_id, cent.cid,
+        |         list_sum(list_transform(list_zip(e.emb, cent.cemb),
+        |           z -> (z[1]-z[2])*(z[1]-z[2]))) AS dist
+        |       FROM e, cent),
+        |asg AS (SELECT vec_id, cid AS acid FROM (
+        |         SELECT vec_id, cid, ROW_NUMBER() OVER (
+        |           PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rn
+        |         FROM ad) WHERE rn = 1),
+        |m AS (SELECT e.vec_id, e.emb, asg.acid
+        |      FROM e JOIN asg USING (vec_id)),
+        |p AS (SELECT a.vec_id AS va, b.vec_id AS vb,
+        |        list_cosine_similarity(a.emb, b.emb) AS cosine
+        |      FROM m a JOIN m b
+        |        ON a.acid = b.acid AND a.vec_id < b.vec_id
+        |      WHERE list_cosine_similarity(a.emb, b.emb) >= 0.45)
+        |SELECT vb AS vec_id, MIN(va) AS kept_by,
+        |       arg_min(cosine, va) AS kept_cosine
+        |FROM p GROUP BY vb ORDER BY vec_id""".stripMargin,
     "q_embed_pairs" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
         |           FROM embeddings)
