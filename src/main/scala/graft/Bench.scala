@@ -46,14 +46,24 @@ object Bench {
       val b = timeOnce(fn)
       n -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    // per-query seconds rounded to ms: sub-ms digits are pure noise and
+    // ~40% of the artifact line's length
+    def r3(v: Double): Double = math.rint(v * 1000) / 1000
+    val qs = results.map { case (k, v) =>
+      "\"" + k + "\":" + (if (v < 0) -1.0 else r3(v))
+    }.mkString("{", ",", "}")
     // -1 marks a failed query; only successful times enter the total so a
     // failure can't make the benchmark look FASTER
     val ok = results.map(_._2).filter(_ >= 0)
     val total = ok.sum
     val failed = results.size - ok.size
     println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}""")
+    // The artifact of record keeps only a bounded TAIL of stdout; with 85+
+    // keys the full contract line above overflows it and the headline
+    // number (at the line's START) is what gets cut — it has been lost
+    // three rounds running. Re-print the headline as a short final line so
+    // any tail capture retains it.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"n_queries":${results.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -34,7 +34,8 @@ object SparkEntry {
     ops.Sources.queries ++
     ops.Ranking.queries ++
     ops.QualitySignals.queries ++
-    ops.Curation.queries
+    ops.Curation.queries ++
+    cnpj.FlagshipKey.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -53,5 +54,6 @@ object SparkEntry {
     ops.Sources.oracleSql ++
     ops.Ranking.oracleSql ++
     ops.QualitySignals.oracleSql ++
-    ops.Curation.oracleSql
+    ops.Curation.oracleSql ++
+    cnpj.FlagshipKey.oracleSql
 }

@@ -127,6 +127,80 @@ object Advanced {
       .orderBy("l_returnflag")
   }
 
+  /** The exact-quantile SCALE path: bit-for-bit the same interpolated
+    * percentiles as [[qQuantiles]] (same oracle SQL), with NO per-group
+    * total sort — [[qQuantiles]] funnels each group's every row through
+    * one reducer, which with ~3 groups means the whole table serializes
+    * through 3 tasks. Here the data makes two narrow passes instead:
+    *
+    *   1. fixed-width value histogram: groupBy (group, bin) with map-side
+    *      partial aggregation, so the shuffle carries ≤ groups×bins
+    *      pre-aggregated rows regardless of n; the cumulative-count /
+    *      rank-location windows then run over the TINY histogram only.
+    *   2. the global target ranks (floor/ceil of 1 + p·(n−1)) are located
+    *      in their bins on the histogram, the handful of needed
+    *      (group, bin) pairs is broadcast back against the scan, and only
+    *      rows landing in a needed bin survive — a row_number over
+    *      ~n/bins rows per needed bin replaces the per-group n·log n sort.
+    *
+    * Rank bookkeeping: global_rank(row) = cum_before(its bin) +
+    * rank_within_bin, exact because equal values always share a bin.
+    * At 100 TB both shuffles are O(groups × bins), independent of n; the
+    * bin width is the one tunable (derive it from a min/max pre-pass or a
+    * sampled range when the value domain isn't known a priori). */
+  def qQuantilesDist(s: SparkSession, d: String): DataFrame = {
+    val binW = 64.0d // l_extendedprice spans ~[900, 105k] → ~1.6k bins
+    val ps = Seq(0.25 -> "p25", 0.5 -> "p50", 0.75 -> "p75", 0.9 -> "p90")
+    val data = lineitem(s, d)
+      .select(col("l_returnflag").as("rf"),
+        col("l_extendedprice").cast("double").as("v"))
+      .withColumn("bin", floor(col("v") / binW).cast("long"))
+    val hist = data.groupBy("rf", "bin").agg(count(lit(1)).as("cnt"))
+    val cum = hist
+      .withColumn("cum",
+        sum(col("cnt")).over(Window.partitionBy("rf").orderBy("bin")))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy("rf")))
+      .withColumn("cum_before", col("cum") - col("cnt"))
+    // explode percentiles × {floor,ceil} ranks, keep the bin that holds
+    // each target global rank — a few rows per group, broadcastable
+    val targets = cum
+      .select(col("rf"), col("bin"), col("cum_before"), col("cnt"),
+        explode(array(ps.map { case (p, nm) =>
+          struct(lit(nm).as("pname"),
+            (lit(1.0d) + lit(p) * (col("n") - 1).cast("double")).as("pos"))
+        }: _*)).as("t"))
+      .select(col("rf"), col("bin"), col("cum_before"), col("cnt"),
+        col("t.pname").as("pname"), col("t.pos").as("pos"))
+      .select(col("rf"), col("bin"), col("cum_before"), col("cnt"),
+        col("pname"), col("pos"),
+        explode(array(
+          struct(lit("lo").as("which"),
+            floor(col("pos")).cast("long").as("r")),
+          struct(lit("hi").as("which"),
+            ceil(col("pos")).cast("long").as("r")))).as("w"))
+      .select(col("rf"), col("bin"), col("cum_before"), col("pname"),
+        col("pos"), col("w.which").as("which"), col("w.r").as("r"))
+      .where(col("r") > col("cum_before") &&
+        col("r") <= col("cum_before") + col("cnt"))
+    val neededBins = targets.select("rf", "bin").distinct()
+    val inBin = data.join(broadcast(neededBins), Seq("rf", "bin"))
+      .withColumn("rwb", row_number().over(
+        Window.partitionBy("rf", "bin").orderBy("v")))
+    val picked = inBin.join(broadcast(targets), Seq("rf", "bin"))
+      .where(col("rwb") + col("cum_before") === col("r"))
+    val perP = picked.groupBy("rf", "pname", "pos")
+      .agg(max(when(col("which") === "lo", col("v"))).as("v_lo"),
+        max(when(col("which") === "hi", col("v"))).as("v_hi"))
+      .withColumn("value", round(col("v_lo") +
+        (col("pos") - floor(col("pos"))) * (col("v_hi") - col("v_lo")), 4))
+    val aggs = ps.map { case (_, nm) =>
+      max(when(col("pname") === nm, col("value"))).as(nm)
+    }
+    perP.groupBy(col("rf").as("l_returnflag"))
+      .agg(aggs.head, aggs.tail: _*)
+      .orderBy("l_returnflag")
+  }
+
   /** The quantile SCALE path: approx_percentile's mergeable sketch —
     * constant memory per group, one shuffle of sketches, no per-group
     * value collection — versus [[qQuantiles]]' exact window sort. At
@@ -189,6 +263,7 @@ object Advanced {
     "q_full_outer"        -> qFullOuter _,
     "q_sessionize"        -> qSessionize _,
     "q_quantiles"         -> qQuantiles _,
+    "q_quantiles_dist"    -> qQuantilesDist _,
     "q_quantiles_approx"  -> qQuantilesApprox _,
     "q_salted_join"       -> qSaltedJoin _,
     "q_time_window_slide" -> qTimeWindowSlide _,
@@ -251,6 +326,15 @@ object Advanced {
         |FROM sess GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
     "q_quantiles" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+        |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        |  round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+        |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // same exact-quantile contract as q_quantiles — the operator differs
+    // only in plan shape (binned two-pass vs per-group total sort)
+    "q_quantiles_dist" ->
       """SELECT l_returnflag,
         |  round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
         |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,

@@ -14,9 +14,13 @@ import graft.Tables._
   *     exploded to distinct grams per doc and joined — one narrow
   *     broadcast-hash join over the full scan, no corpus-side shuffle
   *     before aggregation, and the shuffle that remains carries (train
-  *     doc, gram-hit) pairs only. At 100 TB the grams are hashed to
-  *     64-bit longs (xxhash64) so the probe side is 8 bytes/row; here
-  *     they stay strings because the oracle replays them.
+  *     doc, gram-hit) pairs only. Grams are hashed to 64-bit longs
+  *     (xxhash64) the moment they are produced, so every join/agg key is
+  *     8 bytes instead of a ~50-byte string; the oracle is unaffected
+  *     because it only ever COUNTS distinct grams, never prints one, and
+  *     distinct-hash counts equal distinct-string counts (a 64-bit
+  *     collision needs ~2^32 distinct grams per Birthday bound — and
+  *     would only nudge one report count, not corrupt data).
   *   - Domain mixture is a classic metadata aggregate: one groupBy over
   *     a low-cardinality key, one broadcast of the 1-row total. The
   *     whole job reads two columns at any scale.
@@ -47,11 +51,12 @@ object Curation {
       documents(s, d).where(pred)
         .select(col("doc_id").as(as), Text.toks(col("text")).as("tk"))
         .select(col(as), explode(gramsFromToks(col("tk"))).as("g"))
+        .select(col(as), xxhash64(col("g")).as("gh"))
     val ev = side(col("doc_id") % 97 === 0, "eval_id")
     val tr = side(col("doc_id") % 97 =!= 0, "train_id")
-    tr.join(broadcast(ev), "g")
+    tr.join(broadcast(ev), "gh")
       .groupBy("train_id")
-      .agg(countDistinct(col("g")).as("n_shared_grams"),
+      .agg(countDistinct(col("gh")).as("n_shared_grams"),
         countDistinct(col("eval_id")).as("n_eval_docs"))
       .orderBy("train_id")
   }
@@ -153,8 +158,13 @@ object Curation {
     * when no single whole-doc fingerprint matches.
     *
     * The gram→doc-count aggregation and the hit join both shuffle
-    * (gram, doc, pos) triples only — never document bodies; at 100 TB
-    * grams hash to 64-bit longs exactly as in [[qDecontaminate]]. */
+    * (gram-hash, doc, pos) triples only — never document bodies, never
+    * gram strings: each 8-gram is collapsed to xxhash64 inside the
+    * per-row transform, so the two shuffles carry 8-byte longs where the
+    * string form cost ~50-60 B/row (measured the slowest key in the
+    * bench before the change). The report never prints a gram, so the
+    * hash is semantics-preserving up to 64-bit collisions (≥ 2^32
+    * distinct grams for even odds of ONE collision). */
   def qDupNgrams(s: SparkSession, d: String): DataFrame = {
     val n = 8
     val grams = documents(s, d)
@@ -163,13 +173,14 @@ object Curation {
       .select(col("doc_id"), size(col("tk")).cast("long").as("n_tok"),
         explode(transform(sequence(lit(1), size(col("tk")) - (n - 1)),
           i => struct(i.as("i"),
-            concat_ws(" ", slice(col("tk"), i, lit(n))).as("g")))).as("x"))
+            xxhash64(concat_ws(" ", slice(col("tk"), i, lit(n))))
+              .as("gh")))).as("x"))
       .select(col("doc_id"), col("n_tok"), col("x.i").as("i"),
-        col("x.g").as("g"))
-    val dup = grams.groupBy("g")
+        col("x.gh").as("gh"))
+    val dup = grams.groupBy("gh")
       .agg(countDistinct(col("doc_id")).as("nd"))
-      .where(col("nd") >= 2).select("g")
-    val hits = grams.join(dup, "g").select("doc_id", "i")
+      .where(col("nd") >= 2).select("gh")
+    val hits = grams.join(dup, "gh").select("doc_id", "i")
     val cov = hits
       .select(col("doc_id"), explode(sequence(col("i"), col("i") + (n - 1)))
         .as("p"))

@@ -93,10 +93,14 @@ object QualitySignals {
   /** Unigram surprisal — the model-free perplexity surrogate used to
     * rank corpus quality: mean −ln(p(token)) per document under the
     * corpus's own unigram distribution. Two narrow passes: the token
-    * frequency table (a (token, n) aggregate, broadcast back — at 100 TB
-    * it's the warehouse's maintained vocabulary table), then a per-doc
-    * mean over the exploded tokens. Shuffles carry (token, count) and
-    * (doc, partial-sum) pairs only; round(…,4) absorbs ln() ULPs. */
+    * frequency table (a (token, n) aggregate), then a per-doc mean over
+    * the exploded tokens. Only the 1-row grand total is broadcast; the
+    * frequency table joins back as a plain shuffle equi-join on token —
+    * at 100 TB the long-tail vocabulary runs to billions of rows and a
+    * broadcast would OOM the driver, while AQE still promotes the join
+    * to broadcast at runtime whenever freq actually fits. Shuffles carry
+    * (token, count) and (doc, partial-sum) pairs only; round(…,4)
+    * absorbs ln() ULPs. */
   def qUnigramSurprisal(s: SparkSession, d: String): DataFrame = {
     val toked = documents(s, d)
       .select(col("doc_id"), Text.toks(col("text")).as("tk"))
@@ -104,7 +108,7 @@ object QualitySignals {
     val freq = tokens.groupBy("token").agg(count(lit(1)).as("n"))
     val total = freq.agg(sum(col("n")).as("n_total"))
     tokens
-      .join(broadcast(freq.crossJoin(total)), "token")
+      .join(freq.crossJoin(broadcast(total)), "token")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tok"),
         round(

@@ -30,4 +30,16 @@ class LedgerSpec extends AnyFunSuite {
       s"undocumented rows-only keys: ${rowsOnly -- documented}; " +
         s"stale documented: ${documented -- rowsOnly}")
   }
+
+  test("README front-page counts match the code (they rotted for 3 rounds)") {
+    val readme = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get("README.md")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val nKeys = SparkEntry.queries.size
+    val nOracle = SparkEntry.oracleSql.size
+    assert(readme.contains(s"$nKeys operators in `SparkEntry.queries`"),
+      s"README operator count stale: code has $nKeys keys")
+    assert(readme.contains(s"$nOracle DuckDB-oracle hash-matched"),
+      s"README oracle count stale: code has $nOracle oracle keys")
+  }
 }

@@ -122,6 +122,88 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p.take(800))
   }
 
+  test("unigram surprisal never broadcasts the vocabulary") {
+    // at 100 TB the vocabulary (the grouped token-frequency aggregate)
+    // runs to billions of rows: it must never be the BUILD side of a
+    // broadcast hash join. Size-based broadcasts of the raw scan side at
+    // sf0.001, and the 1-row grand total, are fine — so this asserts on
+    // plan nodes, not on the mere presence of a broadcast.
+    import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+    import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val root = SparkEntry.queries("q_unigram_surprisal")(spark, sf)
+      .queryExecution.sparkPlan
+    root.collect { case j: BroadcastHashJoinExec => j }.foreach { j =>
+      val build = j.buildSide match {
+        case BuildLeft => j.left
+        case BuildRight => j.right
+      }
+      val groupedAgg = build.collect {
+        case a: HashAggregateExec if a.groupingExpressions.nonEmpty => a
+      }
+      assert(groupedAgg.isEmpty,
+        "vocabulary aggregate is a broadcast build side:\n" + j.toString)
+    }
+  }
+
+  test("quantiles_dist: histogram partial-aggs, no per-group total sort") {
+    val p = plan("q_quantiles_dist")
+    // pass 1 must partial-aggregate the (rf, bin) histogram map-side
+    assert(p.contains("partial_count"), "histogram not partial-aggregated")
+    // the rank-pick window must be keyed by (rf, bin) — thousands of tiny
+    // partitions — never by rf alone (q_quantiles' 3-reducer funnel)
+    val winSections = p.split("Window \\[").drop(1)
+    assert(winSections.exists(w => w.contains("hashpartitioning(rf")
+        && w.contains("bin")),
+      "no (rf, bin)-partitioned window:\n" + p.take(1500))
+    // the needed-bin filter reaches the scan side as a broadcast join
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+  }
+
+  test("dup ngrams shuffles 8-byte gram hashes, never gram strings") {
+    val p = plan("q_dup_ngrams")
+    assert(p.contains("xxhash64"), "grams not hashed:\n" + p.take(800))
+    // the gram→doc-count aggregation's shuffle key is the hash column;
+    // no partial aggregate output may carry a gram string column g#
+    val partial = p.linesIterator.filter(_.contains("partial_count"))
+    partial.foreach { l =>
+      assert(!l.matches(".*[\\[, ]g#\\d+.*"),
+        "gram string crosses the shuffle: " + l)
+    }
+  }
+
+  test("segment dedup's first-occurrence window is hash-partitioned by segment") {
+    val p = plan("q_segment_dedup")
+    val winSection = p.substring(p.indexOf("Window"))
+    assert(winSection.contains("hashpartitioning(seg"),
+      "window not partitioned by segment:\n" + p.take(1200))
+    assert(!p.contains("SinglePartition"), "single-partition funnel")
+  }
+
+  test("classifier score broadcasts the weight table, no cartesian product") {
+    val p = plan("q_classifier_score")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+  }
+
+  test("semantic dedup joins within clusters, never all-pairs") {
+    val p = plan("q_semantic_dedup")
+    // centroid assignment is a broadcast NLJ over the tiny seed set; the
+    // pair verify must be an equi-join keyed by the assigned cluster id
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      "BroadcastHashJoin".r.findAllIn(p).size >= 1, p.take(800))
+  }
+
+  test("cnpj flagship pushes all three IN lists into the fact scan") {
+    val p = plan("q_cnpj_flagship")
+    // the reference filters sit on derived columns here (synthetic ids),
+    // so the pushdown target is the orders scan's required columns — but
+    // joins must still broadcast all three dims and never cross-join
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p.take(1200))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("dedup_exact shuffles fingerprints, not document bodies") {
     val p = plan("q_dedup_exact")
     // the shuffled row is the partial aggregate's output: (fp, min, count)
