@@ -17,10 +17,11 @@ import graft.functions.VectorExprs.{dotProduct, squaredDistance}
   * Scale posture (100 TB):
   *   - [[qVectorTopk]] is the brute-force baseline: broadcast the (small)
   *     query set, ONE scan of the candidate corpus, per-query top-k via
-  *     window. The scan parallelizes perfectly; the window shuffles
-  *     n_cand × n_query scored rows on query_id. Upgrade path: partial
-  *     top-k per partition (mapPartitions heap) before the shuffle, which
-  *     caps shuffle volume at k × partitions × queries.
+  *     the [[graft.plans.TopKPerKey]] partial/final operator — each scan
+  *     partition is pruned to ≤ k rows per query BEFORE the shuffle, so
+  *     shuffle volume is k × partitions × queries instead of the
+  *     n_cand × n_query scored rows the plain window form ships to one
+  *     reducer per query.
   *   - [[qVectorAnnIvf]] is the scale path: IVF — assign every vector to
   *     its nearest centroid once (linear), then probe only the nprobe
   *     closest clusters per query, cutting the scanned fraction to
@@ -46,7 +47,12 @@ object Vectors {
     df.withColumn("nrm", sqrt(dot(col(emb), col(emb))))
 
   /** X3 baseline: brute-force cosine top-k (k=10) for query vectors
-    * vec_id < 5 against all candidates vec_id >= 5. */
+    * vec_id < 5 against all candidates vec_id >= 5. Scoring is one
+    * broadcast pass over the candidate scan; the per-query top-k is the
+    * custom partial/final [[graft.plans.TopKPerKey]] operator, so only
+    * ≤ k survivors per (partition, query) reach the shuffle. The final
+    * row_number window then ranks k × queries rows — trivial at any
+    * scale. */
   def qVectorTopk(s: SparkSession, d: String): DataFrame = {
     val e = embeddings(s, d).select(col("vec_id"),
       asDouble(col("embedding")).as("emb"))
@@ -56,12 +62,14 @@ object Vectors {
     val c = withNorm(e.where(col("vec_id") >= 5), "emb")
       .select(col("vec_id").as("cand_id"), col("emb").as("ce"),
         col("nrm").as("cn"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("cand_id"))
-    c.crossJoin(broadcast(q))
+    val scored = c.crossJoin(broadcast(q))
       .withColumn("cosine", cosine(col("qe"), col("qn"), col("ce"), col("cn")))
-      .withColumn("rnk", row_number().over(w))
-      .where(col("rnk") <= 10)
+      .select("query_id", "cand_id", "cosine")
+    val pruned = graft.plans.TopKPerKey.topKPerKey(scored,
+      Seq(col("query_id")), Seq(col("cosine").desc, col("cand_id")), 10)
+    pruned
+      .withColumn("rnk", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("cosine").desc, col("cand_id"))))
       .select("query_id", "cand_id", "rnk", "cosine")
       .orderBy("query_id", "rnk")
   }

@@ -57,6 +57,12 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("BroadcastExchange"), p.take(800))
     assert("Scan parquet".r.findAllIn(p).size <= 2, // queries + candidates
       "candidate corpus scanned more than once:\n" + p.take(800))
+    // the per-query top-k must prune map-side BEFORE the shuffle: the
+    // partial/final TopKPerKey pair caps shuffle volume at k·partitions·q
+    assert(p.contains("PartialTopKPerKey"),
+      "no map-side top-k pruning:\n" + p.take(1200))
+    assert(p.contains("TopKPerKeyExec") || "TopKPerKey".r.findAllIn(p).size >= 2,
+      p.take(1200))
   }
 
   test("embed pairs: broadcast BNL with codegen dot, parallel scoring") {
