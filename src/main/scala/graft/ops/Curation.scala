@@ -41,25 +41,89 @@ object Curation {
         i => concat_ws(" ", slice(tk, i, lit(N))))))
       .otherwise(array().cast("array<string>"))
 
+  /** One side of the decontamination join: (id, xxhash64(word-4-gram))
+    * pairs for every doc matching `pred`. Shared by the broadcast-join
+    * form ([[qDecontaminate]]) and the Bloom-prefilter form
+    * ([[qBloomDecontaminate]]). */
+  private def gramSide(s: SparkSession, d: String, pred: Column,
+                       as: String): DataFrame =
+    documents(s, d).where(pred)
+      .select(col("doc_id").as(as), Text.toks(col("text")).as("tk"))
+      .select(col(as), explode(gramsFromToks(col("tk"))).as("g"))
+      .select(col(as), xxhash64(col("g")).as("gh"))
+
   /** Benchmark decontamination report: training docs (doc_id % 97 ≠ 0)
     * sharing at least one word-4-gram with the held-out eval slice
     * (doc_id % 97 = 0 — the stand-in for a benchmark suite). Reports how
     * many distinct grams and eval docs each contaminated training doc
     * touches; a real pipeline would drop or redact these rows. */
   def qDecontaminate(s: SparkSession, d: String): DataFrame = {
-    def side(pred: Column, as: String) =
-      documents(s, d).where(pred)
-        .select(col("doc_id").as(as), Text.toks(col("text")).as("tk"))
-        .select(col(as), explode(gramsFromToks(col("tk"))).as("g"))
-        .select(col(as), xxhash64(col("g")).as("gh"))
-    val ev = side(col("doc_id") % 97 === 0, "eval_id")
-    val tr = side(col("doc_id") % 97 =!= 0, "train_id")
+    val ev = gramSide(s, d, col("doc_id") % 97 === 0, "eval_id")
+    val tr = gramSide(s, d, col("doc_id") % 97 =!= 0, "train_id")
     tr.join(broadcast(ev), "gh")
       .groupBy("train_id")
       .agg(countDistinct(col("gh")).as("n_shared_grams"),
         countDistinct(col("eval_id")).as("n_eval_docs"))
       .orderBy("train_id")
   }
+
+  /** Decontamination, Bloom-prefilter scale path. [[qDecontaminate]]
+    * broadcasts the eval gram set as a join side — fine while the eval
+    * suite is small, but a 100 TB pipeline decontaminating against a
+    * large held-out corpus can't broadcast tens of GB of grams. Here the
+    * eval side is collapsed to a Bloom filter (a few MB REGARDLESS of
+    * eval size — `BloomFilter.create(n, fpp)` scales as n·ln(1/fpp)/8
+    * bytes), train grams are pruned by a `mightContainLong` probe
+    * map-side, and only the surviving ~(hits + fpp·misses) rows reach the
+    * exact verify join — which AQE broadcasts when the eval side fits and
+    * shuffles otherwise. The verify join makes the output EXACTLY equal
+    * to [[qDecontaminate]] (false positives are eliminated there), which
+    * is why this key shares its DuckDB oracle.
+    *
+    * The probe is the library's second deliberate UDF (after the deflate
+    * ratio): Spark's `might_contain` expression is internal-only (it
+    * exists for Catalyst's injected runtime filters), and the probe is a
+    * pure per-row Long→Boolean map outside the aggregation path. */
+  def qBloomDecontaminate(s: SparkSession, d: String): DataFrame = {
+    val ev = gramSide(s, d, col("doc_id") % 97 === 0, "eval_id")
+    val tr = gramSide(s, d, col("doc_id") % 97 =!= 0, "train_id")
+    val bf = ev.stat.bloomFilter("gh", 100000L, 0.01)
+    val bfB = s.sparkContext.broadcast(bf)
+    val mightContain = udf((h: Long) => bfB.value.mightContainLong(h))
+    tr.where(mightContain(col("gh")))
+      .join(ev, "gh")
+      .groupBy("train_id")
+      .agg(countDistinct(col("gh")).as("n_shared_grams"),
+        countDistinct(col("eval_id")).as("n_eval_docs"))
+      .orderBy("train_id")
+  }
+
+  /** Reproducible weighted (probability-proportional-to-size) document
+    * sampling — the "sample by hash(key)" pattern every production corpus
+    * pipeline uses so that reruns, backfills, and downstream joins all
+    * see the SAME sample without any coordination or stored RNG state.
+    * A doc is kept iff (doc_id · 2654435761) mod 1000 < min(n_chars, 450)
+    * — a Knuth-multiplicative-hash uniform draw compared against a
+    * length-proportional (capped) inclusion threshold. Output carries the
+    * inclusion probability and the Horvitz–Thompson inverse-probability
+    * weight, so any downstream aggregate over the sample can unbiasedly
+    * estimate the full-corpus value (Σ ht_weight ≈ N).
+    *
+    * Pure integer arithmetic end to end (the doubles appear only in the
+    * reported p/weight columns), so the kept set is bit-identical on any
+    * engine and any partitioning — and the whole operator is one
+    * codegen'd narrow filter over the scan: no shuffle, no RNG, nothing
+    * to coordinate at 100 TB. */
+  def qWeightedSample(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        ((col("doc_id") * lit(2654435761L)) % 1000L).as("u"),
+        least(col("n_chars"), lit(450L)).as("w"))
+      .where(col("u") < col("w"))
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        round(col("w").cast("double") / 1000.0d, 6).as("p_incl"),
+        round(lit(1000.0d) / col("w").cast("double"), 6).as("ht_weight"))
+      .orderBy("doc_id")
 
   /** Domain-mixture weights: temperature-flattened sampling distribution
     * over the `source` field (w_i ∝ n_i^0.7, the multilingual-training
@@ -257,10 +321,14 @@ object Curation {
     "q_segment_dedup" -> qSegmentDedup _,
     "q_dup_ngrams"    -> qDupNgrams _,
     "q_classifier_score" -> qClassifierScore _,
+    "q_bloom_decontaminate" -> qBloomDecontaminate _,
+    "q_weighted_sample" -> qWeightedSample _,
   )
 
-  val oracleSql: Map[String, String] = Map(
-    "q_decontaminate" ->
+  /** The Bloom form is output-identical to the exact-join form (the
+    * verify join removes every false positive), so both keys share one
+    * oracle query. */
+  private val decontaminateSql =
       """WITH tk AS (
         |  SELECT doc_id,
         |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
@@ -279,7 +347,18 @@ object Curation {
         |  CAST(COUNT(DISTINCT g) AS BIGINT) AS n_shared_grams,
         |  CAST(COUNT(DISTINCT eval_id) AS BIGINT) AS n_eval_docs
         |FROM tr JOIN ev USING (g)
-        |GROUP BY train_id ORDER BY train_id""".stripMargin,
+        |GROUP BY train_id ORDER BY train_id""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "q_decontaminate" -> decontaminateSql,
+    "q_bloom_decontaminate" -> decontaminateSql,
+    "q_weighted_sample" ->
+      """SELECT doc_id, lang, n_chars,
+        |  round(CAST(least(n_chars, 450) AS DOUBLE) / 1000.0, 6) AS p_incl,
+        |  round(1000.0 / least(n_chars, 450), 6) AS ht_weight
+        |FROM documents
+        |WHERE (doc_id * 2654435761) % 1000 < least(n_chars, 450)
+        |ORDER BY doc_id""".stripMargin,
     "q_budget_select" ->
       """WITH tk AS (
         |  SELECT doc_id, lang,

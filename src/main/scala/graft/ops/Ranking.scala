@@ -132,9 +132,57 @@ object Ranking {
       .groupBy("token", "doc_id")
       .agg(count(lit(1)).cast("long").as("tf"))
 
+  /** Token co-occurrence with pointwise mutual information — the corpus
+    * word-association statistic (collocation mining, embedding-free
+    * similarity, phrase detection). Presence-based: a pair counts once
+    * per document containing both tokens.
+    *
+    * Scale posture: the vocabulary is first cut to tokens appearing in
+    * ≥ 20% of documents (df·5 ≥ N) — by Zipf that set is dozens of words
+    * at ANY corpus size, so it broadcasts safely forever. Pairs are then
+    * generated MAP-SIDE from each doc's sorted qualifying-token array via
+    * nested `transform` (no self-join shuffle keyed on doc_id — the
+    * classic way to do this shuffles the token table against itself);
+    * the only wide ops are the df aggregation, the per-doc collect_set,
+    * and the final (t1,t2) count. Pair volume is bounded by
+    * |vocab|²/2 · N rows before the partial aggregate collapses them
+    * map-side. PMI = ln(c_pair·N / (df1·df2)); all products are
+    * integer-exact in double range, round(…,6) absorbs the ln ULP. */
+  def qCooccurrence(s: SparkSession, d: String): DataFrame = {
+    val toksD = documents(s, d)
+      .select(col("doc_id"),
+        explode(array_distinct(Text.toks(col("text")))).as("t"))
+    val nDocs = documents(s, d).agg(count(lit(1)).as("n_docs"))
+    val vocab = toksD.groupBy("t").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .where(col("df") * 5 >= col("n_docs"))
+      .select("t", "df")
+    val docToks = toksD.join(broadcast(vocab.select("t")), "t")
+      .groupBy("doc_id").agg(sort_array(collect_set(col("t"))).as("ts"))
+    val pairs = docToks
+      .select(explode(expr(
+        "flatten(transform(ts, (x, i) -> transform(" +
+          "slice(ts, i + 2, size(ts)), y -> struct(x AS t1, y AS t2))))"))
+        .as("p"))
+      .groupBy(col("p.t1").as("t1"), col("p.t2").as("t2"))
+      .agg(count(lit(1)).as("c_pair"))
+    pairs
+      .join(broadcast(vocab.select(col("t").as("t1"), col("df").as("df1"))),
+        "t1")
+      .join(broadcast(vocab.select(col("t").as("t2"), col("df").as("df2"))),
+        "t2")
+      .crossJoin(broadcast(nDocs))
+      .where(col("c_pair") * 10 >= col("n_docs"))
+      .select(col("t1"), col("t2"), col("c_pair"), col("df1"), col("df2"),
+        round(log(col("c_pair").cast("double") * col("n_docs") /
+          (col("df1") * col("df2"))), 6).as("pmi"))
+      .orderBy("t1", "t2")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bm25"           -> qBm25 _,
     "q_inverted_index" -> qInvertedIndex _,
+    "q_cooccurrence"   -> qCooccurrence _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -190,5 +238,28 @@ object Ranking {
         |SELECT token, CAST(COUNT(*) AS BIGINT) AS df,
         |  array_to_string(list_sort(list(doc_id))[1:10], ',') AS postings10
         |FROM tk GROUP BY token ORDER BY token""".stripMargin,
+    "q_cooccurrence" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                x -> x <> '') AS tk
+        |  FROM documents),
+        |tok AS (SELECT DISTINCT doc_id, unnest(tk) AS t FROM tk),
+        |nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+        |df AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS df FROM tok
+        |       GROUP BY t),
+        |v AS (SELECT t, df FROM df, nd WHERE df * 5 >= n_docs),
+        |tv AS (SELECT tok.doc_id, tok.t FROM tok JOIN v USING (t)),
+        |p AS (SELECT a.t AS t1, b.t AS t2,
+        |        CAST(COUNT(*) AS BIGINT) AS c_pair
+        |      FROM tv a JOIN tv b
+        |        ON a.doc_id = b.doc_id AND a.t < b.t
+        |      GROUP BY a.t, b.t)
+        |SELECT t1, t2, c_pair, d1.df AS df1, d2.df AS df2,
+        |  round(ln(CAST(c_pair AS DOUBLE) * n_docs / (d1.df * d2.df)), 6)
+        |    AS pmi
+        |FROM p JOIN v d1 ON p.t1 = d1.t JOIN v d2 ON p.t2 = d2.t, nd
+        |WHERE c_pair * 10 >= n_docs
+        |ORDER BY t1, t2""".stripMargin,
   )
 }

@@ -93,8 +93,31 @@ object Strings {
         |ORDER BY rf, ls""".stripMargin)
   }
 
+  /** Unpivot (wide → long melt) — the inverse of [[qPivot]], via Spark's
+    * native `Dataset.unpivot` (compiles to a single Expand node: each
+    * input row fans out to one row per value column map-side, no shuffle
+    * until the summarizing aggregate). Sums go through DECIMAL(18,4) so
+    * the per-metric totals are associative and engine-exact; min/max are
+    * order-free already. */
+  def qUnpivot(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount"), col("l_tax"))
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+          col("l_tax")),
+        "metric", "value")
+      .groupBy("metric")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_v"),
+        min(col("value")).as("min_v"),
+        max(col("value")).as("max_v"))
+      .orderBy("metric")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_string_funcs"    -> qStringFuncs _,
+    "q_unpivot"         -> qUnpivot _,
     "q_pivot"           -> qPivot _,
     "q_json"            -> qJson _,
     "q_scalar_subquery" -> qScalarSubquery _,
@@ -103,6 +126,19 @@ object Strings {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_unpivot" ->
+      """WITH u AS (
+        |  SELECT 'l_quantity' AS metric, l_quantity AS value FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_discount', l_discount FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_tax', l_tax FROM lineitem)
+        |SELECT metric, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_v,
+        |  MIN(value) AS min_v, MAX(value) AS max_v
+        |FROM u GROUP BY metric ORDER BY metric""".stripMargin,
     "q_string_funcs" ->
       """SELECT c_custkey,
         |  lpad(c_name, 25, '*') AS name_lpad,

@@ -163,6 +163,47 @@ class CurationSpec extends AnyFunSuite {
       }
   }
 
+  // ---- q_bloom_decontaminate -------------------------------------------
+
+  test("bloom decontamination equals the exact broadcast-join form") {
+    val d = "/root/testdata/sf0.001"
+    val exact = ops.Curation.qDecontaminate(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val bloom = ops.Curation.qBloomDecontaminate(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(exact.nonEmpty, "fixture must actually contain contamination")
+    assert(bloom == exact,
+      "the verify join must cancel every Bloom false positive")
+  }
+
+  // ---- q_weighted_sample -----------------------------------------------
+
+  test("weighted sample: kept set is exactly the integer-hash PPS rule") {
+    val d = "/root/testdata/sf0.001"
+    val all = graft.Tables.documents(spark, d)
+      .select("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expect = all
+      .filter { case (id, nc) => (id * 2654435761L) % 1000L < math.min(nc, 450L) }
+      .map(_._1).sorted.toSeq
+    val got = ops.Curation.qWeightedSample(spark, d)
+      .collect().map(_.getAs[Long]("doc_id")).toSeq
+    assert(got == expect, "sample membership must be hash-deterministic")
+    assert(expect.nonEmpty && expect.size < all.length,
+      "fixture must exercise both keep and drop")
+  }
+
+  test("weighted sample: HT weights invert the inclusion probability") {
+    ops.Curation.qWeightedSample(spark, "/root/testdata/sf0.001")
+      .collect().foreach { r =>
+        val w = math.min(r.getAs[Long]("n_chars"), 450L)
+        assert(r.getAs[Double]("p_incl") ==
+          math.rint(w / 1000.0 * 1e6) / 1e6)
+        assert(r.getAs[Double]("ht_weight") ==
+          math.rint(1000.0 / w * 1e6) / 1e6)
+      }
+  }
+
   // ---- q_cnpj_flagship -------------------------------------------------
 
   test("cnpj flagship key: every row passes the reference IN lists") {

@@ -189,4 +189,34 @@ class OpsSpec extends AnyFunSuite {
     assert(feat.startsWith("116,104,101,32,"))
     assert(r0.getAs[Long]("byte_len") > 0)
   }
+
+  test("cooccurrence: ordered pairs, bounded counts, PMI recomputes") {
+    val nDocs = graft.Tables.documents(spark, sf).count()
+    val rows = ops.Ranking.qCooccurrence(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (t1, t2) = (r.getAs[String]("t1"), r.getAs[String]("t2"))
+      val (c, df1, df2) = (r.getAs[Long]("c_pair"),
+        r.getAs[Long]("df1"), r.getAs[Long]("df2"))
+      assert(t1 < t2, "pairs must be canonically ordered")
+      assert(c <= math.min(df1, df2),
+        "a pair can't co-occur more often than either member occurs")
+      assert(df1 * 5 >= nDocs && df2 * 5 >= nDocs && c * 10 >= nDocs,
+        "df / support thresholds must hold")
+      val pmi = math.log(c.toDouble * nDocs / (df1 * df2))
+      assert(math.abs(r.getAs[Double]("pmi") - pmi) < 1e-5)
+    }
+  }
+
+  test("unpivot: one long row set per measure column, exact counts") {
+    val nLine = graft.Tables.lineitem(spark, sf).count()
+    val rows = ops.Strings.qUnpivot(spark, sf).collect()
+    assert(rows.map(_.getAs[String]("metric")).toSeq ==
+      Seq("l_discount", "l_extendedprice", "l_quantity", "l_tax"))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n") == nLine,
+        "every lineitem row must contribute one value per metric")
+      assert(r.getAs[Double]("min_v") <= r.getAs[Double]("max_v"))
+    }
+  }
 }

@@ -219,4 +219,52 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!out.contains("text#"),
       "document text crosses the shuffle: " + out)
   }
+
+  test("bloom decontaminate probes map-side BEFORE the verify join") {
+    val p = plan("q_bloom_decontaminate")
+    // the UDF probe must sit in a Filter below the join, so only bloom
+    // survivors are ever shuffled/joined
+    val filterLine = p.linesIterator.zipWithIndex
+      .find { case (l, _) => l.contains("Filter") && l.contains("UDF") }
+      .getOrElse(fail(s"no bloom-probe filter in:\n${p.take(1200)}"))._2
+    val joinLine = p.linesIterator.zipWithIndex
+      .find(_._1.contains("Join")).getOrElse(fail("no join"))._2
+    assert(joinLine < filterLine,
+      "probe filter must be deeper in the tree than the verify join")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("weighted sample is one narrow codegen'd filter — no wide exchange") {
+    val p = plan("q_weighted_sample")
+    // only the presentation orderBy may exchange (rangepartitioning);
+    // the sampling itself must not shuffle or aggregate
+    assert(!p.contains("hashpartitioning"),
+      "PPS sampling must not hash-shuffle:\n" + p.take(800))
+    assert(!p.contains("HashAggregate"))
+    // the PPS predicate must be evaluated AT the scan (fused data filter),
+    // not in a later stage
+    val scan = p.linesIterator.find(_.contains("FileScan"))
+      .getOrElse(fail(s"no scan in:\n$p"))
+    assert(scan.contains("DataFilters: [isnotnull(doc_id"), scan)
+    assert(scan.replaceAll("#\\d+", "").contains("% 1000) < least(n_chars"),
+      "sampling predicate not fused into the scan: " + scan)
+  }
+
+  test("cooccurrence builds pairs map-side, never self-joins on doc_id") {
+    val p = plan("q_cooccurrence")
+    // the doc_id-keyed pair self-join would be a SortMergeJoin; the
+    // map-side nested-transform form leaves only broadcast joins
+    assert(!p.contains("SortMergeJoin"),
+      "pair generation regressed to a doc_id self-join:\n" + p.take(1200))
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("partial_count"), "pair counting must map-side combine")
+  }
+
+  test("unpivot compiles to Expand + partial aggregation, one scan") {
+    val p = plan("q_unpivot")
+    assert(p.contains("Expand"), "native unpivot should plan an Expand node")
+    assert(p.contains("partial_count"), "no map-side combine after melt")
+    assert("Scan parquet".r.findAllIn(p).size == 1,
+      "melt must not re-scan the table per measure column")
+  }
 }
