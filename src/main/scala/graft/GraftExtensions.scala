@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import graft.functions.{DotProduct, ShingleSet, SortedIntersectCount, SquaredDistance}
-import graft.plans.TopKStrategy
+import graft.plans.{RowNumberTopKRewrite, TopKStrategy}
 
 /** Session extensions: `SparkSession.builder().withExtensions(new
   * GraftExtensions)` (or `spark.sql.extensions=graft.GraftExtensions`)
@@ -45,6 +45,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => TopKStrategy)
+    e.injectOptimizerRule(_ => RowNumberTopKRewrite)
     e.injectFunction(binary("graft_dot", DotProduct))
     e.injectFunction(binary("graft_l2sq", SquaredDistance))
     e.injectFunction(binary("graft_set_intersect", SortedIntersectCount))

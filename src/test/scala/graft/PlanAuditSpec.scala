@@ -10,12 +10,21 @@ import org.scalatest.funsuite.AnyFunSuite
   * before any benchmark notices. */
 class PlanAuditSpec extends AnyFunSuite {
 
-  lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  lazy val spark: SparkSession = {
+    // audit plans AS DEPLOYED: GraftSession installs the extensions
+    // (TopKStrategy + RowNumberTopKRewrite), so the audited shapes must
+    // be the extension-enabled ones. Clearing the handles makes this
+    // deterministic regardless of which suite ran first.
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+  }
 
   private val sf = "/root/testdata/sf0.001"
 
@@ -82,13 +91,15 @@ class PlanAuditSpec extends AnyFunSuite {
       }
   }
 
-  test("custom kernel is planned natively with partial window limits") {
+  test("custom kernel plans natively; 1-NN rewrites to two-phase top-k") {
     val p = plan("q_embed_knn")
     assert(p.contains("graft_dot"), p.take(800))
-    // Spark's WindowGroupLimit pushes the rank<=1 bound map-side — the
-    // partial/final pair must both be present
-    assert(p.contains("WindowGroupLimit"), p.take(800))
-    assert(p.contains("Partial") && p.contains("Final"), p.take(800))
+    // RowNumberTopKRewrite turns the rn=1 filter-over-window into the
+    // partial/final TopKPerKey pair: shuffle carries ≤1 row per probe
+    // per map partition, and the Window node is gone entirely
+    assert(p.contains("PartialTopKPerKey"), p.take(800))
+    assert(p.contains("TopKPerKey"), p.take(800))
+    assert(!p.contains("Window"), p.take(800))
   }
 
   test("decontaminate broadcasts the eval side over one corpus scan") {
