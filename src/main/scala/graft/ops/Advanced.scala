@@ -257,6 +257,68 @@ object Advanced {
         col("event_type"), col("n"))
       .orderBy("wstart", "event_type")
 
+  /** Winsorized mean: per-group p05/p95 cutoffs computed EXACTLY from a
+    * per-value histogram, then one clamp + exact aggregation pass.
+    *
+    * Scale posture: the histogram path works because l_quantity is
+    * low-cardinality (per-group distinct values bounded); the hist is a
+    * partial+final groupBy (tiny output), the rank→value resolution runs
+    * over that tiny hist, and the 3-row cutoff table broadcasts back —
+    * the raw data is scanned twice but never sorted per group and never
+    * collected per group (contrast [[qQuantiles]]' window funnel). For
+    * continuous columns, swap the exact-value hist for the fixed-width
+    * bins of [[qQuantilesDist]]; the clamp pass is unchanged. */
+  def qWinsorize(s: SparkSession, d: String): DataFrame = {
+    val ps = Seq(0.05 -> "lo", 0.95 -> "hi")
+    val data = lineitem(s, d).select(col("l_returnflag").as("rf"),
+      col("l_quantity").cast("double").as("v"))
+    val hist = data.groupBy("rf", "v").agg(count(lit(1)).as("cnt"))
+    val cum = hist
+      .withColumn("cum",
+        sum(col("cnt")).over(Window.partitionBy("rf").orderBy("v")))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy("rf")))
+      .withColumn("cum_before", col("cum") - col("cnt"))
+    // quantile_cont semantics: pos = 1 + p(n-1) (1-indexed); the value at
+    // rank r is the hist row whose cumulative range covers r — no second
+    // pass over the data, the histogram IS the sorted value list.
+    val atRank = cum.select(col("rf"), col("v"), col("cum_before"),
+        col("cnt"),
+        explode(array(ps.map { case (p, nm) =>
+          struct(lit(nm).as("pname"),
+            (lit(1.0d) + lit(p) * (col("n") - 1).cast("double")).as("pos"))
+        }: _*)).as("t"))
+      .select(col("rf"), col("v"), col("cum_before"), col("cnt"),
+        col("t.pname").as("pname"), col("t.pos").as("pos"))
+      .select(col("rf"), col("v"), col("cum_before"), col("cnt"),
+        col("pname"), col("pos"),
+        explode(array(
+          struct(lit("lo_r").as("which"),
+            floor(col("pos")).cast("long").as("r")),
+          struct(lit("hi_r").as("which"),
+            ceil(col("pos")).cast("long").as("r")))).as("w"))
+      .where(col("w.r") > col("cum_before") &&
+        col("w.r") <= col("cum_before") + col("cnt"))
+      .groupBy("rf", "pname", "pos")
+      .agg(max(when(col("w.which") === "lo_r", col("v"))).as("v_lo"),
+        max(when(col("w.which") === "hi_r", col("v"))).as("v_hi"))
+      .withColumn("cut", round(col("v_lo") +
+        (col("pos") - floor(col("pos"))) * (col("v_hi") - col("v_lo")), 4))
+    val cuts = atRank.groupBy("rf")
+      .agg(max(when(col("pname") === "lo", col("cut"))).as("lo"),
+        max(when(col("pname") === "hi", col("cut"))).as("hi"))
+    data.join(broadcast(cuts), Seq("rf"))
+      .select(col("rf"), col("v"), col("lo"), col("hi"),
+        least(greatest(col("v"), col("lo")), col("hi"))
+          .cast("decimal(18,6)").as("cv"))
+      .groupBy("rf")
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("cv")).cast("double") / count(lit(1)), 4)
+          .as("mean_wins"),
+        sum(when(col("v") < col("lo"), 1L).otherwise(0L)).as("n_lo"),
+        sum(when(col("v") > col("hi"), 1L).otherwise(0L)).as("n_hi"))
+      .orderBy("rf")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cube"              -> qCube _,
     "q_outer_join"        -> qOuterJoin _,
@@ -267,9 +329,26 @@ object Advanced {
     "q_quantiles_approx"  -> qQuantilesApprox _,
     "q_salted_join"       -> qSaltedJoin _,
     "q_time_window_slide" -> qTimeWindowSlide _,
+    "q_winsorize"         -> qWinsorize _,
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_winsorize" ->
+      """WITH cuts AS (
+        |  SELECT l_returnflag AS rf,
+        |    round(quantile_cont(l_quantity, 0.05), 4) AS lo,
+        |    round(quantile_cont(l_quantity, 0.95), 4) AS hi
+        |  FROM lineitem GROUP BY 1)
+        |SELECT rf,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  round(CAST(SUM(CAST(least(greatest(l_quantity, lo), hi)
+        |    AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 4) AS mean_wins,
+        |  CAST(SUM(CASE WHEN l_quantity < lo THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_lo,
+        |  CAST(SUM(CASE WHEN l_quantity > hi THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_hi
+        |FROM lineitem JOIN cuts ON l_returnflag = rf
+        |GROUP BY rf ORDER BY rf""".stripMargin,
     "q_cube" ->
       """SELECT COALESCE(l_returnflag, 'ALL') AS rf,
         |       COALESCE(l_linestatus, 'ALL') AS ls,

@@ -314,7 +314,34 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Deterministic global shuffle for training-shard assignment: every
+    * doc gets a pseudo-random shard and a pseudo-random position within
+    * it, both from integer hash arithmetic (Knuth multiplicative / LCG —
+    * identical in any engine, no RNG state, reproducible across retries).
+    *
+    * Scale posture: shard count is chosen from data volume (fixed target
+    * shard SIZE, e.g. output-file-sized), so per-shard numbering
+    * parallelism grows WITH the data — the row_number window partitions
+    * by shard and each partition is one output file's worth of rows,
+    * never a global sort. The production form follows with
+    * `repartition($"shard").sortWithinPartitions($"sk").write` — the
+    * exact plan shape Spark's shuffle already implements. */
+  def qGlobalShuffle(s: SparkSession, d: String): DataFrame = {
+    val nShards = 16 // testdata-sized; at 100 TB: ceil(bytes / shardBytes)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy("sk", "doc_id")
+    documents(s, d)
+      .select(col("doc_id"),
+        (col("doc_id") * lit(2654435761L) % nShards).as("shard"),
+        ((col("doc_id") * lit(1103515245L) + 12345L) % 2147483647L)
+          .as("sk"))
+      .withColumn("pos", row_number().over(w))
+      .select("shard", "pos", "doc_id")
+      .orderBy("shard", "pos")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_global_shuffle" -> qGlobalShuffle _,
     "q_decontaminate" -> qDecontaminate _,
     "q_domain_mix"    -> qDomainMix _,
     "q_budget_select" -> qBudgetSelect _,
@@ -350,6 +377,14 @@ object Curation {
         |GROUP BY train_id ORDER BY train_id""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q_global_shuffle" ->
+      """SELECT (doc_id * 2654435761) % 16 AS shard,
+        |  ROW_NUMBER() OVER (PARTITION BY (doc_id * 2654435761) % 16
+        |    ORDER BY (doc_id * 1103515245 + 12345) % 2147483647, doc_id)
+        |    AS pos,
+        |  doc_id
+        |FROM documents
+        |ORDER BY shard, pos""".stripMargin,
     "q_decontaminate" -> decontaminateSql,
     "q_bloom_decontaminate" -> decontaminateSql,
     "q_weighted_sample" ->

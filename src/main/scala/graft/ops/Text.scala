@@ -452,7 +452,53 @@ object Text {
           (col("na") + col("nb") - col("c")), 6).as("jaccard"))
   }
 
+  /** X2 adjunct: fuzzy word join (edit distance ≤ 2) over the corpus
+    * vocabulary via the SymSpell symmetric-deletion neighborhood — each
+    * distinct token emits every string reachable by deleting ≤ 2 chars;
+    * two words within edit distance 2 always share such a variant, so
+    * candidates equi-join on xxhash64(variant) (8-byte shuffle keys; hash
+    * collisions and farther-apart pairs that happen to share a variant
+    * are both removed by the exact levenshtein verify).
+    *
+    * Scale posture: work is Σ O(len²) variant rows over the DISTINCT
+    * vocabulary — linear in vocab size, never the quadratic all-pairs the
+    * oracle runs. The verify touches only candidate pairs, which the
+    * deletion neighborhood bounds to near-neighbors. */
+  def qFuzzyJoin(s: SparkSession, d: String): DataFrame = {
+    val words = documents(s, d)
+      .select(explode(toks(col("text"))).as("w"))
+      .where(length(col("w")) >= 3)
+      .distinct()
+    def delOne(c: Column, i: Column): Column = concat(
+      c.substr(lit(1), i - 1), c.substr(i + 1, length(c) - i))
+    // i = 0 keeps the string; i >= 1 deletes the i-th char — applied
+    // twice for the ≤2-deletion neighborhood (dedup'd before the join)
+    val del1 = words
+      .select(col("w"), explode(sequence(lit(0), length(col("w")))).as("i"))
+      .select(col("w"),
+        when(col("i") === 0, col("w"))
+          .otherwise(delOne(col("w"), col("i"))).as("v1"))
+    val variants = del1
+      .select(col("w"), col("v1"),
+        explode(sequence(lit(0), length(col("v1")))).as("j"))
+      .select(col("w"),
+        when(col("j") === 0, col("v1"))
+          .otherwise(delOne(col("v1"), col("j"))).as("vr"))
+      .select(col("w"), xxhash64(col("vr")).as("vh"))
+      .distinct()
+    variants.as("a")
+      .join(variants.as("b"),
+        col("a.vh") === col("b.vh") && col("a.w") < col("b.w"))
+      .select(col("a.w").as("w1"), col("b.w").as("w2"))
+      .distinct()
+      .where(levenshtein(col("w1"), col("w2")) <= 2)
+      .select(col("w1"), col("w2"),
+        levenshtein(col("w1"), col("w2")).cast("long").as("dist"))
+      .orderBy("w1", "w2")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_fuzzy_join"   -> qFuzzyJoin _,
     "q_scalar_funcs" -> qScalarFuncs _,
     "q_text_tokens"  -> qTextTokens _,
     "q_token_count"  -> qTokenCount _,
@@ -471,6 +517,17 @@ object Text {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_fuzzy_join" ->
+      """WITH w AS (
+        |  SELECT DISTINCT unnest(list_filter(
+        |    string_split_regex(lower(text), '[^a-z0-9]+'),
+        |    x -> len(x) >= 3)) AS w
+        |  FROM documents)
+        |SELECT a.w AS w1, b.w AS w2,
+        |  CAST(levenshtein(a.w, b.w) AS BIGINT) AS dist
+        |FROM w a JOIN w b
+        |  ON a.w < b.w AND levenshtein(a.w, b.w) <= 2
+        |ORDER BY w1, w2""".stripMargin,
     "q_sample_split" ->
       """SELECT doc_id,
         |  substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS bucket,

@@ -91,12 +91,32 @@ object Windows {
         col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
   }
 
+  /** X8/X14: event-time rolling aggregation — per-user 1-hour trailing
+    * count + sum via a RANGE frame over epoch-seconds. One shuffle on
+    * user_id, then each partition streams once with a sliding frame
+    * (amortized O(1) per row — never a per-row re-scan). The frame key is
+    * numeric (epoch seconds) so range semantics are engine-portable, and
+    * the sum runs over DECIMAL so the sequential accumulation is exact
+    * and bit-reproducible at any partitioning. */
+  def qRollingWindow(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_sec")
+      .rangeBetween(-3600L, 0L)
+    Events.events(s, d)
+      .select(col("event_id"), col("user_id"),
+        expr("ts div 1000000000").as("ts_sec"), col("value"))
+      .withColumn("n_1h", count(lit(1)).over(w))
+      .withColumn("sum_1h", sum(dec2(col("value"))).over(w).cast("double"))
+      .select("event_id", "user_id", "ts_sec", "n_1h", "sum_1h")
+      .orderBy("user_id", "ts_sec", "event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_topk_per_key"   -> qTopkPerKey _,
     "q_window_rank"    -> qWindowRank _,
     "q_window_running" -> qWindowRunning _,
     "q_topk"           -> qTopk _,
     "q_time_window"    -> qTimeWindow _,
+    "q_rolling_window" -> qRollingWindow _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -142,6 +162,16 @@ object Windows {
         |FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey ASC
         |LIMIT 20""".stripMargin,
+    "q_rolling_window" ->
+      """SELECT event_id, user_id,
+        |  epoch_ns(ts) // 1000000000 AS ts_sec,
+        |  COUNT(*) OVER w AS n_1h,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id
+        |  ORDER BY (epoch_ns(ts) // 1000000000)
+        |  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, ts_sec, event_id""".stripMargin,
     "q_time_window" ->
       """SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)),
         |                '%Y-%m-%d %H:%M:%S') AS wstart,

@@ -219,4 +219,95 @@ class OpsSpec extends AnyFunSuite {
       assert(r.getAs[Double]("min_v") <= r.getAs[Double]("max_v"))
     }
   }
+
+  test("rolling window: RANGE frame equals brute-force trailing recount") {
+    import org.apache.spark.sql.functions._
+    val ev = Events.events(spark, sf)
+      .select(col("event_id"), col("user_id"),
+        expr("ts div 1000000000").as("ts_sec"), col("value"))
+    val brute = ev.as("e").join(ev.as("f"),
+        col("f.user_id") === col("e.user_id") &&
+        col("f.ts_sec") >= col("e.ts_sec") - 3600 &&
+        col("f.ts_sec") <= col("e.ts_sec"))
+      .groupBy(col("e.event_id").as("event_id"))
+      .agg(count(lit(1)).as("n_b"),
+        sum(Tables.dec2(col("f.value"))).cast("double").as("s_b"))
+    val bad = SparkEntry.queries("q_rolling_window")(spark, sf)
+      .join(brute, "event_id")
+      .where(col("n_1h") =!= col("n_b") ||
+        abs(col("sum_1h") - col("s_b")) > 1e-9)
+    assert(bad.count() == 0, "RANGE frame disagrees with brute recount")
+  }
+
+  test("winsorize: cutoffs and clamped mean match a driver-side sort") {
+    import org.apache.spark.sql.functions._
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val byGroup = graft.Tables.lineitem(spark, sf)
+      .select(col("l_returnflag").as("rf"), col("l_quantity").as("v"))
+      .collect().groupBy(_.getAs[String]("rf"))
+      .view.mapValues(_.map(_.getAs[Double]("v")).sorted).toMap
+    val expected = byGroup.map { case (rf, vs) =>
+      def cut(p: Double): Double = { // quantile_cont: pos = p(n-1), 0-based
+        val pos = p * (vs.length - 1)
+        val (lo, hi) = (vs(pos.toInt), vs(math.ceil(pos).toInt))
+        r4(lo + (pos - math.floor(pos)) * (hi - lo))
+      }
+      val (lo, hi) = (cut(0.05), cut(0.95))
+      val cl = vs.map(v => math.min(math.max(v, lo), hi))
+      (rf, (vs.length.toLong, r4(cl.sum / cl.length),
+        vs.count(_ < lo).toLong, vs.count(_ > hi).toLong))
+    }
+    val got = SparkEntry.queries("q_winsorize")(spark, sf).collect()
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val (n, m, nl, nh) = expected(r.getAs[String]("rf"))
+      assert(r.getAs[Long]("n") == n)
+      assert(math.abs(r.getAs[Double]("mean_wins") - m) < 1e-9,
+        s"${r.getAs[String]("rf")}: ${r.getAs[Double]("mean_wins")} vs $m")
+      assert(r.getAs[Long]("n_lo") == nl && r.getAs[Long]("n_hi") == nh)
+    }
+  }
+
+  test("fuzzy join: deletion-neighborhood equals all-pairs levenshtein") {
+    import org.apache.spark.sql.functions._
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val vocab = graft.Tables.documents(spark, sf)
+      .select(explode(ops.Text.toks(col("text"))).as("w"))
+      .where(length(col("w")) >= 3).distinct()
+      .collect().map(_.getString(0)).sorted
+    val expected = (for {
+      i <- vocab.indices; j <- (i + 1) until vocab.length
+      dist = lev(vocab(i), vocab(j)) if dist <= 2
+    } yield (vocab(i), vocab(j), dist.toLong)).toSet
+    val got = SparkEntry.queries("q_fuzzy_join")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getAs[Long]("dist"))).toSet
+    assert(got == expected,
+      s"missing=${expected -- got} spurious=${got -- expected}")
+  }
+
+  test("global shuffle: a bijection onto dense per-shard positions") {
+    val docs = graft.Tables.documents(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val rows = SparkEntry.queries("q_global_shuffle")(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("doc_id")).toSet == docs,
+      "every doc must appear exactly once")
+    rows.groupBy(_.getAs[Long]("shard")).foreach { case (sh, rs) =>
+      assert(sh >= 0 && sh < 16)
+      assert(rs.map(_.getAs[Int]("pos")).sorted.toSeq == (1 to rs.length),
+        s"shard $sh positions must be dense 1..n")
+    }
+    // shard sizes should be near-balanced: the multiplicative hash is the
+    // only thing standing between this and a hot output file
+    val sizes = rows.groupBy(_.getAs[Long]("shard")).values.map(_.length)
+    assert(sizes.max < 4 * math.max(1, sizes.min),
+      s"shard skew too high: $sizes")
+  }
 }

@@ -278,4 +278,44 @@ class PlanAuditSpec extends AnyFunSuite {
     assert("Scan parquet".r.findAllIn(p).size == 1,
       "melt must not re-scan the table per measure column")
   }
+
+  test("rolling window: one hash shuffle on user_id, single streaming frame") {
+    val p = plan("q_rolling_window")
+    assert(p.contains("Window"), p.take(400))
+    assert("hashpartitioning\\(user_id".r.findAllIn(p).size >= 1,
+      "window must shuffle once on user_id:\n" + p.take(800))
+    // the RANGE frame is computed in the one Window pass — a self-join
+    // re-count (CartesianProduct / extra SortMergeJoin) would be the
+    // quadratic formulation
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"))
+  }
+
+  test("winsorize: cutoffs flow back as a broadcast, no raw-data window") {
+    val p = plan("q_winsorize")
+    assert(p.contains("BroadcastHashJoin"),
+      "3-row cutoff table must broadcast:\n" + p.take(800))
+    assert(p.contains("partial_count"), "histogram must map-side combine")
+    // the only Window may run over the aggregated histogram — if the raw
+    // scan fed a Window directly we'd be back to the per-group funnel
+    val winIdx = p.indexOf("Window")
+    assert(winIdx >= 0 && p.indexOf("HashAggregate") < winIdx,
+      "window must consume the histogram, not the raw scan:\n" + p.take(1200))
+  }
+
+  test("fuzzy join shuffles 8-byte hashed variants, never all-pairs") {
+    val p = plan("q_fuzzy_join").replaceAll("#\\d+L?", "")
+    assert(p.contains("xxhash64"),
+      "variant keys must be hashed to 64-bit longs:\n" + p.take(800))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "deletion-neighborhood join regressed to all-pairs:\n" + p.take(1200))
+  }
+
+  test("global shuffle numbers within shards — no single-partition sort") {
+    val p = plan("q_global_shuffle")
+    assert("hashpartitioning\\(shard".r.findAllIn(p).size >= 1,
+      "row numbering must partition by shard:\n" + p.take(800))
+    assert(!p.contains("SinglePartition"),
+      "global shuffle must never serialize through one task:\n" + p.take(800))
+  }
 }
