@@ -35,6 +35,7 @@ object SparkEntry {
     ops.Ranking.queries ++
     ops.QualitySignals.queries ++
     ops.Curation.queries ++
+    ops.Behavior.queries ++
     cnpj.FlagshipKey.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -55,5 +56,6 @@ object SparkEntry {
     ops.Ranking.oracleSql ++
     ops.QualitySignals.oracleSql ++
     ops.Curation.oracleSql ++
+    ops.Behavior.oracleSql ++
     cnpj.FlagshipKey.oracleSql
 }

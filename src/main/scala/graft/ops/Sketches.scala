@@ -174,16 +174,77 @@ object Sketches {
     labels
   }
 
+  /** Frequency threshold for [[qHeavyHitters]]: report tokens with
+    * count > N/HH_PHI of the total token stream. */
+  private[graft] val HH_PHI = 50
+
+  /** Heavy hitters, EXACT output from an approximate pass: per-partition
+    * Misra-Gries summaries (k counters, constant memory) propose a
+    * candidate superset, then one broadcast-filtered recount keeps
+    * exactly the tokens with global count > N/φ.
+    *
+    * Why the superset is safe: if a token's global count exceeds N/φ,
+    * then by averaging its count exceeds N_p/φ in at least one partition,
+    * and Misra-Gries with k ≥ φ counters never evicts an item whose
+    * partition-local count exceeds N_p/(k+1) < N_p/φ. So the MG pass has
+    * no false negatives and the recount removes all false positives —
+    * sketch speed, exact answer, and the oracle can check it with plain
+    * GROUP BY/HAVING.
+    *
+    * Scale posture: the sketch pass is mapPartitions with O(k) memory —
+    * the legitimate use of per-partition imperative code (a groupBy on
+    * raw tokens would shuffle the full token stream; this shuffles only
+    * candidate-matching tokens, ≤ k·partitions keys). The 1-row total and
+    * the candidate list are broadcast. */
+  def qHeavyHitters(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val k = 4 * HH_PHI
+    def toksDf = documents(s, d)
+      .select(explode(Text.toks(col("text"))).as("t"))
+    val candidates = toksDf.as[String].mapPartitions { it =>
+      val m = scala.collection.mutable.HashMap.empty[String, Long]
+      it.foreach { t =>
+        if (m.contains(t)) m(t) += 1L
+        else if (m.size < k) m(t) = 1L
+        else { // decrement-all, drop zeros (the classic MG step)
+          m.mapValuesInPlace((_, v) => v - 1L)
+          m.filterInPlace((_, v) => v > 0L)
+        }
+      }
+      m.keysIterator
+    }.toDF("t").distinct()
+    val tot = toksDf.agg(count(lit(1)).as("n"))
+    toksDf.join(broadcast(candidates), Seq("t"))
+      .groupBy("t").agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(tot))
+      .where(col("cnt") * HH_PHI > col("n"))
+      .select(col("t"), col("cnt"))
+      .orderBy("t")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_minhash_lsh"   -> qMinhashLsh _,
     "q_simhash"       -> qSimhash _,
     "q_dedup_cluster" -> qDedupCluster _,
+    "q_heavy_hitters" -> qHeavyHitters _,
   )
 
   /** MinHash/SimHash are non-oracle (xxhash64 isn't reproducible in
     * DuckDB); the cluster operator IS oracle-checked via a recursive CTE
     * over the same exact-Jaccard pairs. */
   val oracleSql: Map[String, String] = Map(
+    "q_heavy_hitters" ->
+      """WITH tk AS (
+        |  SELECT unnest(list_filter(
+        |    string_split_regex(lower(text), '[^a-z0-9]+'),
+        |    x -> x <> '')) AS t
+        |  FROM documents),
+        |tot AS (SELECT COUNT(*) AS n FROM tk)
+        |SELECT t, CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM tk, tot
+        |GROUP BY t, n
+        |HAVING COUNT(*) * 50 > n
+        |ORDER BY t""".stripMargin,
     "q_dedup_cluster" ->
       ("""WITH RECURSIVE toks AS (
         |  SELECT doc_id,

@@ -293,6 +293,51 @@ class OpsSpec extends AnyFunSuite {
       s"missing=${expected -- got} spurious=${got -- expected}")
   }
 
+  test("heavy hitters: MG candidates + recount equals the exact answer") {
+    import org.apache.spark.sql.functions._
+    val toks = graft.Tables.documents(spark, sf)
+      .select(explode(ops.Text.toks(col("text"))).as("t"))
+    val n = toks.count()
+    val exact = toks.groupBy("t").agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") * ops.Sketches.HH_PHI > n)
+      .collect().map(r => (r.getString(0), r.getAs[Long]("cnt"))).toSet
+    val got = SparkEntry.queries("q_heavy_hitters")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getAs[Long]("cnt"))).toSet
+    assert(got == exact,
+      s"missing=${exact -- got} spurious=${got -- exact}")
+  }
+
+  test("funnel: stage flags are monotone and counts match direct filters") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q_funnel")(spark, sf).collect()
+    rows.foreach { r =>
+      val (v, c, p) = (r.getAs[Long]("did_view"), r.getAs[Long]("did_click"),
+        r.getAs[Long]("did_purchase"))
+      assert(c <= v, "click-after-view implies view")
+      assert(p <= c, "purchase-after-click implies click")
+    }
+    val nView = Events.events(spark, sf)
+      .where(col("event_type") === "view")
+      .select("user_id").distinct().count()
+    assert(rows.map(_.getAs[Long]("did_view")).sum == nView,
+      "stage-1 conversions must equal distinct users with a view event")
+  }
+
+  test("cohort retention: week 0 counts the whole cohort, never exceeds it") {
+    val rows = SparkEntry.queries("q_cohort_retention")(spark, sf).collect()
+    val byCohort = rows.groupBy(_.getAs[Long]("cohort_wk"))
+    byCohort.foreach { case (_, rs) =>
+      val w0 = rs.find(_.getAs[Long]("weeks_since") == 0L)
+        .getOrElse(fail("every cohort must have a week-0 row"))
+      val size0 = w0.getAs[Long]("n_users")
+      rs.foreach { r =>
+        assert(r.getAs[Long]("weeks_since") >= 0L)
+        assert(r.getAs[Long]("n_users") <= size0,
+          "retention can never exceed the cohort's own size")
+      }
+    }
+  }
+
   test("global shuffle: a bijection onto dense per-shard positions") {
     val docs = graft.Tables.documents(spark, sf)
       .select("doc_id").collect().map(_.getLong(0)).toSet

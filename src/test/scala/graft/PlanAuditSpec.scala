@@ -311,6 +311,23 @@ class PlanAuditSpec extends AnyFunSuite {
       "deletion-neighborhood join regressed to all-pairs:\n" + p.take(1200))
   }
 
+  test("funnel composes equi-joins and partial mins — never a per-user sort") {
+    val p = plan("q_funnel")
+    assert(!p.contains("Window"),
+      "ordered-funnel must not window-sort user histories:\n" + p.take(800))
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("partial_min"), "stage mins must map-side combine")
+  }
+
+  test("heavy hitters: candidates broadcast back for the exact recount") {
+    val p = plan("q_heavy_hitters")
+    assert(p.contains("BroadcastHashJoin"),
+      "candidate filter must be a broadcast join:\n" + p.take(800))
+    assert(p.contains("MapPartitions"),
+      "MG sketch pass should be a MapPartitions operator:\n" + p.take(800))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("global shuffle numbers within shards — no single-partition sort") {
     val p = plan("q_global_shuffle")
     assert("hashpartitioning\\(shard".r.findAllIn(p).size >= 1,
