@@ -268,19 +268,24 @@ object Advanced {
     * collected per group (contrast [[qQuantiles]]' window funnel). For
     * continuous columns, swap the exact-value hist for the fixed-width
     * bins of [[qQuantilesDist]]; the clamp pass is unchanged. */
-  def qWinsorize(s: SparkSession, d: String): DataFrame = {
-    val ps = Seq(0.05 -> "lo", 0.95 -> "hi")
-    val data = lineitem(s, d).select(col("l_returnflag").as("rf"),
-      col("l_quantity").cast("double").as("v"))
+  /** Exact interpolated percentiles (quantile_cont semantics) from a
+    * per-value histogram: `data` must expose (rf, v); returns one row per
+    * group with a column per requested percentile, round(4).
+    *
+    * Works when per-group distinct values are bounded (the histogram is a
+    * partial+final groupBy whose output is tiny and whose windows run over
+    * hist rows, never data rows); for continuous columns use
+    * [[qQuantilesDist]]'s fixed-width bins. The value at global rank r is
+    * the hist row whose cumulative range covers r — the histogram IS the
+    * sorted value list, so no second pass over the data. */
+  private def exactCutsFromHist(data: DataFrame,
+      ps: Seq[(Double, String)]): DataFrame = {
     val hist = data.groupBy("rf", "v").agg(count(lit(1)).as("cnt"))
     val cum = hist
       .withColumn("cum",
         sum(col("cnt")).over(Window.partitionBy("rf").orderBy("v")))
       .withColumn("n", sum(col("cnt")).over(Window.partitionBy("rf")))
       .withColumn("cum_before", col("cum") - col("cnt"))
-    // quantile_cont semantics: pos = 1 + p(n-1) (1-indexed); the value at
-    // rank r is the hist row whose cumulative range covers r — no second
-    // pass over the data, the histogram IS the sorted value list.
     val atRank = cum.select(col("rf"), col("v"), col("cum_before"),
         col("cnt"),
         explode(array(ps.map { case (p, nm) =>
@@ -303,9 +308,16 @@ object Advanced {
         max(when(col("w.which") === "hi_r", col("v"))).as("v_hi"))
       .withColumn("cut", round(col("v_lo") +
         (col("pos") - floor(col("pos"))) * (col("v_hi") - col("v_lo")), 4))
-    val cuts = atRank.groupBy("rf")
-      .agg(max(when(col("pname") === "lo", col("cut"))).as("lo"),
-        max(when(col("pname") === "hi", col("cut"))).as("hi"))
+    val aggs = ps.map { case (_, nm) =>
+      max(when(col("pname") === nm, col("cut"))).as(nm)
+    }
+    atRank.groupBy("rf").agg(aggs.head, aggs.tail: _*)
+  }
+
+  def qWinsorize(s: SparkSession, d: String): DataFrame = {
+    val data = lineitem(s, d).select(col("l_returnflag").as("rf"),
+      col("l_quantity").cast("double").as("v"))
+    val cuts = exactCutsFromHist(data, Seq(0.05 -> "lo", 0.95 -> "hi"))
     data.join(broadcast(cuts), Seq("rf"))
       .select(col("rf"), col("v"), col("lo"), col("hi"),
         least(greatest(col("v"), col("lo")), col("hi"))
@@ -316,6 +328,29 @@ object Advanced {
           .as("mean_wins"),
         sum(when(col("v") < col("lo"), 1L).otherwise(0L)).as("n_lo"),
         sum(when(col("v") > col("hi"), 1L).otherwise(0L)).as("n_hi"))
+      .orderBy("rf")
+  }
+
+  /** Robust outlier profile: per-group exact median and MAD (median
+    * absolute deviation) via two histogram passes, then one counting
+    * pass with the 3·MAD fence. Same scale posture as [[qWinsorize]]:
+    * only histograms are windowed, cutoff tables broadcast back, the
+    * raw data is scanned but never sorted or collected per group —
+    * median/MAD are the aggregates that tempt a per-group sort at
+    * 100 TB, and this is the shape that avoids it. */
+  def qMadOutliers(s: SparkSession, d: String): DataFrame = {
+    val data = lineitem(s, d).select(col("l_returnflag").as("rf"),
+      col("l_quantity").cast("double").as("v"))
+    val med = exactCutsFromHist(data, Seq(0.5 -> "med"))
+    val dev = data.join(broadcast(med), Seq("rf"))
+      .select(col("rf"), abs(col("v") - col("med")).as("v"))
+    val mad = exactCutsFromHist(dev, Seq(0.5 -> "mad"))
+    data.join(broadcast(med), Seq("rf")).join(broadcast(mad), Seq("rf"))
+      .groupBy("rf", "med", "mad")
+      .agg(count(lit(1)).as("n"),
+        sum(when(abs(col("v") - col("med")) > lit(3.0d) * col("mad"), 1L)
+          .otherwise(0L)).as("n_out"))
+      .select("rf", "med", "mad", "n", "n_out")
       .orderBy("rf")
   }
 
@@ -330,9 +365,27 @@ object Advanced {
     "q_salted_join"       -> qSaltedJoin _,
     "q_time_window_slide" -> qTimeWindowSlide _,
     "q_winsorize"         -> qWinsorize _,
+    "q_mad_outliers"      -> qMadOutliers _,
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_mad_outliers" ->
+      """WITH med AS (
+        |  SELECT l_returnflag AS rf,
+        |    round(quantile_cont(l_quantity, 0.5), 4) AS med
+        |  FROM lineitem GROUP BY 1),
+        |m2 AS (
+        |  SELECT rf, med,
+        |    round(quantile_cont(abs(l_quantity - med), 0.5), 4) AS mad
+        |  FROM lineitem JOIN med ON l_returnflag = rf
+        |  GROUP BY rf, med)
+        |SELECT rf, med, mad,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CASE WHEN abs(l_quantity - med) > 3.0 * mad
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_out
+        |FROM lineitem JOIN m2 ON l_returnflag = rf
+        |GROUP BY rf, med, mad
+        |ORDER BY rf""".stripMargin,
     "q_winsorize" ->
       """WITH cuts AS (
         |  SELECT l_returnflag AS rf,

@@ -162,15 +162,51 @@ object QualitySignals {
       .orderBy("doc_id")
   }
 
+  /** Shannon entropy of each doc's within-doc token distribution — low
+    * entropy flags template/boilerplate text the way repetition ratios do,
+    * but weights by frequency. Algebraic form ln(n) − Σc·ln(c)/n avoids a
+    * per-token division and folds the whole signal into ONE partial+final
+    * aggregation after the (doc_id, token) count — two shuffles on the
+    * same doc_id key (co-partitioned), linear at any scale. round(6)
+    * absorbs the add-order FP jitter of the Σ so the hash compare is
+    * stable across partitionings and engines. */
+  def qTokenEntropy(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), explode(Text.toks(col("text"))).as("t"))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n_tok"),
+        sum(col("c").cast("double") * log(col("c").cast("double")))
+          .as("s"))
+      .select(col("doc_id"), col("n_tok"),
+        round(log(col("n_tok").cast("double")) -
+          col("s") / col("n_tok").cast("double"), 6).as("entropy"))
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_repetition" -> qRepetition _,
     "q_pii_scrub"  -> qPiiScrub _,
     "q_length_histogram" -> qLengthHistogram _,
     "q_unigram_surprisal" -> qUnigramSurprisal _,
     "q_compress_ratio" -> qCompressRatio _,
+    "q_token_entropy" -> qTokenEntropy _,
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_token_entropy" ->
+      """WITH tk AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(lower(text), '[^a-z0-9]+'),
+        |    x -> x <> '')) AS t
+        |  FROM documents),
+        |c AS (SELECT doc_id, t, COUNT(*) AS c FROM tk GROUP BY 1, 2)
+        |SELECT doc_id,
+        |  CAST(SUM(c) AS BIGINT) AS n_tok,
+        |  round(ln(CAST(SUM(c) AS DOUBLE)) -
+        |    SUM(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)))
+        |      / CAST(SUM(c) AS DOUBLE), 6) AS entropy
+        |FROM c GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
     "q_repetition" ->
       """WITH t AS (
         |  SELECT doc_id,

@@ -338,6 +338,50 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("mad outliers: median, MAD and fence match a driver-side sort") {
+    import org.apache.spark.sql.functions._
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def medOf(vs: Array[Double]): Double = { // quantile_cont p=0.5
+      val s = vs.sorted
+      val pos = 0.5 * (s.length - 1)
+      r4(s(pos.toInt) + (pos - math.floor(pos)) *
+        (s(math.ceil(pos).toInt) - s(pos.toInt)))
+    }
+    val byGroup = graft.Tables.lineitem(spark, sf)
+      .select(col("l_returnflag").as("rf"), col("l_quantity").as("v"))
+      .collect().groupBy(_.getAs[String]("rf"))
+      .view.mapValues(_.map(_.getAs[Double]("v"))).toMap
+    SparkEntry.queries("q_mad_outliers")(spark, sf).collect().foreach { r =>
+      val vs = byGroup(r.getAs[String]("rf"))
+      val med = medOf(vs)
+      val mad = medOf(vs.map(v => math.abs(v - med)))
+      assert(math.abs(r.getAs[Double]("med") - med) < 1e-9)
+      assert(math.abs(r.getAs[Double]("mad") - mad) < 1e-9)
+      assert(r.getAs[Long]("n") == vs.length)
+      assert(r.getAs[Long]("n_out") ==
+        vs.count(v => math.abs(v - med) > 3.0 * mad))
+    }
+  }
+
+  test("token entropy: matches a driver-side recount per document") {
+    val texts = graft.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    SparkEntry.queries("q_token_entropy")(spark, sf).collect().foreach { r =>
+      val tk = texts(r.getAs[Long]("doc_id")).toLowerCase
+        .split("[^a-z0-9]+").filter(_.nonEmpty)
+      val n = tk.length.toDouble
+      val s = tk.groupBy(identity).values
+        .map(g => g.length * math.log(g.length.toDouble)).sum
+      val want = BigDecimal(math.log(n) - s / n)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getAs[Long]("n_tok") == tk.length)
+      assert(math.abs(r.getAs[Double]("entropy") - want) < 1e-9,
+        s"doc ${r.getAs[Long]("doc_id")}")
+    }
+  }
+
   test("global shuffle: a bijection onto dense per-shard positions") {
     val docs = graft.Tables.documents(spark, sf)
       .select("doc_id").collect().map(_.getLong(0)).toSet

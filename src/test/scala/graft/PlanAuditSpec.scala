@@ -328,6 +328,23 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("mad outliers: both cutoff tables broadcast, histogram-only windows") {
+    val p = plan("q_mad_outliers")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      "median and MAD tables must both broadcast back:\n" + p.take(800))
+    assert(p.indexOf("HashAggregate") < p.indexOf("Window"),
+      "windows may only run over the aggregated histograms:\n" + p.take(1200))
+  }
+
+  test("token entropy folds into partial+final aggregation, one scan") {
+    val p = plan("q_token_entropy")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "token counting must map-side combine:\n" + p.take(800))
+    assert("Scan parquet".r.findAllIn(p).size == 1,
+      "entropy must not re-scan documents:\n" + p.take(800))
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"))
+  }
+
   test("global shuffle numbers within shards — no single-partition sort") {
     val p = plan("q_global_shuffle")
     assert("hashpartitioning\\(shard".r.findAllIn(p).size >= 1,
