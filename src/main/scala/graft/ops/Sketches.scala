@@ -213,7 +213,10 @@ object Sketches {
       }
       m.keysIterator
     }.toDF("t").distinct()
-    val tot = toksDf.agg(count(lit(1)).as("n"))
+    // total token count WITHOUT a third explode: sum of per-doc token
+    // array sizes — a narrow codegen'd scan, same value
+    val tot = documents(s, d)
+      .agg(sum(size(Text.toks(col("text")))).as("n"))
     toksDf.join(broadcast(candidates), Seq("t"))
       .groupBy("t").agg(count(lit(1)).as("cnt"))
       .crossJoin(broadcast(tot))

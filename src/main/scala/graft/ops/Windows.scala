@@ -104,9 +104,11 @@ object Windows {
     Events.events(s, d)
       .select(col("event_id"), col("user_id"),
         expr("ts div 1000000000").as("ts_sec"), col("value"))
-      .withColumn("n_1h", count(lit(1)).over(w))
-      .withColumn("sum_1h", sum(dec2(col("value"))).over(w).cast("double"))
-      .select("event_id", "user_id", "ts_sec", "n_1h", "sum_1h")
+      // both frame aggregates in ONE select so they land in one Window
+      // node (chained withColumn left two Window passes in the plan)
+      .select(col("event_id"), col("user_id"), col("ts_sec"),
+        count(lit(1)).over(w).as("n_1h"),
+        sum(dec2(col("value"))).over(w).cast("double").as("sum_1h"))
       .orderBy("user_id", "ts_sec", "event_id")
   }
 

@@ -281,7 +281,8 @@ class PlanAuditSpec extends AnyFunSuite {
 
   test("rolling window: one hash shuffle on user_id, single streaming frame") {
     val p = plan("q_rolling_window")
-    assert(p.contains("Window"), p.take(400))
+    assert("Window \\[".r.findAllIn(p).size == 1,
+      "both frame aggregates must land in ONE Window pass:\n" + p.take(800))
     assert("hashpartitioning\\(user_id".r.findAllIn(p).size >= 1,
       "window must shuffle once on user_id:\n" + p.take(800))
     // the RANGE frame is computed in the one Window pass — a self-join
