@@ -117,11 +117,40 @@ object Sources {
       .orderBy("c_mktsegment")
   }
 
+  /** S-surface widening: fixed-width text round trip — the classic
+    * mainframe/enterprise interchange (no delimiters at all; schema =
+    * column OFFSETS applied on read, the limiting case of the
+    * reference's headerless-CSV + schema-application pattern S4/S5).
+    * Money crosses as zero-padded integer cents so the text round trip
+    * is integer-exact end to end. Lines are splittable text: writes
+    * parallelize per partition, the read-back scan is one narrow pass
+    * with codegen'd substring parsing. The parquet-direct oracle proves
+    * losslessness. */
+  def qFixedWidthRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val out = s"${ioDir(d)}/orders_fixedwidth"
+    orders(s, d)
+      .select(concat(
+        lpad(col("o_orderkey").cast("string"), 12, "0"),
+        col("o_orderstatus"),
+        lpad((dec2(col("o_totalprice")) * 100).cast("long").cast("string"),
+          14, "0")).as("value"))
+      .write.mode("overwrite").text(out)
+    s.read.text(out)
+      .select(
+        substring(col("value"), 1, 12).cast("long").as("o_orderkey"),
+        substring(col("value"), 13, 1).as("o_orderstatus"),
+        substring(col("value"), 14, 14).cast("long").as("cents"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+      .orderBy("o_orderstatus")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_csv_scan"        -> qCsvScan _,
     "q_table_roundtrip" -> qTableRoundtrip _,
     "q_orc_roundtrip"   -> qOrcRoundtrip _,
     "q_jsonl_roundtrip" -> qJsonlRoundtrip _,
+    "q_fixedwidth_roundtrip" -> qFixedWidthRoundtrip _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -145,5 +174,11 @@ object Sources {
         |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
         |FROM customer GROUP BY c_mktsegment
         |ORDER BY c_mktsegment""".stripMargin,
+    "q_fixedwidth_roundtrip" ->
+      """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |    AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM orders GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
   )
 }
