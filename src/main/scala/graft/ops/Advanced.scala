@@ -354,6 +354,28 @@ object Advanced {
       .orderBy("rf")
   }
 
+  /** Equal-frequency binning (quantile discretizer): per-group quartile
+    * cuts from the exact histogram path, broadcast back, bucket id by
+    * codegen'd comparisons. The feature-engineering shape for 100 TB:
+    * cut computation touches only the tiny histogram, the bucketing pass
+    * is one narrow scan — never a per-row rank (the ntile window would
+    * sort every group). */
+  def qQuantileBucket(s: SparkSession, d: String): DataFrame = {
+    val data = lineitem(s, d).select(col("l_returnflag").as("rf"),
+      col("l_quantity").cast("double").as("v"))
+    val cuts = exactCutsFromHist(data,
+      Seq(0.25 -> "q1", 0.5 -> "q2", 0.75 -> "q3"))
+    data.join(broadcast(cuts), Seq("rf"))
+      .select(col("rf"), col("v"),
+        (lit(1L) + (col("v") > col("q1")).cast("long") +
+          (col("v") > col("q2")).cast("long") +
+          (col("v") > col("q3")).cast("long")).as("bucket"))
+      .groupBy("rf", "bucket")
+      .agg(count(lit(1)).as("n"), min(col("v")).as("min_v"),
+        max(col("v")).as("max_v"))
+      .orderBy("rf", "bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cube"              -> qCube _,
     "q_outer_join"        -> qOuterJoin _,
@@ -366,9 +388,27 @@ object Advanced {
     "q_time_window_slide" -> qTimeWindowSlide _,
     "q_winsorize"         -> qWinsorize _,
     "q_mad_outliers"      -> qMadOutliers _,
+    "q_quantile_bucket"   -> qQuantileBucket _,
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_quantile_bucket" ->
+      """WITH cuts AS (
+        |  SELECT l_returnflag AS rf,
+        |    round(quantile_cont(l_quantity, 0.25), 4) AS q1,
+        |    round(quantile_cont(l_quantity, 0.5), 4) AS q2,
+        |    round(quantile_cont(l_quantity, 0.75), 4) AS q3
+        |  FROM lineitem GROUP BY 1)
+        |SELECT rf,
+        |  1 + CAST(l_quantity > q1 AS BIGINT)
+        |    + CAST(l_quantity > q2 AS BIGINT)
+        |    + CAST(l_quantity > q3 AS BIGINT) AS bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  MIN(l_quantity) AS min_v,
+        |  MAX(l_quantity) AS max_v
+        |FROM lineitem JOIN cuts ON l_returnflag = rf
+        |GROUP BY 1, 2
+        |ORDER BY rf, bucket""".stripMargin,
     "q_mad_outliers" ->
       """WITH med AS (
         |  SELECT l_returnflag AS rf,

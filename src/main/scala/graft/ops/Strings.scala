@@ -115,7 +115,26 @@ object Strings {
         max(col("value")).as("max_v"))
       .orderBy("metric")
 
+  /** Higher-order array-function surface — transform / filter /
+    * aggregate(fold) / sort / slice composed per row over the token
+    * array, all codegen'd narrow ops (the "functions, not UDFs" rule
+    * applied to collections; every result is integer/string-exact so the
+    * DuckDB list_* oracle hash-matches). */
+  def qArrayFuncs(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), Text.toks(col("text")).as("tk"))
+      .select(
+        col("doc_id"),
+        size(col("tk")).cast("long").as("n_tok"),
+        aggregate(transform(col("tk"), t => length(t)),
+          lit(0L), (acc, x) => acc + x).as("sum_len"),
+        size(filter(col("tk"), t => length(t) >= 6)).cast("long")
+          .as("n_long"),
+        concat_ws(" ", slice(sort_array(col("tk")), 1, 3)).as("first3"))
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_array_funcs"     -> qArrayFuncs _,
     "q_string_funcs"    -> qStringFuncs _,
     "q_unpivot"         -> qUnpivot _,
     "q_pivot"           -> qPivot _,
@@ -126,6 +145,19 @@ object Strings {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_array_funcs" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(
+        |    string_split_regex(lower(text), '[^a-z0-9]+'),
+        |    x -> x <> '') AS tk
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(tk) AS BIGINT) AS n_tok,
+        |  CAST(COALESCE(list_aggregate(list_transform(tk, x -> len(x)),
+        |    'sum'), 0) AS BIGINT) AS sum_len,
+        |  CAST(len(list_filter(tk, x -> len(x) >= 6)) AS BIGINT) AS n_long,
+        |  array_to_string(list_sort(tk)[1:3], ' ') AS first3
+        |FROM tk ORDER BY doc_id""".stripMargin,
     "q_unpivot" ->
       """WITH u AS (
         |  SELECT 'l_quantity' AS metric, l_quantity AS value FROM lineitem
