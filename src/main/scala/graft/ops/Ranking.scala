@@ -179,13 +179,57 @@ object Ranking {
       .orderBy("t1", "t2")
   }
 
+  /** Corpus-level top-k bigrams per language through the custom
+    * [[graft.plans.TopKPerKey]] physical operator: bigram counting is a
+    * partial+final hash aggregation, then the per-language top-5 runs as
+    * the two-phase partial/final top-k — map-side heaps bound the final
+    * shuffle at k·partitions·languages rows, where the row_number window
+    * form would shuffle every distinct bigram. Non-distinct bigrams
+    * (counting occurrences, not presence — contrast Text.bigrams). */
+  def qTopNgrams(s: SparkSession, d: String): DataFrame = {
+    val tk = documents(s, d)
+      .select(col("lang"), Text.toks(col("text")).as("tk"))
+    val counts = tk
+      .select(col("lang"), explode(zip_with(
+        slice(col("tk"), lit(1), size(col("tk")) - 1),
+        slice(col("tk"), lit(2), size(col("tk")) - 1),
+        (a, b) => concat_ws(" ", a, b))).as("bigram"))
+      .groupBy("lang", "bigram").agg(count(lit(1)).as("cnt"))
+    graft.plans.TopKPerKey.topKPerKey(counts,
+      Seq(counts("lang")),
+      Seq(counts("cnt").desc, counts("bigram")),
+      5)
+      .select("lang", "bigram", "cnt")
+      .orderBy(col("lang"), col("cnt").desc, col("bigram"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bm25"           -> qBm25 _,
     "q_inverted_index" -> qInvertedIndex _,
     "q_cooccurrence"   -> qCooccurrence _,
+    "q_top_ngrams"     -> qTopNgrams _,
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_top_ngrams" ->
+      """WITH tk AS (
+        |  SELECT lang, list_filter(
+        |    string_split_regex(lower(text), '[^a-z0-9]+'),
+        |    x -> x <> '') AS tk
+        |  FROM documents),
+        |bg AS (
+        |  SELECT lang, unnest(list_transform(range(1, len(tk)),
+        |    i -> tk[i] || ' ' || tk[i+1])) AS bigram
+        |  FROM tk WHERE len(tk) >= 2),
+        |c AS (SELECT lang, bigram, COUNT(*) AS cnt FROM bg GROUP BY 1, 2),
+        |r AS (
+        |  SELECT lang, bigram, cnt,
+        |    ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY cnt DESC, bigram) AS rn
+        |  FROM c)
+        |SELECT lang, bigram, CAST(cnt AS BIGINT) AS cnt
+        |FROM r WHERE rn <= 5
+        |ORDER BY lang, cnt DESC, bigram""".stripMargin,
     "q_bm25" ->
       """WITH tk AS (
         |  SELECT doc_id,

@@ -346,6 +346,13 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Window") && !p.contains("CartesianProduct"))
   }
 
+  test("top ngrams runs the two-phase TopKPerKey, not a full window sort") {
+    val p = plan("q_top_ngrams")
+    assert(p.contains("PartialTopKPerKey"),
+      "map-side top-k pruning missing:\n" + p.take(1200))
+    assert(p.contains("partial_count"), "bigram counting must combine")
+  }
+
   test("global shuffle numbers within shards — no single-partition sort") {
     val p = plan("q_global_shuffle")
     assert("hashpartitioning\\(shard".r.findAllIn(p).size >= 1,
