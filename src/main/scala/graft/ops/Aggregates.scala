@@ -153,7 +153,46 @@ object Aggregates {
       .orderBy("l_returnflag")
   }
 
+  /** One-pass table profiling (ANALYZE-style): per column — row count,
+    * null count, exact distinct count, min/max — computed in a SINGLE
+    * aggregation over one scan (the three exact count-distincts plan as
+    * one Expand + partial/final aggregate), then unpivoted to one row
+    * per column. The shape that replaces N per-column profiling jobs
+    * with one pass at 100 TB; numerics cross as DECIMAL strings so the
+    * text rendering is engine-portable. */
+  def qProfile(s: SparkSession, d: String): DataFrame = {
+    val agg = orders(s, d).agg(
+      count(lit(1)).as("n"),
+      sum(when(col("o_orderstatus").isNull, 1L).otherwise(0L)).as("null_s"),
+      countDistinct(col("o_orderstatus")).as("nd_s"),
+      min(col("o_orderstatus")).as("min_s"),
+      max(col("o_orderstatus")).as("max_s"),
+      sum(when(col("o_orderpriority").isNull, 1L).otherwise(0L))
+        .as("null_p"),
+      countDistinct(col("o_orderpriority")).as("nd_p"),
+      min(col("o_orderpriority")).as("min_p"),
+      max(col("o_orderpriority")).as("max_p"),
+      sum(when(col("o_totalprice").isNull, 1L).otherwise(0L)).as("null_t"),
+      countDistinct(col("o_totalprice")).as("nd_t"),
+      min(dec2(col("o_totalprice"))).cast("string").as("min_t"),
+      max(dec2(col("o_totalprice"))).cast("string").as("max_t"))
+    agg.select(explode(array(
+        struct(lit("o_orderpriority").as("column"), col("n"),
+          col("null_p").as("n_null"), col("nd_p").as("n_distinct"),
+          col("min_p").as("min_v"), col("max_p").as("max_v")),
+        struct(lit("o_orderstatus").as("column"), col("n"),
+          col("null_s").as("n_null"), col("nd_s").as("n_distinct"),
+          col("min_s").as("min_v"), col("max_s").as("max_v")),
+        struct(lit("o_totalprice").as("column"), col("n"),
+          col("null_t").as("n_null"), col("nd_t").as("n_distinct"),
+          col("min_t").as("min_v"), col("max_t").as("max_v")))).as("r"))
+      .select("r.column", "r.n", "r.n_null", "r.n_distinct", "r.min_v",
+        "r.max_v")
+      .orderBy("column")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_profile"         -> qProfile _,
     "q_stats_moments"   -> qStatsMoments _,
     "q_collect"         -> qCollect _,
     "q_kmv_distinct"    -> qKmvDistinct _,
@@ -165,6 +204,30 @@ object Aggregates {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_profile" ->
+      """SELECT * FROM (
+        |  SELECT 'o_orderstatus' AS "column", CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_null,
+        |    CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS n_distinct,
+        |    MIN(o_orderstatus) AS min_v, MAX(o_orderstatus) AS max_v
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderpriority', CAST(COUNT(*) AS BIGINT),
+        |    CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT),
+        |    CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT),
+        |    MIN(o_orderpriority), MAX(o_orderpriority)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'o_totalprice', CAST(COUNT(*) AS BIGINT),
+        |    CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT),
+        |    CAST(COUNT(DISTINCT o_totalprice) AS BIGINT),
+        |    CAST(MIN(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR),
+        |    CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR)
+        |  FROM orders)
+        |ORDER BY "column"""".stripMargin,
     "q_stats_moments" ->
       """WITH m AS (
         |  SELECT l_returnflag,
