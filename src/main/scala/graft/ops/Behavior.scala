@@ -69,9 +69,39 @@ object Behavior {
       .orderBy("cohort_wk", "weeks_since")
   }
 
+  /** Time-series gap filling + forward fill: every user gets a dense
+    * hourly grid between their first and last event (sequence + explode —
+    * slot count is bounded per user, generated distributed, never on the
+    * driver); missing hours zero-fill the count and carry the last
+    * observed hourly sum forward via last(ignoreNulls) over a running
+    * frame. One join keyed (user, hour), one per-user window — the
+    * standard dashboard/feature-store densification at any scale. */
+  def qGapFill(s: SparkSession, d: String): DataFrame = {
+    val e = Events.events(s, d)
+      .select(col("user_id"),
+        expr("ts div 3600000000000").as("hr"), col("value")) // 1h in nanos
+    val hourly = e.groupBy("user_id", "hr")
+      .agg(count(lit(1)).as("n"),
+        round(sum(graft.Tables.dec2(col("value"))).cast("double"), 2)
+          .as("sum_v"))
+    val slots = e.groupBy("user_id")
+      .agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"))
+      .select(col("user_id"),
+        explode(sequence(col("h0"), col("h1"))).as("hr"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("hr")
+      .rowsBetween(Long.MinValue, 0)
+    slots.join(hourly, Seq("user_id", "hr"), "left")
+      .select(col("user_id"), col("hr"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        last(col("sum_v"), ignoreNulls = true).over(w).as("last_sum"))
+      .orderBy("user_id", "hr")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_funnel"           -> qFunnel _,
     "q_cohort_retention" -> qCohortRetention _,
+    "q_gap_fill"         -> qGapFill _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -96,6 +126,27 @@ object Behavior {
         |LEFT JOIN c ON u.user_id = c.user_id
         |LEFT JOIN p ON u.user_id = p.user_id
         |ORDER BY u.user_id""".stripMargin,
+    "q_gap_fill" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ns(ts) // 3600000000000 AS hr, value
+        |  FROM events),
+        |hourly AS (
+        |  SELECT user_id, hr, CAST(COUNT(*) AS BIGINT) AS n,
+        |    round(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+        |      AS sum_v
+        |  FROM e GROUP BY 1, 2),
+        |spans AS (SELECT user_id, min(hr) AS h0, max(hr) AS h1
+        |          FROM e GROUP BY 1),
+        |slots AS (SELECT user_id, unnest(range(h0, h1 + 1)) AS hr
+        |          FROM spans)
+        |SELECT s.user_id, s.hr,
+        |  COALESCE(h.n, 0) AS n,
+        |  last_value(h.sum_v IGNORE NULLS) OVER (
+        |    PARTITION BY s.user_id ORDER BY s.hr
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_sum
+        |FROM slots s
+        |LEFT JOIN hourly h ON s.user_id = h.user_id AND s.hr = h.hr
+        |ORDER BY s.user_id, s.hr""".stripMargin,
     "q_cohort_retention" ->
       """WITH e AS (
         |  SELECT user_id,
