@@ -36,6 +36,8 @@ object SparkEntry {
     ops.QualitySignals.queries ++
     ops.Curation.queries ++
     ops.Behavior.queries ++
+    ops.Bpe.queries ++
+    ops.Graph.queries ++
     cnpj.FlagshipKey.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -57,5 +59,7 @@ object SparkEntry {
     ops.QualitySignals.oracleSql ++
     ops.Curation.oracleSql ++
     ops.Behavior.oracleSql ++
+    ops.Bpe.oracleSql ++
+    ops.Graph.oracleSql ++
     cnpj.FlagshipKey.oracleSql
 }

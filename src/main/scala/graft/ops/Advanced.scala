@@ -376,7 +376,55 @@ object Advanced {
       .orderBy("rf", "bucket")
   }
 
+  /** 2-D Pareto frontier (skyline): parts not dominated on (price ↓,
+    * size ↑) — the "best tradeoff" selection (in a curation pipeline the
+    * same shape picks quality-vs-length frontiers). A point is dominated
+    * iff some part is ≤ on price AND ≥ on size with one strict.
+    *
+    * Scale posture: the naive skyline is an O(n²) self-join. This is the
+    * same two-level distributed prefix aggregation as
+    * [[Behavior.qMaxConcurrency]], applied to a prefix-MAX: dominance
+    * only needs "max size among strictly-cheaper points" and "max size
+    * among ≤-price points" — each a prefix max along the price order.
+    * Windows run WITHIN price buckets (RANGE frames give the strict/
+    * inclusive split exactly), bucket maxima roll up through a tiny
+    * per-bucket table, and the exclusive bucket offset is broadcast back.
+    * One narrow pass + one bounded metadata window — no self-join, no
+    * global sort funnel. Prices are integer cents (exact on both
+    * engines). */
+  def qPareto(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pts = part(s, d).select(col("p_partkey"),
+        (graft.Tables.dec2(col("p_retailprice")) * 100).cast("long")
+          .as("price_c"),
+        col("p_size").cast("long").as("sz"))
+      .withColumn("bucket", expr("price_c div 1000")) // $10 buckets
+    val wLt = Window.partitionBy("bucket").orderBy("price_c")
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val wLe = Window.partitionBy("bucket").orderBy("price_c")
+      .rangeBetween(Window.unboundedPreceding, 0)
+    val local = pts.select(col("p_partkey"), col("price_c"), col("sz"),
+      col("bucket"),
+      max(col("sz")).over(wLt).as("m_lt"),
+      max(col("sz")).over(wLe).as("m_le"))
+    val wPrev = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // per-bucket maxima: rows = #price buckets (data-independent, tiny),
+    // so the single-ordered window over it is metadata work, and the
+    // result broadcasts back into the equi-join on bucket
+    val offsets = pts.groupBy("bucket").agg(max(col("sz")).as("bmax"))
+      .select(col("bucket"),
+        coalesce(max(col("bmax")).over(wPrev), lit(-1L)).as("pmax"))
+    local.join(broadcast(offsets), "bucket")
+      .where(!(greatest(coalesce(col("m_lt"), lit(-1L)), col("pmax"))
+          >= col("sz") ||
+        greatest(col("m_le"), col("pmax")) > col("sz")))
+      .select(col("p_partkey"), col("price_c"), col("sz"))
+      .orderBy("p_partkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pareto"            -> qPareto _,
     "q_cube"              -> qCube _,
     "q_outer_join"        -> qOuterJoin _,
     "q_full_outer"        -> qFullOuter _,
@@ -392,6 +440,20 @@ object Advanced {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_pareto" ->
+      """WITH p AS (
+        |  SELECT p_partkey,
+        |    CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS price_c,
+        |    CAST(p_size AS BIGINT) AS sz
+        |  FROM part)
+        |SELECT a.p_partkey, a.price_c, a.sz
+        |FROM p a
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM p b
+        |  WHERE b.price_c <= a.price_c AND b.sz >= a.sz
+        |    AND (b.price_c < a.price_c OR b.sz > a.sz))
+        |ORDER BY a.p_partkey""".stripMargin,
     "q_quantile_bucket" ->
       """WITH cuts AS (
         |  SELECT l_returnflag AS rf,

@@ -98,10 +98,96 @@ object Behavior {
       .orderBy("user_id", "hr")
   }
 
+  /** Type-2 slowly-changing-dimension build: collapse each user's event
+    * stream into state-version intervals (state = event_type; a new
+    * version starts whenever the state differs from the previous event's).
+    * The classic warehouse history table: (user, state, valid_from,
+    * valid_to, version), valid_to NULL on the current version.
+    *
+    * Scale posture: both windows are partitioned by user_id — parallelism
+    * is the user count, no few-key funnel. Per-user history is the only
+    * ordered unit, exactly the SCD2 contract. Timestamps are epoch-MICROS
+    * longs (integer `div`, exact): DuckDB truncates parquet nano
+    * timestamps to micros, so nanos must never reach an oracle-checked
+    * output; ordering tie-breaks on event_id so version numbering stays
+    * total under equal micros. */
+  def qScd2(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val e = Events.events(s, d)
+      .select(col("user_id"), col("event_id"),
+        expr("ts div 1000").as("ts"), col("event_type"))
+      .withColumn("chg",
+        when(lag(col("event_type"), 1).over(byUser).isNull ||
+          lag(col("event_type"), 1).over(byUser) =!= col("event_type"), 1L)
+          .otherwise(0L))
+      .withColumn("version", sum(col("chg")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val versions = e.groupBy("user_id", "version")
+      // all rows in a version share one event_type by construction, so
+      // min() is just the deterministic way to pick it
+      .agg(min(col("event_type")).as("state"),
+        min(col("ts")).as("valid_from"))
+    val vw = Window.partitionBy("user_id").orderBy("version")
+    versions
+      .select(col("user_id"), col("version"), col("state"),
+        col("valid_from"),
+        lead(col("valid_from"), 1).over(vw).as("valid_to"))
+      .orderBy("user_id", "version")
+  }
+
+  /** Maximum interval concurrency per event type: every event opens a
+    * 30-minute interval; report the peak number of simultaneously open
+    * intervals for each type (capacity planning / rate analysis — the
+    * sweep-line). Touching endpoints do not overlap (close sorts before
+    * open at the same instant).
+    *
+    * Scale posture: the textbook formulation is one running sum ordered
+    * by time PER TYPE — a handful of types means the whole table funnels
+    * through a handful of reducers (the q_quantiles failure mode). This
+    * is the two-level parallel prefix-sum instead: (1) ±1 deltas are
+    * bucketed by hour and prefix-summed WITHIN (type, hour-bucket) — a
+    * window keyed fine enough to spread every reducer; (2) per-bucket
+    * totals (rows = types × hours, data-independent and tiny — the same
+    * aggregated-metadata posture as qGapFill's spans) get an exclusive
+    * running offset per type; (3) peak = max over buckets of
+    * offset + local peak. Identical to the global sweep because bucket
+    * boundaries respect the global time order. */
+  def qMaxConcurrency(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val len = 1800000000L // 30 min in micros (micros, not nanos: DuckDB
+    // truncates parquet nano timestamps to micros, so the sweep runs on
+    // epoch-micros in both engines for identical tie-breaking)
+    val e = Events.events(s, d)
+      .select(col("event_type"), expr("ts div 1000").as("ts"))
+    val deltas = e.select(col("event_type"), col("ts").as("t"),
+        lit(1L).as("delta"))
+      .unionAll(e.select(col("event_type"), (col("ts") + len).as("t"),
+        lit(-1L).as("delta")))
+      .withColumn("bucket", expr("t div 3600000000")) // 1h in micros
+    val local = Window.partitionBy("event_type", "bucket")
+      .orderBy("t", "delta")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val perBucket = deltas
+      .withColumn("run", sum(col("delta")).over(local))
+      .groupBy("event_type", "bucket")
+      .agg(sum(col("delta")).as("tot"), max(col("run")).as("local_peak"))
+    val offsets = Window.partitionBy("event_type").orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    perBucket
+      .withColumn("offset",
+        coalesce(sum(col("tot")).over(offsets), lit(0L)))
+      .groupBy("event_type")
+      .agg(max(col("offset") + col("local_peak")).as("max_concurrent"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_funnel"           -> qFunnel _,
     "q_cohort_retention" -> qCohortRetention _,
     "q_gap_fill"         -> qGapFill _,
+    "q_scd2"             -> qScd2 _,
+    "q_max_concurrency"  -> qMaxConcurrency _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -147,6 +233,44 @@ object Behavior {
         |FROM slots s
         |LEFT JOIN hourly h ON s.user_id = h.user_id AND s.hr = h.hr
         |ORDER BY s.user_id, s.hr""".stripMargin,
+    "q_scd2" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS t, event_type,
+        |    CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+        |         THEN 1 ELSE 0 END AS chg
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+        |v AS (
+        |  SELECT user_id, event_id, t, event_type,
+        |    CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY t, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS version
+        |  FROM e),
+        |g AS (
+        |  SELECT user_id, version, min(event_type) AS state,
+        |    min(t) AS valid_from
+        |  FROM v GROUP BY 1, 2)
+        |SELECT user_id, version, state, valid_from,
+        |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY version)
+        |    AS valid_to
+        |FROM g
+        |ORDER BY user_id, version""".stripMargin,
+    "q_max_concurrency" ->
+      """WITH d AS (
+        |  SELECT event_type, epoch_us(ts) AS t, CAST(1 AS BIGINT) AS delta
+        |  FROM events
+        |  UNION ALL
+        |  SELECT event_type, epoch_us(ts) + 1800000000,
+        |    CAST(-1 AS BIGINT)
+        |  FROM events),
+        |r AS (
+        |  SELECT event_type,
+        |    CAST(sum(delta) OVER (PARTITION BY event_type ORDER BY t, delta
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS run
+        |  FROM d)
+        |SELECT event_type, max(run) AS max_concurrent
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_cohort_retention" ->
       """WITH e AS (
         |  SELECT user_id,

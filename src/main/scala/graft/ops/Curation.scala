@@ -340,7 +340,42 @@ object Curation {
       .orderBy("shard", "pos")
   }
 
+  /** Context-window chunking with stride — the slicing step that turns
+    * documents into fixed-length training windows with overlap (HF
+    * tokenizers' `stride`/`return_overflowing_tokens` semantics): windows
+    * of [[ChunkW]] tokens whose starts advance by [[ChunkStride]], the
+    * last window covering the tail. Output carries a content hash per
+    * chunk so downstream chunk-level dedup can key on it.
+    *
+    * Scale posture: a pure per-document narrow transform — tokenize,
+    * compute the chunk count arithmetically, explode one index range,
+    * slice. Zero shuffles before the output sort; chunk volume is
+    * ~n/stride rows per doc, linear in corpus size. */
+  def qChunkStride(s: SparkSession, d: String): DataFrame = {
+    val (w, st) = (ChunkW, ChunkStride)
+    val tk = documents(s, d)
+      .select(col("doc_id"), Text.toks(col("text")).as("tk"))
+      .select(col("doc_id"), col("tk"), size(col("tk")).as("n"))
+      .withColumn("m",
+        when(col("n") <= w, lit(1))
+          .otherwise(expr(s"((n - $w + $st - 1) div $st) + 1")))
+    tk.select(col("doc_id"), col("n"), col("tk"),
+        explode(sequence(lit(0), col("m") - 1)).as("j"))
+      .select(col("doc_id"),
+        col("j").cast("long").as("chunk_id"),
+        (col("j") * st + 1).cast("long").as("start"),
+        slice(col("tk"), col("j") * st + 1, lit(w)).as("ck"))
+      .select(col("doc_id"), col("chunk_id"), col("start"),
+        size(col("ck")).cast("long").as("n_tok"),
+        md5(array_join(col("ck"), " ")).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  private val ChunkW = 32
+  private val ChunkStride = 16
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_chunk_stride"   -> qChunkStride _,
     "q_global_shuffle" -> qGlobalShuffle _,
     "q_decontaminate" -> qDecontaminate _,
     "q_domain_mix"    -> qDomainMix _,
@@ -377,6 +412,26 @@ object Curation {
         |GROUP BY train_id ORDER BY train_id""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q_chunk_stride" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(
+        |    string_split_regex(lower(text), '[^a-z0-9]+'),
+        |    x -> x <> '') AS tk
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, tk, len(tk) AS n,
+        |    CASE WHEN len(tk) <= 32 THEN 1
+        |         ELSE ((len(tk) - 32 + 15) // 16) + 1 END AS m
+        |  FROM tk),
+        |c AS (SELECT doc_id, n, tk, unnest(range(0, m)) AS j FROM p)
+        |SELECT doc_id, CAST(j AS BIGINT) AS chunk_id,
+        |  CAST(j * 16 + 1 AS BIGINT) AS start,
+        |  CAST(len(list_slice(tk, j * 16 + 1, j * 16 + 32)) AS BIGINT)
+        |    AS n_tok,
+        |  md5(array_to_string(list_slice(tk, j * 16 + 1, j * 16 + 32), ' '))
+        |    AS chunk_md5
+        |FROM c
+        |ORDER BY doc_id, chunk_id""".stripMargin,
     "q_global_shuffle" ->
       """SELECT (doc_id * 2654435761) % 16 AS shard,
         |  ROW_NUMBER() OVER (PARTITION BY (doc_id * 2654435761) % 16

@@ -203,14 +203,86 @@ object Ranking {
       .orderBy(col("lang"), col("cnt").desc, col("bigram"))
   }
 
+  /** Bigram conditional language model over the corpus: for every
+    * high-frequency context token w1, the top-3 next tokens by
+    * P(w2|w1) = c(w1,w2)/c(w1) — the n-gram LM estimation step (quality
+    * perplexity filters, autocomplete, phrase statistics).
+    *
+    * Scale posture: one bigram count aggregation (partial+final), one
+    * context-marginal aggregation derived from it, and a Zipf cut —
+    * contexts carrying ≥ 0.5% of all bigram volume are a few dozen words
+    * at ANY corpus size, so the qualifying-context table broadcasts
+    * forever and prunes the bigram table map-side. The top-3 filter is
+    * the row_number()≤k idiom, which [[graft.plans.RowNumberTopKRewrite]]
+    * rewrites into the two-phase partial/final top-k operator — no
+    * whole-vocabulary window shuffle. P is a double division of two
+    * exact longs (IEEE-identical in DuckDB), rounded to 6. */
+  def qBigramLm(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tk = documents(s, d)
+      .select(Text.toks(col("text")).as("tk"))
+      .where(size(col("tk")) >= 2)
+    val big = tk
+      .select(explode(zip_with(
+        slice(col("tk"), lit(1), size(col("tk")) - 1),
+        slice(col("tk"), lit(2), size(col("tk")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("b"))
+      .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .agg(count(lit(1)).as("c12"))
+    val ctx = big.groupBy("w1").agg(sum(col("c12")).as("c1"))
+    val total = big.agg(sum(col("c12")).as("n_big"))
+    val hot = ctx.crossJoin(broadcast(total))
+      .where(col("c1") * 200 >= col("n_big"))
+      .select("w1", "c1")
+    big.join(broadcast(hot), "w1")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("w1").orderBy(col("c12").desc, col("w2"))))
+      .where(col("rk") <= 3)
+      // rk is DROPPED here (rank is implicit in the output order), which
+      // is exactly what lets RowNumberTopKRewrite replace the whole
+      // Filter+Window with the two-phase TopKPerKey operator
+      .select(col("w1"), col("w2"), col("c12"), col("c1"),
+        round(col("c12").cast("double") / col("c1"), 6).as("p"))
+      .orderBy(col("w1"), col("c12").desc, col("w2"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bm25"           -> qBm25 _,
     "q_inverted_index" -> qInvertedIndex _,
     "q_cooccurrence"   -> qCooccurrence _,
     "q_top_ngrams"     -> qTopNgrams _,
+    "q_bigram_lm"      -> qBigramLm _,
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_bigram_lm" ->
+      """WITH tk AS (
+        |  SELECT list_filter(
+        |    string_split_regex(lower(text), '[^a-z0-9]+'),
+        |    x -> x <> '') AS tk
+        |  FROM documents WHERE len(list_filter(
+        |    string_split_regex(lower(text), '[^a-z0-9]+'),
+        |    x -> x <> '')) >= 2),
+        |bg AS (
+        |  SELECT unnest(list_transform(range(1, len(tk)),
+        |    i -> {'w1': tk[i], 'w2': tk[i+1]})) AS b
+        |  FROM tk),
+        |c AS (SELECT b.w1 AS w1, b.w2 AS w2,
+        |        CAST(COUNT(*) AS BIGINT) AS c12
+        |      FROM bg GROUP BY 1, 2),
+        |ctx AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1
+        |        FROM c GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(c12) AS BIGINT) AS n_big FROM c),
+        |hot AS (SELECT w1, c1 FROM ctx, tot WHERE c1 * 200 >= n_big),
+        |r AS (
+        |  SELECT c.w1, c.w2, c.c12, hot.c1,
+        |    ROW_NUMBER() OVER (PARTITION BY c.w1
+        |      ORDER BY c.c12 DESC, c.w2) AS rk
+        |  FROM c JOIN hot ON c.w1 = hot.w1)
+        |SELECT w1, w2, c12, c1,
+        |  round(CAST(c12 AS DOUBLE) / c1, 6) AS p
+        |FROM r WHERE rk <= 3
+        |ORDER BY w1, c12 DESC, w2""".stripMargin,
     "q_top_ngrams" ->
       """WITH tk AS (
         |  SELECT lang, list_filter(

@@ -225,11 +225,48 @@ object Sketches {
       .orderBy("t")
   }
 
+  /** Mergeable-sketch rollup — the pre-aggregation pattern that makes
+    * distinct counting affordable at warehouse scale: (1) the "ingest"
+    * job reduces each (lang, source) partition of the corpus to ONE
+    * serialized KMV sketch of its distinct token hashes and PERSISTS the
+    * sketch column to parquet; (2) the "query" job answers per-language
+    * distinct-token estimates by merging a handful of kilobyte sketches —
+    * it never rescans the corpus (Spark's own hll_sketch_agg /
+    * hll_union_agg split, here over the graft KMV sketch so estimates
+    * stay deterministic and mergeable with bit-identical results).
+    *
+    * Scale posture: stage 1 is one partial+final aggregation whose buffer
+    * is k=256 longs per group, constant memory; stage 2 touches
+    * #groups × ~2 KB regardless of corpus size. K-min-set union is
+    * associative + commutative, so merged estimates equal direct ones
+    * exactly (SketchColumnSpec pins that). Rows-only key: the estimator
+    * isn't reproducible in DuckDB. */
+  def qSketchRollup(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.KmvDistinct.{kmvMerge, kmvSketch}
+    val sf = new java.io.File(d).getName
+    val out =
+      s"${sys.props.getOrElse("graft.io.dir", "target/graft_io")}/$sf/token_sketches"
+    documents(s, d)
+      .select(col("lang"), col("source"),
+        explode(Text.toks(col("text"))).as("t"))
+      .groupBy("lang", "source")
+      .agg(kmvSketch(xxhash64(col("t"))).as("sketch"),
+        count(lit(1)).as("n_tokens"))
+      .write.mode("overwrite").parquet(out)
+    s.read.parquet(out)
+      .groupBy("lang")
+      .agg(count(lit(1)).cast("long").as("n_sources"),
+        sum(col("n_tokens")).as("n_tokens"),
+        kmvMerge(col("sketch")).as("est_distinct_tokens"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_minhash_lsh"   -> qMinhashLsh _,
     "q_simhash"       -> qSimhash _,
     "q_dedup_cluster" -> qDedupCluster _,
     "q_heavy_hitters" -> qHeavyHitters _,
+    "q_sketch_rollup" -> qSketchRollup _,
   )
 
   /** MinHash/SimHash are non-oracle (xxhash64 isn't reproducible in

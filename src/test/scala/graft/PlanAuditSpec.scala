@@ -360,4 +360,58 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("SinglePartition"),
       "global shuffle must never serialize through one task:\n" + p.take(800))
   }
+
+  test("bigram LM: top-3 rewrites to TopKPerKey, hot contexts broadcast") {
+    val p = plan("q_bigram_lm")
+    assert(p.contains("PartialTopKPerKey"),
+      "row_number()≤3 should auto-rewrite to the two-phase top-k:\n" +
+        p.take(1200))
+    assert(p.contains("BroadcastHashJoin"),
+      "the Zipf-cut context table must broadcast:\n" + p.take(800))
+  }
+
+  test("max concurrency: sweep windows keyed by (type, bucket), no few-key funnel") {
+    val p = plan("q_max_concurrency")
+    assert("hashpartitioning\\(event_type#\\d+, bucket".r.findAllIn(p)
+      .nonEmpty,
+      "local prefix sums must partition by (event_type, bucket):\n" +
+        p.take(1000))
+    assert(!p.contains("SinglePartition"),
+      "sweep must never serialize through one task:\n" + p.take(800))
+  }
+
+  test("scd2 windows are all per-user — parallelism = user count") {
+    val p = plan("q_scd2")
+    assert("hashpartitioning\\(user_id".r.findAllIn(p).nonEmpty,
+      p.take(800))
+    assert(!p.contains("SinglePartition"), p.take(800))
+  }
+
+  test("pagerank: Pregel joins only — no cartesian product, no single-partition funnel") {
+    val p = plan("q_pagerank")
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    // the only SinglePartition allowed is the 1-row node-count broadcast;
+    // rank updates themselves must stay hash-partitioned
+    assert("hashpartitioning\\(dst".r.findAllIn(p).nonEmpty,
+      "incoming-mass aggregation must partition by dst:\n" + p.take(1000))
+  }
+
+  test("pareto: bucket offsets broadcast back, no O(n²) dominance self-join") {
+    val p = plan("q_pareto")
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert(!p.contains("SortMergeJoin"),
+      "frontier must not plan a raw self-join:\n" + p.take(800))
+    assert(p.contains("BroadcastHashJoin"),
+      "per-bucket offset table must broadcast:\n" + p.take(800))
+  }
+
+  test("chunk stride is a narrow per-doc transform — no shuffle before the sort") {
+    val p = plan("q_chunk_stride")
+    // exactly one exchange: the final ORDER BY's range partitioning
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 2, // rangepartitioning + AQE read, nothing else
+      s"chunking must not shuffle ($exchanges exchanges):\n" + p.take(1000))
+    assert(!p.contains("hashpartitioning"),
+      "no hash shuffle belongs in a per-doc slicing op:\n" + p.take(800))
+  }
 }

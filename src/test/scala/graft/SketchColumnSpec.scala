@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the mergeable-sketch-column pattern (q_sketch_rollup): merging
+  * persisted per-source sketches must give EXACTLY the estimate a direct
+  * sketch over the union gives (k-min-set union is associative), and the
+  * estimate must stay within KMV tolerance of the exact distinct count. */
+class SketchColumnSpec extends AnyFunSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = GraftSession
+    .builder("local[4]", Some(4)).getOrCreate()
+
+  test("merged sketch column == direct sketch, and tracks exact distinct") {
+    import graft.functions.KmvDistinct.kmvDistinct
+    val hashed = Tables.documents(spark, sf)
+      .select(col("lang"), explode(ops.Text.toks(col("text"))).as("t"))
+      .select(col("lang"), xxhash64(col("t")).as("h"))
+    val direct = hashed.groupBy("lang")
+      .agg(kmvDistinct(col("h")).as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = hashed.groupBy("lang")
+      .agg(countDistinct(col("h")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rolled = ops.Sketches.qSketchRollup(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(3))).toMap
+    assert(rolled.keySet == direct.keySet)
+    // merge path ≡ direct path, bit-identical (associativity of k-min union)
+    assert(rolled == direct)
+    // and the estimator itself is within KMV tolerance of truth
+    rolled.foreach { case (lang, est) =>
+      val n = exact(lang).toDouble
+      assert(math.abs(est - n) / n <= 0.2,
+        s"$lang: est $est vs exact $n drifts > 20%")
+    }
+  }
+
+  test("sketch columns survive a parquet round trip unchanged") {
+    import graft.functions.KmvDistinct.{kmvDistinct, kmvMerge, kmvSketch}
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-sketch-rt").toString
+    val hashed = Tables.documents(spark, sf)
+      .select(explode(ops.Text.toks(col("text"))).as("t"))
+      .select(xxhash64(col("t")).as("h"))
+    val before = hashed.agg(kmvDistinct(col("h"))).collect()(0).getLong(0)
+    hashed.groupBy(spark_partition_id().as("p"))
+      .agg(kmvSketch(col("h")).as("sk"))
+      .write.mode("overwrite").parquet(dir)
+    val after = spark.read.parquet(dir)
+      .agg(kmvMerge(col("sk"))).collect()(0).getLong(0)
+    assert(after == before)
+  }
+}

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Coverage for the round-7 behavioral operators beyond the driver
+  * oracle: q_max_concurrency's two-level distributed prefix sum must be
+  * VALUE-identical to the textbook single-window sweep it replaces (the
+  * whole point of the decomposition), and q_scd2's version table must
+  * reconstruct exactly from a naive per-user replay. */
+class SweepSpec extends AnyFunSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = GraftSession
+    .builder("local[4]", Some(4)).getOrCreate()
+
+  test("two-level max-concurrency equals the single-window sweep") {
+    import org.apache.spark.sql.expressions.Window
+    val len = 1800000000L // micros, matching the operator
+    val e = Events.events(spark, sf)
+      .select(col("event_type"), expr("ts div 1000").as("ts"))
+    val deltas = e.select(col("event_type"), col("ts").as("t"),
+        lit(1L).as("delta"))
+      .unionAll(e.select(col("event_type"), (col("ts") + len).as("t"),
+        lit(-1L).as("delta")))
+    // the textbook form this operator exists to avoid: one running sum
+    // ordered by time per event_type (funnels through #types reducers)
+    val naive = deltas
+      .withColumn("run", sum(col("delta")).over(
+        Window.partitionBy("event_type").orderBy("t", "delta")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("event_type").agg(max(col("run")).as("max_concurrent"))
+      .orderBy("event_type")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val twoLevel = ops.Behavior.qMaxConcurrency(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(twoLevel == naive)
+    assert(twoLevel.nonEmpty && twoLevel.forall(_._2 >= 1L))
+  }
+
+  test("scd2 versions replay exactly from each user's ordered history") {
+    val events = Events.events(spark, sf)
+      .select(col("user_id"), col("event_id"),
+        expr("ts div 1000").as("ts"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    // naive replay: per user, sort by (ts, event_id), collapse runs
+    val expected = events.groupBy(_._1).toSeq.flatMap { case (uid, es) =>
+      val ordered = es.sortBy(e => (e._3, e._2))
+      val versions = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Long, String, Long)] // (uid, version, state, from)
+      var prev: String = null
+      var v = 0L
+      ordered.foreach { case (_, _, t, st) =>
+        if (st != prev) { v += 1; versions += ((uid, v, st, t)) }
+        prev = st
+      }
+      versions.zipWithIndex.map { case ((u, ver, st, from), i) =>
+        val to: Any =
+          if (i + 1 < versions.size) versions(i + 1)._4 else null
+        (u, ver, st, from, to)
+      }
+    }.sortBy(r => (r._1, r._2))
+    val got = ops.Behavior.qScd2(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        if (r.isNullAt(4)) null else r.getLong(4): Any))
+      .toSeq
+    assert(got == expected)
+    // consecutive versions never share a state (the SCD2 contract)
+    got.groupBy(_._1).foreach { case (_, vs) =>
+      vs.sortBy(_._2).sliding(2).foreach {
+        case Seq(a, b) => assert(a._3 != b._3)
+        case _ =>
+      }
+    }
+  }
+
+  test("bigram LM rows are well-formed (≤3 per context, P ≤ 1)") {
+    val rows = ops.Ranking.qBigramLm(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val p = r.getDouble(4)
+      assert(p > 0.0 && p <= 1.0)
+      assert(r.getLong(2) <= r.getLong(3)) // c12 ≤ c1
+    }
+    rows.groupBy(_.getString(0)).foreach { case (w1, g) =>
+      assert(g.length <= 3, s"context $w1 has ${g.length} rows")
+    }
+  }
+}
