@@ -182,12 +182,54 @@ object Behavior {
       .orderBy("event_type")
   }
 
+  /** Linear multi-touch attribution: every purchase splits its value
+    * equally across the user's clicks in the preceding hour (half-open
+    * window [t−1h, t)); a click accumulates credit from every purchase
+    * it preceded. The classic marketing-attribution join.
+    *
+    * Scale posture: the purchase×click pairing is the BINNED interval
+    * join (each purchase window spans exactly two 1-hour buckets because
+    * the bucket width equals the window length) — a hash equi-join on
+    * (user, bucket) plus a residual band filter, never a per-user
+    * cross-product or a sorted merge over time. The per-purchase touch
+    * count is a window keyed by purchase id (cardinality = purchases —
+    * spreads over every reducer). All money is integer cents with floor
+    * division, exact in both engines. */
+  def qAttribution(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val b = 3600000000L // 1h in micros — window length AND bucket width
+    val e = Events.events(s, d).select(col("user_id"), col("event_id"),
+      expr("ts div 1000").as("t"), col("event_type"),
+      (graft.Tables.dec2(col("value")) * 100).cast("long").as("v"))
+    val clicks = e.where(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("t").as("ct"), expr(s"t div $b").as("bucket"))
+    val purchases = e.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"),
+        col("t").as("pt"), col("v"),
+        // [pt−b, pt) spans exactly buckets {pt div b − 1, pt div b}
+        explode(array(expr(s"t div $b - 1"), expr(s"t div $b")))
+          .as("bucket"))
+    val paired = purchases.join(clicks, Seq("user_id", "bucket"))
+      .where(col("ct") >= col("pt") - b && col("ct") < col("pt"))
+      .select(col("user_id"), col("p_id"), col("v"), col("click_id"))
+    paired
+      .select(col("user_id"), col("click_id"), col("v"),
+        count(lit(1)).over(Window.partitionBy("p_id")).as("n"))
+      .select(col("user_id"), col("click_id"),
+        expr("v div n").as("credit"))
+      .groupBy("user_id", "click_id")
+      .agg(count(lit(1)).as("n_purchases"), sum(col("credit")).as("credit"))
+      .orderBy("user_id", "click_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_funnel"           -> qFunnel _,
     "q_cohort_retention" -> qCohortRetention _,
     "q_gap_fill"         -> qGapFill _,
     "q_scd2"             -> qScd2 _,
     "q_max_concurrency"  -> qMaxConcurrency _,
+    "q_attribution"      -> qAttribution _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -255,6 +297,29 @@ object Behavior {
         |    AS valid_to
         |FROM g
         |ORDER BY user_id, version""".stripMargin,
+    "q_attribution" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS t, event_type,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+        |  FROM events),
+        |c AS (SELECT user_id, event_id AS click_id, t AS ct FROM e
+        |      WHERE event_type = 'click'),
+        |p AS (SELECT user_id, event_id AS p_id, t AS pt, v FROM e
+        |      WHERE event_type = 'purchase'),
+        |paired AS (
+        |  SELECT p.user_id, p.p_id, p.v, c.click_id
+        |  FROM p JOIN c ON p.user_id = c.user_id
+        |  WHERE c.ct >= p.pt - 3600000000 AND c.ct < p.pt),
+        |credited AS (
+        |  SELECT user_id, click_id,
+        |    v // (COUNT(*) OVER (PARTITION BY p_id)) AS credit
+        |  FROM paired)
+        |SELECT user_id, click_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_purchases,
+        |  CAST(SUM(credit) AS BIGINT) AS credit
+        |FROM credited
+        |GROUP BY 1, 2
+        |ORDER BY user_id, click_id""".stripMargin,
     "q_max_concurrency" ->
       """WITH d AS (
         |  SELECT event_type, epoch_us(ts) AS t, CAST(1 AS BIGINT) AS delta

@@ -46,6 +46,21 @@ object EventStream {
       .select(col("w.start").as("wstart"), col("event_type"), col("n"),
         col("sum_value"))
 
+  /** Streaming windowed approx-distinct users via the mergeable KMV
+    * sketch ([[graft.functions.KmvDistinct]]): a TypedImperativeAggregate
+    * merges partial sketches exactly the way streaming state requires, so
+    * per-window state is k=256 longs no matter how many users the window
+    * sees — the streaming form of the sketch-rollup pattern. Estimates
+    * are deterministic (hash-based), so streaming == batch exactly
+    * (StreamingSpec pins it). */
+  def windowedDistinctUsers(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts_t", "2 hours")
+      .groupBy(window(col("ts_t"), "1 hour").as("w"))
+      .agg(graft.functions.KmvDistinct
+        .kmvDistinct(xxhash64(col("user_id"))).as("est_users"))
+      .select(col("w.start").as("wstart"), col("est_users"))
+
   /** Streaming exact dedup on event_id within the watermark horizon —
     * the streaming form of X1 (state = one key per id, evicted by the
     * watermark, so memory stays bounded). */

@@ -34,6 +34,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(sTotal == bTotal && sTotal == 1000L)
   }
 
+  test("streaming windowed KMV distinct-user estimates equal the batch sketch") {
+    import org.apache.spark.sql.functions._
+    val q = EventStream
+      .windowedDistinctUsers(EventStream.readEvents(spark, sf))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("kmv_out")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("kmv_out")
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1))).toMap
+    val batch = Events.events(spark, sf)
+      .groupBy(window(col("ts_t"), "1 hour").as("w"))
+      .agg(graft.functions.KmvDistinct
+        .kmvDistinct(xxhash64(col("user_id"))).as("est"))
+      .select(col("w.start"), col("est"))
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1))).toMap
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+  }
+
   test("watermark accepts in-horizon late data and drops beyond-horizon late data") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.functions._

@@ -78,6 +78,42 @@ class SweepSpec extends AnyFunSuite {
     }
   }
 
+  test("attribution equals a naive per-user replay; credit is conserved") {
+    val e = Events.events(spark, sf)
+      .select(col("user_id"), col("event_id"),
+        expr("ts div 1000").as("t"), col("event_type"),
+        (Tables.dec2(col("value")) * 100).cast("long").as("v"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+        r.getLong(4)))
+    val clicks = e.filter(_._4 == "click")
+    val purchases = e.filter(_._4 == "purchase")
+    val b = 3600000000L
+    // naive O(clicks × purchases) pairing within each user
+    val pairs = for {
+      (pu, pid, pt, _, v) <- purchases
+      (cu, cid, ct, _, _) <- clicks
+      if cu == pu && ct >= pt - b && ct < pt
+    } yield (pu, pid, v, cid)
+    val perPurchase = pairs.groupBy(_._2).view.mapValues(_.length).toMap
+    val expected = pairs
+      .map { case (u, pid, v, cid) => ((u, cid), v / perPurchase(pid)) }
+      .groupBy(_._1).view
+      .mapValues(cs => (cs.length.toLong, cs.map(_._2).sum)).toMap
+    val got = ops.Behavior.qAttribution(spark, sf)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3)))).toMap
+    assert(got == expected)
+    assert(got.nonEmpty)
+    // floor splits only lose: credited total ≤ attributed purchase value
+    val attributedValue = perPurchase.keys
+      .map(pid => purchases.find(_._2 == pid).get._5).sum
+    val credited = got.values.map(_._2).sum
+    assert(credited <= attributedValue)
+    assert(credited >= attributedValue - perPurchase.values.map(_.toLong).sum)
+  }
+
   test("bigram LM rows are well-formed (≤3 per context, P ≤ 1)") {
     val rows = ops.Ranking.qBigramLm(spark, sf).collect()
     assert(rows.nonEmpty)
