@@ -57,6 +57,37 @@ object Bpe {
     * rule: (rank, left, right, merged, pair_weight). */
   def qBpeLearn(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    learnMerges(s, d)
+      .toDF("rank", "left", "right", "merged", "pair_weight")
+      .orderBy("rank")
+  }
+
+  /** Encode: apply the learned merge table, in rank order, to every
+    * distinct corpus word — the tokenizer's encode step. Same fold
+    * kernel as learning, chained once per rule, so learn→encode is
+    * reproducible by construction. One narrow pass over the vocabulary
+    * (plus the learning passes); per-doc token ids then come from an
+    * equi-join on word, which is how a 100 TB corpus would be encoded —
+    * the merge table itself is a tiny broadcast. */
+  def qBpeEncode(s: SparkSession, d: String): DataFrame = {
+    val merges = learnMerges(s, d)
+    var vocab = documents(s, d)
+      .select(explode(Text.toks(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .select(col("w"), col("freq"),
+        trim(regexp_replace(col("w"), "(.)", "$1 ")).as("repr"))
+    merges.foreach { case (_, a, b, _, _) =>
+      vocab = vocab.select(col("w"), col("freq"),
+        expr(mergeExpr(a, b)).as("repr"))
+    }
+    vocab
+      .select(col("w"), col("freq"), col("repr").as("encoded"),
+        size(split(col("repr"), " ")).cast("long").as("n_sym"))
+      .orderBy("w")
+  }
+
+  private def learnMerges(s: SparkSession, d: String)
+      : Seq[(Long, String, String, String, Long)] = {
     var vocab = documents(s, d)
       .select(explode(Text.toks(col("text"))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("freq"))
@@ -95,13 +126,12 @@ object Bpe {
       }
     }
     vocab.unpersist()
-    learned.toSeq
-      .toDF("rank", "left", "right", "merged", "pair_weight")
-      .orderBy("rank")
+    learned.toSeq.sortBy(_._1)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_bpe_learn" -> qBpeLearn _,
+    "q_bpe_learn"  -> qBpeLearn _,
+    "q_bpe_encode" -> qBpeEncode _,
   )
 
   val oracleSql: Map[String, String] = Map.empty

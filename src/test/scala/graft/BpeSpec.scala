@@ -63,6 +63,29 @@ class BpeSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("encode applies the learned merges in rank order") {
+    val d = docsDir(Seq(
+      (1L, Seq.fill(5)("low").mkString(" ")),
+      (2L, Seq.fill(2)("lower").mkString(" ")),
+      (3L, Seq.fill(6)("newest").mkString(" ")),
+      (4L, Seq.fill(3)("widest").mkString(" "))))
+    val got = ops.Bpe.qBpeEncode(spark, d)
+      .collect()
+      .map(r => r.getString(0) -> (r.getString(2), r.getLong(3))).toMap
+    // replaying the 8 learned rules by hand:
+    //   low    = l o w   → lo w → low                       (1 symbol)
+    //   lower  = l o w e r → lo w e r → low e r             (3 symbols;
+    //            no (e,r) or (low,e) rule exists)
+    //   newest = n e w e s t → … → newest                   (1 symbol)
+    //   widest = w i d e s t → w i d es t → w i d est
+    //            → w i dest                                 (3 symbols)
+    assert(got == Map(
+      "low" -> ("low", 1L),
+      "lower" -> ("low e r", 3L),
+      "newest" -> ("newest", 1L),
+      "widest" -> ("w i dest", 3L)))
+  }
+
   test("merge substitution is greedy left-to-right non-overlapping") {
     // "aaaa"×2: r1 merges (a,a)=6 adjacent positions… weight = 3
     // positions × 2 freq = 6; substitution must yield [aa, aa], not
