@@ -112,18 +112,25 @@ object Behavior {
     * output; ordering tie-breaks on event_id so version numbering stays
     * total under equal micros. */
   def qScd2(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
     val e = Events.events(s, d)
       .select(col("user_id"), col("event_id"),
         expr("ts div 1000").as("ts"), col("event_type"))
+    scd2Versions(e).orderBy("user_id", "version")
+  }
+
+  /** The SCD2 core over (user_id, event_id, ts-micros, event_type) rows:
+    * (user_id, version, state, valid_from, valid_to). */
+  private def scd2Versions(e: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val runs = e
       .withColumn("chg",
         when(lag(col("event_type"), 1).over(byUser).isNull ||
           lag(col("event_type"), 1).over(byUser) =!= col("event_type"), 1L)
           .otherwise(0L))
       .withColumn("version", sum(col("chg")).over(
         byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val versions = e.groupBy("user_id", "version")
+    val versions = runs.groupBy("user_id", "version")
       // all rows in a version share one event_type by construction, so
       // min() is just the deterministic way to pick it
       .agg(min(col("event_type")).as("state"),
@@ -133,6 +140,43 @@ object Behavior {
       .select(col("user_id"), col("version"), col("state"),
         col("valid_from"),
         lead(col("valid_from"), 1).over(vw).as("valid_to"))
+  }
+
+  /** Incremental SCD2 maintenance (the warehouse MERGE): split the
+    * stream at a time cutoff, build the "existing" history from the old
+    * half, then fold ONLY the new batch in — extend the open version
+    * when the first new state matches it, close it otherwise, renumber
+    * by a per-user window over VERSION rows (not events). Output is
+    * proven identical to the full recompute: the oracle is the same SQL
+    * as q_scd2, and Scd2MergeSpec asserts equality directly.
+    *
+    * Scale posture: the point of the operator — a daily increment never
+    * rescans historical events, only the (users × versions) history
+    * table and the day's batch; every join and window is keyed by
+    * user_id. */
+  def qScd2Merge(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Events.events(s, d)
+      .select(col("user_id"), col("event_id"),
+        expr("ts div 1000").as("ts"), col("event_type"))
+    val cut = e.agg(expr("(min(ts) + max(ts)) div 2").as("cut"))
+    val withCut = e.crossJoin(broadcast(cut))
+    val history = scd2Versions(withCut.where(col("ts") < col("cut")))
+    val batch = scd2Versions(withCut.where(col("ts") >= col("cut")))
+    val open = history.where(col("valid_to").isNull)
+      .select(col("user_id"), col("state").as("o_state"))
+    // drop the batch's first version when it extends the open one
+    val kept = batch.join(open, Seq("user_id"), "left")
+      .where(col("version") =!= 1 || col("o_state").isNull ||
+        col("o_state") =!= col("state"))
+      .select(col("user_id"), col("state"), col("valid_from"))
+    val all = history.select(col("user_id"), col("state"), col("valid_from"))
+      .unionAll(kept)
+    val w = Window.partitionBy("user_id").orderBy("valid_from")
+    all.select(col("user_id"),
+        row_number().over(w).cast("long").as("version"),
+        col("state"), col("valid_from"),
+        lead(col("valid_from"), 1).over(w).as("valid_to"))
       .orderBy("user_id", "version")
   }
 
@@ -228,9 +272,36 @@ object Behavior {
     "q_cohort_retention" -> qCohortRetention _,
     "q_gap_fill"         -> qGapFill _,
     "q_scd2"             -> qScd2 _,
+    "q_scd2_merge"       -> qScd2Merge _,
     "q_max_concurrency"  -> qMaxConcurrency _,
     "q_attribution"      -> qAttribution _,
   )
+
+  /** Shared by q_scd2 and q_scd2_merge: the incremental MERGE must land
+    * on byte-identical history, so both keys check against the same
+    * full-recompute SQL. */
+  private val scd2Sql =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS t, event_type,
+      |    CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+      |         THEN 1 ELSE 0 END AS chg
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+      |v AS (
+      |  SELECT user_id, event_id, t, event_type,
+      |    CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY t, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS version
+      |  FROM e),
+      |g AS (
+      |  SELECT user_id, version, min(event_type) AS state,
+      |    min(t) AS valid_from
+      |  FROM v GROUP BY 1, 2)
+      |SELECT user_id, version, state, valid_from,
+      |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY version)
+      |    AS valid_to
+      |FROM g
+      |ORDER BY user_id, version""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "q_funnel" ->
@@ -275,28 +346,9 @@ object Behavior {
         |FROM slots s
         |LEFT JOIN hourly h ON s.user_id = h.user_id AND s.hr = h.hr
         |ORDER BY s.user_id, s.hr""".stripMargin,
-    "q_scd2" ->
-      """WITH e AS (
-        |  SELECT user_id, event_id, epoch_us(ts) AS t, event_type,
-        |    CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
-        |         THEN 1 ELSE 0 END AS chg
-        |  FROM events
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
-        |v AS (
-        |  SELECT user_id, event_id, t, event_type,
-        |    CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY t, event_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-        |      AS version
-        |  FROM e),
-        |g AS (
-        |  SELECT user_id, version, min(event_type) AS state,
-        |    min(t) AS valid_from
-        |  FROM v GROUP BY 1, 2)
-        |SELECT user_id, version, state, valid_from,
-        |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY version)
-        |    AS valid_to
-        |FROM g
-        |ORDER BY user_id, version""".stripMargin,
+    "q_scd2" -> scd2Sql,
+    // the MERGE path must land on byte-identical history — one oracle
+    "q_scd2_merge" -> scd2Sql,
     "q_attribution" ->
       """WITH e AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS t, event_type,

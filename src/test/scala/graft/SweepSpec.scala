@@ -78,6 +78,13 @@ class SweepSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental SCD2 merge is byte-identical to the full recompute") {
+    val full = ops.Behavior.qScd2(spark, sf).collect().map(_.toSeq).toSeq
+    val merged = ops.Behavior.qScd2Merge(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(merged == full)
+  }
+
   test("attribution equals a naive per-user replay; credit is conserved") {
     val e = Events.events(spark, sf)
       .select(col("user_id"), col("event_id"),
