@@ -159,10 +159,14 @@ object Behavior {
     val e = Events.events(s, d)
       .select(col("user_id"), col("event_id"),
         expr("ts div 1000").as("ts"), col("event_type"))
-    val cut = e.agg(expr("(min(ts) + max(ts)) div 2").as("cut"))
-    val withCut = e.crossJoin(broadcast(cut))
-    val history = scd2Versions(withCut.where(col("ts") < col("cut")))
-    val batch = scd2Versions(withCut.where(col("ts") >= col("cut")))
+    // the cutoff is an INPUT in a real incremental job (the batch
+    // boundary); deriving it from data here only makes the key
+    // self-contained — one aggregated scalar read on the driver, so the
+    // incremental plan itself carries no global aggregation
+    val cut = e.agg(expr("(min(ts) + max(ts)) div 2"))
+      .collect()(0).getLong(0)
+    val history = scd2Versions(e.where(col("ts") < cut))
+    val batch = scd2Versions(e.where(col("ts") >= cut))
     val open = history.where(col("valid_to").isNull)
       .select(col("user_id"), col("state").as("o_state"))
     // drop the batch's first version when it extends the open one

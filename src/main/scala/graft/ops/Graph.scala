@@ -16,9 +16,12 @@ import graft.Tables._
   * vector against the edge list plus one partial+final sum keyed by
   * destination — the Pregel shape, linear per iteration, parallelism =
   * node count. The iteration count is static (3), so the whole thing is
-  * one declarative plan; Spark's ReuseExchange evaluates the shared
-  * edge-list subplan once. At warehouse scale the edge list would be a
-  * bucketed table making every iteration's join shuffle-free.
+  * one plan; the derived edge list and degree table are lineage-
+  * truncated with localCheckpoint (lazy) so every iteration reads the
+  * SAME materialized edge RDD instead of re-expanding the distinct
+  * subtree — without it the static plan re-plans the lineitem scan 40+
+  * times. At warehouse scale the edge list would be a bucketed table
+  * making every iteration's join shuffle-free.
   *
   * Determinism: all arithmetic is scaled-integer (rank mass of 10^9,
   * floor division) — no floating point anywhere, so ranks are
@@ -36,11 +39,13 @@ object Graph {
       .distinct()
     val edges = pairs
       .unionAll(pairs.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint(eager = false)
     val outdeg = edges.groupBy("src")
       .agg(count(lit(1)).as("deg"))
       .select(col("src").as("node"), col("deg"))
     val nn = outdeg.agg(count(lit(1)).as("nn"))
     val base = outdeg.crossJoin(broadcast(nn)) // node, deg, nn
+      .localCheckpoint(eager = false)
     var ranks = base.select(col("node"), col("deg"), col("nn"),
       expr(s"$Scale div nn").as("pr"))
     for (_ <- 1 to Iters) {

@@ -405,6 +405,21 @@ class PlanAuditSpec extends AnyFunSuite {
       "per-bucket offset table must broadcast:\n" + p.take(800))
   }
 
+  test("attribution: binned equi-join + per-purchase window, no cross-product") {
+    val p = plan("q_attribution")
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "purchase×click pairing must be the binned equi-join:\n" + p.take(800))
+    assert("hashpartitioning\\(p_id".r.findAllIn(p).nonEmpty,
+      "touch-count window must key by purchase id:\n" + p.take(800))
+  }
+
+  test("scd2 merge: every window and join keyed by user — no global funnel") {
+    val p = plan("q_scd2_merge")
+    assert("hashpartitioning\\(user_id".r.findAllIn(p).nonEmpty, p.take(800))
+    assert(!p.contains("SinglePartition"), p.take(800))
+  }
+
   test("chunk stride is a narrow per-doc transform — no shuffle before the sort") {
     val p = plan("q_chunk_stride")
     // exactly one exchange: the final ORDER BY's range partitioning
