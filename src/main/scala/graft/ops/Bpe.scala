@@ -97,6 +97,11 @@ object Bpe {
       .cache()
     val learned = scala.collection.mutable.ArrayBuffer
       .empty[(Long, String, String, String, Long)]
+    // the previous round's vocab is unpersisted one iteration LATE: the
+    // argmax job at the top of each round is what materializes the
+    // current vocab's cache (reading the parent's), so no extra
+    // count()-only materialization job is ever scheduled
+    var parent: org.apache.spark.sql.DataFrame = null
     var rank = 1L
     while (rank <= Merges) {
       val arr = split(col("repr"), " ")
@@ -109,7 +114,8 @@ object Bpe {
         .agg(sum(col("freq")).as("cnt"))
         .orderBy(col("cnt").desc, col("a"), col("b"))
         .limit(1)
-        .collect()
+        .collect() // materializes vocab's cache as a side effect
+      if (parent != null) { parent.unpersist(); parent = null }
       if (top.isEmpty) { rank = Merges + 1 }
       else {
         val r = top.head
@@ -119,13 +125,13 @@ object Bpe {
         val next = vocab
           .select(col("freq"), expr(mergeExpr(a, b)).as("repr"))
           .cache()
-        next.count() // materialize before dropping the parent
-        vocab.unpersist()
+        parent = vocab
         vocab = next
         rank += 1
       }
     }
     vocab.unpersist()
+    if (parent != null) parent.unpersist()
     learned.toSeq.sortBy(_._1)
   }
 
