@@ -225,6 +225,37 @@ object Sketches {
       .orderBy("t")
   }
 
+  /** Heavy hitters PER GROUP (frequent tokens per language) through the
+    * grouped Misra-Gries TypedImperativeAggregate
+    * ([[graft.functions.MisraGriesAgg]]) — where [[qHeavyHitters]] runs
+    * the sketch per PARTITION with mapPartitions, this runs it per KEY
+    * through Spark's normal partial/final aggregation, so the bounded
+    * k-counter summary also works under GROUP BY (and in streaming
+    * state). Same exactness recipe: the merged summary proposes a
+    * candidate superset (mergeable-summaries error ≤ N_g/(k+1) <
+    * N_g/φ), one broadcast-filtered recount keeps exactly the tokens
+    * with within-group count > N_g/φ.
+    *
+    * Scale posture: the sketch pass shuffles k counters per (map task,
+    * group) instead of the full token stream; the recount shuffles only
+    * candidate-matching tokens, ≤ k·|groups| keys broadcast. */
+  def qHeavyHittersGrouped(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.MisraGriesAgg.mgCandidates
+    val k = 4 * HH_PHI
+    def toks = documents(s, d)
+      .select(col("lang"), explode(Text.toks(col("text"))).as("t"))
+    val sketch = toks.groupBy("lang")
+      .agg(mgCandidates(col("t"), k).as("cand"),
+        count(lit(1)).as("n"))
+    val cands = sketch.select(col("lang"), explode(col("cand")).as("t"))
+    toks.join(broadcast(cands), Seq("lang", "t"))
+      .groupBy("lang", "t").agg(count(lit(1)).as("cnt"))
+      .join(broadcast(sketch.select(col("lang"), col("n"))), Seq("lang"))
+      .where(col("cnt") * HH_PHI > col("n"))
+      .select(col("lang"), col("t"), col("cnt"))
+      .orderBy("lang", "t")
+  }
+
   /** Mergeable-sketch rollup — the pre-aggregation pattern that makes
     * distinct counting affordable at warehouse scale: (1) the "ingest"
     * job reduces each (lang, source) partition of the corpus to ONE
@@ -266,6 +297,7 @@ object Sketches {
     "q_simhash"       -> qSimhash _,
     "q_dedup_cluster" -> qDedupCluster _,
     "q_heavy_hitters" -> qHeavyHitters _,
+    "q_heavy_hitters_grouped" -> qHeavyHittersGrouped _,
     "q_sketch_rollup" -> qSketchRollup _,
   )
 
@@ -285,6 +317,18 @@ object Sketches {
         |GROUP BY t, n
         |HAVING COUNT(*) * 50 > n
         |ORDER BY t""".stripMargin,
+    "q_heavy_hitters_grouped" ->
+      """WITH tk AS (
+        |  SELECT lang, unnest(list_filter(
+        |    string_split_regex(lower(text), '[^a-z0-9]+'),
+        |    x -> x <> '')) AS t
+        |  FROM documents),
+        |tot AS (SELECT lang, COUNT(*) AS n FROM tk GROUP BY 1)
+        |SELECT tk.lang, t, CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM tk JOIN tot ON tk.lang = tot.lang
+        |GROUP BY tk.lang, t, n
+        |HAVING COUNT(*) * 50 > n
+        |ORDER BY tk.lang, t""".stripMargin,
     "q_dedup_cluster" ->
       ("""WITH RECURSIVE toks AS (
         |  SELECT doc_id,

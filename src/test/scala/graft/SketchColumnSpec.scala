@@ -39,6 +39,34 @@ class SketchColumnSpec extends AnyFunSuite {
     }
   }
 
+  test("grouped Misra-Gries candidates are a superset of true per-group heavy hitters") {
+    import graft.functions.MisraGriesAgg.mgCandidates
+    val toks = Tables.documents(spark, sf)
+      .select(col("lang"), explode(ops.Text.toks(col("text"))).as("t"))
+    val cands = toks.groupBy("lang")
+      .agg(mgCandidates(col("t"), 200).as("cand"))
+      .select(col("lang"), explode(col("cand")).as("t"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    // exact per-group counts: every token above N_g/201 must be proposed
+    val counts = toks.groupBy("lang", "t").agg(count(lit(1)).as("c"))
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
+    val totals = counts.groupBy(_._1._1).view.mapValues(_.map(_._2).sum)
+    val mustHave = counts.filter { case ((lang, _), c) =>
+      c * 201 > totals(lang)
+    }.map(_._1).toSet
+    assert(mustHave.nonEmpty)
+    assert(mustHave.subsetOf(cands),
+      s"missing guaranteed items: ${mustHave -- cands}")
+    // and the full operator matches the exact per-lang recompute
+    val got = ops.Sketches.qHeavyHittersGrouped(spark, sf)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
+      .toMap
+    val expected = counts.filter { case ((lang, _), c) =>
+      c * 50 > totals(lang)
+    }.toMap
+    assert(got == expected)
+  }
+
   test("sketch columns survive a parquet round trip unchanged") {
     import graft.functions.KmvDistinct.{kmvDistinct, kmvMerge, kmvSketch}
     val dir = java.nio.file.Files
