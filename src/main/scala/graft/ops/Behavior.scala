@@ -120,7 +120,7 @@ object Behavior {
 
   /** The SCD2 core over (user_id, event_id, ts-micros, event_type) rows:
     * (user_id, version, state, valid_from, valid_to). */
-  private def scd2Versions(e: DataFrame): DataFrame = {
+  private[graft] def scd2Versions(e: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
     val runs = e

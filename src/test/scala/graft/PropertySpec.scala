@@ -92,6 +92,40 @@ class PropertySpec extends AnyFunSuite {
     }, n = 10)
   }
 
+  test("scd2 collapses runs exactly, even under timestamp ties") {
+    import spark.implicits._
+    // events with heavy timestamp collisions (ts drawn from 5 values) —
+    // the ordering tie-break on event_id must keep versioning total
+    val gen = Gen.nonEmptyListOf(for {
+      u  <- Gen.chooseNum(0L, 2L)
+      ts <- Gen.chooseNum(0L, 4L)
+      st <- Gen.oneOf("a", "b", "c")
+    } yield (u, ts, st))
+    check("scd2", Prop.forAll(gen) { rows =>
+      val withIds = rows.zipWithIndex
+        .map { case ((u, ts, st), i) => (u, i.toLong, ts, st) }
+      val df = withIds.toDF("user_id", "event_id", "ts", "event_type")
+      val got = ops.Behavior.scd2Versions(df)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+          r.getLong(3)))
+        .sortBy(t => (t._1, t._2)).toList
+      val expected = withIds.groupBy(_._1).toList.flatMap {
+        case (u, es) =>
+          val runs = es.sortBy(e => (e._3, e._2))
+            .foldLeft(List.empty[(String, Long)]) {
+              case (acc, (_, _, ts, st)) =>
+                if (acc.headOption.exists(_._1 == st)) acc
+                else (st, ts) :: acc
+            }.reverse
+          runs.zipWithIndex.map { case ((st, from), i) =>
+            (u, (i + 1).toLong, st, from)
+          }
+      }.sortBy(t => (t._1, t._2))
+      got == expected
+    }, n = 15)
+  }
+
   test("comma-decimal normalization round-trips DECIMAL(18,2) values") {
     import spark.implicits._
     check("commadec", Prop.forAll(Gen.chooseNum(-99999999L, 99999999L)) {
