@@ -162,6 +162,24 @@ object Text {
       .orderBy("doc_id")
   }
 
+  /** Classifier evaluation harness: confusion matrix of the stopword-vote
+    * language ID against the labeled `lang` column, with per-true-label
+    * cell fractions — the "how good is my curation classifier" readout
+    * every filter-model iteration needs.
+    *
+    * Scale posture: one full-corpus partial+final aggregation down to
+    * ≤ |langs|² cells; totals join back as a broadcast of that tiny cell
+    * table — no per-label window over raw rows. */
+  def qLangidConfusion(s: SparkSession, d: String): DataFrame = {
+    val cells = qLangId(s, d).select(col("lang"), col("pred"))
+      .groupBy("lang", "pred").agg(count(lit(1)).as("n"))
+    val totals = cells.groupBy("lang").agg(sum(col("n")).as("tot"))
+    cells.join(broadcast(totals), "lang")
+      .select(col("lang"), col("pred"), col("n"),
+        round(col("n").cast("double") / col("tot"), 6).as("frac"))
+      .orderBy("lang", "pred")
+  }
+
   /** X4: document fingerprinting — md5 of whitespace-normalized text (the
     * exact-dedup content key). */
   def qFingerprint(s: SparkSession, d: String): DataFrame =
@@ -504,6 +522,7 @@ object Text {
     "q_token_count"  -> qTokenCount _,
     "q_text_quality" -> qTextQuality _,
     "q_lang_id"      -> qLangId _,
+    "q_langid_confusion" -> qLangidConfusion _,
     "q_fingerprint"  -> qFingerprint _,
     "q_dedup_exact"  -> qDedupExact _,
     "q_dedup_near"   -> qDedupNear _,
@@ -671,6 +690,34 @@ object Text {
         |       WHEN v_fr >= v_es THEN 'fr'
         |       ELSE 'es' END AS pred
         |FROM v ORDER BY doc_id""".stripMargin,
+    "q_langid_confusion" ->
+      """WITH t AS (
+        |  SELECT lang,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                x -> x <> '') AS tk
+        |  FROM documents),
+        |v AS (
+        |  SELECT lang,
+        |    len(list_filter(tk, x -> x IN ('the','and','of','is'))) AS v_en,
+        |    len(list_filter(tk, x -> x IN ('der','und','die','das'))) AS v_de,
+        |    len(list_filter(tk, x -> x IN ('le','la','et','les'))) AS v_fr,
+        |    len(list_filter(tk, x -> x IN ('el','los','que','de'))) AS v_es
+        |  FROM t),
+        |p AS (
+        |  SELECT lang,
+        |    CASE WHEN v_en >= greatest(v_de, v_fr, v_es) THEN 'en'
+        |         WHEN v_de >= greatest(v_fr, v_es) THEN 'de'
+        |         WHEN v_fr >= v_es THEN 'fr'
+        |         ELSE 'es' END AS pred
+        |  FROM v),
+        |c AS (SELECT lang, pred, CAST(COUNT(*) AS BIGINT) AS n
+        |      FROM p GROUP BY 1, 2),
+        |tot AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS tot
+        |        FROM c GROUP BY 1)
+        |SELECT c.lang, pred, n,
+        |  round(CAST(n AS DOUBLE) / tot, 6) AS frac
+        |FROM c JOIN tot ON c.lang = tot.lang
+        |ORDER BY c.lang, pred""".stripMargin,
     "q_fingerprint" ->
       """SELECT doc_id,
         |  md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
