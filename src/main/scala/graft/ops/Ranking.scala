@@ -246,8 +246,79 @@ object Ranking {
       .orderBy(col("w1"), col("c12").desc, col("w2"))
   }
 
+  /** Per-document top-3 terms by TF-IDF (idf = ln(N/df)) — the classic
+    * term-weighting step behind keyword extraction, sparse retrieval, and
+    * topic labeling of training shards.
+    *
+    * Scale posture: tf is one (doc_id, term) partial+final aggregation;
+    * df re-aggregates tf's output (no second scan); the tf⋈df join is a
+    * plain shuffle equi-join on `term` — NO broadcast hint, because the
+    * vocabulary is the one table that grows without bound (the
+    * q_unigram_surprisal lesson), and AQE still broadcasts it when it
+    * fits. The top-3-per-doc filter is the row_number()≤k idiom that
+    * [[graft.plans.RowNumberTopKRewrite]] turns into the two-phase
+    * partial/final top-k, so the window shuffle carries ≤ 3·partitions
+    * rows per doc, not the full posting volume. Ranking uses the ROUNDED
+    * score with a term tiebreak so both engines select identical rows. */
+  def qTfidf(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = documents(s, d)
+      .select(col("doc_id"), explode(Text.toks(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = documents(s, d).agg(count(lit(1)).as("n_docs"))
+    tf.join(df, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf", round(col("tf").cast("double") *
+        log(col("n_docs").cast("double") / col("df")), 6))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("doc_id")
+          .orderBy(col("tfidf").desc, col("term"))))
+      .where(col("rk") <= 3)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        col("tfidf"))
+      .orderBy(col("doc_id"), col("tfidf").desc, col("term"))
+  }
+
+  /** Per-source KL divergence of the source's token distribution against
+    * the whole-corpus distribution — the domain-shift statistic behind
+    * mixture rebalancing and outlier-domain detection in corpus curation
+    * (cf. q_domain_mix, which weights by doc counts; this weighs by what
+    * the tokens actually say).
+    *
+    * Scale posture: one (source, token) aggregation, corpus marginals
+    * re-aggregated from its OUTPUT (no second scan of documents), and a
+    * shuffle equi-join on `token` — never a vocabulary broadcast. The
+    * per-source reduction uses the algebraic split
+    *   KL = Σ c_st·ln(c_st/c_t) / n_s + ln(n_all/n_s)
+    * so the per-term expression needs only (c_st, c_t): the source
+    * marginal n_s falls out of the SAME groupBy rather than a pre-join.
+    * Every wide op partial-aggregates map-side and is keyed by token (or
+    * (source, token)) — never by source alone before a partial agg — so
+    * a giant source never funnels through one reducer. */
+  def qDomainDivergence(s: SparkSession, d: String): DataFrame = {
+    val st = documents(s, d)
+      .select(col("source"), explode(Text.toks(col("text"))).as("t"))
+      .groupBy("source", "t").agg(count(lit(1)).as("c_st"))
+    val ct = st.groupBy("t").agg(sum(col("c_st")).as("c_t"))
+    val tot = st.agg(sum(col("c_st")).cast("double").as("n_all"))
+    st.join(ct, "t")
+      .groupBy("source")
+      .agg(sum(col("c_st")).as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        sum(col("c_st").cast("double") *
+          log(col("c_st").cast("double") / col("c_t"))).as("s1"))
+      .crossJoin(broadcast(tot))
+      .select(col("source"), col("n_tokens"), col("vocab"),
+        round(col("s1") / col("n_tokens") +
+          log(col("n_all") / col("n_tokens")), 6).as("kl"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bm25"           -> qBm25 _,
+    "q_tfidf"          -> qTfidf _,
+    "q_domain_divergence" -> qDomainDivergence _,
     "q_inverted_index" -> qInvertedIndex _,
     "q_cooccurrence"   -> qCooccurrence _,
     "q_top_ngrams"     -> qTopNgrams _,
@@ -255,6 +326,49 @@ object Ranking {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_tfidf" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                x -> x <> '') AS tk
+        |  FROM documents),
+        |tok AS (SELECT doc_id, unnest(tk) AS term FROM tk),
+        |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        |       FROM tok GROUP BY 1, 2),
+        |df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+        |       FROM tf GROUP BY 1),
+        |nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+        |sc AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        |    round(CAST(tf.tf AS DOUBLE) *
+        |      ln(CAST(n_docs AS DOUBLE) / df.df), 6) AS tfidf
+        |  FROM tf JOIN df USING (term), nd),
+        |r AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+        |    ORDER BY tfidf DESC, term) AS rk
+        |  FROM sc)
+        |SELECT doc_id, term, tf, df, tfidf
+        |FROM r WHERE rk <= 3
+        |ORDER BY doc_id, tfidf DESC, term""".stripMargin,
+    "q_domain_divergence" ->
+      """WITH tk AS (
+        |  SELECT source,
+        |    unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                       x -> x <> '')) AS t
+        |  FROM documents),
+        |st AS (SELECT source, t, CAST(COUNT(*) AS BIGINT) AS c_st
+        |       FROM tk GROUP BY 1, 2),
+        |ct AS (SELECT t, CAST(SUM(c_st) AS BIGINT) AS c_t
+        |       FROM st GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(c_st) AS DOUBLE) AS n_all FROM st),
+        |per AS (
+        |  SELECT source, CAST(SUM(c_st) AS BIGINT) AS n_tokens,
+        |    CAST(COUNT(*) AS BIGINT) AS vocab,
+        |    SUM(CAST(c_st AS DOUBLE) * ln(CAST(c_st AS DOUBLE) / c_t)) AS s1
+        |  FROM st JOIN ct USING (t) GROUP BY 1)
+        |SELECT source, n_tokens, vocab,
+        |  round(s1 / n_tokens + ln(n_all / n_tokens), 6) AS kl
+        |FROM per, tot ORDER BY source""".stripMargin,
     "q_bigram_lm" ->
       """WITH tk AS (
         |  SELECT list_filter(

@@ -208,6 +208,40 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("tfidf: ≤3 terms per doc, ranked by rounded score, idf recomputes") {
+    val nDocs = graft.Tables.documents(spark, sf).count()
+    val rows = ops.Ranking.qTfidf(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      assert(rs.length <= 3)
+      // output order within a doc is score-desc, term-asc
+      val scores = rs.map(_.getAs[Double]("tfidf")).toSeq
+      assert(scores == scores.sorted.reverse)
+    }
+    rows.foreach { r =>
+      val (tf, df) = (r.getAs[Long]("tf"), r.getAs[Long]("df"))
+      assert(df >= 1 && df <= nDocs && tf >= 1)
+      val expect = BigDecimal(tf.toDouble * math.log(nDocs.toDouble / df))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getAs[Double]("tfidf") - expect) < 1e-9)
+    }
+  }
+
+  test("domain divergence: KL ≥ 0, marginals recompute, all sources") {
+    val docs = graft.Tables.documents(spark, sf)
+    val sources = docs.select("source").distinct().count()
+    val rows = ops.Ranking.qDomainDivergence(spark, sf).collect()
+    assert(rows.length == sources, "one row per source")
+    val totalTokens = rows.map(_.getAs[Long]("n_tokens")).sum
+    rows.foreach { r =>
+      // KL(p||q) ≥ 0 up to the 1e-6 rounding of the output column
+      assert(r.getAs[Double]("kl") >= -1e-6, r.toString)
+      assert(r.getAs[Long]("vocab") <= r.getAs[Long]("n_tokens"))
+      assert(r.getAs[Long]("n_tokens") < totalTokens,
+        "every source must be a strict subset of the corpus")
+    }
+  }
+
   test("unpivot: one long row set per measure column, exact counts") {
     val nLine = graft.Tables.lineitem(spark, sf).count()
     val rows = ops.Strings.qUnpivot(spark, sf).collect()

@@ -163,6 +163,58 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("tfidf: top-k rewrite fires, vocabulary never a broadcast build") {
+    val p = plan("q_tfidf")
+    // the row_number()≤3 idiom must become the two-phase top-k operator
+    assert(p.contains("PartialTopKPerKey"),
+      "tf-idf top-3 not rewritten to partial/final top-k:\n" + p.take(1200))
+    // the df (vocabulary) aggregate must never be USER-HINTED broadcast
+    // (the q_unigram_surprisal rule — vocab grows without bound, so the
+    // decision must stay with the size estimator / AQE, which correctly
+    // broadcasts it at sf0.001 and correctly won't at 100 TB). Only the
+    // 1-row ungrouped n_docs aggregate may carry a hint.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    val opt = SparkEntry.queries("q_tfidf")(spark, sf)
+      .queryExecution.optimizedPlan
+    opt.collect { case j: Join => j }.foreach { j =>
+      Seq(j.hint.leftHint -> j.left, j.hint.rightHint -> j.right).foreach {
+        case (Some(h), side)
+            if h.strategy.exists(_.toString.toLowerCase.contains("broadcast")) =>
+          val grouped = side.collectFirst {
+            case a: Aggregate if a.groupingExpressions.nonEmpty => a
+          }
+          assert(grouped.isEmpty,
+            "user-forced broadcast of a grouped (vocab-sized) aggregate:\n" + j)
+        case _ =>
+      }
+    }
+  }
+
+  test("domain divergence: partial aggregation, token-keyed shuffles only") {
+    val p = plan("q_domain_divergence")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "no map-side partial aggregation:\n" + p.take(1200))
+    // the per-source reduction must be partial+final (map-side combine
+    // collapses each partition to ≤|sources| rows before the source-keyed
+    // exchange — a giant source never funnels raw rows through 1 reducer)
+    import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val root = SparkEntry.queries("q_domain_divergence")(spark, sf)
+      .queryExecution.sparkPlan
+    val sourceExchanges = root.collect {
+      case e: ShuffleExchangeExec
+          if e.outputPartitioning.toString.contains("source") &&
+            !e.outputPartitioning.toString.contains("t#") => e
+    }
+    sourceExchanges.foreach { e =>
+      assert(e.collectFirst {
+        case a: HashAggregateExec if a.groupingExpressions.nonEmpty => a
+      }.nonEmpty,
+        "source-keyed exchange without a map-side partial aggregate:\n" + e)
+    }
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("quantiles_dist: histogram partial-aggs, no per-group total sort") {
     val p = plan("q_quantiles_dist")
     // pass 1 must partial-aggregate the (rf, bin) histogram map-side
