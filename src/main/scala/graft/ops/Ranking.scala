@@ -315,10 +315,51 @@ object Ranking {
       .orderBy("source")
   }
 
+  /** Per-document perplexity proxy under the corpus's own bigram LM:
+    * nll = −(1/n) Σ ln P(w2|w1) over the doc's bigrams, with
+    * P(w2|w1) = c12/c1 estimated from the whole corpus — the classic
+    * LM-based quality filter (low nll ≈ fluent/common phrasing, high
+    * nll ≈ noise, boilerplate-breaking, or OOD text). No smoothing is
+    * needed: every doc bigram exists in the corpus counts by
+    * construction, so P > 0 always.
+    *
+    * Scale posture: doc-level bigram counts aggregate FIRST (partial+
+    * final on (doc_id, w1, w2)), the corpus bigram and context marginals
+    * re-aggregate that output (no second scan), and both prob joins are
+    * plain shuffle equi-joins — the bigram table is vocab²-scale and must
+    * never broadcast. The big⋈ctx join keys on w1 alone, where hot
+    * contexts ("the") are real skew: that's a join, not an agg, so AQE's
+    * skew-join split handles it (OptimizeSkewedJoin), and the probe side
+    * carries one row per DISTINCT doc bigram, not per occurrence. */
+  def qDocPerplexity(s: SparkSession, d: String): DataFrame = {
+    val tk = documents(s, d)
+      .select(col("doc_id"), Text.toks(col("text")).as("tk"))
+      .where(size(col("tk")) >= 2)
+    val db = tk
+      .select(col("doc_id"), explode(zip_with(
+        slice(col("tk"), lit(1), size(col("tk")) - 1),
+        slice(col("tk"), lit(2), size(col("tk")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("b"))
+      .groupBy(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .agg(count(lit(1)).as("c_doc"))
+    val big = db.groupBy("w1", "w2").agg(sum(col("c_doc")).as("c12"))
+    val ctx = big.groupBy("w1").agg(sum(col("c12")).as("c1"))
+    val bp = big.join(ctx, "w1")
+    db.join(bp, Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(sum(col("c_doc")).as("n_bigrams"),
+        sum(col("c_doc").cast("double") *
+          log(col("c12").cast("double") / col("c1"))).as("s"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(-col("s") / col("n_bigrams"), 6).as("nll"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bm25"           -> qBm25 _,
     "q_tfidf"          -> qTfidf _,
     "q_domain_divergence" -> qDomainDivergence _,
+    "q_doc_perplexity" -> qDocPerplexity _,
     "q_inverted_index" -> qInvertedIndex _,
     "q_cooccurrence"   -> qCooccurrence _,
     "q_top_ngrams"     -> qTopNgrams _,
@@ -326,6 +367,32 @@ object Ranking {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_doc_perplexity" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                x -> x <> '') AS tk
+        |  FROM documents),
+        |f AS (SELECT doc_id, tk FROM tk WHERE len(tk) >= 2),
+        |bg AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+        |    i -> {'w1': tk[i], 'w2': tk[i+1]})) AS b
+        |  FROM f),
+        |db AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2,
+        |         CAST(COUNT(*) AS BIGINT) AS c_doc
+        |       FROM bg GROUP BY 1, 2, 3),
+        |big AS (SELECT w1, w2, CAST(SUM(c_doc) AS BIGINT) AS c12
+        |        FROM db GROUP BY 1, 2),
+        |ctx AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1
+        |        FROM big GROUP BY 1),
+        |bp AS (SELECT big.w1, big.w2, c12, c1 FROM big JOIN ctx USING (w1)),
+        |per AS (
+        |  SELECT db.doc_id, CAST(SUM(c_doc) AS BIGINT) AS n_bigrams,
+        |    SUM(CAST(c_doc AS DOUBLE) * ln(CAST(c12 AS DOUBLE) / c1)) AS s
+        |  FROM db JOIN bp ON db.w1 = bp.w1 AND db.w2 = bp.w2
+        |  GROUP BY 1)
+        |SELECT doc_id, n_bigrams, round(-s / n_bigrams, 6) AS nll
+        |FROM per ORDER BY doc_id""".stripMargin,
     "q_tfidf" ->
       """WITH tk AS (
         |  SELECT doc_id,

@@ -242,6 +242,23 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("doc perplexity: nll ≥ 0, bigram counts conserve, full coverage") {
+    val docs = graft.Tables.documents(spark, sf)
+    import org.apache.spark.sql.functions.{col, size}
+    val eligible = docs
+      .select(ops.Text.toks(col("text")).as("tk"))
+      .where(size(col("tk")) >= 2)
+      .count()
+    val rows = ops.Ranking.qDocPerplexity(spark, sf).collect()
+    assert(rows.length == eligible, "one row per doc with ≥2 tokens")
+    rows.foreach { r =>
+      // every doc bigram exists in the corpus counts, so P(w2|w1) ∈ (0,1]
+      // and nll = −avg(ln P) must be ≥ 0 (up to output rounding)
+      assert(r.getAs[Double]("nll") >= -1e-6, r.toString)
+      assert(r.getAs[Long]("n_bigrams") >= 1)
+    }
+  }
+
   test("unpivot: one long row set per measure column, exact counts") {
     val nLine = graft.Tables.lineitem(spark, sf).count()
     val rows = ops.Strings.qUnpivot(spark, sf).collect()
