@@ -183,7 +183,46 @@ object QualitySignals {
           col("s") / col("n_tok").cast("double"), 6).as("entropy"))
       .orderBy("doc_id")
 
+  /** Zipf-law fit over the top-100 corpus tokens: least-squares slope of
+    * ln(freq) against ln(rank) — the corpus-health check that catches
+    * template/boilerplate-dominated crawls (slope far from ≈ −1) before
+    * any per-doc filter runs.
+    *
+    * Scale posture: token counts are one partial+final aggregation; the
+    * top-100 cut is a global sort+limit, which Spark plans as
+    * TakeOrderedAndProject — per-partition top-100 heaps merged on the
+    * driver, never a full sort. Everything after operates on exactly 100
+    * rows (the single-partition window is 100 rows by construction).
+    * Slope comes from the closed form (n·Σxy − Σx·Σy)/(n·Σx² − (Σx)²)
+    * with identical expression text in the oracle; round(…,4) on slope
+    * and intercept absorbs sum-order ULP drift. */
+  def qZipfFit(s: SparkSession, d: String): DataFrame = {
+    val top = documents(s, d)
+      .select(explode(Text.toks(col("text"))).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("t"))
+      .limit(100)
+    val xy = top
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("cnt").desc, col("t"))))
+      .select(log(col("rank").cast("double")).as("x"),
+        log(col("cnt").cast("double")).as("y"))
+    xy.agg(count(lit(1)).as("n_tokens"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("n_tokens"),
+        round((col("n_tokens") * col("sxy") - col("sx") * col("sy")) /
+          (col("n_tokens") * col("sxx") - col("sx") * col("sx")), 4)
+          .as("slope"),
+        round((col("sy") - ((col("n_tokens") * col("sxy") -
+          col("sx") * col("sy")) /
+          (col("n_tokens") * col("sxx") - col("sx") * col("sx"))) *
+          col("sx")) / col("n_tokens"), 4).as("intercept"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_zipf_fit"   -> qZipfFit _,
     "q_repetition" -> qRepetition _,
     "q_pii_scrub"  -> qPiiScrub _,
     "q_length_histogram" -> qLengthHistogram _,
@@ -193,6 +232,31 @@ object QualitySignals {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_zipf_fit" ->
+      """WITH tk AS (
+        |  SELECT unnest(list_filter(
+        |    string_split_regex(lower(text), '[^a-z0-9]+'),
+        |    x -> x <> '')) AS t
+        |  FROM documents),
+        |c AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS cnt FROM tk GROUP BY 1),
+        |top AS (SELECT t, cnt FROM c ORDER BY cnt DESC, t LIMIT 100),
+        |r AS (SELECT cnt,
+        |        ROW_NUMBER() OVER (ORDER BY cnt DESC, t) AS rank
+        |      FROM top),
+        |xy AS (SELECT ln(CAST(rank AS DOUBLE)) AS x,
+        |              ln(CAST(cnt AS DOUBLE)) AS y
+        |       FROM r),
+        |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |        SUM(x) AS sx, SUM(y) AS sy,
+        |        SUM(x*y) AS sxy, SUM(x*x) AS sxx
+        |      FROM xy)
+        |SELECT n_tokens,
+        |  round((n_tokens * sxy - sx * sy) /
+        |        (n_tokens * sxx - sx * sx), 4) AS slope,
+        |  round((sy - ((n_tokens * sxy - sx * sy) /
+        |        (n_tokens * sxx - sx * sx)) * sx) / n_tokens, 4)
+        |    AS intercept
+        |FROM a""".stripMargin,
     "q_token_entropy" ->
       """WITH tk AS (
         |  SELECT doc_id, unnest(list_filter(

@@ -259,6 +259,25 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("zipf fit: one row, negative slope, plausible Zipf exponent") {
+    val rows = ops.QualitySignals.qZipfFit(spark, sf).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    import org.apache.spark.sql.functions.{col, explode}
+    val vocab = graft.Tables.documents(spark, sf)
+      .select(explode(ops.Text.toks(col("text"))).as("t"))
+      .distinct().count()
+    assert(r.getAs[Long]("n_tokens") == math.min(100L, vocab))
+    val slope = r.getAs[Double]("slope")
+    // a natural-ish corpus has slope ≈ −1; anything non-negative means
+    // the rank/freq wiring is broken, not just an unusual corpus
+    assert(slope < 0, s"Zipf slope must be negative: $slope")
+    assert(slope > -5, s"implausible Zipf slope: $slope")
+    // intercept is ln(freq) extrapolated to rank 1 — must be ≥ max ln cnt
+    // fitted, i.e. positive for any non-trivial corpus
+    assert(r.getAs[Double]("intercept") > 0)
+  }
+
   test("unpivot: one long row set per measure column, exact counts") {
     val nLine = graft.Tables.lineitem(spark, sf).count()
     val rows = ops.Strings.qUnpivot(spark, sf).collect()

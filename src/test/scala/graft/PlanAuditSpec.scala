@@ -215,6 +215,30 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("doc perplexity: partial aggs, no cartesian, no forced broadcasts") {
+    val p = plan("q_doc_perplexity")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "no map-side partial aggregation:\n" + p.take(1200))
+    assert(!p.contains("CartesianProduct"))
+    // no user hint anywhere: the bigram/context tables are vocab²-scale,
+    // so every broadcast decision must stay with the size estimator
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val opt = SparkEntry.queries("q_doc_perplexity")(spark, sf)
+      .queryExecution.optimizedPlan
+    opt.collect { case j: Join => j }.foreach { j =>
+      assert(j.hint.leftHint.isEmpty && j.hint.rightHint.isEmpty,
+        "unexpected join hint in perplexity plan:\n" + j)
+    }
+  }
+
+  test("zipf fit: top-100 cut is TakeOrdered, counts partial-aggregate") {
+    val p = plan("q_zipf_fit")
+    // the global sort+limit must plan as per-partition top-k heaps
+    // (TakeOrderedAndProject), never a full global sort
+    assert(p.contains("TakeOrderedAndProject"), p.take(1200))
+    assert(p.contains("partial_count"), "token counts not partial-agg'd")
+  }
+
   test("quantiles_dist: histogram partial-aggs, no per-group total sort") {
     val p = plan("q_quantiles_dist")
     // pass 1 must partial-aggregate the (rf, bin) histogram map-side
