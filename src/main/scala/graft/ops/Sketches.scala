@@ -22,8 +22,11 @@ import graft.Tables._
   *     id) triples; candidate pairs are bounded per bucket instead of per
   *     shingle. Exact Jaccard verification runs only on candidates.
   *   - SimHash: 64-bit signature via bit-vote aggregation; candidate pairs
-  *     via 4×16-bit chunk banding (any pair within Hamming ≤ 3 must share
-  *     a chunk — pigeonhole); Hamming verified with bit_count(xor).
+  *     via multi-table block banding (Manku/Jain/Sarma, WWW'07 §3): the
+  *     signature splits into 6 blocks and every 3-of-6 block combination
+  *     forms a band table, so any pair within Hamming ≤ 3 shares at least
+  *     one full combination — pigeonhole over blocks instead of 16-bit
+  *     chunks. Hamming verified with bit_count(xor).
   */
 object Sketches {
 
@@ -80,28 +83,55 @@ object Sketches {
       .orderBy("da", "db")
   }
 
+  /** Block boundaries for SimHash banding: 64 bits → 6 blocks of
+    * 11/11/11/11/10/10 bits (offsets paired with widths). */
+  private[graft] val SimHashBlocks: Seq[(Int, Int)] =
+    Seq((0, 11), (11, 11), (22, 11), (33, 11), (44, 10), (54, 10))
+
+  /** All C(6,3) = 20 block triples; combo c survives a pair iff none of
+    * the pair's flipped bits land in c's three blocks. */
+  private[graft] val SimHashCombos: Seq[Seq[Int]] =
+    (0 until 6).combinations(3).map(_.toSeq).toSeq
+
   /** X2 alternative sketch: 64-bit SimHash signatures + Hamming-banded
     * near-dup pairs (Hamming ≤ 3 over distinct-token signatures).
     * Signatures come from the per-row [[graft.functions.SimHash64]]
     * kernel (value-identical to the exploded 64-column bit-vote
-    * aggregation it replaced — SketchSpec pins this); only the chunk
-    * banding join shuffles. */
+    * aggregation it replaced — SketchSpec pins this); only the banding
+    * join shuffles.
+    *
+    * Banding (the 100 TB-safe shape, replacing the former 4×16-bit chunk
+    * tables): the signature splits into 6 blocks (11/11/11/11/10/10 bits)
+    * and each of the C(6,3)=20 block triples forms a band table keyed on
+    * the 32–33 concatenated bits of its three blocks (hashed to one
+    * 64-bit key). Hamming ≤ 3 flips touch ≤ 3 blocks, so ≥ 3 blocks
+    * survive untouched and the pair collides in the table of any
+    * untouched triple — recall 1.0 for Hamming ≤ 3, by pigeonhole, with
+    * the explicit bit_count filter removing hash-collision false
+    * positives. The old chunk tables had only 2^16 buckets each →
+    * O(n²/65536) candidate pairs per table at corpus scale; these keys
+    * span ≥ 2^32 buckets, so expected occupancy stays O(1) until ~10^10
+    * docs (SimHashBandingSpec pins pair-set equality vs brute force). */
   def qSimhash(s: SparkSession, d: String): DataFrame = {
     import graft.functions.SketchKernels.simHash64
     val sig = documents(s, d)
       .select(col("doc_id"), simHash64(col("text")).as("simhash"))
 
-    // banding: Hamming ≤ 3 ⇒ at least one of 4 16-bit chunks identical
-    val chunks = sig.select(col("doc_id"), col("simhash"),
-      explode(array((0 until 4).map(k =>
-        struct(lit(k).as("k"),
-          shiftright(col("simhash"), 16 * k).bitwiseAND(0xFFFFL)
-            .as("chunk"))): _*)).as("ck"))
-      .select(col("doc_id"), col("simhash"), col("ck.k").as("k"),
-        col("ck.chunk").as("chunk"))
+    def block(i: Int): Column = {
+      val (off, w) = SimHashBlocks(i)
+      shiftright(col("simhash"), off).bitwiseAND((1L << w) - 1L)
+    }
+    val bandStructs = SimHashCombos.zipWithIndex.map { case (combo, c) =>
+      struct(lit(c).as("k"),
+        xxhash64(lit(c) +: combo.map(block): _*).as("bkey"))
+    }
+    val banded = sig.select(col("doc_id"), col("simhash"),
+      explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("simhash"), col("bk.k").as("k"),
+        col("bk.bkey").as("bkey"))
 
-    chunks.as("x").join(chunks.as("y"),
-        col("x.k") === col("y.k") && col("x.chunk") === col("y.chunk") &&
+    banded.as("x").join(banded.as("y"),
+        col("x.k") === col("y.k") && col("x.bkey") === col("y.bkey") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"),
         bit_count(col("x.simhash").bitwiseXOR(col("y.simhash")))
@@ -275,8 +305,12 @@ object Sketches {
   def qSketchRollup(s: SparkSession, d: String): DataFrame = {
     import graft.functions.KmvDistinct.{kmvMerge, kmvSketch}
     val sf = new java.io.File(d).getName
+    // per-invocation unique leaf dir: two concurrent invocations on the
+    // same scale factor (parallel bench, concurrency sweep) must not race
+    // on one overwrite-then-read path
     val out =
-      s"${sys.props.getOrElse("graft.io.dir", "target/graft_io")}/$sf/token_sketches"
+      s"${sys.props.getOrElse("graft.io.dir", "target/graft_io")}/$sf/" +
+        s"token_sketches/${java.util.UUID.randomUUID()}"
     documents(s, d)
       .select(col("lang"), col("source"),
         explode(Text.toks(col("text"))).as("t"))
