@@ -115,11 +115,18 @@ object Behavior {
     val e = Events.events(s, d)
       .select(col("user_id"), col("event_id"),
         expr("ts div 1000").as("ts"), col("event_type"))
-    scd2Versions(e).orderBy("user_id", "version")
+    scd2Versions(e).drop("vid").orderBy("user_id", "version")
   }
 
   /** The SCD2 core over (user_id, event_id, ts-micros, event_type) rows:
-    * (user_id, version, state, valid_from, valid_to). */
+    * (user_id, version, state, valid_from, valid_to, vid). `vid` is the
+    * event_id of the version's FIRST row in (ts, event_id) window order —
+    * a stable per-version identity that downstream renumbering
+    * ([[qScd2Merge]]) can tie-break on when two versions of one user
+    * share a valid_from micro-timestamp. min(event_id) over the whole
+    * version would NOT be safe: a later row of an earlier-starting
+    * version may carry a smaller event_id than the first row of the
+    * next version, inverting the order under ties. */
   private[graft] def scd2Versions(e: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -134,12 +141,14 @@ object Behavior {
       // all rows in a version share one event_type by construction, so
       // min() is just the deterministic way to pick it
       .agg(min(col("event_type")).as("state"),
-        min(col("ts")).as("valid_from"))
+        min(col("ts")).as("valid_from"),
+        min(struct(col("ts"), col("event_id"))).as("fst"))
     val vw = Window.partitionBy("user_id").orderBy("version")
     versions
       .select(col("user_id"), col("version"), col("state"),
         col("valid_from"),
-        lead(col("valid_from"), 1).over(vw).as("valid_to"))
+        lead(col("valid_from"), 1).over(vw).as("valid_to"),
+        col("fst.event_id").as("vid"))
   }
 
   /** Incremental SCD2 maintenance (the warehouse MERGE): split the
@@ -155,7 +164,6 @@ object Behavior {
     * table and the day's batch; every join and window is keyed by
     * user_id. */
   def qScd2Merge(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val e = Events.events(s, d)
       .select(col("user_id"), col("event_id"),
         expr("ts div 1000").as("ts"), col("event_type"))
@@ -165,6 +173,15 @@ object Behavior {
     // incremental plan itself carries no global aggregation
     val cut = e.agg(expr("(min(ts) + max(ts)) div 2"))
       .collect()(0).getLong(0)
+    scd2Merge(e, cut).orderBy("user_id", "version")
+  }
+
+  /** The MERGE core over (user_id, event_id, ts, event_type) rows split
+    * at `cut`: fold the ≥cut batch into the <cut history. Factored out of
+    * [[qScd2Merge]] so PropertySpec can replay it on generated streams
+    * with heavy timestamp ties. */
+  private[graft] def scd2Merge(e: DataFrame, cut: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val history = scd2Versions(e.where(col("ts") < cut))
     val batch = scd2Versions(e.where(col("ts") >= cut))
     val open = history.where(col("valid_to").isNull)
@@ -173,15 +190,18 @@ object Behavior {
     val kept = batch.join(open, Seq("user_id"), "left")
       .where(col("version") =!= 1 || col("o_state").isNull ||
         col("o_state") =!= col("state"))
-      .select(col("user_id"), col("state"), col("valid_from"))
-    val all = history.select(col("user_id"), col("state"), col("valid_from"))
+      .select(col("user_id"), col("state"), col("valid_from"), col("vid"))
+    val all = history
+      .select(col("user_id"), col("state"), col("valid_from"), col("vid"))
       .unionAll(kept)
-    val w = Window.partitionBy("user_id").orderBy("valid_from")
+    // vid tie-breaks versions sharing a valid_from micro-timestamp — the
+    // full recompute orders them by first-event (ts, event_id), and vid
+    // carries exactly that identity through the merge
+    val w = Window.partitionBy("user_id").orderBy("valid_from", "vid")
     all.select(col("user_id"),
         row_number().over(w).cast("long").as("version"),
         col("state"), col("valid_from"),
         lead(col("valid_from"), 1).over(w).as("valid_to"))
-      .orderBy("user_id", "version")
   }
 
   /** Maximum interval concurrency per event type: every event opens a

@@ -126,6 +126,35 @@ class PropertySpec extends AnyFunSuite {
     }, n = 15)
   }
 
+  test("scd2 merge == full recompute at every cut, even under ties") {
+    import spark.implicits._
+    // same heavy-collision stream as the scd2 property; the merge
+    // renumbers the unioned history by (valid_from, vid), and this must
+    // land byte-identical to the full recompute for ANY batch boundary —
+    // the round-7 advice case: versions of one user sharing a valid_from
+    val gen = Gen.nonEmptyListOf(for {
+      u  <- Gen.chooseNum(0L, 2L)
+      ts <- Gen.chooseNum(0L, 4L)
+      st <- Gen.oneOf("a", "b", "c")
+    } yield (u, ts, st))
+    check("scd2merge", Prop.forAll(gen) { rows =>
+      val withIds = rows.zipWithIndex
+        .map { case ((u, ts, st), i) => (u, i.toLong, ts, st) }
+      val df = withIds.toDF("user_id", "event_id", "ts", "event_type")
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+          if (r.isNullAt(4)) -1L else r.getLong(4))
+      val full = ops.Behavior.scd2Versions(df).drop("vid")
+        .collect().map(key).sorted.toList
+      // cuts at every distinct boundary incl. all-history and all-batch
+      (0L to 5L).forall { cut =>
+        val merged = ops.Behavior.scd2Merge(df, cut)
+          .collect().map(key).sorted.toList
+        merged == full
+      }
+    }, n = 10)
+  }
+
   test("comma-decimal normalization round-trips DECIMAL(18,2) values") {
     import spark.implicits._
     check("commadec", Prop.forAll(Gen.chooseNum(-99999999L, 99999999L)) {
