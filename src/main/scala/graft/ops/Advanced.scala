@@ -201,6 +201,35 @@ object Advanced {
       .orderBy("l_returnflag")
   }
 
+  /** Dispatch threshold for [[qQuantilesAuto]]: above this estimated
+    * input size the binned two-pass plan wins; below it the single
+    * window sort is cheaper (the histogram path pays ~5 small jobs of
+    * fixed overhead). 64 MiB ≈ one shuffle partition's comfortable
+    * sort load. */
+  private[graft] val QuantileDispatchBytes: Long = 64L * 1024 * 1024
+
+  /** The one exact-quantile ENTRY POINT — auto-dispatch between the spec
+    * twin and the scale path so a caller can't land on the per-group
+    * window funnel ([[qQuantiles]]: every row of a group through one
+    * reducer) at warehouse scale. The dispatch signal is Catalyst's
+    * size-in-bytes estimate of the pruned input relation — pure plan
+    * metadata (file sizes after partition pruning), no extra job, known
+    * before execution. Both branches share one oracle contract and are
+    * independently oracle-green, so the dispatch can never change the
+    * answer, only the plan (PlanAuditSpec pins the branch choice at both
+    * ends of the threshold). */
+  def qQuantilesAuto(s: SparkSession, d: String): DataFrame =
+    exactQuantiles(s, d, QuantileDispatchBytes)
+
+  private[graft] def exactQuantiles(s: SparkSession, d: String,
+      thresholdBytes: Long): DataFrame = {
+    val est = lineitem(s, d)
+      .select(col("l_returnflag"), col("l_extendedprice"))
+      .queryExecution.optimizedPlan.stats.sizeInBytes
+    if (est > BigInt(thresholdBytes)) qQuantilesDist(s, d)
+    else qQuantiles(s, d)
+  }
+
   /** The quantile SCALE path: approx_percentile's mergeable sketch —
     * constant memory per group, one shuffle of sketches, no per-group
     * value collection — versus [[qQuantiles]]' exact window sort. At
@@ -431,6 +460,7 @@ object Advanced {
     "q_sessionize"        -> qSessionize _,
     "q_quantiles"         -> qQuantiles _,
     "q_quantiles_dist"    -> qQuantilesDist _,
+    "q_quantiles_auto"    -> qQuantilesAuto _,
     "q_quantiles_approx"  -> qQuantilesApprox _,
     "q_salted_join"       -> qSaltedJoin _,
     "q_time_window_slide" -> qTimeWindowSlide _,
@@ -566,9 +596,17 @@ object Advanced {
         |  round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
         |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
-    // same exact-quantile contract as q_quantiles — the operator differs
-    // only in plan shape (binned two-pass vs per-group total sort)
+    // same exact-quantile contract as q_quantiles — the operators differ
+    // only in plan shape (binned two-pass vs per-group total sort), and
+    // the auto entry point merely dispatches between the two
     "q_quantiles_dist" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+        |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        |  round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+        |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_quantiles_auto" ->
       """SELECT l_returnflag,
         |  round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
         |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,

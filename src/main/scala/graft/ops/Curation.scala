@@ -215,6 +215,64 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Exact substring-level dedup (the Lee et al. 2022 "Deduplicating
+    * Training Data" transform, bounded to a fixed anchor length): every
+    * occurrence of a repeated 8-token gram EXCEPT the corpus-first one
+    * (first = smallest (doc_id, position)) marks its 8 token positions
+    * for removal; each document is rebuilt from its surviving positions.
+    * Runs of shared text longer than the anchor are removed in full
+    * without any explicit extension step: a shared m-token span contains
+    * m−7 shared grams whose overlapping occurrences cover all m
+    * positions — the overlap IS the bidirectional extension. The
+    * corpus-first protection keeps exactly one copy of every repeated
+    * substring in the corpus, which is what distinguishes dedup (this
+    * key) from the duplication PROFILE (q_dup_ngrams).
+    *
+    * Scale posture: three shuffles, all keyed fine — the first-occurrence
+    * window partitions by gram (collapsed to xxhash64 per-row, so the
+    * shuffle carries 8-byte keys; grams never reach the output), the
+    * covered-position distinct and the anti join key by (doc, position),
+    * and the rebuild aggregates by doc. No document body ever shuffles
+    * more than once, and no step is quadratic in corpus size. */
+  def qSubstringDedup(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = 8
+    val docs = documents(s, d)
+      .select(col("doc_id"), Text.toks(col("text")).as("tk"))
+      .where(size(col("tk")) > 0)
+    val occ = docs.where(size(col("tk")) >= k)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("tk")) - (k - 1)),
+          i => struct(i.as("i"),
+            xxhash64(concat_ws(" ", slice(col("tk"), i, lit(k))))
+              .as("g")))).as("x"))
+      .select(col("doc_id"), col("x.i").as("i"), col("x.g").as("g"))
+    val firstW = Window.partitionBy("g").orderBy("doc_id", "i")
+    val covered = occ
+      .withColumn("rn", row_number().over(firstW))
+      .where(col("rn") > 1)
+      .select(col("doc_id"), explode(sequence(col("i"),
+        col("i") + (k - 1))).as("p"))
+      .distinct()
+    val toksPos = docs
+      .select(col("doc_id"), posexplode(col("tk")).as(Seq("p0", "tok")))
+      .select(col("doc_id"), (col("p0") + 1).cast("int").as("p"),
+        col("tok"))
+    val rebuilt = toksPos
+      .join(covered, Seq("doc_id", "p"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("p"), col("tok")))),
+          x => x.getField("tok"))).as("clean_text"))
+    docs.select(col("doc_id"), size(col("tk")).cast("long").as("n_tok"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tok"),
+        (col("n_tok") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+      .orderBy("doc_id")
+  }
+
   /** Corpus-duplicated n-gram profile — the exact-substring-dedup signal
     * (per-doc fraction of 8-gram positions whose gram appears in ≥ 2
     * docs, and the fraction of token positions covered by such grams).
@@ -381,6 +439,7 @@ object Curation {
     "q_domain_mix"    -> qDomainMix _,
     "q_budget_select" -> qBudgetSelect _,
     "q_segment_dedup" -> qSegmentDedup _,
+    "q_substring_dedup" -> qSubstringDedup _,
     "q_dup_ngrams"    -> qDupNgrams _,
     "q_classifier_score" -> qClassifierScore _,
     "q_bloom_decontaminate" -> qBloomDecontaminate _,
@@ -502,6 +561,48 @@ object Curation {
         |  coalesce(string_agg(CASE WHEN rn = 1 THEN seg END, ' '
         |    ORDER BY seg_idx), '') AS clean_text
         |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_substring_dedup" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                x -> x <> '') AS tk
+        |  FROM documents),
+        |docs AS (
+        |  SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS n_tok
+        |  FROM tk WHERE len(tk) > 0),
+        |e AS (
+        |  SELECT doc_id, unnest(range(1, len(tk)-6)) AS i, tk
+        |  FROM docs WHERE len(tk) >= 8),
+        |occ AS (
+        |  SELECT doc_id, CAST(i AS INTEGER) AS i,
+        |    array_to_string(tk[CAST(i AS INTEGER):CAST(i AS INTEGER)+7],
+        |      ' ') AS g
+        |  FROM e),
+        |r AS (
+        |  SELECT doc_id, i,
+        |    ROW_NUMBER() OVER (PARTITION BY g ORDER BY doc_id, i) AS rn
+        |  FROM occ),
+        |cov AS (
+        |  SELECT DISTINCT doc_id, p FROM (
+        |    SELECT doc_id, unnest(range(i, i+8)) AS p
+        |    FROM r WHERE rn > 1)),
+        |tp AS (
+        |  SELECT doc_id, unnest(tk) AS tok,
+        |    unnest(range(1, len(tk)+1)) AS p
+        |  FROM docs),
+        |kept AS (
+        |  SELECT tp.doc_id, tp.p, tp.tok
+        |  FROM tp LEFT JOIN cov ON tp.doc_id = cov.doc_id AND tp.p = cov.p
+        |  WHERE cov.doc_id IS NULL),
+        |reb AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+        |    string_agg(tok, ' ' ORDER BY p) AS clean_text
+        |  FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id, d.n_tok,
+        |  CAST(d.n_tok - COALESCE(reb.n_kept, 0) AS BIGINT) AS n_removed,
+        |  COALESCE(reb.clean_text, '') AS clean_text
+        |FROM docs d LEFT JOIN reb ON d.doc_id = reb.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     "q_dup_ngrams" ->
       """WITH tk AS (
         |  SELECT doc_id,

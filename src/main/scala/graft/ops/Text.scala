@@ -48,8 +48,9 @@ object Text {
 
   /** Content fingerprint: md5 over whitespace-normalized lowercase text —
     * THE definition of "exact duplicate" shared by q_fingerprint,
-    * q_dedup_exact and the corpus pipeline. */
-  private[ops] def fingerprint(c: Column): Column =
+    * q_dedup_exact, the corpus pipeline, and the streaming ingest dedup
+    * ([[graft.streaming.DocIngest]]). */
+  private[graft] def fingerprint(c: Column): Column =
     md5(regexp_replace(trim(lower(c)), "\\s+", " "))
 
   /** Lowercased alnum tokens; identical semantics in the DuckDB oracle via

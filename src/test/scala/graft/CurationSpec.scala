@@ -37,6 +37,45 @@ class CurationSpec extends AnyFunSuite {
     dir
   }
 
+  // ---- q_substring_dedup -----------------------------------------------
+
+  test("substring dedup: later copy of a shared span removed in full, " +
+      "first copy and unique text intact") {
+    // doc 1: unique prefix a1..a4 + shared span s1..s12 (12 > anchor 8)
+    // doc 2: shared span s1..s12 + unique suffix b1..b4
+    // doc 3: fully unique
+    val shared = (1 to 12).map(i => s"s$i").mkString(" ")
+    val d = docsDir(Seq(
+      (1L, ((1 to 4).map(i => s"a$i").mkString(" ")) + " " + shared,
+        "en", "a"),
+      (2L, shared + " " + ((1 to 4).map(i => s"b$i").mkString(" ")),
+        "en", "a"),
+      (3L, (1 to 10).map(i => s"u$i").mkString(" "), "en", "a")))
+    val out = ops.Curation.qSubstringDedup(spark, d)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // doc 1 holds the corpus-first occurrence of every shared gram: intact
+    assert(out(1L) == ((16L, 0L,
+      (1 to 4).map(i => s"a$i").mkString(" ") + " " + shared)))
+    // doc 2's 12 shared-span tokens are all covered by later occurrences
+    // of the 5 shared 8-grams; its unique suffix survives
+    assert(out(2L) == ((16L, 12L, (1 to 4).map(i => s"b$i").mkString(" "))))
+    // doc 3 shares nothing: untouched
+    assert(out(3L) == ((10L, 0L, (1 to 10).map(i => s"u$i").mkString(" "))))
+  }
+
+  test("substring dedup: intra-doc repetition beyond first occurrence " +
+      "is removed too") {
+    val span = (1 to 8).map(i => s"r$i").mkString(" ")
+    val d = docsDir(Seq(
+      (1L, span + " z1 z2 " + span, "en", "a")))
+    val out = ops.Curation.qSubstringDedup(spark, d).collect()
+    assert(out.length == 1)
+    assert(out(0).getLong(1) == 18L)
+    assert(out(0).getLong(2) == 8L)
+    assert(out(0).getString(3) == span + " z1 z2")
+  }
+
   // ---- q_segment_dedup -------------------------------------------------
 
   private def words(prefix: String, from: Int, to: Int): String =

@@ -253,6 +253,26 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p.take(800))
   }
 
+  test("quantiles auto-dispatch picks the binned plan beyond the threshold") {
+    // threshold 0 → any input is "large" → the binned scale path, whose
+    // signature is the (rf, bin)-keyed rank window + broadcast bin filter
+    val large = ops.Advanced.exactQuantiles(spark, sf, thresholdBytes = 0L)
+      .queryExecution.executedPlan.toString
+    assert(large.split("Window \\[").drop(1).exists(w =>
+        w.contains("hashpartitioning(rf") && w.contains("bin")),
+      "large input did not dispatch to the binned plan:\n" + large.take(1000))
+    assert(large.contains("BroadcastHashJoin"))
+    // huge threshold → "small" → the single window sort keyed by rf alone
+    val small = ops.Advanced
+      .exactQuantiles(spark, sf, thresholdBytes = Long.MaxValue)
+      .queryExecution.executedPlan.toString
+    assert(!small.contains("BroadcastHashJoin"),
+      "small input paid the two-pass histogram plan:\n" + small.take(1000))
+    // the deployed default must route the sf0.001 fixture to the small path
+    // and (by the stats estimate) sf0.1's ~80 MB lineitem to the binned one
+    assert(ops.Advanced.QuantileDispatchBytes > 0L)
+  }
+
   test("dup ngrams shuffles 8-byte gram hashes, never gram strings") {
     val p = plan("q_dup_ngrams")
     assert(p.contains("xxhash64"), "grams not hashed:\n" + p.take(800))
