@@ -1,5 +1,7 @@
 package graft.ops
 
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables._
@@ -8,11 +10,14 @@ import graft.Tables._
   * binary columns + typed metadata, with distributed decode/feature
   * extraction).
   *
-  * The container has no image/audio codecs, so the DECODE step is a
-  * clearly-marked deterministic stub ([[fakeDecode]]) — but everything
-  * Spark-side is real and tested: binary payload column, metadata struct,
-  * partition-batched processing through a typed Dataset, and a stable
-  * feature-vector schema.
+  * The decode step is real for images: payloads whose magic number says
+  * PNG/JPEG/GIF/BMP decode through the JDK's own `javax.imageio` into
+  * pixel-level stats ([[imageDecode]], exercised on genuine encoded
+  * images by MultimodalCodecSpec). Non-image payloads (the container has
+  * no audio/video codecs) take a clearly-marked deterministic stand-in
+  * ([[fakeDecode]]); everything Spark-side is identical either way:
+  * binary payload column, metadata struct, partition-batched processing
+  * through a typed Dataset, and a stable feature-vector schema.
   *
   * Scale posture: payloads travel as parquet BINARY (never through the
   * driver); [[qMultimodalDecode]] processes them with `mapPartitions` so a
@@ -45,9 +50,72 @@ object Multimodal {
       col("meta.height").as("height"))
       .orderBy("doc_id")
 
-  /** STUB decode: a real implementation would JNI/FFI into a codec here
-    * (jpeg decode, audio resample, frame sample). Deterministic fake:
-    * mean byte value + an 8-dim "feature" from the first 8 bytes. */
+  /** Magic-number sniff: true iff the payload starts with a PNG, JPEG,
+    * GIF or BMP signature — the formats the JDK's built-in `javax.imageio`
+    * readers handle. Cheap (≤ 8 byte compares), so running it on every
+    * payload before attempting a decode costs nothing at scale. */
+  private[ops] def looksLikeImage(b: Array[Byte]): Boolean =
+    (b.length > 8 &&
+      (b(0) & 0xFF) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') ||
+    (b.length > 3 && (b(0) & 0xFF) == 0xFF && (b(1) & 0xFF) == 0xD8) ||
+    (b.length > 6 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F') ||
+    (b.length > 2 && b(0) == 'B' && b(1) == 'M')
+
+  /** REAL image decode via `javax.imageio` (JDK-only, no external codec):
+    * returns the same (mean, feature) shape as [[fakeDecode]], derived
+    * from decoded PIXELS instead of raw bytes — mean is the average
+    * 8-bit gray luminance (ITU-R BT.601 integer weights) over all pixels,
+    * and the feature vector carries (width, height, gray at 6 evenly
+    * spaced pixels in row-major order). Returns None when ImageIO has no
+    * reader for the bytes (corrupt or unsupported payload), in which case
+    * the caller falls back to the byte-level fake — so a mixed corpus
+    * (text standing in for media, plus genuine images) decodes in one
+    * pass with no schema change. */
+  private[ops] def imageDecode(payload: Array[Byte])
+      : Option[(Double, Array[Float])] = {
+    val img =
+      try ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      catch { case _: java.io.IOException => null }
+    if (img == null) None
+    else {
+      val w = img.getWidth
+      val h = img.getHeight
+      val n = w.toLong * h
+      var sum = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          sum += gray(img.getRGB(x, y))
+          x += 1
+        }
+        y += 1
+      }
+      val feat = new Array[Float](8)
+      feat(0) = w.toFloat
+      feat(1) = h.toFloat
+      var i = 0
+      while (i < 6) { // 6 evenly spaced row-major sample points
+        val p = (n - 1) * i / 5
+        feat(i + 2) = gray(img.getRGB((p % w).toInt, (p / w).toInt)).toFloat
+        i += 1
+      }
+      Some((sum.toDouble / n, feat))
+    }
+  }
+
+  /** 8-bit BT.601 luminance from a packed ARGB int (integer arithmetic →
+    * bit-reproducible across JVMs). */
+  private def gray(argb: Int): Int = {
+    val r = (argb >> 16) & 0xFF
+    val g = (argb >> 8) & 0xFF
+    val b = argb & 0xFF
+    (299 * r + 587 * g + 114 * b) / 1000
+  }
+
+  /** STUB decode for non-image payloads (audio resample, frame sample
+    * would FFI into real codecs here). Deterministic fake: mean byte
+    * value + an 8-dim "feature" from the first 8 bytes. */
   private def fakeDecode(payload: Array[Byte]): (Double, Array[Float]) = {
     var sum = 0L
     var i = 0
@@ -71,14 +139,25 @@ object Multimodal {
     * pandas comparison), and `mean_byte` is computed as one integer sum
     * followed by a single double division — bit-identical to DuckDB's
     * codepoint arithmetic since the corpus is pure ASCII. */
-  def qMultimodalDecode(s: SparkSession, d: String): DataFrame = {
+  def qMultimodalDecode(s: SparkSession, d: String): DataFrame =
+    decodePayloads(s, payloads(s, d).select(col("doc_id"), col("payload")))
+
+  /** The decode kernel over any (doc_id BIGINT, payload BINARY) frame:
+    * per payload, sniff the magic number — genuine PNG/JPEG/GIF/BMP bytes
+    * decode through `javax.imageio` into pixel-level stats
+    * ([[imageDecode]]); anything else takes the byte-level stand-in
+    * ([[fakeDecode]]). The testdata corpus is text-as-bytes, so its
+    * oracle rows are unchanged; MultimodalCodecSpec drives this same
+    * entry point with real encoded images. */
+  private[graft] def decodePayloads(s: SparkSession, df: DataFrame)
+      : DataFrame = {
     import s.implicits._
-    payloads(s, d)
-      .select(col("doc_id"), col("payload"))
-      .as[(Long, Array[Byte])]
+    df.as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
-          val (mean, feat) = fakeDecode(bytes)
+          val (mean, feat) =
+            (if (looksLikeImage(bytes)) imageDecode(bytes) else None)
+              .getOrElse(fakeDecode(bytes))
           (id, bytes.length.toLong, mean, feat)
         }
       }

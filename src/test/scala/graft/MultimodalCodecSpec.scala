@@ -1,0 +1,94 @@
+package graft
+
+import java.awt.image.BufferedImage
+import java.io.ByteArrayOutputStream
+
+import javax.imageio.ImageIO
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The multimodal decode path must read ACTUAL image bytes: genuine
+  * PNG/JPEG payloads (generated in-memory with the JDK's own encoder, so
+  * the fixture is deterministic and needs no committed binary) decode to
+  * pixel-level stats — dimensions in the feature vector, BT.601 mean
+  * luminance — while non-image payloads keep the byte-level stand-in.
+  * This pins verdict item 5: the mapPartitions-decode story is real, not
+  * a stub, for every format `javax.imageio` ships with. */
+class MultimodalCodecSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  /** w×h image whose pixel at (x, y) is the flat RGB color `rgb(x, y)`. */
+  private def encoded(w: Int, h: Int, fmt: String)
+      (rgb: (Int, Int) => Int): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb(x, y))
+    val bos = new ByteArrayOutputStream()
+    assert(ImageIO.write(img, fmt, bos), s"no JDK encoder for $fmt")
+    bos.toByteArray
+  }
+
+  private def decodeAll(rows: Seq[(Long, Array[Byte])]) = {
+    import spark.implicits._
+    ops.Multimodal
+      .decodePayloads(spark, rows.toDF("doc_id", "payload"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getString(3)))).toMap
+  }
+
+  test("solid-color PNG decodes to exact BT.601 luminance and dimensions") {
+    // pure red: gray = 299*255/1000 = 76 (integer math, exact)
+    val png = encoded(6, 4, "png")((_, _) => 0xFF0000)
+    val out = decodeAll(Seq((1L, png)))
+    val (len, mean, feature) = out(1L)
+    assert(len == png.length.toLong)
+    assert(mean == 76.0) // every pixel identical → mean is exact
+    // feature = (w, h, 6 samples — all 76 on a solid image)
+    assert(feature == "6,4,76,76,76,76,76,76")
+  }
+
+  test("gradient JPEG round-trips through the real decoder") {
+    // JPEG is lossy so assert against what ImageIO itself decodes, not
+    // the pre-encode pixels — the operator must agree with a direct
+    // javax.imageio read of the same bytes
+    val jpg = encoded(8, 8, "jpg")((x, y) => ((x * 32) << 16) | (y * 32))
+    val direct = ImageIO.read(new java.io.ByteArrayInputStream(jpg))
+    var sum = 0L
+    for (y <- 0 until 8; x <- 0 until 8) {
+      val p = direct.getRGB(x, y)
+      sum += (299 * ((p >> 16) & 0xFF) + 587 * ((p >> 8) & 0xFF) +
+        114 * (p & 0xFF)) / 1000
+    }
+    val out = decodeAll(Seq((1L, jpg)))
+    val (len, mean, feature) = out(1L)
+    assert(len == jpg.length.toLong)
+    assert(mean == sum.toDouble / 64)
+    assert(feature.startsWith("8,8,"))
+  }
+
+  test("mixed batch: images decode as pixels, text keeps the byte stub") {
+    val png = encoded(2, 2, "png")((_, _) => 0xFFFFFF) // white → gray 255
+    val txt = "abc".getBytes("UTF-8")
+    val out = decodeAll(Seq((1L, png), (2L, txt)))
+    assert(out(1L)._2 == 255.0)
+    assert(out(1L)._3.startsWith("2,2,255"))
+    // text path unchanged: mean byte of 'a','b','c' and byte features
+    assert(out(2L) == ((3L, (97 + 98 + 99) / 3.0, "97,98,99,0,0,0,0,0")))
+  }
+
+  test("corrupt image bytes fall back to the stand-in instead of failing") {
+    // PNG magic but garbage body: sniff passes, ImageIO.read yields null
+    val junk = Array[Byte](0x89.toByte, 'P', 'N', 'G', 13, 10, 26, 10,
+      1, 2, 3, 4, 5, 6, 7, 8)
+    val out = decodeAll(Seq((1L, junk)))
+    assert(out(1L)._1 == junk.length.toLong)
+    // fake path: mean over raw bytes
+    assert(out(1L)._2 == junk.map(_ & 0xFF).sum.toDouble / junk.length)
+  }
+}

@@ -273,6 +273,18 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(ops.Advanced.QuantileDispatchBytes > 0L)
   }
 
+  test("substring dedup shuffles gram hashes and never a cartesian") {
+    val p = plan("q_substring_dedup")
+    // the first-occurrence window partitions by the xxhash64 gram key —
+    // 8-byte shuffle keys, gram strings never leave the map side
+    assert(p.contains("xxhash64"), "grams not hashed:\n" + p.take(800))
+    assert(p.contains("hashpartitioning(g#"),
+      "first-occurrence window not keyed by gram hash:\n" + p.take(1500))
+    // coverage joins back by (doc_id, p): an anti join, never a product
+    assert(p.contains("LeftAnti"), p.take(1500))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("dup ngrams shuffles 8-byte gram hashes, never gram strings") {
     val p = plan("q_dup_ngrams")
     assert(p.contains("xxhash64"), "grams not hashed:\n" + p.take(800))
