@@ -10,8 +10,35 @@ import org.apache.spark.sql.SparkSession
   * sees per-query, and what we're measuring is plan cost, not HotSpot
   * compilation. AQE is on — it is the production configuration this
   * engine is designed for (runtime broadcast demotion, skew splitting).
+  *
+  * Contention evidence: the r8 driver artifact reported a 3.5× phantom
+  * regression caused by machine contention during the bench window (an
+  * idle-box rerun measured 99 s where the artifact said 342 s). To make
+  * such runs self-labeling, the JSON now carries `loadavg` (1-minute
+  * system load sampled before and after the loop) and `cpu_wall_ratio`
+  * (this JVM's process-CPU seconds ÷ wall seconds over the whole loop).
+  * On an idle local[32] box the ratio sits well above 1; a contaminated
+  * run shows high loadavg with a depressed ratio — external processes
+  * are stealing the cores. Additionally any key whose two timed runs
+  * disagree by >3× gets a THIRD run and reports the median, so a single
+  * scheduler hiccup cannot define a key's number.
   */
 object Bench {
+  private def loadAvg1m(): Double = {
+    // ManagementFactory's getSystemLoadAverage reads /proc/loadavg on
+    // Linux; -1 on platforms without the concept.
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .getSystemLoadAverage
+  }
+
+  private def processCpuSec(): Double = {
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+      case os: com.sun.management.OperatingSystemMXBean =>
+        os.getProcessCpuTime / 1e9 // nanoseconds of CPU across all threads
+      case _ => -1.0
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -41,11 +68,36 @@ object Bench {
     // codepaths once.
     timeOnce(ops.Relational.queries("q_star_join"))
     timeOnce(ops.Windows.queries("q_window_rank"))
+    val loadBefore = loadAvg1m()
+    val cpuBefore = processCpuSec()
+    val wallBefore = System.nanoTime()
+    var rerunCount = 0
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (n, fn) =>
       val a = timeOnce(fn)
       val b = timeOnce(fn)
-      n -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
+      val t =
+        if (a < 0 || b < 0) -1.0
+        else if (math.max(a, b) > 3 * math.min(a, b) && math.max(a, b) > 0.5) {
+          // >3× disagreement between the two runs (and the slow one is
+          // non-trivial): a scheduler hiccup or GC pause hit one of them.
+          // Take a tie-breaking third run and report the median so one
+          // bad sample can't define the key.
+          rerunCount += 1
+          val c = timeOnce(fn)
+          if (c < 0) math.min(a, b)
+          else Seq(a, b, c).sorted.apply(1)
+        } else math.min(a, b)
+      n -> t
     }
+    val wallSec = (System.nanoTime() - wallBefore) / 1e9
+    val cpuAfter = processCpuSec()
+    val loadAfter = loadAvg1m()
+    // CPU/wall over the whole timed loop: >1 means this JVM held multiple
+    // cores throughout (healthy at local[32]); ≈1 or below with a high
+    // loadavg means external contention stole the machine.
+    val cpuWallRatio =
+      if (cpuBefore < 0 || cpuAfter < 0 || wallSec <= 0) -1.0
+      else (cpuAfter - cpuBefore) / wallSec
     // per-query seconds rounded to ms: sub-ms digits are pure noise and
     // ~40% of the artifact line's length
     def r3(v: Double): Double = math.rint(v * 1000) / 1000
@@ -57,8 +109,12 @@ object Bench {
     val ok = results.map(_._2).filter(_ >= 0)
     val total = ok.sum
     val failed = results.size - ok.size
+    val env =
+      s""""loadavg":{"before":${r3(loadBefore)},"after":${r3(loadAfter)}},""" +
+        s""""cpu_wall_ratio":${r3(cpuWallRatio)},"wall_sec":${r3(wallSec)},""" +
+        s""""triple_measured":$rerunCount"""
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,$env,"queries":$qs,"sf":"$sfDir"}"""
     println(fullLine)
     // The artifact of record keeps only a bounded TAIL of stdout; with 85+
     // keys the full contract line above overflows it and the headline
@@ -73,16 +129,35 @@ object Bench {
       val r = new java.io.File("/root/repo")
       if (r.isDirectory) r else new java.io.File(".")
     }
-    val re = "BENCH_r(\\d+)\\.json".r
-    val lastRound = Option(repoDir.listFiles).getOrElse(Array.empty)
-      .flatMap(f => re.findFirstMatchIn(f.getName).map(_.group(1).toInt))
-      .foldLeft(0)(math.max)
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+    val outPath = sys.env.get("SPARK_GRAFT_BENCH_OUT").getOrElse {
+      // Fallback heuristic when the driver doesn't pass an explicit
+      // output path: 1 + the highest driver-written BENCH_r{N}.json.
+      // Fragile if the driver writes its round file before the bench
+      // runs, so warn, and never clobber an existing file below.
+      val re = "BENCH_r(\\d+)\\.json".r
+      val lastRound = Option(repoDir.listFiles).getOrElse(Array.empty)
+        .flatMap(f => re.findFirstMatchIn(f.getName).map(_.group(1).toInt))
+        .foldLeft(0)(math.max)
+      println(s"""{"warn":"SPARK_GRAFT_BENCH_OUT unset; inferring round ${lastRound + 1} from ${repoDir.getPath}"}""")
       new java.io.File(repoDir,
-        f"BENCH_full_r${lastRound + 1}%02d.json").getPath)
-    val w = new java.io.PrintWriter(outPath, "UTF-8")
+        f"BENCH_full_r${lastRound + 1}%02d.json").getPath
+    }
+    // No-clobber: an existing artifact is a prior record — suffix rather
+    // than overwrite it.
+    val outFile = {
+      val f = new java.io.File(outPath)
+      if (!f.exists) f
+      else {
+        val alt = Iterator.from(1)
+          .map(i => new java.io.File(outPath + s".$i"))
+          .find(!_.exists).get
+        println(s"""{"warn":"$outPath exists; writing ${alt.getPath}"}""")
+        alt
+      }
+    }
+    val w = new java.io.PrintWriter(outFile, "UTF-8")
     try w.println(fullLine) finally w.close()
-    println(s"""{"bench_full_written":"$outPath"}""")
+    println(s"""{"bench_full_written":"${outFile.getPath}"}""")
     spark.stop()
   }
 }

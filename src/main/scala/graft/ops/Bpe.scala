@@ -141,7 +141,8 @@ object Bpe {
     * tie-break (cnt desc, a, b).
     *
     * Returns (merges, per-round affected-word counts). */
-  private[graft] def learnMergesDelta(s: SparkSession, d: String)
+  private[graft] def learnMergesDelta(s: SparkSession, d: String,
+      nMerges: Int = Merges)
       : (Seq[(Long, String, String, String, Long)], Seq[Long]) = {
     var vocab = documents(s, d)
       .select(explode(Text.toks(col("text"))).as("w"))
@@ -154,12 +155,12 @@ object Bpe {
       .empty[(Long, String, String, String, Long)]
     val affectedCounts = scala.collection.mutable.ArrayBuffer.empty[Long]
     var rank = 1L
-    while (rank <= Merges) {
+    while (rank <= nMerges) {
       val top = pairs
         .orderBy(col("cnt").desc, col("a"), col("b"))
         .limit(1)
         .collect() // 1 row: the argmax control decision
-      if (top.isEmpty) { rank = Merges + 1 }
+      if (top.isEmpty) { rank = nMerges + 1 }
       else {
         val r = top.head
         val (a, b, cnt) = (r.getString(0), r.getString(1), r.getLong(2))
@@ -213,16 +214,38 @@ object Bpe {
     (learned.toSeq.sortBy(_._1), affectedCounts.toSeq)
   }
 
-  /** The production learn entry at demonstrator scale — the full-recount
-    * learner (see the crossover note on [[learnMergesDelta]]). */
-  private def learnMerges(s: SparkSession, d: String)
-      : Seq[(Long, String, String, String, Long)] =
-    learnMergesRescan(s, d)
+  /** The measured crossover between the two learners (see the note on
+    * [[learnMergesDelta]]): the rescan's per-round cost is one full
+    * pair-count over the vocabulary — cheap while merges are few and
+    * high-frequency — while the delta's per-round cost tracks only the
+    * affected words but pays fixed bookkeeping (state materialization,
+    * signed-pair shuffle). At sf0.1 the delta form pulls ahead within
+    * the first ~10² merges as affected fractions fall, so the dispatch
+    * threshold sits at 100: a demonstrator-scale request (8 merges)
+    * takes the rescan branch, a real tokenizer build (10⁴–10⁵ merges)
+    * takes the delta branch. Both learners share the argmax tie-break
+    * and are output-equivalent (BpeDeltaSpec), so dispatch is purely a
+    * cost decision — callers cannot land on a wrong ANSWER either way,
+    * only a wrong PLAN, which is exactly what this removes. */
+  private[graft] val DeltaCrossoverMerges = 100
+
+  private[graft] def learnerFor(nMerges: Int): String =
+    if (nMerges <= DeltaCrossoverMerges) "rescan" else "delta"
+
+  /** The production learn entry: auto-dispatches rescan vs delta on the
+    * requested merge count (see [[DeltaCrossoverMerges]]). */
+  private[graft] def learnMerges(s: SparkSession, d: String,
+      nMerges: Int = Merges): Seq[(Long, String, String, String, Long)] =
+    learnerFor(nMerges) match {
+      case "rescan" => learnMergesRescan(s, d, nMerges)
+      case _        => learnMergesDelta(s, d, nMerges)._1
+    }
 
   /** Full pair recount over the whole vocabulary every round — cheapest
     * at the demonstrator's 8 high-frequency merges; the delta learner
     * must agree with it (BpeDeltaSpec). */
-  private[graft] def learnMergesRescan(s: SparkSession, d: String)
+  private[graft] def learnMergesRescan(s: SparkSession, d: String,
+      nMerges: Int = Merges)
       : Seq[(Long, String, String, String, Long)] = {
     var vocab = documents(s, d)
       .select(explode(Text.toks(col("text"))).as("w"))
@@ -239,7 +262,7 @@ object Bpe {
     // count()-only materialization job is ever scheduled
     var parent: org.apache.spark.sql.DataFrame = null
     var rank = 1L
-    while (rank <= Merges) {
+    while (rank <= nMerges) {
       val arr = split(col("repr"), " ")
       val top = vocab
         .select(col("freq"), explode(zip_with(
@@ -252,7 +275,7 @@ object Bpe {
         .limit(1)
         .collect() // materializes vocab's cache as a side effect
       if (parent != null) { parent.unpersist(); parent = null }
-      if (top.isEmpty) { rank = Merges + 1 }
+      if (top.isEmpty) { rank = nMerges + 1 }
       else {
         val r = top.head
         val (a, b, cnt) =

@@ -229,11 +229,18 @@ object Curation {
     * key) from the duplication PROFILE (q_dup_ngrams).
     *
     * Scale posture: three shuffles, all keyed fine — the first-occurrence
-    * window partitions by gram (collapsed to xxhash64 per-row, so the
-    * shuffle carries 8-byte keys; grams never reach the output), the
-    * covered-position distinct and the anti join key by (doc, position),
-    * and the rebuild aggregates by doc. No document body ever shuffles
-    * more than once, and no step is quadratic in corpus size. */
+    * window partitions by gram (collapsed to a 128-bit hash pair per-row,
+    * so the shuffle carries 16-byte keys; grams never reach the output),
+    * the covered-position distinct and the anti join key by (doc,
+    * position), and the rebuild aggregates by doc. No document body ever
+    * shuffles more than once, and no step is quadratic in corpus size.
+    *
+    * Key width: a single 64-bit gram hash hits its first expected
+    * birthday collision near ~4×10⁹ distinct grams — well inside a
+    * 100 TB corpus — and a collision here silently merges two unrelated
+    * grams, over-deleting up to k tokens. Two independently-salted
+    * xxhash64s give an effective 128-bit key (first expected collision
+    * ~2^64 grams, unreachable), at +8 bytes/row of shuffle. */
   def qSubstringDedup(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val k = 8
@@ -243,11 +250,17 @@ object Curation {
     val occ = docs.where(size(col("tk")) >= k)
       .select(col("doc_id"),
         explode(transform(sequence(lit(1), size(col("tk")) - (k - 1)),
-          i => struct(i.as("i"),
-            xxhash64(concat_ws(" ", slice(col("tk"), i, lit(k))))
-              .as("g")))).as("x"))
-      .select(col("doc_id"), col("x.i").as("i"), col("x.g").as("g"))
-    val firstW = Window.partitionBy("g").orderBy("doc_id", "i")
+          i => {
+            val gram = concat_ws(" ", slice(col("tk"), i, lit(k)))
+            struct(i.as("i"), xxhash64(gram).as("g"),
+              // second, independently-salted 64 bits: the literal prefix
+              // changes every internal block hash, so (g, g2) is an
+              // effective 128-bit gram identity
+              xxhash64(lit("graft-salt-2"), gram).as("g2"))
+          })).as("x"))
+      .select(col("doc_id"), col("x.i").as("i"), col("x.g").as("g"),
+        col("x.g2").as("g2"))
+    val firstW = Window.partitionBy("g", "g2").orderBy("doc_id", "i")
     val covered = occ
       .withColumn("rn", row_number().over(firstW))
       .where(col("rn") > 1)

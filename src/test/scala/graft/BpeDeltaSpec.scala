@@ -76,4 +76,32 @@ class BpeDeltaSpec extends AnyFunSuite {
     // the 26 vocabulary words — never a vocabulary-wide rewrite
     assert(affected.drop(2).forall(_ <= 2L), affected.mkString(","))
   }
+
+  test("learnMerges auto-dispatches rescan vs delta on merge count") {
+    // the dispatch is a pure cost decision (both learners are output-
+    // equivalent, proven above); pin the branch at both ends of the
+    // measured crossover so a demonstrator request keeps the cheap
+    // rescan plan and a 10⁵-merge tokenizer build lands on the delta.
+    assert(ops.Bpe.learnerFor(8) == "rescan")
+    assert(ops.Bpe.learnerFor(ops.Bpe.DeltaCrossoverMerges) == "rescan")
+    assert(ops.Bpe.learnerFor(ops.Bpe.DeltaCrossoverMerges + 1) == "delta")
+    assert(ops.Bpe.learnerFor(100000) == "delta")
+    // and the dispatching entry agrees with the direct learner on a
+    // real corpus at both branch settings
+    val d = docsDir(Seq(
+      (1L, Seq.fill(5)("low").mkString(" ")),
+      (2L, Seq.fill(2)("lower").mkString(" ")),
+      (3L, Seq.fill(6)("newest").mkString(" ")),
+      (4L, Seq.fill(3)("widest").mkString(" "))))
+    val viaDispatch = ops.Bpe.learnMerges(spark, d, nMerges = 4)
+    val viaRescan = ops.Bpe.learnMergesRescan(spark, d, nMerges = 4)
+    assert(viaDispatch == viaRescan)
+    val deep = ops.Bpe.learnMerges(spark, d,
+      nMerges = ops.Bpe.DeltaCrossoverMerges + 5)
+    // tiny vocab exhausts its pairs long before the requested count;
+    // the delta branch must still agree with rescan on the full table
+    val deepRescan = ops.Bpe.learnMergesRescan(spark, d,
+      nMerges = ops.Bpe.DeltaCrossoverMerges + 5)
+    assert(deep == deepRescan)
+  }
 }

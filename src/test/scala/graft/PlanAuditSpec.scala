@@ -275,11 +275,13 @@ class PlanAuditSpec extends AnyFunSuite {
 
   test("substring dedup shuffles gram hashes and never a cartesian") {
     val p = plan("q_substring_dedup")
-    // the first-occurrence window partitions by the xxhash64 gram key —
-    // 8-byte shuffle keys, gram strings never leave the map side
+    // the first-occurrence window partitions by the 128-bit gram hash
+    // pair — 16-byte shuffle keys, gram strings never leave the map side
     assert(p.contains("xxhash64"), "grams not hashed:\n" + p.take(800))
     assert(p.contains("hashpartitioning(g#"),
       "first-occurrence window not keyed by gram hash:\n" + p.take(1500))
+    assert(p.contains("g2#"),
+      "second 64-bit salt missing — key is not 128-bit:\n" + p.take(1500))
     // coverage joins back by (doc_id, p): an anti join, never a product
     assert(p.contains("LeftAnti"), p.take(1500))
     assert(!p.contains("CartesianProduct"))
