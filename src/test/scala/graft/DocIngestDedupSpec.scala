@@ -109,4 +109,14 @@ class DocIngestDedupSpec extends AnyFunSuite {
     assert(ids == Set(1L, 3L, 4L),
       s"expected in-horizon dup 2 suppressed and late dup 4 re-emitted: $ids")
   }
+
+  test("state partitions size to the ingest rate, not the batch default") {
+    import graft.streaming.DocIngest.statePartitionsFor
+    // per-batch commit cost is linear in state partitions, so tiny
+    // batches must never inherit a batch-tuned shuffle default
+    assert(statePartitionsFor(5000L, 32) == 5)
+    assert(statePartitionsFor(500L, 32) == 1) // floor at one partition
+    // a real edge's batches scale the shards up to the core ceiling
+    assert(statePartitionsFor(1000000L, 32) == 32)
+  }
 }
