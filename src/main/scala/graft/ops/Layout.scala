@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Physical-layout operators: multi-dimensional clustering for write-time
@@ -51,13 +51,14 @@ object Layout {
         ((c.cast("double") - lo.cast("double")) * buckets /
           (hi.cast("double") - lo.cast("double") + 1e-9)).cast("long")))
 
-  /** Write `df` as parquet clustered on the z-curve of (`a`, `b`):
-    * bucket-rank both columns against their global min/max (one 1-row
-    * broadcast), interleave the ranks, range-partition into `files`
-    * contiguous z chunks and sort within each — every output file is a
-    * near-rectangle of the two-column value space. */
-  def zorderWrite(df: DataFrame, a: String, b: String, path: String,
-                  files: Int = 16, buckets: Int = 1024): Unit = {
+  /** The z-clustered arrangement of `df` (shared by [[zorderWrite]] and
+    * the z-order path of [[compact]]): bucket-rank `a` and `b` against
+    * their global min/max (one 1-row broadcast), interleave the ranks,
+    * range-partition into `files` contiguous z chunks and sort within
+    * each — every output file is a near-rectangle of the two-column
+    * value space. */
+  private def zArranged(df: DataFrame, a: String, b: String,
+                        files: Int, buckets: Int): DataFrame = {
     val stats = df.agg(
       min(col(a)).as("__amin"), max(col(a)).as("__amax"),
       min(col(b)).as("__bmin"), max(col(b)).as("__bmax"))
@@ -68,6 +69,80 @@ object Layout {
       .repartitionByRange(files, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z", "__amin", "__amax", "__bmin", "__bmax")
+  }
+
+  /** Write `df` as parquet clustered on the z-curve of (`a`, `b`). */
+  def zorderWrite(df: DataFrame, a: String, b: String, path: String,
+                  files: Int = 16, buckets: Int = 1024): Unit =
+    zArranged(df, a, b, files, buckets)
       .write.mode("overwrite").parquet(path)
+
+  /** Result of one [[compact]] pass. */
+  case class CompactStats(filesBefore: Int, filesAfter: Int,
+                          bytesBefore: Long, bytesAfter: Long)
+
+  /** Small-file compaction — the OPTIMIZE half of lakehouse table
+    * maintenance (the reference's index-after-bulk-load step,
+    * ETLCNPJFinalEmpresaEstabelecimentos.py:176-182, is the moral slot:
+    * a physical-reorg pass after chunked appends). Chunked appends (S8)
+    * leave a table as many files sized by APPEND cadence, not by read
+    * efficiency; at 100 TB that means listing millions of files, opening
+    * each for a footer, and starving scans of full row groups. This pass
+    * rewrites the table into ceil(bytes / targetFileBytes) files:
+    *
+    *   - default: `coalesce` bin-packing — NO shuffle, pure IO merge
+    *     (compaction is an IO job; shuffling 100 TB to merge files would
+    *     dwarf the win). Existing intra-file ordering survives per bin.
+    *   - `sortBy`: range-partition + in-file sort — one shuffle, buys
+    *     min/max row-group + file skipping on the sort key (tier-2
+    *     layout of DataSkippingSpec).
+    *   - `zorderBy`: the [[zArranged]] two-column clustering — one
+    *     shuffle, buys pruning on BOTH columns.
+    *
+    * Commit protocol: write to a sibling temp dir, then swap via two
+    * renames (dir → backup, tmp → dir) and drop the backup — the
+    * FS-level equivalent of a table-format's atomic REPLACE commit; on
+    * HDFS each rename is atomic, so readers see the old or the new
+    * complete table, never a mix. A real lakehouse deployment would run
+    * this under a Delta/Iceberg transaction instead; the plan shape
+    * (read all → arrange → write few) is identical. */
+  def compact(spark: SparkSession, dir: String,
+              targetFileBytes: Long = 128L << 20,
+              sortBy: Seq[String] = Nil,
+              zorderBy: Option[(String, String)] = None,
+              zBuckets: Int = 1024): CompactStats = {
+    import org.apache.hadoop.fs.Path
+    val path = new Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataFiles(p: Path) = fs.listStatus(p).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+    val before = dataFiles(path)
+    val bytesBefore = before.map(_.getLen).sum
+    val nOut = math.max(1L,
+      (bytesBefore + targetFileBytes - 1) / targetFileBytes).toInt
+    val df = spark.read.parquet(dir)
+    val arranged = zorderBy match {
+      case Some((a, b)) => zArranged(df, a, b, nOut, zBuckets)
+      case None if sortBy.nonEmpty =>
+        df.repartitionByRange(nOut, sortBy.map(col): _*)
+          .sortWithinPartitions(sortBy.map(col): _*)
+      case None => df.coalesce(nOut)
+    }
+    val tmp = new Path(path.getParent,
+      path.getName + ".compact-tmp")
+    val bak = new Path(path.getParent,
+      path.getName + ".compact-bak")
+    fs.delete(tmp, true); fs.delete(bak, true)
+    arranged.write.mode("overwrite").parquet(tmp.toString)
+    if (!fs.rename(path, bak))
+      throw new java.io.IOException(s"compact: cannot back up $path")
+    if (!fs.rename(tmp, path)) {
+      fs.rename(bak, path) // roll back — the old table is intact
+      throw new java.io.IOException(s"compact: cannot publish $tmp")
+    }
+    fs.delete(bak, true)
+    val after = dataFiles(path)
+    CompactStats(before.size, after.size,
+      bytesBefore, after.map(_.getLen).sum)
   }
 }

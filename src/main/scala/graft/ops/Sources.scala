@@ -145,12 +145,34 @@ object Sources {
       .orderBy("o_orderstatus")
   }
 
+  /** S8+ warehouse maintenance: small-file compaction round trip.
+    * Chunk-append the documents table as 40 tiny files (the S8 append
+    * cadence leaves exactly this layout), run [[Layout.compact]] sorted
+    * on doc_id, read back and aggregate. The oracle aggregates the
+    * SOURCE table directly, so equality proves the rewrite is
+    * content-preserving; CompactionSpec pins the physical side
+    * (file-count reduction, sorted min/max disjointness, swap
+    * atomicity). */
+  def qCompactRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val out = s"${ioDir(d)}/documents_compact"
+    documents(s, d).repartition(40).write.mode("overwrite").parquet(out)
+    Layout.compact(s, out, targetFileBytes = 128L << 20,
+      sortBy = Seq("doc_id"))
+    s.read.parquet(out)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"),
+        sum(col("n_chars")).as("sum_chars"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_csv_scan"        -> qCsvScan _,
     "q_table_roundtrip" -> qTableRoundtrip _,
     "q_orc_roundtrip"   -> qOrcRoundtrip _,
     "q_jsonl_roundtrip" -> qJsonlRoundtrip _,
     "q_fixedwidth_roundtrip" -> qFixedWidthRoundtrip _,
+    "q_compact_roundtrip" -> qCompactRoundtrip _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -180,5 +202,10 @@ object Sources {
         |    AS BIGINT)) AS BIGINT) AS sum_cents
         |FROM orders GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
+    "q_compact_roundtrip" ->
+      """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
   )
 }
