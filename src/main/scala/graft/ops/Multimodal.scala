@@ -73,9 +73,14 @@ object Multimodal {
     * pass with no schema change. */
   private[ops] def imageDecode(payload: Array[Byte])
       : Option[(Double, Array[Float])] = {
+    // NonFatal, not just IOException: JDK image readers throw
+    // RuntimeExceptions (IllegalArgumentException, CMMException,
+    // ArrayIndexOutOfBounds) on malformed payloads that PASS the
+    // magic-number sniff — one truncated image must degrade to the
+    // stand-in decode, never kill a whole mapPartitions stage.
     val img =
       try ImageIO.read(new java.io.ByteArrayInputStream(payload))
-      catch { case _: java.io.IOException => null }
+      catch { case scala.util.control.NonFatal(_) => null }
     if (img == null) None
     else {
       val w = img.getWidth

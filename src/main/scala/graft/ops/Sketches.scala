@@ -44,7 +44,18 @@ object Sketches {
     * documents: the (band, bucket) candidate self-join and the candidate
     * verification lookups, both bounded by bucket occupancy rather than
     * corpus size. */
-  def qMinhashLsh(s: SparkSession, d: String): DataFrame = {
+  def qMinhashLsh(s: SparkSession, d: String): DataFrame =
+    minhashVerifiedPairs(s, d).orderBy("da", "db")
+
+  /** The LSH-banded, exact-verified near-dup pair set — the corpus-scale
+    * candidate generator, factored out so the cluster operator can
+    * consume the SAME pair set ([[qDedupClusterLsh]]): banding bounds
+    * candidate volume by bucket occupancy, the intersect kernel verifies
+    * only candidates, and the τ cut makes the surviving pairs
+    * band-recall permitting identical to the exact-join pair set
+    * (SketchSpec pins that equality on testdata). */
+  private[ops] def minhashVerifiedPairs(s: SparkSession, d: String)
+      : DataFrame = {
     import graft.functions.SketchKernels.minHashSketch
     import graft.functions.SortedIntersectCount.sortedIntersectCount
     val arr = Text.shingleSets(s, d).where(size(col("hs")) > 0)
@@ -80,7 +91,6 @@ object Sketches {
         round(col("c").cast("double") /
           (col("na") + col("nb") - col("c")), 6).as("jaccard"))
       .where(col("jaccard") >= 0.6)
-      .orderBy("da", "db")
   }
 
   /** Block boundaries for SimHash banding: 64 bits → 6 blocks of
@@ -161,6 +171,21 @@ object Sketches {
       .select(col("id").as("doc_id"), col("lbl").as("cluster_rep"))
       .orderBy("doc_id")
   }
+
+  /** The full production dedup DAG in one key: MinHash banding generates
+    * candidates, the exact intersect kernel verifies them, and label
+    * propagation clusters the surviving pairs — sketch → verify →
+    * cluster, which is how a 100 TB corpus is actually deduped (the
+    * exact-join pair set [[qDedupCluster]] consumes is itself
+    * quadratic-prone at corpus scale; the banded generator is not).
+    * Shares q_dedup_cluster's oracle string, so the DuckDB gate proves
+    * clusters(banded + verified) ≡ clusters(exact pairs) end to end. */
+  def qDedupClusterLsh(s: SparkSession, d: String): DataFrame =
+    labelPropagation(
+      minhashVerifiedPairs(s, d).select(col("da"), col("db")),
+      maxIter = 20)
+      .select(col("id").as("doc_id"), col("lbl").as("cluster_rep"))
+      .orderBy("doc_id")
 
   /** Iterative min-label propagation over an undirected edge list given as
     * (da, db) pairs; returns (id, lbl) with lbl = the component's minimum
@@ -308,9 +333,22 @@ object Sketches {
     // per-invocation unique leaf dir: two concurrent invocations on the
     // same scale factor (parallel bench, concurrency sweep) must not race
     // on one overwrite-then-read path
-    val out =
+    val root =
       s"${sys.props.getOrElse("graft.io.dir", "target/graft_io")}/$sf/" +
-        s"token_sketches/${java.util.UUID.randomUUID()}"
+        "token_sketches"
+    // leaves are single-use: sweep siblings old enough that no live
+    // invocation can still be reading them (bench reruns otherwise
+    // accumulate one copy of the sketch table per timed run, unbounded),
+    // and register this run's leaf for deletion at JVM exit
+    val staleMs = 30L * 60 * 1000
+    Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory &&
+        f.lastModified < System.currentTimeMillis() - staleMs)
+      .foreach(dir => {
+        Option(dir.listFiles()).getOrElse(Array.empty).foreach(_.delete())
+        dir.delete()
+      })
+    val out = s"$root/${java.util.UUID.randomUUID()}"
     documents(s, d)
       .select(col("lang"), col("source"),
         explode(Text.toks(col("text"))).as("t"))
@@ -318,6 +356,10 @@ object Sketches {
       .agg(kmvSketch(xxhash64(col("t"))).as("sketch"),
         count(lit(1)).as("n_tokens"))
       .write.mode("overwrite").parquet(out)
+    // reverse registration order: children delete before their parent
+    val leaf = new java.io.File(out)
+    leaf.deleteOnExit()
+    Option(leaf.listFiles()).getOrElse(Array.empty).foreach(_.deleteOnExit())
     s.read.parquet(out)
       .groupBy("lang")
       .agg(count(lit(1)).cast("long").as("n_sources"),
@@ -330,6 +372,7 @@ object Sketches {
     "q_minhash_lsh"   -> qMinhashLsh _,
     "q_simhash"       -> qSimhash _,
     "q_dedup_cluster" -> qDedupCluster _,
+    "q_dedup_cluster_lsh" -> qDedupClusterLsh _,
     "q_heavy_hitters" -> qHeavyHitters _,
     "q_heavy_hitters_grouped" -> qHeavyHittersGrouped _,
     "q_sketch_rollup" -> qSketchRollup _,
@@ -363,7 +406,14 @@ object Sketches {
         |GROUP BY tk.lang, t, n
         |HAVING COUNT(*) * 50 > n
         |ORDER BY tk.lang, t""".stripMargin,
-    "q_dedup_cluster" ->
+    "q_dedup_cluster" -> clusterSql,
+    // The banded-generator composition MUST land on the same clusters as
+    // the exact-pair path — one shared oracle string makes the DuckDB
+    // gate prove it every round (and the two strings can't drift).
+    "q_dedup_cluster_lsh" -> clusterSql,
+  )
+
+  private lazy val clusterSql: String =
       ("""WITH RECURSIVE toks AS (
         |  SELECT doc_id,
         |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
@@ -391,6 +441,5 @@ object Sketches {
         |  UNION
         |  SELECT e.dst, r.r FROM reach r JOIN edges e ON e.src = r.id)
         |SELECT id AS doc_id, MIN(r) AS cluster_rep
-        |FROM reach GROUP BY id ORDER BY doc_id""").stripMargin,
-  )
+        |FROM reach GROUP BY id ORDER BY doc_id""").stripMargin
 }

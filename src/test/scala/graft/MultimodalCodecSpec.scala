@@ -91,4 +91,26 @@ class MultimodalCodecSpec extends AnyFunSuite {
     // fake path: mean over raw bytes
     assert(out(1L)._2 == junk.map(_ & 0xFF).sum.toDouble / junk.length)
   }
+
+  test("truncated valid image falls back instead of killing the stage") {
+    // a REAL encoded image cut mid-stream: the sniff passes and ImageIO
+    // gets far enough to throw a RuntimeException from inside the format
+    // reader (not an IOException) — the decode must degrade to the
+    // stand-in, one row must never fail the mapPartitions task
+    for (fmt <- Seq("png", "jpg", "bmp")) {
+      val whole = encoded(64, 64, fmt)((x, y) => (x * 4) << 16 | (y * 4))
+      val cuts = Seq(whole.length / 4, whole.length / 2, whole.length - 4)
+      val rows = cuts.zipWithIndex.map { case (n, i) =>
+        ((i + 1).toLong, whole.take(n))
+      }
+      val out = decodeAll(rows)
+      rows.foreach { case (id, b) =>
+        // whichever path decoded it, the row survived with a real value:
+        // either pixel stats (reader coped with truncation) or the
+        // byte-level stand-in (reader threw / returned null)
+        assert(out.contains(id), s"$fmt truncated at ${b.length} lost row")
+        assert(out(id)._1 == b.length.toLong)
+      }
+    }
+  }
 }

@@ -52,6 +52,17 @@ class OpsSpec extends AnyFunSuite {
     assert(lsh == exact)
   }
 
+  test("clusters over banded+verified pairs == clusters over exact pairs") {
+    // the full production dedup DAG (sketch -> verify -> cluster) must
+    // land on the same components as the exact-pair path; the shared
+    // DuckDB oracle proves this at the gate, this pins it in-suite too
+    val exact = ops.Sketches.qDedupCluster(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val lsh = ops.Sketches.qDedupClusterLsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(lsh == exact)
+  }
+
   test("exact dedup keeps one representative per fingerprint") {
     val rows = ops.Text.qDedupExact(spark, sf).collect()
     assert(rows.map(_.getAs[String]("fp")).distinct.length == rows.length)
