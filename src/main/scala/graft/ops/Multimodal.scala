@@ -109,6 +109,77 @@ object Multimodal {
     }
   }
 
+  /** 64-bit perceptual dHash (difference hash — public algorithm: gradient
+    * sign over a 9×8 downsample): box-average the decoded image's BT.601
+    * gray channel onto a 9-column × 8-row grid with pure integer
+    * arithmetic, then set bit r·8+c iff cell (r,c) is brighter than its
+    * right neighbor (r,c+1). The hash keys on gradient DIRECTION, not
+    * absolute luminance, so it is invariant to uniform
+    * brightness/contrast shifts and — because the grid is an area
+    * average — to rescaling; Hamming distance orders images by visual
+    * similarity. A 64-bit signature per image means image near-dup dedup
+    * reuses the SimHash banding machinery unchanged (band the 64 bits,
+    * verify candidates by Hamming), making visual dedup a first-class
+    * corpus operator next to text near-dup. None when the payload
+    * doesn't decode. */
+  private[graft] def imageDHash(payload: Array[Byte]): Option[Long] = {
+    val img =
+      try ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      catch { case scala.util.control.NonFatal(_) => null }
+    if (img == null) None
+    else {
+      val w = img.getWidth
+      val h = img.getHeight
+      val cell = Array.ofDim[Int](8, 9)
+      var r = 0
+      while (r < 8) {
+        val y0 = r * h / 8
+        val y1 = math.max(y0 + 1, (r + 1) * h / 8)
+        var c = 0
+        while (c < 9) {
+          val x0 = c * w / 9
+          val x1 = math.max(x0 + 1, (c + 1) * w / 9)
+          var sum = 0L
+          var y = y0
+          while (y < y1) {
+            var x = x0
+            while (x < x1) { sum += gray(img.getRGB(x, y)); x += 1 }
+            y += 1
+          }
+          cell(r)(c) = (sum / ((y1 - y0).toLong * (x1 - x0))).toInt
+          c += 1
+        }
+        r += 1
+      }
+      Some(dHashBits((r, c) => cell(r)(c)))
+    }
+  }
+
+  /** Deterministic stand-in dHash for non-image payloads: the same 9×8
+    * difference rule over 72 bytes sampled evenly across the payload —
+    * same bit semantics, so mixed corpora carry ONE signature column. */
+  private[graft] def byteDHash(payload: Array[Byte]): Long = {
+    val n = payload.length
+    def at(i: Int): Int =
+      if (n == 0) 0 else payload(((n - 1).toLong * i / 71).toInt) & 0xFF
+    dHashBits((r, c) => at(r * 9 + c))
+  }
+
+  /** The shared dHash bit rule: bit r·8+c set iff g(r,c) > g(r,c+1). */
+  private def dHashBits(g: (Int, Int) => Int): Long = {
+    var bits = 0L
+    var r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 8) {
+        if (g(r, c) > g(r, c + 1)) bits |= 1L << (r * 8 + c)
+        c += 1
+      }
+      r += 1
+    }
+    bits
+  }
+
   /** 8-bit BT.601 luminance from a packed ARGB int (integer arithmetic →
     * bit-reproducible across JVMs). */
   private def gray(argb: Int): Int = {
@@ -220,11 +291,38 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** Per-payload 64-bit perceptual hash: images get the pixel-level
+    * [[imageDHash]], everything else the byte-level stand-in
+    * ([[byteDHash]]) — one signature column for a mixed corpus, rendered
+    * as 16 hex chars. Rows-only key (the sampled-byte stand-in is not
+    * reproducible in one DuckDB expression); MultimodalCodecSpec pins
+    * the image path's scale/brightness invariance and
+    * similar-close/different-far Hamming behavior on real encoded
+    * fixtures. Near-dup image dedup = SimHash-style banding over this
+    * column (the 64-bit signature is drop-in for the banded join). */
+  def qImagePhash(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    payloads(s, d).select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val (h, src) =
+            (if (looksLikeImage(bytes)) imageDHash(bytes) else None)
+              .map((_, "image"))
+              .getOrElse((byteDHash(bytes), "bytes"))
+          (id, f"$h%016x", src)
+        }
+      }
+      .toDF("doc_id", "phash", "decoded_as")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal_meta"   -> qMultimodalMeta _,
     "q_multimodal_decode" -> qMultimodalDecode _,
     "q_multimodal_frames" -> qMultimodalFrames _,
     "q_multimodal_resize" -> qMultimodalResize _,
+    "q_image_phash"       -> qImagePhash _,
   )
 
   val oracleSql: Map[String, String] = Map(

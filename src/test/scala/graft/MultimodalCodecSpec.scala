@@ -92,6 +92,50 @@ class MultimodalCodecSpec extends AnyFunSuite {
     assert(out(1L)._2 == junk.map(_ & 0xFF).sum.toDouble / junk.length)
   }
 
+  test("dHash: scale- and brightness-invariant, similar-close, different-far") {
+    import ops.Multimodal.{imageDHash, byteDHash}
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    // a DECREASING horizontal gradient: every left cell is brighter than
+    // its right neighbor, so all 64 difference bits are set — maximally
+    // distinguishable from flat/vertical patterns (an increasing gradient
+    // would hash to all-zeros, same as any pattern with no horizontal
+    // structure, and discriminate nothing)
+    def gradient(wh: Int, bright: Int, fmt: String = "png") =
+      encoded(wh, wh, fmt)((x, _) => {
+        val g = math.min(255, math.max(0, 255 - x * 256 / wh + bright))
+        g << 16 | g << 8 | g
+      })
+    val base = imageDHash(gradient(64, 0)).get
+    assert(base == -1L, f"decreasing gradient should set all bits: $base%016x")
+    // scale invariance: the 9x8 box average sees the same shape at 32,
+    // 64 and 128 px — identical hash by construction on a smooth image
+    assert(imageDHash(gradient(32, 0)).get == base)
+    assert(imageDHash(gradient(128, 0)).get == base)
+    // brightness invariance: a +40 uniform lift flips (almost) no
+    // gradient signs — only cells clipped at 255 can equalize
+    assert(hamming(imageDHash(gradient(64, 40)).get, base) <= 8)
+    // a perturbed copy (one dark corner blotch) stays within a few bits
+    val perturbed = imageDHash(encoded(64, 64, "png")((x, y) => {
+      val g = if (x < 8 && y < 8) 0 else math.max(0, 255 - x * 4)
+      g << 16 | g << 8 | g
+    })).get
+    assert(hamming(perturbed, base) <= 8,
+      s"perturbed too far: ${hamming(perturbed, base)}")
+    // a structurally different pattern (vertical gradient: zero
+    // horizontal structure, all bits clear) is maximally far
+    val vertical = imageDHash(encoded(64, 64, "png")((_, y) => {
+      val g = math.min(255, y * 4); g << 16 | g << 8 | g
+    })).get
+    assert(hamming(vertical, base) >= 32,
+      s"different pattern too close: ${hamming(vertical, base)}")
+    // JPEG re-encode of the same gradient stays near (lossy but smooth)
+    assert(hamming(imageDHash(gradient(64, 0, "jpg")).get, base) <= 8)
+    // byte stand-in: deterministic and sensitive to content
+    val b1 = byteDHash("the quick brown fox".getBytes)
+    assert(b1 == byteDHash("the quick brown fox".getBytes))
+    assert(b1 != byteDHash("a completely different payload!".getBytes))
+  }
+
   test("truncated valid image falls back instead of killing the stage") {
     // a REAL encoded image cut mid-stream: the sniff passes and ImageIO
     // gets far enough to throw a RuntimeException from inside the format
