@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** 10× scaling probe: measures whether the heaviest query shapes scale
+  * ~linearly in data volume — the asymptotic claims (banding occupancy,
+  * prefix-join candidate volume, two-level prefix aggregation) argued in
+  * the operator docs, checked by experiment.
+  *
+  * Builds a 10× replica of sf0.1 under target/sf1_replica (one-time,
+  * marker-guarded), then times the 10 historically most expensive keys at
+  * both scales (best of two runs, Bench's protocol: memo caches cleared
+  * before every timed run, noop sink so final sorts execute) and reports
+  * per-key sec and the sf1/sf0.1 ratio. A key whose ratio lands well
+  * above 10 is superlinear and needs its plan re-audited.
+  *
+  * The replica is NOT naive duplication — copies must be semantically
+  * DISTINCT the way 10× real data would be, or pair-generating operators
+  * see 10 exact copies of every row and candidate volume inflates ×100
+  * (a data artifact, not a plan property):
+  *   - documents: every token gets a per-copy suffix (regexp token
+  *     rewrite), so cross-copy docs share no shingles/grams and each
+  *     copy keeps its internal near-dup structure; doc_id shifts by the
+  *     id range; n_chars recomputed. Vocabulary grows ×10 — an upper
+  *     bound on real sublinear vocab growth, i.e. conservative for BPE.
+  *   - lineitem: l_orderkey, l_suppkey, l_partkey shift per copy — the
+  *     supply graph gains 10 disjoint components (a genuinely 10×
+  *     graph for PageRank), order ids stay join-consistent with orders.
+  *   - orders: o_orderkey shifts with lineitem's step.
+  * Dim tables are not scaled (facts grow, dims don't).
+  */
+object ScaleProbe {
+
+  private def shiftStep(df: DataFrame, key: String): Long =
+    df.agg(max(col(key))).head.getLong(0) + 1
+
+  private def buildReplica(spark: SparkSession, src: String, out: String,
+      copies: Int): Unit = {
+    val done = new java.io.File(s"$out/_REPLICA_DONE")
+    if (done.exists()) return
+    val docs = Tables.documents(spark, src)
+    val docStep = shiftStep(docs, "doc_id")
+    val docsN = (0 until copies).map { i =>
+      if (i == 0) docs
+      else docs.select(
+        (col("doc_id") + i * docStep).as("doc_id"),
+        regexp_replace(col("text"), "([a-z0-9]+)", "$1q" + i).as("text"),
+        col("lang"), col("source"),
+        length(regexp_replace(col("text"), "([a-z0-9]+)", "$1q" + i))
+          .cast("long").as("n_chars"))
+    }.reduce(_ unionAll _)
+    docsN.write.mode("overwrite").parquet(s"$out/documents.parquet")
+
+    val li = Tables.lineitem(spark, src)
+    val okStep = shiftStep(li, "l_orderkey")
+    val skStep = shiftStep(li, "l_suppkey")
+    val pkStep = shiftStep(li, "l_partkey")
+    (0 until copies).map { i =>
+      li.withColumn("l_orderkey", col("l_orderkey") + i * okStep)
+        .withColumn("l_suppkey", col("l_suppkey") + i * skStep)
+        .withColumn("l_partkey", col("l_partkey") + i * pkStep)
+    }.reduce(_ unionAll _)
+      .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+
+    val ord = Tables.orders(spark, src)
+    (0 until copies).map { i =>
+      ord.withColumn("o_orderkey", col("o_orderkey") + i * okStep)
+    }.reduce(_ unionAll _)
+      .write.mode("overwrite").parquet(s"$out/orders.parquet")
+
+    done.getParentFile.mkdirs()
+    done.createNewFile()
+  }
+
+  /** The 10 heaviest keys of the round-8 clean bench — together they
+    * cover the prefix-join near-dup path (above the all-pairs
+    * crossover at the replica's 50k docs), banding, substring-dedup's
+    * gram shuffle, BPE's vocab folds, Pregel iteration, windowed exact
+    * quantiles, and the plain wide scan. */
+  private val ProbeKeys = Seq(
+    "q_corpus_clean", "q_bpe_encode", "q_bpe_learn", "q_substring_dedup",
+    "q_simhash", "q_dedup_cluster", "q_pagerank", "q_projection",
+    "q_quantiles", "q_profile")
+
+  def main(args: Array[String]): Unit = {
+    val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val out = "target/sf1_replica"
+    val spark = GraftSession.builder(s"local[$cpus]", Some(cpus.toInt))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    buildReplica(spark, src, out, copies = 10)
+
+    def timeOnce(key: String, dir: String): Double = {
+      ops.Text.clearCaches()
+      val t0 = System.nanoTime()
+      try SparkEntry.queries(key)(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => return -1 }
+      (System.nanoTime() - t0) / 1e9
+    }
+    def best2(key: String, dir: String): Double = {
+      val a = timeOnce(key, dir); val b = timeOnce(key, dir)
+      if (a < 0 || b < 0) -1 else math.min(a, b)
+    }
+    def r3(v: Double): Double = math.rint(v * 1000) / 1000
+
+    val rows = ProbeKeys.map { k =>
+      val t01 = best2(k, src)
+      val t1 = best2(k, out)
+      val ratio = if (t01 > 0 && t1 > 0) t1 / t01 else -1
+      println(s"""PROBE {"$k":{"sf01":${r3(t01)},"sf1":${r3(t1)},"ratio":${r3(ratio)}}}""")
+      (k, t01, t1, ratio)
+    }
+    val qs = rows.map { case (k, a, b, r) =>
+      s""""$k":{"sf01_sec":${r3(a)},"sf1_sec":${r3(b)},"ratio":${r3(r)}}"""
+    }.mkString("{", ",", "}")
+    val line =
+      s"""{"metric":"sf1_scaling","copies":10,"queries":$qs,"src":"$src"}"""
+    println(line)
+    val w = new java.io.PrintWriter("/root/repo/BENCH_sf1.json", "UTF-8")
+    try w.println(line) finally w.close()
+    spark.stop()
+  }
+}

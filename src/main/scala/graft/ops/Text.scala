@@ -445,19 +445,47 @@ object Text {
 
   /** Large-corpus path (ppjoin-style): J(a,b) ≥ τ ⇒ |a∩b| ≥ ⌈τ·|a|⌉, so
     * qualifying pairs must share a shingle within each other's first
-    * n−⌈τn⌉+1 shingles under the global order — only prefixes are
+    * n−⌈τn⌉+1 shingles under a GLOBAL total order — only prefixes are
     * exploded and equi-joined; candidates are then verified exactly.
-    * The further 100 TB step is the MinHash-LSH prefilter
-    * (q_minhash_lsh) when even prefixes are dense. */
+    *
+    * The prefix order is document-frequency ASCENDING (ties under the
+    * hash order) — the canonical ppjoin ordering, and the load-bearing
+    * choice at scale: the prefix filter is correct under ANY consistent
+    * total order, but candidate volume is Σ over prefix shingles of
+    * df², so prefixes must hold each doc's RAREST shingles. The earlier
+    * hash-ordered prefixes sampled shingles uniformly, putting common
+    * bigrams ("of the") into prefixes, and the 10× scaling probe
+    * measured the resulting superlinearity (q_dedup_cluster ratio 13.5,
+    * q_corpus_clean 22.8 at 50k docs); frequency ordering removes the
+    * df² head. Candidates are further cut by the τ length filter
+    * (c ≤ min(na,nb) and J ≤ min/max, so J ≥ 3/5 ⇒ 5·min ≥ 3·max)
+    * before the verify join. The df table costs one extra
+    * shingle-keyed groupBy + join — linear shuffles, paid once.
+    *
+    * The verify step still reads the hash-SORTED `hs` arrays (the
+    * two-pointer kernel's contract); only prefix SELECTION uses the
+    * frequency order. The further 100 TB step is the MinHash-LSH
+    * prefilter (q_minhash_lsh) when even rare-shingle prefixes are
+    * dense. */
   private[graft] def dedupNearPrefixJoin(arr0: DataFrame): DataFrame = {
     import graft.functions.SortedIntersectCount.sortedIntersectCount
+    import org.apache.spark.sql.expressions.Window
     // τ = 3/5: prefix length n - ceil(3n/5) + 1, in exact int arithmetic
     val arr = arr0.withColumn("plen",
       expr("n - ((n * 3 + 4) div 5) + 1").cast("int"))
-    val prefixes = arr.select(col("doc_id"),
-      explode(slice(col("hs"), lit(1), col("plen"))).as("h"))
+    val ex = arr.select(col("doc_id"), col("n"), col("plen"),
+      explode(col("hs")).as("h"))
+    val dfreq = ex.groupBy("h").agg(count(lit(1)).as("df"))
+    val byRarity = Window.partitionBy("doc_id")
+      .orderBy(col("df"), col("h"))
+    val prefixes = ex.join(dfreq, "h")
+      .withColumn("rk", row_number().over(byRarity))
+      .where(col("rk") <= col("plen"))
+      .select(col("doc_id"), col("n"), col("h"))
     val cand = prefixes.as("x").join(prefixes.as("y"),
-        col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
+        col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id") &&
+          least(col("x.n"), col("y.n")) * 5 >=
+            greatest(col("x.n"), col("y.n")) * 3)
       .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
       .distinct()
     cand
