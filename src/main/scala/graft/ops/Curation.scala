@@ -41,16 +41,24 @@ object Curation {
         i => concat_ws(" ", slice(tk, i, lit(N))))))
       .otherwise(array().cast("array<string>"))
 
-  /** One side of the decontamination join: (id, xxhash64(word-4-gram))
-    * pairs for every doc matching `pred`. Shared by the broadcast-join
-    * form ([[qDecontaminate]]) and the Bloom-prefilter form
-    * ([[qBloomDecontaminate]]). */
+  /** One side of the decontamination join: (id, 128-bit gram hash pair)
+    * for every doc matching `pred`. Shared by the broadcast-join form
+    * ([[qDecontaminate]]) and the Bloom-prefilter form
+    * ([[qBloomDecontaminate]]). Same key-width reasoning as
+    * [[qSubstringDedup]]: a single 64-bit gram hash collides near
+    * ~4×10⁹ distinct grams, and a collision here falsely flags a clean
+    * training doc as contaminated (silent over-deletion at corpus
+    * scale); the salted second hash makes the join key effectively
+    * 128-bit. The Bloom prefilter still probes the first 64 bits only —
+    * it is a prefilter, and the exact join on both halves removes its
+    * false positives anyway. */
   private def gramSide(s: SparkSession, d: String, pred: Column,
                        as: String): DataFrame =
     documents(s, d).where(pred)
       .select(col("doc_id").as(as), Text.toks(col("text")).as("tk"))
       .select(col(as), explode(gramsFromToks(col("tk"))).as("g"))
-      .select(col(as), xxhash64(col("g")).as("gh"))
+      .select(col(as), xxhash64(col("g")).as("gh"),
+        xxhash64(lit("graft-salt-2"), col("g")).as("gh2"))
 
   /** Benchmark decontamination report: training docs (doc_id % 97 ≠ 0)
     * sharing at least one word-4-gram with the held-out eval slice
@@ -60,9 +68,9 @@ object Curation {
   def qDecontaminate(s: SparkSession, d: String): DataFrame = {
     val ev = gramSide(s, d, col("doc_id") % 97 === 0, "eval_id")
     val tr = gramSide(s, d, col("doc_id") % 97 =!= 0, "train_id")
-    tr.join(broadcast(ev), "gh")
+    tr.join(broadcast(ev), Seq("gh", "gh2"))
       .groupBy("train_id")
-      .agg(countDistinct(col("gh")).as("n_shared_grams"),
+      .agg(countDistinct(col("gh"), col("gh2")).as("n_shared_grams"),
         countDistinct(col("eval_id")).as("n_eval_docs"))
       .orderBy("train_id")
   }
@@ -91,9 +99,9 @@ object Curation {
     val bfB = s.sparkContext.broadcast(bf)
     val mightContain = udf((h: Long) => bfB.value.mightContainLong(h))
     tr.where(mightContain(col("gh")))
-      .join(ev, "gh")
+      .join(ev, Seq("gh", "gh2"))
       .groupBy("train_id")
-      .agg(countDistinct(col("gh")).as("n_shared_grams"),
+      .agg(countDistinct(col("gh"), col("gh2")).as("n_shared_grams"),
         countDistinct(col("eval_id")).as("n_eval_docs"))
       .orderBy("train_id")
   }

@@ -77,9 +77,12 @@ object Layout {
     zArranged(df, a, b, files, buckets)
       .write.mode("overwrite").parquet(path)
 
-  /** Result of one [[compact]] pass. */
+  /** Result of one [[compact]] pass. `filesRewritten` counts input files
+    * actually read and re-packed; carried-over files (incremental mode)
+    * are not rewritten. */
   case class CompactStats(filesBefore: Int, filesAfter: Int,
-                          bytesBefore: Long, bytesAfter: Long)
+                          bytesBefore: Long, bytesAfter: Long,
+                          filesRewritten: Int)
 
   /** Small-file compaction — the OPTIMIZE half of lakehouse table
     * maintenance (the reference's index-after-bulk-load step,
@@ -106,21 +109,44 @@ object Layout {
     * complete table, never a mix. A real lakehouse deployment would run
     * this under a Delta/Iceberg transaction instead; the plan shape
     * (read all → arrange → write few) is identical. */
+  /** `onlySmallerThan`: incremental OPTIMIZE — bin-pack ONLY files below
+    * the threshold and carry every file at or above it into the new
+    * table unchanged (hard link where the FS supports it, metadata-only;
+    * copy otherwise). This is how production OPTIMIZE actually runs at
+    * 100 TB: after each append burst, the small tail is re-packed while
+    * the dominant mass of already-right-sized files is never re-read —
+    * rewrite cost tracks the APPEND rate, not the table size.
+    * Incompatible with sortBy/zorderBy (a sort over only the small
+    * subset would break the global disjointness clustering buys). */
   def compact(spark: SparkSession, dir: String,
               targetFileBytes: Long = 128L << 20,
               sortBy: Seq[String] = Nil,
               zorderBy: Option[(String, String)] = None,
-              zBuckets: Int = 1024): CompactStats = {
+              zBuckets: Int = 1024,
+              onlySmallerThan: Option[Long] = None): CompactStats = {
     import org.apache.hadoop.fs.Path
+    require(onlySmallerThan.isEmpty || (sortBy.isEmpty && zorderBy.isEmpty),
+      "incremental compaction cannot re-cluster: sort/z-order need a full rewrite")
     val path = new Path(dir)
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = path.getFileSystem(conf)
     def dataFiles(p: Path) = fs.listStatus(p).toSeq
       .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
     val before = dataFiles(path)
     val bytesBefore = before.map(_.getLen).sum
+    val (rewrite, carry) = onlySmallerThan match {
+      case Some(thr) => before.partition(_.getLen < thr)
+      case None      => (before, Seq.empty)
+    }
+    if (rewrite.size <= 1 && carry.nonEmpty) // nothing worth re-packing
+      return CompactStats(before.size, before.size,
+        bytesBefore, bytesBefore, 0)
+    val rewriteBytes = rewrite.map(_.getLen).sum
     val nOut = math.max(1L,
-      (bytesBefore + targetFileBytes - 1) / targetFileBytes).toInt
-    val df = spark.read.parquet(dir)
+      (rewriteBytes + targetFileBytes - 1) / targetFileBytes).toInt
+    val df =
+      if (carry.isEmpty) spark.read.parquet(dir)
+      else spark.read.parquet(rewrite.map(_.getPath.toString): _*)
     val arranged = zorderBy match {
       case Some((a, b)) => zArranged(df, a, b, nOut, zBuckets)
       case None if sortBy.nonEmpty =>
@@ -134,6 +160,23 @@ object Layout {
       path.getName + ".compact-bak")
     fs.delete(tmp, true); fs.delete(bak, true)
     arranged.write.mode("overwrite").parquet(tmp.toString)
+    // carry right-sized files into the new table: hard link (metadata-
+    // only, same-FS) with a byte copy as the portability fallback; a
+    // real lakehouse would express "carry" as the file simply staying
+    // referenced by the next table-format snapshot
+    carry.foreach { st =>
+      val dst = new Path(tmp, st.getPath.getName)
+      val linked =
+        try {
+          java.nio.file.Files.createLink(
+            java.nio.file.Paths.get(dst.toUri),
+            java.nio.file.Paths.get(st.getPath.toUri))
+          true
+        } catch { case scala.util.control.NonFatal(_) => false }
+      if (!linked)
+        org.apache.hadoop.fs.FileUtil.copy(fs, st.getPath, fs, dst,
+          false, conf)
+    }
     if (!fs.rename(path, bak))
       throw new java.io.IOException(s"compact: cannot back up $path")
     if (!fs.rename(tmp, path)) {
@@ -143,6 +186,6 @@ object Layout {
     fs.delete(bak, true)
     val after = dataFiles(path)
     CompactStats(before.size, after.size,
-      bytesBefore, after.map(_.getLen).sum)
+      bytesBefore, after.map(_.getLen).sum, rewrite.size)
   }
 }

@@ -82,6 +82,45 @@ class CompactionSpec extends AnyFunSuite {
     assert(spark.read.parquet(dir).count() == src.count())
   }
 
+  test("incremental compaction re-packs only the small tail") {
+    val dir = "target/test_compact/orders_incremental"
+    val src = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    // 3 big files from the initial bulk load...
+    src.repartition(3).write.mode("overwrite").parquet(dir)
+    val bigNames = parquetFiles(dir).map(_.getName).toSet
+    val bigMin = parquetFiles(dir).map(_.length).min
+    // ...then an append burst leaves 24 small files behind
+    src.limit(300).repartition(24).write.mode("append").parquet(dir)
+    assert(parquetFiles(dir).size == 27)
+    val total = spark.read.parquet(dir).count()
+
+    val stats = ops.Layout.compact(spark, dir,
+      targetFileBytes = 128L << 20, onlySmallerThan = Some(bigMin))
+    // only the 24 small files were read and re-packed
+    assert(stats.filesRewritten == 24, stats.toString)
+    assert(stats.filesAfter < 27, stats.toString)
+    // the 3 right-sized files were carried over untouched, by name
+    val afterNames = parquetFiles(dir).map(_.getName).toSet
+    assert(bigNames.subsetOf(afterNames),
+      s"big files rewritten: ${bigNames -- afterNames}")
+    // nothing lost, nothing duplicated
+    assert(spark.read.parquet(dir).count() == total)
+    assert(!new java.io.File(dir + ".compact-tmp").exists())
+    assert(!new java.io.File(dir + ".compact-bak").exists())
+    // a second pass finds at most the one merged tail file below the
+    // threshold and declines to rewrite anything
+    val again = ops.Layout.compact(spark, dir,
+      targetFileBytes = 128L << 20, onlySmallerThan = Some(bigMin))
+    assert(again.filesRewritten == 0, again.toString)
+    assert(again.filesAfter == stats.filesAfter)
+    // re-clustering cannot be combined with a partial rewrite
+    intercept[IllegalArgumentException] {
+      ops.Layout.compact(spark, dir, onlySmallerThan = Some(bigMin),
+        sortBy = Seq("o_orderkey"))
+    }
+  }
+
   test("z-order compaction preserves rows and keeps both-column locality") {
     val dir = "target/test_compact/lineitem_z"
     val src = Tables.lineitem(spark, sf)
