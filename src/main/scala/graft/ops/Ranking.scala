@@ -355,8 +355,64 @@ object Ranking {
       .orderBy("doc_id")
   }
 
+  /** Hybrid retrieval: BM25 lexical ranking fused with embedding-cosine
+    * semantic ranking by reciprocal-rank fusion (Cormack, Clarke &
+    * Büttcher 2009, k = 60) — the standard two-tower retrieval shape a
+    * curation loop uses to pull query-relevant training slices. The
+    * lexical side reuses [[qBm25]]'s exact score expression; the
+    * semantic side scores every corpus vector against the fixed query
+    * vector (vec_id 0; the embeddings table is row-aligned with
+    * documents) with the codegen'd sequential-fold dot kernel. Each
+    * side is cut to its top 50 BEFORE ranks are assigned via
+    * orderBy+limit — a distributed TakeOrdered, so the row_number
+    * window ranks 50 rows and no global sort of the corpus ever
+    * happens (the rank-after-top-k pattern; at 100 TB both sides
+    * remain one scan + one bounded take). Fusion is a 50∨50-row
+    * full-outer join; absent ranks contribute nothing to the RRF sum
+    * and surface as rank 0. Doubles are safe for the oracle: ranks are
+    * integers, the RRF sum is a two-term fold of 1/(60+rank), and BM25
+    * ties are broken on the already-round(4) score then doc_id. */
+  def qHybridRetrieval(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.VectorExprs.dotProduct
+    val topN = 50
+    val lexTop = qBm25(s, d)
+      .where(col("bm25") > 0)
+      .select(col("doc_id"), col("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(topN)
+    val lex = lexTop.withColumn("rank_lex",
+      row_number().over(Window.orderBy(col("bm25").desc, col("doc_id"))))
+      .select(col("doc_id"), col("rank_lex"))
+    val e = embeddings(s, d).select(col("vec_id"),
+      col("embedding").cast("array<double>").as("emb"))
+    val q = e.where(col("vec_id") === 0).select(col("emb").as("qe"))
+    val semTop = e.where(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id").as("doc_id"),
+        (dotProduct(col("emb"), col("qe")) /
+          (sqrt(dotProduct(col("emb"), col("emb"))) *
+            sqrt(dotProduct(col("qe"), col("qe"))))).as("cosine"))
+      .orderBy(col("cosine").desc, col("doc_id"))
+      .limit(topN)
+    val sem = semTop.withColumn("rank_sem",
+      row_number().over(Window.orderBy(col("cosine").desc, col("doc_id"))))
+      .select(col("doc_id"), col("rank_sem"))
+    lex.join(sem, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("rank_lex"), lit(0)).cast("long").as("rank_lex"),
+        coalesce(col("rank_sem"), lit(0)).cast("long").as("rank_sem"),
+        round(
+          coalesce(lit(1.0d) / (lit(60) + col("rank_lex")), lit(0.0d)) +
+          coalesce(lit(1.0d) / (lit(60) + col("rank_sem")), lit(0.0d)),
+          6).as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(10)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bm25"           -> qBm25 _,
+    "q_hybrid_retrieval" -> qHybridRetrieval _,
     "q_tfidf"          -> qTfidf _,
     "q_domain_divergence" -> qDomainDivergence _,
     "q_doc_perplexity" -> qDocPerplexity _,
@@ -367,6 +423,60 @@ object Ranking {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_hybrid_retrieval" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                x -> x <> '') AS tk
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl,
+        |    CAST(len(list_filter(tk, x -> x = 'table')) AS BIGINT) AS tf_table,
+        |    CAST(len(list_filter(tk, x -> x = 'hash')) AS BIGINT) AS tf_hash,
+        |    CAST(len(list_filter(tk, x -> x = 'window')) AS BIGINT) AS tf_window
+        |  FROM tk),
+        |st AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+        |    CAST(SUM(CASE WHEN tf_table > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_table,
+        |    CAST(SUM(CASE WHEN tf_hash > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_hash,
+        |    CAST(SUM(CASE WHEN tf_window > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_window
+        |  FROM p),
+        |scored AS (
+        |  SELECT doc_id,
+        |    round(ln((CAST(n_docs AS DOUBLE) - df_table + 0.5)/(CAST(df_table AS DOUBLE) + 0.5) + 1.0)
+        |      * (CAST(tf_table AS DOUBLE) * 2.2)
+        |      / (CAST(tf_table AS DOUBLE) + 1.2*(0.25 + 0.75*CAST(dl AS DOUBLE)/avgdl))
+        |    + ln((CAST(n_docs AS DOUBLE) - df_hash + 0.5)/(CAST(df_hash AS DOUBLE) + 0.5) + 1.0)
+        |      * (CAST(tf_hash AS DOUBLE) * 2.2)
+        |      / (CAST(tf_hash AS DOUBLE) + 1.2*(0.25 + 0.75*CAST(dl AS DOUBLE)/avgdl))
+        |    + ln((CAST(n_docs AS DOUBLE) - df_window + 0.5)/(CAST(df_window AS DOUBLE) + 0.5) + 1.0)
+        |      * (CAST(tf_window AS DOUBLE) * 2.2)
+        |      / (CAST(tf_window AS DOUBLE) + 1.2*(0.25 + 0.75*CAST(dl AS DOUBLE)/avgdl)), 4) AS bm25
+        |  FROM p, st),
+        |lex AS (
+        |  SELECT doc_id,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT)
+        |      AS rank_lex
+        |  FROM scored WHERE bm25 > 0
+        |  QUALIFY rank_lex <= 50),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+        |      FROM embeddings),
+        |q AS (SELECT emb AS qe FROM e WHERE vec_id = 0),
+        |sem AS (
+        |  SELECT vec_id AS doc_id,
+        |    CAST(ROW_NUMBER() OVER (
+        |      ORDER BY list_cosine_similarity(e.emb, q.qe) DESC, vec_id)
+        |      AS BIGINT) AS rank_sem
+        |  FROM e, q WHERE vec_id <> 0
+        |  QUALIFY rank_sem <= 50)
+        |SELECT doc_id,
+        |  COALESCE(rank_lex, 0) AS rank_lex,
+        |  COALESCE(rank_sem, 0) AS rank_sem,
+        |  round(COALESCE(CAST(1 AS DOUBLE) / (60 + rank_lex), 0)
+        |      + COALESCE(CAST(1 AS DOUBLE) / (60 + rank_sem), 0), 6) AS rrf
+        |FROM lex FULL OUTER JOIN sem USING (doc_id)
+        |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
     "q_doc_perplexity" ->
       """WITH tk AS (
         |  SELECT doc_id,
