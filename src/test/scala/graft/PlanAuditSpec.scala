@@ -539,4 +539,36 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("hashpartitioning"),
       "no hash shuffle belongs in a per-doc slicing op:\n" + p.take(800))
   }
+
+  test("hybrid retrieval takes bounded top-k on both sides, no global sort") {
+    val p = plan("q_hybrid_retrieval")
+    // each side's top-50 cut must plan as a distributed TakeOrdered —
+    // per-partition top-k then a bounded merge — never a full-corpus
+    // range-partitioned sort feeding a window
+    assert("TakeOrderedAndProject".r.findAllIn(p).size >= 2,
+      "top-k cuts not TakeOrdered:\n" + p.take(1200))
+    // the only Window nodes rank the 50 surviving rows: every window's
+    // input must sit above a TakeOrdered, which shows as no Exchange
+    // rangepartitioning anywhere (the final ORDER BY is inside the
+    // last TakeOrdered too)
+    assert(!p.contains("rangepartitioning"),
+      "global sort leaked into hybrid retrieval:\n" + p.take(1200))
+    // the semantic side broadcasts the single query vector
+    assert(p.contains("BroadcastExchange"), p.take(800))
+  }
+
+  test("prefix-join prefixes are frequency-ordered and length-filtered") {
+    val arr = ops.Text.shingleSets(spark, sf)
+    val p = ops.Text.dedupNearPrefixJoin(arr)
+      .queryExecution.executedPlan.toString
+    // the df table exists: a count aggregate keyed by the shingle hash
+    assert(p.contains("partial_count") || p.contains("count("),
+      "no document-frequency aggregate in prefix join:\n" + p.take(1000))
+    // prefix selection ranks by (df, h) inside a per-doc window
+    assert(p.contains("row_number"), p.take(1000))
+    // the τ length filter reaches the candidate join condition
+    assert(p.contains("least") && p.contains("greatest"),
+      "length filter missing from candidate join:\n" + p.take(1500))
+    assert(!p.contains("CartesianProduct"))
+  }
 }
