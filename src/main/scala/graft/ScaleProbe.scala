@@ -106,6 +106,11 @@ object ScaleProbe {
     }
     def r3(v: Double): Double = math.rint(v * 1000) / 1000
 
+    // same contention self-labeling as Bench: a ratio measured while
+    // another tenant holds the cores is not a plan property
+    def load1m(): Double = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    val loadBefore = load1m()
     val rows = ProbeKeys.map { k =>
       val t01 = best2(k, src)
       val t1 = best2(k, out)
@@ -117,7 +122,7 @@ object ScaleProbe {
       s""""$k":{"sf01_sec":${r3(a)},"sf1_sec":${r3(b)},"ratio":${r3(r)}}"""
     }.mkString("{", ",", "}")
     val line =
-      s"""{"metric":"sf1_scaling","copies":10,"queries":$qs,"src":"$src"}"""
+      s"""{"metric":"sf1_scaling","copies":10,"loadavg":{"before":${r3(loadBefore)},"after":${r3(load1m())}},"queries":$qs,"src":"$src"}"""
     println(line)
     val w = new java.io.PrintWriter("/root/repo/BENCH_sf1.json", "UTF-8")
     try w.println(line) finally w.close()

@@ -54,7 +54,7 @@ object Sketches {
     * only candidates, and the τ cut makes the surviving pairs
     * band-recall permitting identical to the exact-join pair set
     * (SketchSpec pins that equality on testdata). */
-  private[ops] def minhashVerifiedPairs(s: SparkSession, d: String)
+  private[graft] def minhashVerifiedPairs(s: SparkSession, d: String)
       : DataFrame = {
     import graft.functions.SketchKernels.minHashSketch
     import graft.functions.SortedIntersectCount.sortedIntersectCount

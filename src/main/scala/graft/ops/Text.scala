@@ -385,6 +385,17 @@ object Text {
       // outer filter would be pushed back into the join and triple the
       // kernel evaluations. The prefix-join path emits unfiltered
       // verified candidates and is cut here.
+      // Tier note (measured on the 10× replica, 50k docs): the banded
+      // MinHash-LSH generator (Sketches.minhashVerifiedPairs) built the
+      // same verified pair set 5-10× faster than this prefix join under
+      // identical load — but it is NOT a tier here, because this
+      // function's contract is EXACT: LSH recall follows the banding
+      // S-curve (8 bands × 4 rows → ~2/3 at J exactly 0.6, >0.9999 at
+      // J ≥ 0.9) and the replica measurement showed exactly that, one
+      // borderline pair in 2,560 lost to the banding coin flip. A
+      // corpus-scale pipeline that can tolerate the S-curve should run
+      // the LSH DAG (q_dedup_cluster_lsh) instead of this operator; a
+      // pipeline that needs exactness pays the prefix join.
       val verified =
         if (docCount(s, d) <= ALL_PAIRS_MAX_DOCS) dedupNearBroadcast(arr)
         else dedupNearPrefixJoin(arr).where(col("jaccard") >= 0.6)
