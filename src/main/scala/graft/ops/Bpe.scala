@@ -294,9 +294,51 @@ object Bpe {
     learned.toSeq.sortBy(_._1)
   }
 
+  /** Corpus tokenization — the third leg of the tokenizer story (learn
+    * merges → encode the vocabulary → tokenize every document): assign
+    * each learned symbol a stable id (lexicographic over the encoded
+    * vocabulary's distinct symbols — deterministic and engine-free),
+    * then map every document to its token-id sequence by an equi-join
+    * of exploded words against the encoded vocabulary. This IS the
+    * documented 100 TB shape: the corpus never re-runs the merge folds —
+    * words join against the (sublinear) vocab table, per-word symbol
+    * arrays concatenate in document order, and the output carries ids +
+    * counts, never symbol strings per position. Rows-only key
+    * (iterative learn upstream); BpeSpec pins the id assignment and the
+    * per-doc sequences on the classic fixture. */
+  def qBpeTokenizeDocs(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val encoded = qBpeEncode(s, d) // (w, freq, encoded, n_sym)
+      .select(col("w"), split(col("encoded"), " ").as("syms"))
+    val symIds = encoded
+      .select(explode(col("syms")).as("sym")).distinct()
+      .withColumn("sym_id",
+        row_number().over(Window.orderBy("sym")).cast("long"))
+    val vocab = encoded
+      .select(col("w"), posexplode(col("syms")).as(Seq("sp", "sym")))
+      .join(symIds, "sym")
+      .groupBy("w")
+      .agg(concat_ws(",", transform(
+        array_sort(collect_list(struct(col("sp"), col("sym_id")))),
+        x => x.getField("sym_id"))).as("word_ids"),
+        count(lit(1)).as("word_n_sym"))
+    documents(s, d)
+      .select(col("doc_id"), posexplode(Text.toks(col("text")))
+        .as(Seq("wp", "w")))
+      .join(vocab, "w")
+      .groupBy("doc_id")
+      .agg(
+        concat_ws(",", transform(
+          array_sort(collect_list(struct(col("wp"), col("word_ids")))),
+          x => x.getField("word_ids"))).as("token_ids"),
+        sum(col("word_n_sym")).as("n_tokens"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bpe_learn"  -> qBpeLearn _,
     "q_bpe_encode" -> qBpeEncode _,
+    "q_bpe_tokenize" -> qBpeTokenizeDocs _,
   )
 
   val oracleSql: Map[String, String] = Map.empty

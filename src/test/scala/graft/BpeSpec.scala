@@ -86,6 +86,25 @@ class BpeSpec extends AnyFunSuite {
       "widest" -> ("w i dest", 3L)))
   }
 
+  test("tokenize maps every document to its id sequence via the vocab join") {
+    val d = docsDir(Seq(
+      (1L, Seq.fill(5)("low").mkString(" ")),
+      (2L, Seq.fill(2)("lower").mkString(" ")),
+      (3L, Seq.fill(6)("newest").mkString(" ")),
+      (4L, Seq.fill(3)("widest").mkString(" "))))
+    // encoded vocab (previous test): low=[low], lower=[low,e,r],
+    // newest=[newest], widest=[w,i,dest]. Distinct symbols sorted
+    // lexicographically: dest=1 e=2 i=3 low=4 newest=5 r=6 w=7.
+    val got = ops.Bpe.qBpeTokenizeDocs(spark, d)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(got == Map(
+      1L -> (Seq.fill(5)("4").mkString(","), 5L),
+      2L -> (Seq.fill(2)("4,2,6").mkString(","), 6L),
+      3L -> (Seq.fill(6)("5").mkString(","), 6L),
+      4L -> (Seq.fill(3)("7,3,1").mkString(","), 9L)))
+  }
+
   test("merge substitution is greedy left-to-right non-overlapping") {
     // "aaaa"×2: r1 merges (a,a)=6 adjacent positions… weight = 3
     // positions × 2 freq = 6; substitution must yield [aa, aa], not
