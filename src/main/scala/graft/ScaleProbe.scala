@@ -69,6 +69,16 @@ object ScaleProbe {
     }.reduce(_ unionAll _)
       .write.mode("overwrite").parquet(s"$out/orders.parquet")
 
+    val emb = Tables.embeddings(spark, src)
+    val vecStep = shiftStep(emb, "vec_id")
+    // vectors repeat across copies (only ids shift): retrieval ranks are
+    // then decided by the deterministic doc_id tie-break, which is fine
+    // for a throughput probe — scoring work is what scales
+    (0 until copies).map { i =>
+      emb.withColumn("vec_id", col("vec_id") + i * vecStep)
+    }.reduce(_ unionAll _)
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+
     done.getParentFile.mkdirs()
     done.createNewFile()
   }
@@ -80,7 +90,8 @@ object ScaleProbe {
     * quantiles, and the plain wide scan. */
   private val ProbeKeys = Seq(
     "q_corpus_clean", "q_bpe_encode", "q_bpe_learn", "q_substring_dedup",
-    "q_simhash", "q_dedup_cluster", "q_pagerank", "q_projection",
+    "q_simhash", "q_dedup_cluster", "q_dedup_cluster_lsh",
+    "q_hybrid_retrieval", "q_pagerank", "q_projection",
     "q_quantiles", "q_profile")
 
   def main(args: Array[String]): Unit = {
