@@ -92,7 +92,7 @@ object ScaleProbe {
     "q_corpus_clean", "q_bpe_encode", "q_bpe_learn", "q_substring_dedup",
     "q_simhash", "q_dedup_cluster", "q_dedup_cluster_lsh",
     "q_hybrid_retrieval", "q_pagerank", "q_projection",
-    "q_quantiles", "q_profile")
+    "q_quantiles", "q_quantiles_auto", "q_profile")
 
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
