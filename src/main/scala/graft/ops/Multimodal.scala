@@ -317,12 +317,60 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** Visual near-dup dedup report — the image counterpart of text
+    * SimHash dedup, closing the multimodal dedup DAG: per-payload
+    * 64-bit dHash (pixel path for images, byte stand-in otherwise) →
+    * the SAME Manku 3-of-6 block banding qSimhash uses
+    * ([[Sketches.hammingBandedPairs]] — a 64-bit signature is a 64-bit
+    * signature) → per-document partner stats. dHash's brightness/scale
+    * invariance means a re-encoded, resized or brightness-shifted copy
+    * of an image lands within a few bits of the original, and the
+    * banding finds it without any all-pairs pass.
+    *
+    * Shaped as a per-doc REPORT (every doc emits one row: signature,
+    * Hamming-≤3 partner count, closest partner distance or -1) rather
+    * than a bare pair list, because a corpus with no visual dups —
+    * like the testdata text corpus, which has zero byte-identical
+    * payloads — legitimately produces an empty pair set, and the
+    * report keeps the operator observable either way. Rows-only key
+    * (hash pipeline not expressible in DuckDB); MultimodalCodecSpec
+    * drives the underlying pair generator on real encoded fixtures
+    * (scaled, re-encoded and brightness-shifted copies pair up,
+    * distinct patterns don't). */
+  def qImageNearDup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sigs = payloads(s, d).select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val h = (if (looksLikeImage(bytes)) imageDHash(bytes) else None)
+            .getOrElse(byteDHash(bytes))
+          (id, h)
+        }
+      }
+      .toDF("doc_id", "phash")
+    val pairs = graft.ops.Sketches
+      .hammingBandedPairs(sigs, "doc_id", "phash")
+    // symmetrize so each doc aggregates its partners from either side
+    val sided = pairs.select(col("da").as("doc_id"), col("hamming"))
+      .unionAll(pairs.select(col("db").as("doc_id"), col("hamming")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_partners"), min(col("hamming")).as("mh"))
+    sigs.join(sided, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        format_string("%016x", col("phash")).as("phash"),
+        coalesce(col("n_partners"), lit(0L)).as("n_near_dups"),
+        coalesce(col("mh"), lit(-1L)).as("min_hamming"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal_meta"   -> qMultimodalMeta _,
     "q_multimodal_decode" -> qMultimodalDecode _,
     "q_multimodal_frames" -> qMultimodalFrames _,
     "q_multimodal_resize" -> qMultimodalResize _,
     "q_image_phash"       -> qImagePhash _,
+    "q_image_near_dup"    -> qImageNearDup _,
   )
 
   val oracleSql: Map[String, String] = Map(

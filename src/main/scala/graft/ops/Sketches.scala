@@ -126,29 +126,41 @@ object Sketches {
     import graft.functions.SketchKernels.simHash64
     val sig = documents(s, d)
       .select(col("doc_id"), simHash64(col("text")).as("simhash"))
+    hammingBandedPairs(sig, "doc_id", "simhash")
+      .orderBy("da", "db")
+  }
 
+  /** The Manku 3-of-6 block-banded Hamming-≤3 pair generator over ANY
+    * (id, 64-bit signature) frame — the machinery behind [[qSimhash]],
+    * shared verbatim by image near-dup dedup over perceptual dHashes
+    * ([[Multimodal.qImageNearDup]]): a 64-bit signature is a 64-bit
+    * signature regardless of whether the bits came from token votes or
+    * pixel-gradient signs. Returns (da, db, hamming) with da < db;
+    * recall 1.0 for Hamming ≤ 3 by the block pigeonhole
+    * (SimHashBandingSpec). */
+  private[graft] def hammingBandedPairs(sig: DataFrame, idCol: String,
+      sigCol: String): DataFrame = {
     def block(i: Int): Column = {
       val (off, w) = SimHashBlocks(i)
-      shiftright(col("simhash"), off).bitwiseAND((1L << w) - 1L)
+      shiftright(col(sigCol), off).bitwiseAND((1L << w) - 1L)
     }
     val bandStructs = SimHashCombos.zipWithIndex.map { case (combo, c) =>
       struct(lit(c).as("k"),
         xxhash64(lit(c) +: combo.map(block): _*).as("bkey"))
     }
-    val banded = sig.select(col("doc_id"), col("simhash"),
+    val banded = sig.select(col(idCol), col(sigCol),
       explode(array(bandStructs: _*)).as("bk"))
-      .select(col("doc_id"), col("simhash"), col("bk.k").as("k"),
+      .select(col(idCol), col(sigCol), col("bk.k").as("k"),
         col("bk.bkey").as("bkey"))
 
     banded.as("x").join(banded.as("y"),
         col("x.k") === col("y.k") && col("x.bkey") === col("y.bkey") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"),
-        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash")))
+          col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("da"), col(s"y.$idCol").as("db"),
+        bit_count(col(s"x.$sigCol").bitwiseXOR(col(s"y.$sigCol")))
           .cast("long").as("hamming"))
       .distinct()
       .where(col("hamming") <= 3)
-      .orderBy("da", "db")
   }
 
   /** X2 composition: connected-component clustering of the near-dup

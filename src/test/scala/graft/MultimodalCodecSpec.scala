@@ -136,6 +136,33 @@ class MultimodalCodecSpec extends AnyFunSuite {
     assert(b1 != byteDHash("a completely different payload!".getBytes))
   }
 
+  test("image near-dup banding pairs visual copies, not distinct patterns") {
+    import spark.implicits._
+    def gray(wh: Int, f: (Int, Int) => Int): Array[Byte] =
+      encoded(wh, wh, "png")((x, y) => {
+        val g = math.min(255, math.max(0, f(x, y))); g << 16 | g << 8 | g
+      })
+    // 1,2: the same decreasing gradient at two scales; 3: +30 brightness;
+    // 4: a re-encode as JPEG; 5: a vertical gradient (visually distinct)
+    val rows = Seq(
+      1L -> gray(64, (x, _) => 255 - x * 4),
+      2L -> gray(128, (x, _) => 255 - x * 2),
+      3L -> gray(64, (x, _) => 225 - x * 4),
+      4L -> encoded(64, 64, "jpg")((x, _) => {
+        val g = math.max(0, 255 - x * 4); g << 16 | g << 8 | g
+      }),
+      5L -> gray(64, (_, y) => y * 4))
+    val sigs = rows.map { case (id, b) =>
+      (id, ops.Multimodal.imageDHash(b).get)
+    }.toDF("doc_id", "phash")
+    val pairs = ops.Sketches.hammingBandedPairs(sigs, "doc_id", "phash")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every pair among {1,2,3,4} (visual copies) must surface; 5 never
+    val copies = Set(1L, 2L, 3L, 4L)
+    val want = for (a <- copies; b <- copies if a < b) yield (a, b)
+    assert(pairs == want, s"got $pairs, want $want")
+  }
+
   test("truncated valid image falls back instead of killing the stage") {
     // a REAL encoded image cut mid-stream: the sniff passes and ImageIO
     // gets far enough to throw a RuntimeException from inside the format
