@@ -16,24 +16,33 @@ import org.apache.spark.sql.types._
   */
 object EventStream {
 
-  /** Events schema as Spark sees it with nanosAsLong (the testdata's
-    * TIMESTAMP(NANOS) column arrives as epoch-nanos LongType). */
-  val eventsSchema: StructType = StructType(Seq(
+  /** Events schema with `ts` as the given type — LongType when the file
+    * carries TIMESTAMP(NANOS) read under nanosAsLong, Timestamp(NTZ) when
+    * it carries TIMESTAMP(MICROS). `readStream` needs the schema up front,
+    * so [[readEvents]] peeks at the batch-read footer to pick it. */
+  def eventsSchema(tsType: DataType): StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", tsType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** Streaming read of an events parquet directory. */
+  /** Streaming read of an events parquet directory. Normalization (epoch-
+    * nanos `ts` + TimestampType `ts_t`) is shared with the batch loader
+    * ([[graft.Events.normalize]]) so batch == streaming by construction
+    * whichever encoding the testdata carries. */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(eventsSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    val tsType = spark.read
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .schema("ts").dataType
+    graft.Events.normalize(
+      spark.readStream
+        .schema(eventsSchema(tsType))
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir))
   }
 
   /** Tumbling 1-hour windowed aggregation with a 2-hour watermark —
