@@ -50,7 +50,12 @@ object Bench {
         : Double = {
       // Memoized intermediates (near-dup pair set, doc counts) are cleared
       // before EVERY timed run so no key's number depends on execution
-      // order or measures another key's cache hit.
+      // order or measures another key's cache hit. The BPE model-artifact
+      // memos (ops.Bpe) are deliberately NOT cleared: learn/encode/
+      // tokenize form a staged pipeline whose upstream artifacts are
+      // persisted once in production, and each key's number measures its
+      // own stage (q_bpe_learn always recomputes — see the memo note in
+      // ops/Bpe.scala).
       ops.Text.clearCaches()
       val t0 = System.nanoTime()
       // noop sink, not .count(): count lets Catalyst eliminate the final
@@ -129,31 +134,31 @@ object Bench {
       val r = new java.io.File("/root/repo")
       if (r.isDirectory) r else new java.io.File(".")
     }
-    val outPath = sys.env.get("SPARK_GRAFT_BENCH_OUT").getOrElse {
-      // Fallback heuristic when the driver doesn't pass an explicit
-      // output path: 1 + the highest driver-written BENCH_r{N}.json.
-      // Fragile if the driver writes its round file before the bench
-      // runs, so warn, and never clobber an existing file below.
-      val re = "BENCH_r(\\d+)\\.json".r
-      val lastRound = Option(repoDir.listFiles).getOrElse(Array.empty)
-        .flatMap(f => re.findFirstMatchIn(f.getName).map(_.group(1).toInt))
-        .foldLeft(0)(math.max)
-      println(s"""{"warn":"SPARK_GRAFT_BENCH_OUT unset; inferring round ${lastRound + 1} from ${repoDir.getPath}"}""")
-      new java.io.File(repoDir,
-        f"BENCH_full_r${lastRound + 1}%02d.json").getPath
-    }
-    // No-clobber: an existing artifact is a prior record — suffix rather
-    // than overwrite it.
-    val outFile = {
-      val f = new java.io.File(outPath)
-      if (!f.exists) f
-      else {
-        val alt = Iterator.from(1)
-          .map(i => new java.io.File(outPath + s".$i"))
-          .find(!_.exists).get
-        println(s"""{"warn":"$outPath exists; writing ${alt.getPath}"}""")
-        alt
-      }
+    // Artifact naming is deterministic: an explicit path via
+    // SPARK_GRAFT_BENCH_OUT (or argv(0)) is authoritative and no-clobber
+    // suffixed if it already exists (a prior record); without one the
+    // full line goes to BENCH_full_latest.json, overwritten by design —
+    // it means "the most recent run on this box", never a round claim.
+    // (The old fallback inferred "round N+1" from driver-written
+    // BENCH_r{N}.json files and mis-labeled a round when the driver wrote
+    // its file first — a guess baked into a filename is worse than an
+    // honest LATEST.)
+    val explicitOut =
+      sys.env.get("SPARK_GRAFT_BENCH_OUT").orElse(args.headOption)
+    val outFile = explicitOut match {
+      case Some(p) =>
+        val f = new java.io.File(p)
+        if (!f.exists) f
+        else {
+          val alt = Iterator.from(1)
+            .map(i => new java.io.File(p + s".$i"))
+            .find(!_.exists).get
+          println(s"""{"warn":"$p exists; writing ${alt.getPath}"}""")
+          alt
+        }
+      case None =>
+        println(s"""{"warn":"SPARK_GRAFT_BENCH_OUT unset; writing BENCH_full_latest.json (overwrite-by-design, no round inference)"}""")
+        new java.io.File(repoDir, "BENCH_full_latest.json")
     }
     val w = new java.io.PrintWriter(outFile, "UTF-8")
     try w.println(fullLine) finally w.close()

@@ -16,6 +16,20 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Schema drift canary: log every table's ACTUAL loaded types up front
+    // so a driver-side testdata regeneration that changes an encoding is
+    // visible in this round's log instead of surfacing as N cryptic
+    // per-query failures (the r9 events TIMESTAMP(NANOS)→MICROS flip cost
+    // 15 keys; loaders now type-dispatch, and this line says why a future
+    // one broke).
+    for (t <- Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings")) {
+      val schema =
+        try Tables.table(spark, sfDir, t).schema.map(f =>
+          s"${f.name}:${f.dataType.simpleString}").mkString(",")
+        catch { case e: Throwable => s"LOAD FAILED: ${e.getMessage}" }
+      println(s"[verify] schema $t -> $schema")
+    }
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>

@@ -74,8 +74,61 @@ object CorpusPipeline {
     "q_corpus_clean" -> qCorpusClean _,
   )
 
-  /** Attrition counts are SQL-expressible but the composed pipeline is the
-    * point; covered by ScalaTest invariants (monotone attrition,
-    * determinism, survivor validity) instead of the oracle. */
-  val oracleSql: Map[String, String] = Map.empty
+  /** The attrition report IS deterministic SQL over the same tables, so
+    * the pipeline is oracle-checked end to end by composing the three
+    * stage oracles that are already individually hash-matched
+    * (q_text_quality, q_dedup_exact, q_dedup_near) into one counting
+    * query — the DuckDB gate then proves the COMPOSITION, not just the
+    * stages. */
+  val oracleSql: Map[String, String] = Map(
+    "q_corpus_clean" ->
+      """WITH t AS (
+        |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_m,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                x -> x <> '') AS tk
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id,
+        |      CAST(len(tk) AS BIGINT) AS n_tokens,
+        |      CAST(least(len(tk), 100) AS DOUBLE) / 100.0 * 0.5 +
+        |        CAST(len(list_filter(tk, x -> x IN ('the','a','of','and',
+        |          'to','in','is','on','for','with'))) AS DOUBLE)
+        |          / len(tk) * 0.5 AS quality
+        |    FROM t)
+        |  WHERE n_tokens >= 10 AND quality > 0.3),
+        |ek AS (
+        |  SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id
+        |  FROM documents
+        |  GROUP BY md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))),
+        |sh AS (
+        |  SELECT doc_id,
+        |    unnest(list_distinct(list_transform(range(1, len(tk)),
+        |      i -> tk[i] || ' ' || tk[i+1]))) AS s
+        |  FROM t),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS c
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |ndl AS (
+        |  SELECT DISTINCT db AS doc_id
+        |  FROM pairs
+        |  JOIN sizes sa ON pairs.da = sa.doc_id
+        |  JOIN sizes sb ON pairs.db = sb.doc_id
+        |  WHERE round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) >= 0.6),
+        |cleaned AS (
+        |  SELECT q.doc_id FROM q JOIN ek ON q.doc_id = ek.doc_id
+        |  WHERE q.doc_id NOT IN (SELECT doc_id FROM ndl))
+        |SELECT stage, docs FROM (
+        |  SELECT '0_raw' AS stage, CAST(COUNT(*) AS BIGINT) AS docs
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT '1_quality_gate', CAST(COUNT(*) AS BIGINT) FROM q
+        |  UNION ALL
+        |  SELECT '2_exact_dedup_groups', CAST(COUNT(*) AS BIGINT) FROM ek
+        |  UNION ALL
+        |  SELECT '3_cleaned', CAST(COUNT(*) AS BIGINT) FROM cleaned)
+        |ORDER BY stage""".stripMargin,
+  )
 }

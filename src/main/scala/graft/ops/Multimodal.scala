@@ -364,6 +364,57 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** Visual dedup DAG, completed: dHash signatures → Manku-banded
+    * Hamming pairs (same generator as [[qImageNearDup]]) → connected-
+    * component clustering via the SAME label propagation that closes the
+    * text dedup DAG ([[Sketches.labelPropagation]]) — so text and visual
+    * dedup share one clustering engine, differing only in the candidate
+    * generator (MinHash bands over shingles vs Manku blocks over pixel
+    * hashes).
+    *
+    * Emitted as a full per-doc assignment (cluster_rep = the component's
+    * minimum doc_id, singleton docs map to themselves, plus the cluster
+    * size) rather than only paired docs, because "keep one doc per
+    * cluster" needs every doc to know its cluster — and a corpus with no
+    * visual dups stays observable as 500 singletons instead of an empty
+    * frame. Rows-only key (hash pipeline not in DuckDB);
+    * MultimodalCodecSpec drives clustering on real encoded fixtures
+    * (original + resized + re-encoded copies land in ONE cluster). */
+  def qImageDedupCluster(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sigs = payloads(s, d).select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val h = (if (looksLikeImage(bytes)) imageDHash(bytes) else None)
+            .getOrElse(byteDHash(bytes))
+          (id, h)
+        }
+      }
+      .toDF("doc_id", "phash")
+    clusterSignatures(sigs)
+  }
+
+  /** The generator-independent tail of the visual dedup DAG: banded
+    * Hamming pairs over (doc_id, phash) → label propagation → full
+    * per-doc (doc_id, cluster_rep, cluster_size) assignment.
+    * MultimodalCodecSpec drives this directly on real encoded fixtures. */
+  private[graft] def clusterSignatures(sigs: DataFrame): DataFrame = {
+    val pairs = graft.ops.Sketches
+      .hammingBandedPairs(sigs, "doc_id", "phash")
+    val clustered = graft.ops.Sketches
+      .labelPropagation(pairs.select(col("da"), col("db")), maxIter = 20)
+    val assigned = sigs.join(clustered,
+        sigs("doc_id") === clustered("id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("lbl"), col("doc_id")).as("cluster_rep"))
+    val sizes = assigned.groupBy(col("cluster_rep").as("cr"))
+      .agg(count(lit(1)).as("cluster_size"))
+    assigned.join(sizes, col("cluster_rep") === col("cr"))
+      .select(col("doc_id"), col("cluster_rep"), col("cluster_size"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal_meta"   -> qMultimodalMeta _,
     "q_multimodal_decode" -> qMultimodalDecode _,
@@ -371,6 +422,7 @@ object Multimodal {
     "q_multimodal_resize" -> qMultimodalResize _,
     "q_image_phash"       -> qImagePhash _,
     "q_image_near_dup"    -> qImageNearDup _,
+    "q_image_dedup_cluster" -> qImageDedupCluster _,
   )
 
   val oracleSql: Map[String, String] = Map(

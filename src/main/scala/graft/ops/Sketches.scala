@@ -368,11 +368,18 @@ object Sketches {
       .agg(kmvSketch(xxhash64(col("t"))).as("sketch"),
         count(lit(1)).as("n_tokens"))
       .write.mode("overwrite").parquet(out)
-    // reverse registration order: children delete before their parent
+    // Demonstrator-only eager cleanup: production KEEPS the sketch table
+    // (it is the warehouse artifact the pattern exists for); here the
+    // leaf is single-use per invocation, so materialize the read-back
+    // scan eagerly (localCheckpoint pins the blocks in this JVM and cuts
+    // the lineage back to the files) and delete the leaf NOW instead of
+    // deferring to JVM exit — deferred deletion leaked one full copy per
+    // timed run whenever the JVM was killed before exit hooks ran.
+    val readBack = s.read.parquet(out).localCheckpoint(true)
     val leaf = new java.io.File(out)
-    leaf.deleteOnExit()
-    Option(leaf.listFiles()).getOrElse(Array.empty).foreach(_.deleteOnExit())
-    s.read.parquet(out)
+    Option(leaf.listFiles()).getOrElse(Array.empty).foreach(_.delete())
+    leaf.delete()
+    readBack
       .groupBy("lang")
       .agg(count(lit(1)).cast("long").as("n_sources"),
         sum(col("n_tokens")).as("n_tokens"),

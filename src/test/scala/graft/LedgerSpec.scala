@@ -24,9 +24,10 @@ class LedgerSpec extends AnyFunSuite {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     // every rows-only key must be one of the documented sketch/report keys
     val documented = Set("q_approx_distinct", "q_kmv_distinct", "q_winnow_fp",
-      "q_minhash_lsh", "q_simhash", "q_corpus_clean", "q_quantiles_approx",
+      "q_minhash_lsh", "q_simhash", "q_quantiles_approx",
       "q_compress_ratio", "q_bpe_learn", "q_bpe_encode", "q_bpe_tokenize",
-      "q_sketch_rollup", "q_image_phash", "q_image_near_dup")
+      "q_sketch_rollup", "q_image_phash", "q_image_near_dup",
+      "q_image_dedup_cluster")
     assert(rowsOnly == documented,
       s"undocumented rows-only keys: ${rowsOnly -- documented}; " +
         s"stale documented: ${documented -- rowsOnly}")

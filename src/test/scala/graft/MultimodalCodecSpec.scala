@@ -163,6 +163,40 @@ class MultimodalCodecSpec extends AnyFunSuite {
     assert(pairs == want, s"got $pairs, want $want")
   }
 
+  test("visual dedup clustering: copies form one cluster, distinct stay singletons") {
+    import spark.implicits._
+    def gray(wh: Int, f: (Int, Int) => Int): Array[Byte] =
+      encoded(wh, wh, "png")((x, y) => {
+        val g = math.min(255, math.max(0, f(x, y))); g << 16 | g << 8 | g
+      })
+    // {1,2,3,4}: the same image at two scales, +30 brightness, and a JPEG
+    // re-encode — one visual identity; 5: vertical gradient; 6: flat gray
+    val rows = Seq(
+      1L -> gray(64, (x, _) => 255 - x * 4),
+      2L -> gray(128, (x, _) => 255 - x * 2),
+      3L -> gray(64, (x, _) => 225 - x * 4),
+      4L -> encoded(64, 64, "jpg")((x, _) => {
+        val g = math.max(0, 255 - x * 4); g << 16 | g << 8 | g
+      }),
+      5L -> gray(64, (_, y) => y * 4),
+      6L -> gray(64, (_, _) => 128))
+    val sigs = rows.map { case (id, b) =>
+      (id, ops.Multimodal.imageDHash(b).get)
+    }.toDF("doc_id", "phash")
+    val got = ops.Multimodal.clusterSignatures(sigs)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    // the four copies share cluster_rep = 1 (the component minimum) with
+    // size 4 — "keep one doc per cluster" keeps doc 1 and drops 2,3,4
+    for (id <- Seq(1L, 2L, 3L, 4L)) assert(got(id) == ((1L, 4L)), s"doc $id")
+    // flat gray (6) has zero horizontal structure — SAME all-zero dHash
+    // as any other structureless pattern, so it can only cluster with
+    // one: doc 5's vertical gradient also has no horizontal structure.
+    // They are 0 bits apart by construction and legitimately pair.
+    assert(got(5L) == ((5L, 2L)))
+    assert(got(6L) == ((5L, 2L)))
+  }
+
   test("truncated valid image falls back instead of killing the stage") {
     // a REAL encoded image cut mid-stream: the sniff passes and ImageIO
     // gets far enough to throw a RuntimeException from inside the format
