@@ -37,7 +37,9 @@ object ScaleProbe {
 
   private def buildReplica(spark: SparkSession, src: String, out: String,
       copies: Int): Unit = {
-    val done = new java.io.File(s"$out/_REPLICA_DONE")
+    // v2: the replica now also scales events (the marker is versioned so a
+    // pre-events replica left in target/ by an earlier round rebuilds)
+    val done = new java.io.File(s"$out/_REPLICA_DONE_v2")
     if (done.exists()) return
     val docs = Tables.documents(spark, src)
     val docStep = shiftStep(docs, "doc_id")
@@ -69,6 +71,20 @@ object ScaleProbe {
     }.reduce(_ unionAll _)
       .write.mode("overwrite").parquet(s"$out/orders.parquet")
 
+    // events: event_id/user_id shift per copy — the time range stays, the
+    // user population grows ×10, so per-user session/as-of/funnel state
+    // scales horizontally the way a real firehose does. ts passes through
+    // raw; the loader's schema dispatch (graft.Events.normalize) handles
+    // whatever encoding the write round-trips to.
+    val ev = Tables.eventsRaw(spark, src)
+    val eStep = shiftStep(ev, "event_id")
+    val uStep = shiftStep(ev, "user_id")
+    (0 until copies).map { i =>
+      ev.withColumn("event_id", col("event_id") + i * eStep)
+        .withColumn("user_id", col("user_id") + i * uStep)
+    }.reduce(_ unionAll _)
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
+
     val emb = Tables.embeddings(spark, src)
     val vecStep = shiftStep(emb, "vec_id")
     // vectors repeat across copies (only ids shift): retrieval ranks are
@@ -92,7 +108,13 @@ object ScaleProbe {
     "q_corpus_clean", "q_bpe_encode", "q_bpe_learn", "q_substring_dedup",
     "q_simhash", "q_dedup_cluster", "q_dedup_cluster_lsh",
     "q_hybrid_retrieval", "q_pagerank", "q_projection",
-    "q_quantiles", "q_quantiles_auto", "q_profile")
+    "q_quantiles", "q_quantiles_auto", "q_profile",
+    // events-table shapes (probe-able since the v2 replica scales events):
+    // per-user windowed state, union+window as-of, binned interval join,
+    // tumbling windows — each should track the ×10 event volume linearly
+    "q_sessionize", "q_asof_join", "q_range_join_binned", "q_time_window",
+    // the completed dedup DAGs' recurring corpus-scale stages
+    "q_bpe_tokenize", "q_image_dedup_cluster")
 
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
