@@ -121,10 +121,14 @@ object SetOps {
         when(col("event_type") === "view", lit(1)).otherwise(lit(0)),
         col("event_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    e.withColumn("view_event_id",
-        last(when(col("event_type") === "view", col("event_id")), true).over(w))
-      .withColumn("view_ts",
-        last(when(col("event_type") === "view", col("ts")), true).over(w))
+    // both frame aggregates in ONE select: two .withColumn calls with the
+    // same window spec still plan as two Window passes over the sorted
+    // partition (PlanAuditSpec pins the single-pass shape)
+    e.select(col("*"),
+        last(when(col("event_type") === "view", col("event_id")), true)
+          .over(w).as("view_event_id"),
+        last(when(col("event_type") === "view", col("ts")), true)
+          .over(w).as("view_ts"))
       .where(col("event_type") === "purchase")
       // no-match sentinel -1 (a NULL BIGINT would become float64 downstream
       // and lose precision); epoch-micros because DuckDB truncates parquet

@@ -401,6 +401,31 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"))
   }
 
+  test("asof join: one per-user window pass, no join operator at all") {
+    val p = plan("q_asof_join")
+    // the union+window formulation replaces the per-row lookup join: the
+    // plan must carry ONE Window pass shuffled on user_id and ZERO join
+    // operators — a Join here means the quadratic per-purchase probe
+    // formulation snuck back in
+    assert("Window \\[".r.findAllIn(p).size == 1,
+      "as-of must be a single window pass:\n" + p.take(800))
+    assert("hashpartitioning\\(user_id".r.findAllIn(p).size >= 1,
+      "window must shuffle on user_id:\n" + p.take(800))
+    assert(!p.contains("Join"), "as-of must not plan a join:\n" + p.take(800))
+  }
+
+  test("sessionize: per-user windows only — parallelism = user count") {
+    val p = plan("q_sessionize")
+    assert("hashpartitioning\\(user_id".r.findAllIn(p).size >= 1,
+      "session windows must be keyed by user_id:\n" + p.take(800))
+    // a global (non-partitioned) window would funnel all events through
+    // one task; every Window here must carry a partition spec
+    assert(!p.contains("Window [") || !"Window \\[[^\\]]*\\], \\[\\]".r
+      .findFirstIn(p).isDefined,
+      "found an unpartitioned window:\n" + p.take(800))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("winsorize: cutoffs flow back as a broadcast, no raw-data window") {
     val p = plan("q_winsorize")
     assert(p.contains("BroadcastHashJoin"),
