@@ -224,16 +224,25 @@ object Sketches {
         .join(labels, edges("src") === labels("id"))
         .groupBy(col("dst").as("nid"))
         .agg(min(col("lbl")).as("nlbl"))
+      // the convergence flag is computed INSIDE the propagation join (a
+      // label changed iff a neighbor's min undercuts it), so one
+      // aggregate action both materializes the round's cache and reads
+      // the convergence count — the old form re-joined next against the
+      // previous labels per round just to count changes, an extra
+      // id-keyed shuffle join per iteration that carried no new
+      // information
       var next = labels.join(neighborMin, labels("id") === col("nid"), "left")
         .select(col("id"),
-          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"),
+          (coalesce(col("nlbl"), col("lbl")) < col("lbl")).as("chg"))
       if (iter % 5 == 4) next = next.localCheckpoint(eager = false)
       next.cache()
-      val changed = next.as("n")
-        .join(labels.as("o"), col("n.id") === col("o.id"))
-        .where(col("n.lbl") < col("o.lbl")).count()
+      val changed = next
+        .agg(coalesce(sum(when(col("chg"), lit(1L)).otherwise(lit(0L))),
+          lit(0L))) // empty graph (no pairs at all) sums to NULL
+        .head.getLong(0) // 1-row convergence decision (driver control)
       labels.unpersist()
-      labels = next
+      labels = next.select(col("id"), col("lbl"))
       converged = changed == 0
       iter += 1
     }
