@@ -46,14 +46,23 @@ object CorpusPipeline {
     * scratch. */
   def qCorpusClean(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val quality = qualityGate(s, d).cache()
+    val gate = col("n_tokens") >= 10 && col("quality") > 0.3
+    // quality signals carry one row per RAW doc, so the raw total and the
+    // gate-survivor count come from ONE aggregate over one cached pass —
+    // a separate documents().count() job would rescan for a number this
+    // pass already knows
+    val tq = Text.qTextQuality(s, d)
+      .select(col("doc_id"), col("n_tokens"), col("quality")).cache()
+    val quality = tq.where(gate).select("doc_id")
     val exactKeep = Text.qDedupExact(s, d)
       .select(col("keep_id").as("doc_id")).cache()
     val nearDupLosers = Text.nearDupPairs(s, d)
       .select(col("db").as("doc_id")).distinct().cache()
     try {
-      val total = documents(s, d).count()
-      val afterQuality = quality.count()
+      val cnts = tq.agg(
+        count(lit(1)).as("total"),
+        count(when(gate, lit(1))).as("after_quality")).head
+      val (total, afterQuality) = (cnts.getLong(0), cnts.getLong(1))
       val afterExact = exactKeep.count()
       val cleaned = quality
         .join(exactKeep, "doc_id")
@@ -66,7 +75,7 @@ object CorpusPipeline {
         ("3_cleaned", cleaned),
       ).toDF("stage", "docs").orderBy("stage")
     } finally {
-      quality.unpersist(); exactKeep.unpersist(); nearDupLosers.unpersist()
+      tq.unpersist(); exactKeep.unpersist(); nearDupLosers.unpersist()
     }
   }
 
