@@ -108,7 +108,13 @@ object ScaleProbe {
     "q_corpus_clean", "q_bpe_encode", "q_bpe_learn", "q_substring_dedup",
     "q_simhash", "q_dedup_cluster", "q_dedup_cluster_lsh",
     "q_hybrid_retrieval", "q_pagerank", "q_projection",
-    "q_quantiles", "q_quantiles_auto", "q_profile",
+    // quantiles: the naive twin (expected superlinear BY CONTRACT), the
+    // binned twin (the scale path the dispatcher must reach), and the
+    // auto entry point — auto ≈ dist at 10× is the dispatch fix's proof
+    "q_quantiles", "q_quantiles_auto", "q_quantiles_dist", "q_profile",
+    // remaining heavy corpus keys the round-10 verdict wanted measured,
+    // not argued: two-level gram prefix agg, tf-idf join, window gap-fill
+    "q_dup_ngrams", "q_tfidf", "q_gap_fill",
     // events-table shapes (probe-able since the v2 replica scales events):
     // per-user windowed state, union+window as-of, binned interval join,
     // tumbling windows — each should track the ×10 event volume linearly
@@ -124,6 +130,15 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     buildReplica(spark, src, out, copies = 10)
+
+    // Dispatch pin (round-10 finding #1): the 10× replica MUST route
+    // q_quantiles_auto to the binned scale path — fail the probe loudly
+    // if a threshold/estimate change ever re-pins the naive sort at scale.
+    val autoBinnedAtSf1 = ops.Advanced.quantilesAutoPicksBinned(spark, out)
+    require(autoBinnedAtSf1,
+      s"q_quantiles_auto dispatched NAIVE at the 10x replica (estimate=" +
+        s"${ops.Advanced.quantileInputEstimate(spark, out)} <= threshold=" +
+        s"${ops.Advanced.QuantileDispatchBytes}) — recalibrate")
 
     def timeOnce(key: String, dir: String): Double = {
       ops.Text.clearCaches()
@@ -155,7 +170,7 @@ object ScaleProbe {
       s""""$k":{"sf01_sec":${r3(a)},"sf1_sec":${r3(b)},"ratio":${r3(r)}}"""
     }.mkString("{", ",", "}")
     val line =
-      s"""{"metric":"sf1_scaling","copies":10,"loadavg":{"before":${r3(loadBefore)},"after":${r3(load1m())}},"queries":$qs,"src":"$src"}"""
+      s"""{"metric":"sf1_scaling","copies":10,"quantiles_auto_binned_at_sf1":$autoBinnedAtSf1,"loadavg":{"before":${r3(loadBefore)},"after":${r3(load1m())}},"queries":$qs,"src":"$src"}"""
     println(line)
     val w = new java.io.PrintWriter("/root/repo/BENCH_sf1.json", "UTF-8")
     try w.println(line) finally w.close()

@@ -201,12 +201,19 @@ object Advanced {
       .orderBy("l_returnflag")
   }
 
-  /** Dispatch threshold for [[qQuantilesAuto]]: above this estimated
-    * input size the binned two-pass plan wins; below it the single
-    * window sort is cheaper (the histogram path pays ~5 small jobs of
-    * fixed overhead). 64 MiB ≈ one shuffle partition's comfortable
-    * sort load. */
-  private[graft] val QuantileDispatchBytes: Long = 64L * 1024 * 1024
+  /** Dispatch threshold for [[qQuantilesAuto]], compared against the
+    * POST-column-pruning Catalyst estimate of the (group, value) pair —
+    * i.e. the bytes the window sort would actually move, not the file
+    * footprint. Calibrated by measurement, not guessed: the pruned
+    * estimate is 323 KB at sf0.01 / 3.36 MB at sf0.1 / ~33 MB at the 10×
+    * replica, and the measured crossover sits between sf0.01 (naive wins
+    * on ~5 small jobs of fixed overhead) and sf0.1 (binned 0.58 s vs
+    * naive 0.93 s). 1 MiB splits those estimates, so sf0.1-and-up data
+    * always takes the scale path — the earlier 64 MiB value kept the
+    * 7.6×-scaling naive sort alive to several-hundred-MB inputs because
+    * pruning shrinks the estimate ~3× vs file bytes (2 narrow cols of
+    * 16). ScaleProbe asserts the 10× replica dispatches binned. */
+  private[graft] val QuantileDispatchBytes: Long = 1L * 1024 * 1024
 
   /** The one exact-quantile ENTRY POINT — auto-dispatch between the spec
     * twin and the scale path so a caller can't land on the per-group
@@ -221,14 +228,24 @@ object Advanced {
   def qQuantilesAuto(s: SparkSession, d: String): DataFrame =
     exactQuantiles(s, d, QuantileDispatchBytes)
 
-  private[graft] def exactQuantiles(s: SparkSession, d: String,
-      thresholdBytes: Long): DataFrame = {
-    val est = lineitem(s, d)
+  /** The dispatch signal, shared by the operator and by the probes that
+    * pin its behavior: Catalyst's size estimate of the pruned
+    * (group, value) projection — pure plan metadata, no job. */
+  private[graft] def quantileInputEstimate(s: SparkSession, d: String): BigInt =
+    lineitem(s, d)
       .select(col("l_returnflag"), col("l_extendedprice"))
       .queryExecution.optimizedPlan.stats.sizeInBytes
-    if (est > BigInt(thresholdBytes)) qQuantilesDist(s, d)
+
+  /** True when [[qQuantilesAuto]] takes the binned scale path for this
+    * input — exposed so ScaleProbe and PlanAuditSpec assert the branch
+    * at real data sizes instead of arguing from the threshold. */
+  private[graft] def quantilesAutoPicksBinned(s: SparkSession, d: String): Boolean =
+    quantileInputEstimate(s, d) > BigInt(QuantileDispatchBytes)
+
+  private[graft] def exactQuantiles(s: SparkSession, d: String,
+      thresholdBytes: Long): DataFrame =
+    if (quantileInputEstimate(s, d) > BigInt(thresholdBytes)) qQuantilesDist(s, d)
     else qQuantiles(s, d)
-  }
 
   /** The quantile SCALE path: approx_percentile's mergeable sketch —
     * constant memory per group, one shuffle of sketches, no per-group

@@ -217,6 +217,12 @@ object Sketches {
       .cache()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("lbl", col("id"))
+    // the handle that actually went through .cache() — unpersist must
+    // target the EXACT cached plan: calling it on the (id, lbl)
+    // projection assigned to `labels` below never matches in the cache
+    // manager (sameResult is checked against the cached plan), so the
+    // projection-handle form leaked one cached round per iteration
+    var prevCached: DataFrame = null
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -241,7 +247,8 @@ object Sketches {
         .agg(coalesce(sum(when(col("chg"), lit(1L)).otherwise(lit(0L))),
           lit(0L))) // empty graph (no pairs at all) sums to NULL
         .head.getLong(0) // 1-row convergence decision (driver control)
-      labels.unpersist()
+      if (prevCached != null) prevCached.unpersist()
+      prevCached = next
       labels = next.select(col("id"), col("lbl"))
       converged = changed == 0
       iter += 1
@@ -350,50 +357,59 @@ object Sketches {
     * isn't reproducible in DuckDB. */
   def qSketchRollup(s: SparkSession, d: String): DataFrame = {
     import graft.functions.KmvDistinct.{kmvMerge, kmvSketch}
-    val sf = new java.io.File(d).getName
+    import org.apache.hadoop.fs.Path
+    val sf = new Path(d).getName
+    // Output root comes from config so the sketch table can live on a
+    // real warehouse filesystem (HDFS/S3/anything with a Hadoop FS
+    // implementation): spark conf first, JVM property next, local
+    // target/ as the dev default. ALL path manipulation below goes
+    // through the Hadoop FileSystem resolved from that root — never
+    // java.io.File, which silently no-ops on non-local URIs.
+    val confRoot = s.conf.getOption("spark.graft.io.dir")
+      .orElse(sys.props.get("graft.io.dir"))
+      .getOrElse("target/graft_io")
+    val root = new Path(s"$confRoot/$sf/token_sketches")
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
     // per-invocation unique leaf dir: two concurrent invocations on the
     // same scale factor (parallel bench, concurrency sweep) must not race
-    // on one overwrite-then-read path
-    val root =
-      s"${sys.props.getOrElse("graft.io.dir", "target/graft_io")}/$sf/" +
-        "token_sketches"
-    // leaves are single-use: sweep siblings old enough that no live
-    // invocation can still be reading them (bench reruns otherwise
-    // accumulate one copy of the sketch table per timed run, unbounded),
-    // and register this run's leaf for deletion at JVM exit
+    // on one overwrite-then-read path. Leaves are single-use: sweep
+    // siblings old enough that no live invocation can still be reading
+    // them (bench reruns otherwise accumulate one copy of the sketch
+    // table per timed run, unbounded).
     val staleMs = 30L * 60 * 1000
-    Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory &&
-        f.lastModified < System.currentTimeMillis() - staleMs)
-      .foreach(dir => {
-        Option(dir.listFiles()).getOrElse(Array.empty).foreach(_.delete())
-        dir.delete()
-      })
-    val out = s"$root/${java.util.UUID.randomUUID()}"
+    if (fs.exists(root)) fs.listStatus(root)
+      .filter(st => st.isDirectory &&
+        st.getModificationTime < System.currentTimeMillis() - staleMs)
+      .foreach(st => fs.delete(st.getPath, /* recursive = */ true))
+    val out = new Path(root, java.util.UUID.randomUUID().toString)
+    // exception net: if this invocation dies between write and cleanup,
+    // the filesystem reclaims the leaf at JVM exit (and the stale sweep
+    // above catches even kill -9 on the next run)
+    fs.deleteOnExit(out)
     documents(s, d)
       .select(col("lang"), col("source"),
         explode(Text.toks(col("text"))).as("t"))
       .groupBy("lang", "source")
       .agg(kmvSketch(xxhash64(col("t"))).as("sketch"),
         count(lit(1)).as("n_tokens"))
-      .write.mode("overwrite").parquet(out)
+      .write.mode("overwrite").parquet(out.toString)
     // Demonstrator-only eager cleanup: production KEEPS the sketch table
     // (it is the warehouse artifact the pattern exists for); here the
-    // leaf is single-use per invocation, so materialize the read-back
-    // scan eagerly (localCheckpoint pins the blocks in this JVM and cuts
-    // the lineage back to the files) and delete the leaf NOW instead of
-    // deferring to JVM exit — deferred deletion leaked one full copy per
-    // timed run whenever the JVM was killed before exit hooks ran.
-    val readBack = s.read.parquet(out).localCheckpoint(true)
-    val leaf = new java.io.File(out)
-    Option(leaf.listFiles()).getOrElse(Array.empty).foreach(_.delete())
-    leaf.delete()
-    readBack
+    // leaf is single-use per invocation. Order matters for recoverability:
+    // run the final merge over the files FIRST and pin its tiny result
+    // (#groups × ~2 KB) with an eager localCheckpoint, and only then
+    // delete the leaf — deleting right after checkpointing the raw scan
+    // (the old form) cut lineage AND removed the files, so losing any
+    // checkpoint block made the remaining aggregation unrecoverable.
+    val result = s.read.parquet(out.toString)
       .groupBy("lang")
       .agg(count(lit(1)).cast("long").as("n_sources"),
         sum(col("n_tokens")).as("n_tokens"),
         kmvMerge(col("sketch")).as("est_distinct_tokens"))
       .orderBy("lang")
+      .localCheckpoint(eager = true)
+    fs.delete(out, /* recursive = */ true)
+    result
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -406,10 +422,16 @@ object Sketches {
     "q_sketch_rollup" -> qSketchRollup _,
   )
 
-  /** MinHash/SimHash are non-oracle (xxhash64 isn't reproducible in
-    * DuckDB); the cluster operator IS oracle-checked via a recursive CTE
-    * over the same exact-Jaccard pairs. */
+  /** SimHash stays non-oracle (xxhash64 isn't reproducible in DuckDB);
+    * MinHash-LSH and the cluster operators ARE oracle-checked: banding
+    * only generates CANDIDATES — the exact-Jaccard verify step makes the
+    * surviving pair set identical to the exact path's (SketchSpec pins
+    * that equality), so each shares its exact twin's oracle SQL and the
+    * DuckDB gate re-proves LSH ≡ exact every round. */
   val oracleSql: Map[String, String] = Map(
+    // same contract as q_dedup_near (Text.oracleSql), same reasoning as
+    // q_dedup_cluster_lsh sharing clusterSql below
+    "q_minhash_lsh" -> Text.oracleSql("q_dedup_near"),
     "q_heavy_hitters" ->
       """WITH tk AS (
         |  SELECT unnest(list_filter(

@@ -521,7 +521,18 @@ object Text {
     * Scale posture: work is Σ O(len²) variant rows over the DISTINCT
     * vocabulary — linear in vocab size, never the quadratic all-pairs the
     * oracle runs. The verify touches only candidate pairs, which the
-    * deletion neighborhood bounds to near-neighbors. */
+    * deletion neighborhood bounds to near-neighbors.
+    *
+    * Bench-variance note (round-10 "3.2× regression" root cause): on the
+    * sf0.1 corpus the ≥3-char vocabulary measures 30 words, the variant
+    * table a few hundred rows, and the candidate join 13 pairs — runtime
+    * here is pure fixed overhead (≈6 shuffle stages over near-empty
+    * frames), so wall time is scheduler/contention variance, not data
+    * shape: the deletion neighborhood CANNOT have inflated (it is bounded
+    * by Σ len² ≈ 700 variant emissions). Hot-bucket risk at real scale is
+    * the 1–2-char variants shared by many short words; if a 100 TB vocab
+    * makes those buckets dense, shard them on a second key (first char of
+    * the surviving word) — candidates only need SOME shared variant. */
   def qFuzzyJoin(s: SparkSession, d: String): DataFrame = {
     val words = documents(s, d)
       .select(explode(toks(col("text"))).as("w"))

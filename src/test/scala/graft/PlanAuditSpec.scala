@@ -268,9 +268,20 @@ class PlanAuditSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!small.contains("BroadcastHashJoin"),
       "small input paid the two-pass histogram plan:\n" + small.take(1000))
-    // the deployed default must route the sf0.001 fixture to the small path
-    // and (by the stats estimate) sf0.1's ~80 MB lineitem to the binned one
-    assert(ops.Advanced.QuantileDispatchBytes > 0L)
+    // the deployed default must route the small fixtures (sf0.001 /
+    // sf0.01, pruned estimates ~36 KB / ~323 KB) to the window sort and
+    // sf0.1's ~3.4 MB pruned estimate to the binned scale path — the
+    // measured crossover (binned 0.58 s vs naive 0.93 s at sf0.1) sits
+    // between them. Asserted against the REAL estimates, not just the
+    // constant, so a pruning-estimate change re-fails here rather than
+    // silently re-pinning the naive branch at scale (the round-10 bug:
+    // a 64 MiB threshold kept naive alive to ~200 MB of files).
+    assert(!ops.Advanced.quantilesAutoPicksBinned(spark, sf),
+      "sf0.001 should take the cheap window sort")
+    assert(!ops.Advanced.quantilesAutoPicksBinned(spark, "/root/testdata/sf0.01"),
+      "sf0.01 should take the cheap window sort")
+    assert(ops.Advanced.quantilesAutoPicksBinned(spark, "/root/testdata/sf0.1"),
+      "sf0.1 must dispatch to the binned scale path")
   }
 
   test("substring dedup shuffles gram hashes and never a cartesian") {
