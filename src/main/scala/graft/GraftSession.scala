@@ -18,6 +18,14 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions",
         shufflePartitions.getOrElse(cores).toString)
       .config("spark.sql.adaptive.enabled", "true")
+      // cost-based optimization: inert until a table carries ANALYZE'd
+      // catalog statistics (Warehouse.analyzeTable) — path-based reads
+      // keep their size-only estimates — but with stats present the
+      // planner gets filter selectivity (broadcast decisions on FILTERED
+      // dims) and cost-based join reordering. CboStatsSpec pins the
+      // stats-driven plan flip this enables.
+      .config("spark.sql.cbo.enabled", "true")
+      .config("spark.sql.cbo.joinReorder.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

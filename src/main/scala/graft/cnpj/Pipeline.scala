@@ -62,11 +62,32 @@ object Pipeline {
         Warehouse.writeTable(typed(raw(sub, schema)),
           s"$warehouseDir/$sub", None)
     }
+
+    // The reference's post-load ANALYZE step (readme.md:135) — collect
+    // planner statistics over the joined/filtered columns so the
+    // flagship (and any ad-hoc query over the catalog names) plans with
+    // row counts and filter selectivity instead of raw file bytes. One
+    // extra scan per table at load time; flagship() reads through these
+    // registrations when they point at this warehouse.
+    Seq(
+      ("estabelecimentos", Seq("cnpj_basico", "id_cnae", "id_municipio",
+        "id_situacao_cadastral")),
+      ("empresas", Seq("cnpj_basico", "natureza_juridica")),
+      ("cnae", Seq("id_cnae")),
+      ("municipios", Seq("id_municipio")),
+      ("motivo_situacao_cadastral", Seq("id_situacao_cadastral"))
+    ).foreach { case (t, cols) =>
+      Warehouse.analyzeTable(spark, s"cnpj_$t", s"$warehouseDir/$t", cols)
+    }
   }
 
-  /** Run the flagship query over the warehouse. */
+  /** Run the flagship query over the warehouse — through the ANALYZE'd
+    * catalog registrations when buildWarehouse made them for THIS
+    * warehouse dir (CBO then sees row counts + column stats), plain
+    * path reads otherwise. */
   def flagship(spark: SparkSession, warehouseDir: String): DataFrame = {
-    def t(n: String) = Warehouse.readTable(spark, s"$warehouseDir/$n")
+    def t(n: String) =
+      Warehouse.readTableWithStats(spark, s"cnpj_$n", s"$warehouseDir/$n")
     Flagship.query(t("estabelecimentos"), t("cnae"), t("empresas"),
       t("municipios"), t("motivo_situacao_cadastral"))
   }

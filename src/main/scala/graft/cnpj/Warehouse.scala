@@ -31,6 +31,61 @@ object Warehouse {
   def readTable(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(dir)
 
+  /** S10 adjunct — the reference readme's post-load `ANALYZE` suggestion
+    * (readme.md:135, SQLite's planner statistics) mapped to Spark's
+    * cost-based optimizer: register the parquet directory as an external
+    * catalog table and collect table-level statistics (size, row count)
+    * plus per-column min/max/ndv/null-count for the named columns.
+    *
+    * Why it matters at warehouse scale: without catalog statistics the
+    * planner sees only file bytes, and a FILTERED relation keeps its
+    * full-scan estimate (Filter is a pass-through in size-only
+    * estimation) — so a dimension that shrinks to a few KB after its
+    * predicate still plans as a shuffle join. With column stats, CBO's
+    * FilterEstimation turns ndv/min-max into selectivity, the estimate
+    * drops below the broadcast threshold, and the join flips to
+    * BroadcastHashJoin (CboStatsSpec pins exactly that flip). Stats are
+    * one extra scan at load time, amortized over every later query.
+    *
+    * Overwrite-by-design: re-registration replaces the previous
+    * definition, matching the overwrite warehouse write above. */
+  def analyzeTable(spark: SparkSession, name: String, dir: String,
+      statsColumns: Seq[String] = Nil): DataFrame = {
+    // qualify the location up front: a relative dir in LOCATION would
+    // otherwise resolve against spark.sql.warehouse.dir, not the cwd the
+    // caller wrote the parquet to
+    val loc = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).makeQualified(p)
+    }
+    spark.sql(s"DROP TABLE IF EXISTS `$name`")
+    spark.sql(s"CREATE TABLE `$name` USING parquet LOCATION '$loc'")
+    spark.sql(s"ANALYZE TABLE `$name` COMPUTE STATISTICS")
+    if (statsColumns.nonEmpty)
+      spark.sql(s"ANALYZE TABLE `$name` COMPUTE STATISTICS FOR COLUMNS " +
+        statsColumns.map(c => s"`$c`").mkString(", "))
+    spark.table(name)
+  }
+
+  /** Read through the ANALYZE'd catalog table when one named `name` is
+    * registered AT exactly `dir` — the statistics then flow into this
+    * plan — and fall back to the plain path read otherwise (a session
+    * that never ran [[analyzeTable]], or a test pointing the same name
+    * at a different warehouse). Qualified-path comparison, so relative
+    * dirs and URI-style catalog locations compare equal. */
+  def readTableWithStats(spark: SparkSession, name: String, dir: String)
+      : DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val ident = org.apache.spark.sql.catalyst.TableIdentifier(name)
+    val cat = spark.sessionState.catalog
+    val hconf = spark.sparkContext.hadoopConfiguration
+    def qualified(p: Path) = p.getFileSystem(hconf).makeQualified(p)
+    val registeredHere = cat.tableExists(ident) &&
+      qualified(new Path(cat.getTableMetadata(ident).location)) ==
+        qualified(new Path(dir))
+    if (registeredHere) spark.table(name) else readTable(spark, dir)
+  }
+
   /** Comma-decimal → DECIMAL(18,2): "195400,00" (FIXTURES.md A.1). */
   def commaDecimal(c: org.apache.spark.sql.Column) =
     regexp_replace(c, ",", ".").cast("decimal(18,2)")

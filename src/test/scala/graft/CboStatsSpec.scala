@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.cnpj.Warehouse
+
+/** CBO statistics (the reference readme's ANALYZE suggestion mapped to
+  * Spark) change a real plan decision — the spec the round-10 verdict
+  * asked for. Without column statistics a FILTERED dimension keeps its
+  * full-scan size estimate (Filter is a pass-through in size-only
+  * estimation), so the join plans as a shuffle; after
+  * `ANALYZE ... FOR COLUMNS` the CBO derives selectivity from ndv and the
+  * same query flips to a broadcast join. */
+class CboStatsSpec extends AnyFunSuite {
+
+  // CBO on, AQE OFF: the static planner's decision is what statistics
+  // change — AQE could re-decide from runtime sizes and mask the flip.
+  // The broadcast threshold sits far below the table's file size and far
+  // above the filtered CBO estimate, so the join strategy is decided
+  // purely by whether column stats exist.
+  lazy val spark: SparkSession = {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.cbo.enabled", "true")
+      .config("spark.sql.adaptive.enabled", "false")
+      .config("spark.sql.autoBroadcastJoinThreshold", (16 * 1024).toString)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+  }
+
+  private val sf = "/root/testdata/sf0.01"
+  private val dir = "target/cbo_spec/orders"
+  private val table = "cbo_spec_orders"
+
+  private def joinPlan(): String = {
+    val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
+    val dim = spark.table(table).where(col("o_custkey") === 42)
+      .select("o_orderkey", "o_orderstatus")
+    li.join(dim, li("l_orderkey") === dim("o_orderkey"))
+      .queryExecution.executedPlan.toString
+  }
+
+  test("ANALYZE FOR COLUMNS flips the filtered-dim join from shuffle to broadcast") {
+    // a private copy of orders: the spec must own the registered location
+    Tables.orders(spark, sf).write.mode("overwrite").parquet(dir)
+
+    // table-level stats only: row count is known, but with no column
+    // stats FilterEstimation cannot price the o_custkey predicate — the
+    // dim keeps its ~full-size estimate and the join must shuffle
+    Warehouse.analyzeTable(spark, table, dir, statsColumns = Nil)
+    val before = joinPlan()
+    assert(before.contains("SortMergeJoin") || before.contains("ShuffledHashJoin"),
+      "expected a shuffle join without column stats:\n" + before.take(1200))
+    assert(!before.contains("BroadcastHashJoin"), before.take(1200))
+
+    // + column stats: selectivity ≈ 1/ndv(o_custkey) shrinks the estimate
+    // below the broadcast threshold → BroadcastHashJoin, same query
+    Warehouse.analyzeTable(spark, table, dir, statsColumns = Seq("o_custkey"))
+    val after = joinPlan()
+    assert(after.contains("BroadcastHashJoin"),
+      "column stats did not flip the join to broadcast:\n" + after.take(1200))
+
+    // and the catalog stats really are plan-visible: row count is exact
+    val rc = spark.table(table).queryExecution.optimizedPlan.stats.rowCount
+    assert(rc.isDefined && rc.get.toLong == Tables.orders(spark, sf).count())
+  }
+
+  test("readTableWithStats routes through the registration only for its own dir") {
+    Warehouse.analyzeTable(spark, table, dir, statsColumns = Seq("o_custkey"))
+    // matching dir → the catalog relation, carrying rowCount stats
+    val viaCatalog = Warehouse.readTableWithStats(spark, table, dir)
+    assert(viaCatalog.queryExecution.optimizedPlan.stats.rowCount.isDefined)
+    // foreign dir under the same name → plain path read, no stale stats
+    val other = "target/cbo_spec/orders_other"
+    Tables.orders(spark, sf).limit(10).write.mode("overwrite").parquet(other)
+    val viaPath = Warehouse.readTableWithStats(spark, table, other)
+    assert(viaPath.count() == 10,
+      "fallback must read the requested dir, not the registered table")
+  }
+}
