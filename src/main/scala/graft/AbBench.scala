@@ -1,0 +1,47 @@
+package graft
+
+/** Dev utility: A/B-time a handful of keys under a session conf toggle.
+  *
+  *   runMain graft.AbBench <key,key,...> [conf=v1|v2[;conf2=...]]
+  *
+  * Runs each key twice per side (min reported) with the toggles applied
+  * to the LIVE session between sides — for isolating whether a bench
+  * regression is a plan change (flips with the conf) or machine noise
+  * (doesn't). Not part of the driver contract.
+  */
+object AbBench {
+  def main(args: Array[String]): Unit = {
+    val keys = args(0).split(",").toSeq
+    val toggles: Seq[(String, String, String)] = args.lift(1).toSeq
+      .flatMap(_.split(";")).map { t =>
+        val Array(k, vs) = t.split("=", 2)
+        val Array(a, b) = vs.split("\\|", 2)
+        (k, a, b)
+      }
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession.builder(s"local[$cpus]", Some(cpus.toInt))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def timeOnce(key: String): Double = {
+      ops.Text.clearCaches()
+      val t0 = System.nanoTime()
+      try SparkEntry.queries(key)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable => println(s"ERR $key: $e"); return -1 }
+      (System.nanoTime() - t0) / 1e9
+    }
+    for (side <- Seq(0, 1)) {
+      toggles.foreach { case (k, a, b) =>
+        spark.conf.set(k, if (side == 0) a else b)
+      }
+      val label = if (toggles.isEmpty) "RUN" else s"SIDE$side"
+      keys.foreach { k =>
+        val t = math.min(timeOnce(k), timeOnce(k))
+        println(f"ABBENCH $label $k $t%.3f")
+      }
+      if (toggles.isEmpty) return // no toggle: one side only
+    }
+    spark.stop()
+  }
+}

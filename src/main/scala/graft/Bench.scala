@@ -91,6 +91,18 @@ object Bench {
           val c = timeOnce(fn)
           if (c < 0) math.min(a, b)
           else Seq(a, b, c).sorted.apply(1)
+        } else if (math.max(a, b) > 1.25 * math.min(a, b) &&
+            math.min(a, b) > 0.4) {
+          // moderate spread (>1.25×) on a non-trivial key: r10's
+          // round-over-round "regressions" (q_fuzzy_join, q_unpivot)
+          // were exactly this band — run-to-run variance, not plan
+          // changes. One more sample and min-of-3 bounds it, so a
+          // regression that survives is a real one. The 0.4 s floor
+          // targets the ~top-30 keys — at 0.2 s the rule fired on 89 of
+          // 132 keys and the extra runs inflated the bench window itself.
+          rerunCount += 1
+          val c = timeOnce(fn)
+          if (c < 0) math.min(a, b) else Seq(a, b, c).min
         } else math.min(a, b)
       n -> t
     }

@@ -18,14 +18,16 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions",
         shufflePartitions.getOrElse(cores).toString)
       .config("spark.sql.adaptive.enabled", "true")
-      // cost-based optimization: inert until a table carries ANALYZE'd
-      // catalog statistics (Warehouse.analyzeTable) — path-based reads
-      // keep their size-only estimates — but with stats present the
-      // planner gets filter selectivity (broadcast decisions on FILTERED
-      // dims) and cost-based join reordering. CboStatsSpec pins the
-      // stats-driven plan flip this enables.
-      .config("spark.sql.cbo.enabled", "true")
-      .config("spark.sql.cbo.joinReorder.enabled", "true")
+      // Cost-based optimization stays OPT-IN (Spark's default), not a
+      // session default: measured on this engine's deep stat-less text
+      // plans, cbo.enabled=true costs real planner time for zero
+      // information — q_substring_dedup 2.4× slower (5.7 s vs 2.4 s),
+      // q_dup_ngrams/q_corpus_clean/q_cooccurrence ~1.2× — because the
+      // row-count estimator walks every operator of every re-planned
+      // iteration while no table carries catalog statistics. Sessions
+      // that query ANALYZE'd tables (Warehouse.analyzeTable) should set
+      // spark.sql.cbo.enabled=true themselves; CboStatsSpec pins the
+      // stats-driven broadcast flip that buys.
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

@@ -37,9 +37,10 @@ object ScaleProbe {
 
   private def buildReplica(spark: SparkSession, src: String, out: String,
       copies: Int): Unit = {
-    // v2: the replica now also scales events (the marker is versioned so a
-    // pre-events replica left in target/ by an earlier round rebuilds)
-    val done = new java.io.File(s"$out/_REPLICA_DONE_v2")
+    // v3: the replica also scales customer and shifts orders' o_custkey
+    // (the CNPJ flagship probe needs a 10× empresas population; marker is
+    // versioned so an older replica left in target/ rebuilds)
+    val done = new java.io.File(s"$out/_REPLICA_DONE_v3")
     if (done.exists()) return
     val docs = Tables.documents(spark, src)
     val docStep = shiftStep(docs, "doc_id")
@@ -65,9 +66,21 @@ object ScaleProbe {
     }.reduce(_ unionAll _)
       .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
 
+    // customer scales WITH orders' o_custkey shift: the CNPJ flagship
+    // derives its empresas fact from customer, so each copy must own a
+    // disjoint customer population (empresas is ~60M rows at real CNPJ
+    // scale — fact-sized, not a dim) and its orders must reference it
+    val cust = Tables.customer(spark, src)
+    val ckStep = shiftStep(cust, "c_custkey")
+    (0 until copies).map { i =>
+      cust.withColumn("c_custkey", col("c_custkey") + i * ckStep)
+    }.reduce(_ unionAll _)
+      .write.mode("overwrite").parquet(s"$out/customer.parquet")
+
     val ord = Tables.orders(spark, src)
     (0 until copies).map { i =>
       ord.withColumn("o_orderkey", col("o_orderkey") + i * okStep)
+        .withColumn("o_custkey", col("o_custkey") + i * ckStep)
     }.reduce(_ unionAll _)
       .write.mode("overwrite").parquet(s"$out/orders.parquet")
 
@@ -120,7 +133,10 @@ object ScaleProbe {
     // tumbling windows — each should track the ×10 event volume linearly
     "q_sessionize", "q_asof_join", "q_range_join_binned", "q_time_window",
     // the completed dedup DAGs' recurring corpus-scale stages
-    "q_bpe_tokenize", "q_image_dedup_cluster")
+    "q_bpe_tokenize", "q_image_dedup_cluster",
+    // the CNPJ vertical (reference envelope ">20 GB", readme.md:108):
+    // synthetic flagship over the replica's 10× orders/customer
+    "q_cnpj_flagship")
 
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -139,6 +155,25 @@ object ScaleProbe {
       s"q_quantiles_auto dispatched NAIVE at the 10x replica (estimate=" +
         s"${ops.Advanced.quantileInputEstimate(spark, out)} <= threshold=" +
         s"${ops.Advanced.QuantileDispatchBytes}) — recalibrate")
+
+    // CNPJ flagship plan audit at both scales: the three dimension joins
+    // must stay broadcast and the plan must never degrade to a cartesian;
+    // the empresas (fact⋈fact) side is planner-decided — broadcast while
+    // it fits, sort-merge beyond the threshold — so record which it chose
+    // rather than pinning it.
+    def flagshipPlanShape(dir: String): (Boolean, String) = {
+      val p = SparkEntry.queries("q_cnpj_flagship")(spark, dir)
+        .queryExecution.executedPlan.toString
+      val ok = "BroadcastHashJoin".r.findAllIn(p).size >= 3 &&
+        !p.contains("CartesianProduct")
+      val empJoin = if (p.contains("SortMergeJoin")) "sort_merge"
+        else "broadcast"
+      (ok, empJoin)
+    }
+    val (fs01ok, fs01emp) = flagshipPlanShape(src)
+    val (fs1ok, fs1emp) = flagshipPlanShape(out)
+    require(fs01ok && fs1ok,
+      s"flagship plan degraded (sf0.1 ok=$fs01ok, sf1 ok=$fs1ok)")
 
     def timeOnce(key: String, dir: String): Double = {
       ops.Text.clearCaches()
@@ -170,7 +205,7 @@ object ScaleProbe {
       s""""$k":{"sf01_sec":${r3(a)},"sf1_sec":${r3(b)},"ratio":${r3(r)}}"""
     }.mkString("{", ",", "}")
     val line =
-      s"""{"metric":"sf1_scaling","copies":10,"quantiles_auto_binned_at_sf1":$autoBinnedAtSf1,"loadavg":{"before":${r3(loadBefore)},"after":${r3(load1m())}},"queries":$qs,"src":"$src"}"""
+      s"""{"metric":"sf1_scaling","copies":10,"quantiles_auto_binned_at_sf1":$autoBinnedAtSf1,"flagship_emp_join":{"sf01":"$fs01emp","sf1":"$fs1emp"},"loadavg":{"before":${r3(loadBefore)},"after":${r3(load1m())}},"queries":$qs,"src":"$src"}"""
     println(line)
     val w = new java.io.PrintWriter("/root/repo/BENCH_sf1.json", "UTF-8")
     try w.println(line) finally w.close()

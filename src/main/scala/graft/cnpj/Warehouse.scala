@@ -46,6 +46,11 @@ object Warehouse {
     * drops below the broadcast threshold, and the join flips to
     * BroadcastHashJoin (CboStatsSpec pins exactly that flip). Stats are
     * one extra scan at load time, amortized over every later query.
+    * Column-selectivity estimation needs `spark.sql.cbo.enabled=true` in
+    * the QUERYING session — deliberately not GraftSession's default,
+    * because on deep plans with NO catalog stats the CBO estimator is
+    * measurable pure overhead (see the GraftSession comment); table-level
+    * size/row-count stats improve estimates either way.
     *
     * Overwrite-by-design: re-registration replaces the previous
     * definition, matching the overwrite warehouse write above. */

@@ -121,9 +121,10 @@ object SetOps {
         when(col("event_type") === "view", lit(1)).otherwise(lit(0)),
         col("event_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    // both frame aggregates in ONE select: two .withColumn calls with the
-    // same window spec still plan as two Window passes over the sorted
-    // partition (PlanAuditSpec pins the single-pass shape)
+    // both frame aggregates in ONE select: makes the single-Window-pass
+    // shape explicit and skips the per-withColumn analyzer round trips
+    // (the optimizer's CollapseWindow would merge adjacent same-spec
+    // Window operators either way; PlanAuditSpec pins one pass)
     e.select(col("*"),
         last(when(col("event_type") === "view", col("event_id")), true)
           .over(w).as("view_event_id"),

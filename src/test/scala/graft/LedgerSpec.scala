@@ -23,8 +23,10 @@ class LedgerSpec extends AnyFunSuite {
     assert(orphans.isEmpty, s"oracleSql without queries entry: $orphans")
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     // every rows-only key must be one of the documented sketch/report keys
+    // q_minhash_lsh graduated to oracle in round 11 (shares
+    // q_dedup_near's SQL — the verify step makes LSH pairs ≡ exact)
     val documented = Set("q_approx_distinct", "q_kmv_distinct", "q_winnow_fp",
-      "q_minhash_lsh", "q_simhash", "q_quantiles_approx",
+      "q_simhash", "q_quantiles_approx",
       "q_compress_ratio", "q_bpe_learn", "q_bpe_encode", "q_bpe_tokenize",
       "q_sketch_rollup", "q_image_phash", "q_image_near_dup",
       "q_image_dedup_cluster")
