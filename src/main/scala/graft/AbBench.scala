@@ -38,7 +38,8 @@ object AbBench {
       val label = if (toggles.isEmpty) "RUN" else s"SIDE$side"
       keys.foreach { k =>
         val t = math.min(timeOnce(k), timeOnce(k))
-        println(f"ABBENCH $label $k $t%.3f")
+        println(f"ABBENCH $label $k $t%.3f " +
+          s"lp_rounds=${ops.Sketches.lastLabelPropIterations}")
       }
       if (toggles.isEmpty) return // no toggle: one side only
     }

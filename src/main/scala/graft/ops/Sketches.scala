@@ -199,6 +199,11 @@ object Sketches {
       .select(col("id").as("doc_id"), col("lbl").as("cluster_rep"))
       .orderBy("doc_id")
 
+  /** Rounds [[labelPropagation]] took to converge on its last invocation
+    * — observability for the O(log diameter) claim (LabelPropagationSpec
+    * asserts a 24-diameter chain converges in ≤ 8 rounds, not ~24). */
+  private[graft] var lastLabelPropIterations: Int = 0
+
   /** Iterative min-label propagation over an undirected edge list given as
     * (da, db) pairs; returns (id, lbl) with lbl = the component's minimum
     * id. One shuffle join per round; the driver-side loop only reads a
@@ -206,7 +211,22 @@ object Sketches {
     * rounds — without that, each iteration's plan embeds all previous
     * iterations' joins and a large-diameter graph blows up optimizer time
     * and stack depth long before data volume is a problem
-    * (LabelPropagationSpec asserts the plan stays bounded). */
+    * (LabelPropagationSpec asserts the plan stays bounded).
+    *
+    * Scale posture — round count, not just per-round cost: plain neighbor
+    * propagation needs O(diameter) rounds, and at warehouse scale each
+    * round is a full keyed shuffle — a 10k-link duplication chain (shingle
+    * chains of re-posted near-identical pages do this) would mean 10k
+    * shuffles. From the third round on, each round therefore also POINTER
+    * JUMPS: lbl ← lbl(lbl), one extra id-keyed equi-join that composes the
+    * label mapping with itself, doubling the distance information travels
+    * per round (the Wyllie/pointer-doubling idea; same mechanism that gives
+    * the alternating star algorithms their O(log n) bound). Net: O(log
+    * diameter) rounds, while shallow graphs (typical near-dup clusters,
+    * diameter ≤ 3) converge before jumping starts and pay nothing extra.
+    * Correctness is invariant: labels only ever decrease to ids inside the
+    * same component, so the propagation fixpoint (chg == 0) is still
+    * "constant per component = component min" with or without jumps. */
   private[graft] def labelPropagation(pairs: DataFrame, maxIter: Int)
       : DataFrame = {
     import org.apache.spark.sql.functions._
@@ -251,8 +271,20 @@ object Sketches {
       prevCached = next
       labels = next.select(col("id"), col("lbl"))
       converged = changed == 0
+      val jumpOn = pairs.sparkSession.conf
+        .get("spark.graft.labelprop.jump", "true") == "true"
+      if (!converged && iter >= 2 && jumpOn) {
+        // pointer jump (see scaladoc): every lbl value is itself a node id
+        // present in `labels`, so the inner self-join is total. The right
+        // side renames its columns so the self-join cannot hit Spark's
+        // ambiguous-attribute resolution.
+        val hop = labels.select(col("id").as("jid"), col("lbl").as("jlbl"))
+        labels = labels.join(hop, col("lbl") === col("jid"))
+          .select(col("id"), col("jlbl").as("lbl"))
+      }
       iter += 1
     }
+    lastLabelPropIterations = iter
     edges.unpersist()
     labels
   }

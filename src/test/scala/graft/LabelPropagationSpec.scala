@@ -28,6 +28,13 @@ class LabelPropagationSpec extends AnyFunSuite {
     val got = labels.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     (0L to 24L).foreach(i => assert(got(i) == 0L, s"node $i"))
     Seq(100L, 101L, 102L).foreach(i => assert(got(i) == 100L, s"node $i"))
+    // O(log diameter) round count: plain neighbor propagation would need
+    // ~24 rounds for the chain; pointer jumping (from round 3 on) doubles
+    // label reach per round, so convergence must land well under that.
+    // At warehouse scale each round is a full keyed shuffle — round count
+    // IS the scale property this pins.
+    val rounds = ops.Sketches.lastLabelPropIterations
+    assert(rounds <= 9, s"24-diameter chain took $rounds rounds — pointer jumping broken")
     // Plan boundedness: with checkpointing every 5 rounds the final plan
     // holds at most ~5 rounds of joins regardless of iteration count. An
     // un-truncated 24-round loop produces hundreds of plan lines.

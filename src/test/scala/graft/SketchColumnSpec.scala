@@ -82,4 +82,34 @@ class SketchColumnSpec extends AnyFunSuite {
       .agg(kmvMerge(col("sk"))).collect()(0).getLong(0)
     assert(after == before)
   }
+
+  test("sketch rollup IO: configurable root, Hadoop-FS cleanup, stale sweep") {
+    import org.apache.hadoop.fs.Path
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-sketch-io").toString
+    spark.conf.set("spark.graft.io.dir", root)
+    try {
+      val sketchRoot = new Path(s"$root/sf0.001/token_sketches")
+      val fs = sketchRoot.getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      // plant a stale sibling leaf (older than the 30-min sweep horizon):
+      // the operator must reclaim it, or bench reruns accumulate one
+      // sketch-table copy per timed run
+      val stale = new Path(sketchRoot, "stale-leaf")
+      fs.mkdirs(stale)
+      fs.create(new Path(stale, "part-0.parquet")).close()
+      fs.setTimes(stale, System.currentTimeMillis() - 31L * 60 * 1000, -1)
+
+      val out = ops.Sketches.qSketchRollup(spark, sf)
+      assert(out.count() > 0)
+      // the run used the configured root (it exists), removed the stale
+      // sibling, and cleaned its own single-use leaf after the merge
+      assert(fs.exists(sketchRoot), "configured io root was not used")
+      assert(!fs.exists(stale), "stale sibling leaf not swept")
+      assert(fs.listStatus(sketchRoot).isEmpty,
+        "per-invocation leaf not cleaned up after the final merge")
+    } finally {
+      spark.conf.unset("spark.graft.io.dir")
+    }
+  }
 }
