@@ -218,6 +218,109 @@ object Vectors {
       .orderBy("query_id", "rnk")
   }
 
+  /** X3 memory-compression tier: product-quantization (PQ) ANN with
+    * asymmetric-distance preselection and exact rerank.
+    *
+    * The 64-dim vector splits into m=8 subspaces of 8 dims; each
+    * subspace has a 16-entry codebook (the first 16 corpus vectors'
+    * subvectors — deterministic seeds, same convention as the IVF
+    * centroids). Every candidate is ENCODED as 8 nibble codes (argmin
+    * subspace L2², ties → lower code id): 4 bytes of codes standing in
+    * for 256 bytes of floats — the 64× footprint cut is the whole point
+    * at 100 TB, where the code table fits in executor memory and the
+    * float vectors stay in cold storage. Queries never decode: ADC
+    * (asymmetric distance computation) precomputes the query→codebook
+    * distance table (m × 16 entries per query, broadcast) and scores a
+    * candidate as the SUM of 8 table lookups — one equi-join on (j,
+    * code) against the code table, no float vector is touched until the
+    * top-C=64 preselected candidates are reranked by exact cosine over
+    * the original doubles (so reported cosines carry no quantization).
+    *
+    * Determinism: embeddings are quantized to exact integers
+    * (round(x·2^20), same multiple-of-2^-4 argument as
+    * [[qVectorAnnKmeans]]); encode/ADC arithmetic is all BIGINT —
+    * associative, partition-order-free — so codes, approximate
+    * distances, and the preselection set are pure functions of the
+    * data, and the DuckDB oracle replays them exactly. The final
+    * cosines are the same sequential-fold doubles as every other key.
+    *
+    * Scale posture: encoding is one broadcast-join pass (m·k small
+    * kernel evals per vector, map-side argmin); ADC scoring shuffles
+    * one (query, cand, partial-sum) row per candidate-subspace hit
+    * with map-side combine; preselection is the partial/final
+    * [[graft.plans.TopKPerKey]] — ≤ C survivors per (partition, query)
+    * reach the shuffle; the rerank touches C × queries float vectors
+    * total. PQ recall is a property of the codebook (VectorSpec pins
+    * the measured overlap vs the exact top-k on testdata); the
+    * preselect→exact-rerank split is what IVF-PQ indexes (FAISS-style)
+    * do, minus the training loop the fixed seeds replace. */
+  def qVectorAnnPq(s: SparkSession, d: String): DataFrame = {
+    val S = 1048576L // 2^20
+    val m = 8 // subspaces
+    val sub = 8 // dims per subspace
+    val e = embeddings(s, d).select(col("vec_id"),
+      transform(asDouble(col("embedding")),
+        x => round(x * S, 0).cast("long")).as("xq"),
+      asDouble(col("embedding")).as("emb"))
+    // exact BIGINT subspace L2²: ≤ 8·(2·2^20)² ≈ 3.5e13 per subspace,
+    // comfortably inside long range
+    def l2i(a: Column, b: Column): Column = aggregate(
+      zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, v) => acc + v)
+    def subspaces(df: DataFrame, idCol: String, as: String): DataFrame = df
+      .withColumn("j", explode(sequence(lit(0), lit(m - 1))))
+      .select(col(idCol), col("j"),
+        slice(col("xq"), col("j") * sub + 1, lit(sub)).as(as))
+    // per-subspace codebook: 16 codes × 8 subspaces = 128 rows
+    val codebook = subspaces(
+      e.where(col("vec_id") < 16).select(col("vec_id").as("cid"), col("xq")),
+      "cid", "csub")
+    // encode: nibble code per (candidate, subspace) — broadcast-join
+    // argmin, map-side combined, ties → lower code id
+    val codes = subspaces(
+      e.where(col("vec_id") >= 5)
+        .select(col("vec_id").as("cand_id"), col("xq")),
+      "cand_id", "vsub")
+      .join(broadcast(codebook), "j")
+      .withColumn("dist", l2i(col("vsub"), col("csub")))
+      .groupBy("cand_id", "j")
+      .agg(min_by(col("cid"), struct(col("dist"), col("cid"))).as("code"))
+    val q = withNorm(e.where(col("vec_id") < 5), "emb")
+      .select(col("vec_id").as("query_id"), col("xq"),
+        col("emb").as("qe"), col("nrm").as("qn"))
+    // ADC table: query → (subspace, code) distance, 5 × 8 × 16 rows
+    val dtab = subspaces(
+      q.select(col("query_id"), col("xq")), "query_id", "qsub")
+      .join(broadcast(codebook), "j")
+      .select(col("query_id"), col("j"), col("cid"),
+        l2i(col("qsub"), col("csub")).as("d"))
+    // approximate distance = Σ_j table[j, code_j] — exact long sum
+    val approx = codes
+      .join(broadcast(dtab),
+        codes("j") === dtab("j") && codes("code") === dtab("cid"))
+      .groupBy("query_id", "cand_id")
+      .agg(sum(col("d")).as("adist"))
+    // preselect C=64 per query on the approximate metric, then rerank
+    // the survivors by exact cosine over the original doubles
+    val pre = graft.plans.TopKPerKey.topKPerKey(approx,
+      Seq(col("query_id")), Seq(col("adist").asc, col("cand_id")), 64)
+    val cemb = withNorm(
+      e.where(col("vec_id") >= 5)
+        .select(col("vec_id").as("cand_id"), col("emb")), "emb")
+      .select(col("cand_id"), col("emb").as("ce"), col("nrm").as("cn"))
+    val topW = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("cand_id"))
+    pre.select("query_id", "cand_id")
+      .join(cemb, "cand_id")
+      .join(broadcast(q.select(col("query_id"), col("qe"), col("qn"))),
+        "query_id")
+      .withColumn("cosine", cosine(col("qe"), col("qn"), col("ce"), col("cn")))
+      .withColumn("rnk", row_number().over(topW))
+      .where(col("rnk") <= 5)
+      .select("query_id", "cand_id", "rnk", "cosine")
+      .orderBy("query_id", "rnk")
+  }
+
   /** X3 / near-dup primitive: exact cosine 1-NN for each probe vector
     * (vec_id < 100) against the full corpus. */
   def qEmbedKnn(s: SparkSession, d: String): DataFrame = {
@@ -360,6 +463,7 @@ object Vectors {
     "q_vector_topk"    -> qVectorTopk _,
     "q_vector_ann_ivf" -> qVectorAnnIvf _,
     "q_vector_ann_kmeans" -> qVectorAnnKmeans _,
+    "q_vector_ann_pq"  -> qVectorAnnPq _,
     "q_embed_knn"      -> qEmbedKnn _,
     "q_embed_pairs"    -> qEmbedPairs _,
     "q_embed_lsh_pairs" -> qEmbedLshPairs _,
@@ -528,6 +632,62 @@ object Vectors {
         |    list_cosine_similarity(q.qe, c.ce) AS cosine
         |  FROM cands c JOIN probes p ON c.acid2 = p.pcid
         |  JOIN q ON q.query_id = p.query_id),
+        |r AS (
+        |  SELECT query_id, cand_id, cosine,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, cand_id) AS rnk
+        |  FROM scored)
+        |SELECT query_id, cand_id, rnk, cosine FROM r
+        |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+    "q_vector_ann_pq" ->
+      """WITH e AS (
+        |  SELECT vec_id,
+        |    list_transform(CAST(embedding AS DOUBLE[]),
+        |      x -> CAST(round(x * 1048576) AS BIGINT)) AS xq,
+        |    CAST(embedding AS DOUBLE[]) AS emb
+        |  FROM embeddings),
+        |js AS (SELECT unnest(range(0, 8)) AS j),
+        |cb AS (
+        |  SELECT e.vec_id AS cid, js.j,
+        |    list_slice(e.xq, js.j*8 + 1, js.j*8 + 8) AS csub
+        |  FROM e, js WHERE e.vec_id < 16),
+        |vsub AS (
+        |  SELECT e.vec_id AS cand_id, js.j,
+        |    list_slice(e.xq, js.j*8 + 1, js.j*8 + 8) AS vsub
+        |  FROM e, js WHERE e.vec_id >= 5),
+        |enc AS (
+        |  SELECT v.cand_id, v.j, cb.cid,
+        |    CAST(list_sum(list_transform(list_zip(v.vsub, cb.csub),
+        |      z -> (z[1]-z[2])*(z[1]-z[2]))) AS BIGINT) AS dist
+        |  FROM vsub v JOIN cb ON v.j = cb.j),
+        |codes AS (
+        |  SELECT cand_id, j, cid AS code FROM (
+        |    SELECT cand_id, j, cid, ROW_NUMBER() OVER (
+        |      PARTITION BY cand_id, j ORDER BY dist ASC, cid ASC) AS rn
+        |    FROM enc) WHERE rn = 1),
+        |q AS (SELECT vec_id AS query_id, xq, emb AS qe FROM e
+        |      WHERE vec_id < 5),
+        |dtab AS (
+        |  SELECT q.query_id, cb.j, cb.cid,
+        |    CAST(list_sum(list_transform(list_zip(
+        |      list_slice(q.xq, cb.j*8 + 1, cb.j*8 + 8), cb.csub),
+        |      z -> (z[1]-z[2])*(z[1]-z[2]))) AS BIGINT) AS d
+        |  FROM q, cb),
+        |approx AS (
+        |  SELECT dt.query_id, c.cand_id, CAST(SUM(dt.d) AS BIGINT) AS adist
+        |  FROM codes c JOIN dtab dt ON c.j = dt.j AND c.code = dt.cid
+        |  GROUP BY 1, 2),
+        |pre AS (
+        |  SELECT query_id, cand_id FROM (
+        |    SELECT query_id, cand_id, ROW_NUMBER() OVER (
+        |      PARTITION BY query_id ORDER BY adist ASC, cand_id ASC) AS rn
+        |    FROM approx) WHERE rn <= 64),
+        |scored AS (
+        |  SELECT pre.query_id, pre.cand_id,
+        |    list_cosine_similarity(q.qe, ce.emb) AS cosine
+        |  FROM pre
+        |  JOIN e ce ON ce.vec_id = pre.cand_id
+        |  JOIN q ON q.query_id = pre.query_id),
         |r AS (
         |  SELECT query_id, cand_id, cosine,
         |    ROW_NUMBER() OVER (PARTITION BY query_id

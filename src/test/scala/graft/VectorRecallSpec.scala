@@ -58,4 +58,19 @@ class VectorRecallSpec extends AnyFunSuite {
     assert(rSeed > 0.25, f"seed IVF no better than random scan: $rSeed%.2f")
     assert(rKm > 0.25, f"k-means IVF no better than random scan: $rKm%.2f")
   }
+
+  test("PQ+ADC preselect recall versus brute force beats its candidate fraction") {
+    val exact = ops.Vectors.qVectorTopk(spark, sf)
+      .where(org.apache.spark.sql.functions.col("rnk") <= 5)
+    val exactSet = top5(exact)
+    val pq = top5(ops.Vectors.qVectorAnnPq(spark, sf))
+    val r = (pq & exactSet).size.toDouble / exactSet.size
+    val nCands = spark.read.parquet(s"$sf/embeddings.parquet")
+      .where("vec_id >= 5").count()
+    info(f"PQ recall@5: $r%.2f (preselect C=64 of $nCands candidates = " +
+      f"${64.0 / nCands}%.3f scan fraction at rerank)")
+    // the preselect keeps 64/n candidates; recall far above that fraction
+    // means the 4-byte codes genuinely preserve neighborhood structure
+    assert(r > 0.5, f"PQ preselect lost the true neighbors: $r%.2f")
+  }
 }
