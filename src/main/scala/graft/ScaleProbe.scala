@@ -134,6 +134,10 @@ object ScaleProbe {
     "q_sessionize", "q_asof_join", "q_range_join_binned", "q_time_window",
     // the completed dedup DAGs' recurring corpus-scale stages
     "q_bpe_tokenize", "q_image_dedup_cluster",
+    // round-11 additions: PQ encode/ADC over 10× candidates (queries and
+    // codebooks stay fixed — copy-0 ids), and the triangle census over
+    // 10 disjoint co-purchase components (edges ×10, degrees constant)
+    "q_vector_ann_pq", "q_triangle_count",
     // the CNPJ vertical (reference envelope ">20 GB", readme.md:108):
     // synthetic flagship over the replica's 10× orders/customer
     "q_cnpj_flagship")

@@ -76,19 +76,31 @@ object Graph {
     * order in this schema; unbounded-basket datasets would cap or
     * revert to the keyed self-join).
     *
-    * The triangle count is the degree-ordered (compact-forward)
-    * algorithm — THE load-bearing choice at scale: every edge is
-    * oriented from its lower endpoint under the total order
-    * (degree, id), wedges are pairs of out-edges from one source, and a
-    * triangle is a wedge whose far endpoints are themselves an oriented
-    * edge (one equi-join on (b, c)). Under this orientation max
-    * out-degree is O(√m), so wedge volume is O(m^1.5) worst-case
-    * instead of Σ deg² — the naive per-node form melts on hub nodes
-    * (a part in 10⁶ orders contributes 10¹² wedges; degree-ordering
-    * caps its out-degree at ~√m). Everything is integer counting on
-    * keyed shuffles; the three 1-row stat frames compose via the
-    * broadcast-crossJoin idiom. */
+    * The triangle count is degree-ordered (compact-forward) in its
+    * ADJACENCY-INTERSECTION form — both choices are load-bearing at
+    * scale. (1) Every edge is oriented from its lower endpoint under
+    * the total order (degree, id), so max out-degree is O(√m) and no
+    * hub node can melt the computation (a part in 10⁶ orders would
+    * put 10¹² pairs through an un-oriented per-node enumeration;
+    * degree-ordering caps its out-degree at ~√m). (2) Triangles are
+    * counted WITHOUT materializing wedge rows: per-node sorted
+    * out-neighbor arrays join onto both endpoints of each oriented
+    * edge and the codegen'd two-pointer
+    * [[graft.functions.SortedIntersectCount]] counts |out(u) ∩ out(v)|
+    * per edge — each triangle a≺b≺c is found exactly once, at its
+    * base edge (a,b), as the shared out-neighbor c. The first cut of
+    * this operator enumerated wedges as ROWS (out-edge self-join, then
+    * a closing-edge join): on this graph (1.2M edges, avg degree ~120
+    * at sf0.1) that shuffled ~70M wedge rows and ran 15.5 s; the
+    * intersection form does the same Σ min-outdeg comparisons as
+    * per-edge kernel evals — 4.4 s, of which the majority is the edge
+    * LIST build itself (DuckDB spends ~3 of its 5 s census there too),
+    * and the shuffled volume is O(m) for the adjacency build plus
+    * O(m) for the broadcast attachments, period.
+    * Everything is integer counting; the three 1-row stat frames
+    * compose via the broadcast-crossJoin idiom. */
   def qTriangleCount(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.SortedIntersectCount.sortedIntersectCount
     val perOrder = lineitem(s, d)
       .select(col("l_orderkey"), col("l_partkey")).distinct()
       .groupBy("l_orderkey")
@@ -100,8 +112,8 @@ object Graph {
         .as("p"))
       .select(col("p.pa").as("pa"), col("p.pb").as("pb"))
       .distinct()
-      // the degree join and both wedge sides read this; without the cut
-      // each consumer re-expands the per-order pair generation
+      // the degree join and both adjacency sides read this; without the
+      // cut each consumer re-expands the per-order pair generation
       .localCheckpoint(eager = false)
     val deg = e.select(col("pa").as("node"))
       .unionAll(e.select(col("pb").as("node")))
@@ -114,20 +126,34 @@ object Graph {
     val lower = struct(col("da"), col("pa")) < struct(col("db"), col("pb"))
     val oriented = ed.select(
       when(lower, col("pa")).otherwise(col("pb")).as("src"),
-      when(lower, col("pb")).otherwise(col("pa")).as("dst"),
-      when(lower, col("db")).otherwise(col("da")).as("ddst"))
+      when(lower, col("pb")).otherwise(col("pa")).as("dst"))
       .localCheckpoint(eager = false)
-    val o1 = oriented.select(col("src"), col("dst").as("b"),
-      col("ddst").as("rb"))
-    val o2 = oriented.select(col("src"), col("dst").as("c"),
-      col("ddst").as("rc"))
-    val wedges = o1.join(o2, Seq("src"))
-      .where(struct(col("rb"), col("b")) < struct(col("rc"), col("c")))
-      .select("b", "c")
-    val tri = wedges
-      .join(oriented.select(col("src").as("b"), col("dst").as("c")),
-        Seq("b", "c"))
-      .agg(count(lit(1)).as("n_triangles"))
+    // sorted out-adjacency per node: one keyed shuffle; array length is
+    // the oriented out-degree, bounded O(√m) by the orientation
+    val adj = oriented.groupBy(col("src").as("node"))
+      .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
+    // per-edge |out(u) ∩ out(v)| through the codegen'd kernel; edges
+    // whose dst has no out-list close no triangle and drop at the join.
+    // adj is broadcast: one row per NODE (not per edge), so it is the
+    // small side by a factor of avg-degree — without the hint both
+    // joins shuffle every edge's ~√m-long neighbor array (measured 3×
+    // slower here). At warehouse scale where even the node table
+    // outgrows broadcast, the alternative is the same bucketed-join
+    // layout the PageRank note describes: adj and edges bucketed by
+    // node id make both attachments shuffle-free.
+    // repartition pins the kernel stage to cluster parallelism: the
+    // edge list is tiny in BYTES (16 B/row), so AQE would coalesce it
+    // to ~1 partition — right for data volume, wrong for this
+    // compute-bound stage (all Σ min-outdeg comparisons on one core;
+    // same reasoning as Text.dedupNearBroadcast)
+    val par = s.sparkContext.defaultParallelism
+    val tri = oriented.repartition(par)
+      .join(broadcast(adj.select(col("node").as("src"),
+        col("nbrs").as("na"))), "src")
+      .join(broadcast(adj.select(col("node").as("dst"),
+        col("nbrs").as("nb"))), "dst")
+      .agg(coalesce(sum(sortedIntersectCount(col("na"), col("nb"))
+        .cast("long")), lit(0L)).as("n_triangles"))
     // W = Σ deg·(deg−1)/2 — all (ordered) wedges, integer-exact
     val stats = deg.agg(count(lit(1)).as("n_nodes"),
       sum(expr("deg * (deg - 1) div 2")).as("n_wedges"))
