@@ -189,7 +189,17 @@ object ScaleProbe {
     }
     def best2(key: String, dir: String): Double = {
       val a = timeOnce(key, dir); val b = timeOnce(key, dir)
-      if (a < 0 || b < 0) -1 else math.min(a, b)
+      if (a < 0 || b < 0) -1
+      // same variance bound as Bench: a >1.25× spread on a non-trivial
+      // key gets a third sample and min-of-3, so one GC pause / scheduler
+      // hiccup at 10× volume can't masquerade as a superlinear ratio
+      // (measured: q_dedup_cluster@sf1 swung 11.8 s ↔ 42 s across runs
+      // on a noisy box with identical plans and round counts)
+      else if (math.max(a, b) > 1.25 * math.min(a, b) &&
+          math.min(a, b) > 0.4) {
+        val c = timeOnce(key, dir)
+        if (c < 0) math.min(a, b) else Seq(a, b, c).min
+      } else math.min(a, b)
     }
     def r3(v: Double): Double = math.rint(v * 1000) / 1000
 
