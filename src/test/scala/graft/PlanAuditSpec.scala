@@ -593,6 +593,29 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("BroadcastExchange"), p.take(800))
   }
 
+  test("PQ ANN: codebook and ADC table broadcast, preselect prunes map-side") {
+    val p = plan("q_vector_ann_pq")
+    // codebook + ADC table + rerank query side all broadcast — the
+    // candidate corpus is never the build side of anything
+    assert("BroadcastExchange".r.findAllIn(p).size >= 3, p.take(1200))
+    // the top-C preselect must prune per-partition BEFORE the shuffle
+    assert(p.contains("PartialTopKPerKey"),
+      "no map-side preselect pruning:\n" + p.take(1200))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("triangle census: adjacency broadcast, no wedge-row enumeration") {
+    val p = plan("q_triangle_count")
+    // both adjacency attachments are broadcast joins onto the edge scan
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p.take(1200))
+    // the intersection kernel (SortedIntersectCount) does the counting —
+    // an edge-list self-join would show as a SortMergeJoin of the edge
+    // table against itself
+    assert(p.contains("graft_sorted_intersect"),
+      "intersection kernel missing from the plan:\n" + p.take(1500))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("prefix-join prefixes are frequency-ordered and length-filtered") {
     val arr = ops.Text.shingleSets(spark, sf)
     val p = ops.Text.dedupNearPrefixJoin(arr)
