@@ -31,17 +31,20 @@ object AbBench {
       catch { case e: Throwable => println(s"ERR $key: $e"); return -1 }
       (System.nanoTime() - t0) / 1e9
     }
-    for (side <- Seq(0, 1)) {
+    val sides = if (toggles.isEmpty) Seq(0) else Seq(0, 1)
+    for (side <- sides) {
       toggles.foreach { case (k, a, b) =>
         spark.conf.set(k, if (side == 0) a else b)
       }
       val label = if (toggles.isEmpty) "RUN" else s"SIDE$side"
       keys.foreach { k =>
-        val t = math.min(timeOnce(k), timeOnce(k))
+        // min over the SUCCESSFUL runs: -1 is the error sentinel, and
+        // math.min would let one transient failure discard a valid sample
+        val ts = Seq(timeOnce(k), timeOnce(k)).filter(_ >= 0)
+        val t = if (ts.isEmpty) -1.0 else ts.min
         println(f"ABBENCH $label $k $t%.3f " +
           s"lp_rounds=${ops.Sketches.lastLabelPropIterations}")
       }
-      if (toggles.isEmpty) return // no toggle: one side only
     }
     spark.stop()
   }

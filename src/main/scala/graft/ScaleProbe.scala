@@ -171,6 +171,7 @@ object ScaleProbe {
       val ok = "BroadcastHashJoin".r.findAllIn(p).size >= 3 &&
         !p.contains("CartesianProduct")
       val empJoin = if (p.contains("SortMergeJoin")) "sort_merge"
+        else if (p.contains("ShuffledHashJoin")) "shuffled_hash"
         else "broadcast"
       (ok, empJoin)
     }

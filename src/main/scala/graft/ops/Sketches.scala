@@ -227,9 +227,26 @@ object Sketches {
     * Correctness is invariant: labels only ever decrease to ids inside the
     * same component, so the propagation fixpoint (chg == 0) is still
     * "constant per component = component min" with or without jumps. */
+  /** The returned (id, lbl) frame projects the LAST round's cached
+    * `next`, so that cache cannot be dropped before the caller consumes
+    * the result — it is instead held here and unpersisted on the NEXT
+    * invocation (or by [[clearLabelPropCache]]), bounding the session to
+    * at most one retained round at any time instead of leaking one per
+    * call. */
+  private var lastRoundCache: DataFrame = null
+
+  private[graft] def clearLabelPropCache(): Unit = synchronized {
+    if (lastRoundCache != null) {
+      try lastRoundCache.unpersist(blocking = false)
+      catch { case _: Throwable => () }
+      lastRoundCache = null
+    }
+  }
+
   private[graft] def labelPropagation(pairs: DataFrame, maxIter: Int)
       : DataFrame = {
     import org.apache.spark.sql.functions._
+    clearLabelPropCache()
     val cols = pairs.columns
     val edges = pairs
       .union(pairs.select(col(cols(1)), col(cols(0))))
@@ -286,6 +303,7 @@ object Sketches {
     }
     lastLabelPropIterations = iter
     edges.unpersist()
+    synchronized { lastRoundCache = prevCached }
     labels
   }
 
@@ -408,9 +426,15 @@ object Sketches {
     // siblings old enough that no live invocation can still be reading
     // them (bench reruns otherwise accumulate one copy of the sketch
     // table per timed run, unbounded).
+    // mtime > 0 guard: object stores (S3A fake directories) can report
+    // modificationTime 0 for directory entries — treating 0 as "ancient"
+    // would sweep a LIVE concurrent invocation's leaf between its write
+    // and its read-back merge. Unknown mtime → leave the leaf alone
+    // (worst case: a stale leaf survives until a filesystem with real
+    // mtimes or an operator cleans it).
     val staleMs = 30L * 60 * 1000
     if (fs.exists(root)) fs.listStatus(root)
-      .filter(st => st.isDirectory &&
+      .filter(st => st.isDirectory && st.getModificationTime > 0 &&
         st.getModificationTime < System.currentTimeMillis() - staleMs)
       .foreach(st => fs.delete(st.getPath, /* recursive = */ true))
     val out = new Path(root, java.util.UUID.randomUUID().toString)
@@ -462,7 +486,13 @@ object Sketches {
     * DuckDB gate re-proves LSH ≡ exact every round. */
   val oracleSql: Map[String, String] = Map(
     // same contract as q_dedup_near (Text.oracleSql), same reasoning as
-    // q_dedup_cluster_lsh sharing clusterSql below
+    // q_dedup_cluster_lsh sharing clusterSql below. NOTE the equality
+    // leans on the corpus's Jaccard gap (built-in near-dups sit >= 0.9,
+    // where the 8x4 banding hit rate is > 0.9999; background < 0.4):
+    // a borderline pair at J ~ 0.6 would have only a ~2/3 banding hit
+    // rate and could make LSH lawfully omit a pair the exact oracle
+    // keeps. SketchSpec's pair-set-equality assertion fails first and
+    // names the pair if regenerated testdata ever closes that gap.
     "q_minhash_lsh" -> Text.oracleSql("q_dedup_near"),
     "q_heavy_hitters" ->
       """WITH tk AS (

@@ -44,6 +44,9 @@ object Text {
     }
     nearDupCache.clear()
     docCountCache.clear()
+    // label propagation retains its final round's cache for the caller;
+    // drop it here too so cluster-key timings stay order-independent
+    Sketches.clearLabelPropCache()
   }
 
   /** Content fingerprint: md5 over whitespace-normalized lowercase text —

@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.cnpj.Warehouse
@@ -13,7 +14,19 @@ import graft.cnpj.Warehouse
   * estimation), so the join plans as a shuffle; after
   * `ANALYZE ... FOR COLUMNS` the CBO derives selectivity from ndv and the
   * same query flips to a broadcast join. */
-class CboStatsSpec extends AnyFunSuite {
+class CboStatsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  /** This spec's session flips plan-altering confs (CBO on, AQE off,
+    * 16 KiB broadcast threshold). Suites run sequentially in one forked
+    * JVM, so if this session were left as the JVM-wide default, any
+    * LATER-initializing suite's getOrCreate would inherit it — plan-shape
+    * assertions would then test the wrong planner. Clearing the handles
+    * makes the next suite's builder construct a fresh session with its
+    * own confs (the shared SparkContext stays up). */
+  override def afterAll(): Unit = {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+  }
 
   // CBO on, AQE OFF: the static planner's decision is what statistics
   // change — AQE could re-decide from runtime sizes and mask the flip.
