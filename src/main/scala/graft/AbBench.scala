@@ -24,12 +24,11 @@ object AbBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     def timeOnce(key: String): Double = {
-      ops.Text.clearCaches()
-      val t0 = System.nanoTime()
-      try SparkEntry.queries(key)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => println(s"ERR $key: $e"); return -1 }
-      (System.nanoTime() - t0) / 1e9
+      // dev tool: surface the exception before folding to the sentinel
+      val t = BenchProtocol.timeOnce(spark, sfDir, (s, d) =>
+        SparkEntry.queries(key)(s, d))
+      if (t < 0) println(s"ERR $key (run the key via Verify for the stack)")
+      t
     }
     val sides = if (toggles.isEmpty) Seq(0) else Seq(0, 1)
     for (side <- sides) {

@@ -46,25 +46,11 @@ object Bench {
       .builder(s"local[$cpus]", Some(cpus.toInt))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // The clearCaches + noop-sink + -1-sentinel contract (and the
+    // rationale for each choice) lives in BenchProtocol, shared with
+    // ScaleProbe and AbBench so the three measure identically.
     def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
-        : Double = {
-      // Memoized intermediates (near-dup pair set, doc counts) are cleared
-      // before EVERY timed run so no key's number depends on execution
-      // order or measures another key's cache hit. The BPE model-artifact
-      // memos (ops.Bpe) are deliberately NOT cleared: learn/encode/
-      // tokenize form a staged pipeline whose upstream artifacts are
-      // persisted once in production, and each key's number measures its
-      // own stage (q_bpe_learn always recomputes — see the memo note in
-      // ops/Bpe.scala).
-      ops.Text.clearCaches()
-      val t0 = System.nanoTime()
-      // noop sink, not .count(): count lets Catalyst eliminate the final
-      // ORDER BY most keys carry for oracle determinism; the noop write
-      // executes the complete physical plan including the total sort.
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => return -1 }
-      (System.nanoTime() - t0) / 1e9
-    }
+        : Double = BenchProtocol.timeOnce(spark, sfDir, fn)
     // One untimed global warmup before the loop: the first keys in
     // alphabetical order otherwise absorb JVM/codegen/parquet-footer
     // warmup that later keys don't pay, making per-key numbers
@@ -91,19 +77,13 @@ object Bench {
           val c = timeOnce(fn)
           if (c < 0) math.min(a, b)
           else Seq(a, b, c).sorted.apply(1)
-        } else if (math.max(a, b) > 1.25 * math.min(a, b) &&
-            math.min(a, b) > 0.4) {
-          // moderate spread (>1.25×) on a non-trivial key: r10's
-          // round-over-round "regressions" (q_fuzzy_join, q_unpivot)
-          // were exactly this band — run-to-run variance, not plan
-          // changes. One more sample and min-of-3 bounds it, so a
-          // regression that survives is a real one. The 0.4 s floor
-          // targets the ~top-30 keys — at 0.2 s the rule fired on 89 of
-          // 132 keys and the extra runs inflated the bench window itself.
-          rerunCount += 1
-          val c = timeOnce(fn)
-          if (c < 0) math.min(a, b) else Seq(a, b, c).min
-        } else math.min(a, b)
+        } else
+          // moderate spread on a non-trivial key: r10's round-over-round
+          // "regressions" (q_fuzzy_join, q_unpivot) were exactly this
+          // band — run-to-run variance, not plan changes. One more
+          // sample and min-of-3 bounds it (band + floor constants and
+          // their calibration: BenchProtocol).
+          BenchProtocol.boundedMin(a, b, { rerunCount += 1; timeOnce(fn) })
       n -> t
     }
     val wallSec = (System.nanoTime() - wallBefore) / 1e9

@@ -180,28 +180,17 @@ object ScaleProbe {
     require(fs01ok && fs1ok,
       s"flagship plan degraded (sf0.1 ok=$fs01ok, sf1 ok=$fs1ok)")
 
-    def timeOnce(key: String, dir: String): Double = {
-      ops.Text.clearCaches()
-      val t0 = System.nanoTime()
-      try SparkEntry.queries(key)(spark, dir)
-        .write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => return -1 }
-      (System.nanoTime() - t0) / 1e9
-    }
-    def best2(key: String, dir: String): Double = {
-      val a = timeOnce(key, dir); val b = timeOnce(key, dir)
-      if (a < 0 || b < 0) -1
-      // same variance bound as Bench: a >1.25× spread on a non-trivial
-      // key gets a third sample and min-of-3, so one GC pause / scheduler
-      // hiccup at 10× volume can't masquerade as a superlinear ratio
-      // (measured: q_dedup_cluster@sf1 swung 11.8 s ↔ 42 s across runs
-      // on a noisy box with identical plans and round counts)
-      else if (math.max(a, b) > 1.25 * math.min(a, b) &&
-          math.min(a, b) > 0.4) {
-        val c = timeOnce(key, dir)
-        if (c < 0) math.min(a, b) else Seq(a, b, c).min
-      } else math.min(a, b)
-    }
+    def timeOnce(key: String, dir: String): Double =
+      BenchProtocol.timeOnce(spark, dir, SparkEntry.queries(key))
+    // Bench's variance bound, same constants by construction: a >1.25×
+    // spread on a non-trivial key gets a third sample and min-of-3, so
+    // one GC pause / scheduler hiccup at 10× volume can't masquerade as
+    // a superlinear ratio (measured: q_dedup_cluster@sf1 swung
+    // 11.8 s ↔ 42 s across runs on a noisy box with identical plans and
+    // label-propagation round counts)
+    def best2(key: String, dir: String): Double =
+      BenchProtocol.boundedMin(timeOnce(key, dir), timeOnce(key, dir),
+        timeOnce(key, dir))
     def r3(v: Double): Double = math.rint(v * 1000) / 1000
 
     // same contention self-labeling as Bench: a ratio measured while
