@@ -22,9 +22,22 @@ import graft.Tables._
   */
 object Sources {
 
-  private def ioDir(d: String): String = {
-    val sf = new java.io.File(d).getName
-    s"${sys.props.getOrElse("graft.io.dir", "target/graft_io")}/$sf"
+  // Path-based basename + a Hadoop-FS existence probe: these round-trip
+  // keys must run against whatever filesystem the warehouse root points
+  // at (same contract as Sketches.qSketchRollup's configurable root —
+  // java.io.File silently no-ops on non-local URIs). Root resolution
+  // order matches the rollup: spark conf, JVM property, local target/.
+  private def ioDir(s: SparkSession, d: String): String = {
+    val sf = new org.apache.hadoop.fs.Path(d).getName
+    val root = s.conf.getOption("spark.graft.io.dir")
+      .orElse(sys.props.get("graft.io.dir"))
+      .getOrElse("target/graft_io")
+    s"$root/$sf"
+  }
+
+  private def committed(s: SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/_SUCCESS")
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)
   }
 
   /** S4/S5/S6: write a lineitem projection as headerless `;`-CSV in
@@ -32,7 +45,7 @@ object Sources {
     * ingest semantic), return it ordered. Money goes through DECIMAL(18,2)
     * so the text round-trip is exact. */
   def qCsvScan(s: SparkSession, d: String): DataFrame = {
-    val out = s"${ioDir(d)}/csv_roundtrip"
+    val out = s"${ioDir(s, d)}/csv_roundtrip"
     // Idempotent materialization, the same semantic as the reference's
     // skip-if-downloaded ingest (Ingest.scala S1): a committed _SUCCESS
     // marker means the CSV already reflects this (deterministic) sf dir, so
@@ -40,7 +53,7 @@ object Sources {
     // the Hadoop committer. coalesce(8) keeps file count low (committer
     // overhead) while staying parallel; uncompressed CSV is splittable, so
     // the read-back still fans out to all cores.
-    if (!new java.io.File(s"$out/_SUCCESS").exists()) {
+    if (!committed(s, out)) {
       lineitem(s, d)
         .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
           dec2(col("l_quantity")).as("qty"))
@@ -68,7 +81,7 @@ object Sources {
     * read it back, aggregate. (The reference's DROP+CREATE+append+commit
     * ≙ SaveMode.Overwrite with an atomic commit.) */
   def qTableRoundtrip(s: SparkSession, d: String): DataFrame = {
-    val out = s"${ioDir(d)}/orders_warehouse"
+    val out = s"${ioDir(s, d)}/orders_warehouse"
     orders(s, d).write.mode("overwrite").parquet(out)
     s.read.parquet(out)
       .groupBy("o_orderstatus")
@@ -83,7 +96,7 @@ object Sources {
     * column pruning work identically). The oracle aggregates the source
     * parquet directly: equality proves the ORC round trip is lossless. */
   def qOrcRoundtrip(s: SparkSession, d: String): DataFrame = {
-    val out = s"${ioDir(d)}/part_orc"
+    val out = s"${ioDir(s, d)}/part_orc"
     part(s, d)
       .select(col("p_partkey"), col("p_brand"),
         dec2(col("p_retailprice")).as("price"))
@@ -101,7 +114,7 @@ object Sources {
     * schema applied on read like the CSV path; the parquet-direct oracle
     * proves losslessness. */
   def qJsonlRoundtrip(s: SparkSession, d: String): DataFrame = {
-    val out = s"${ioDir(d)}/customer_jsonl"
+    val out = s"${ioDir(s, d)}/customer_jsonl"
     customer(s, d)
       .select(col("c_custkey"), col("c_mktsegment"),
         dec2(col("c_acctbal")).as("bal"))
@@ -127,7 +140,7 @@ object Sources {
     * with codegen'd substring parsing. The parquet-direct oracle proves
     * losslessness. */
   def qFixedWidthRoundtrip(s: SparkSession, d: String): DataFrame = {
-    val out = s"${ioDir(d)}/orders_fixedwidth"
+    val out = s"${ioDir(s, d)}/orders_fixedwidth"
     orders(s, d)
       .select(concat(
         lpad(col("o_orderkey").cast("string"), 12, "0"),
@@ -154,7 +167,7 @@ object Sources {
     * (file-count reduction, sorted min/max disjointness, swap
     * atomicity). */
   def qCompactRoundtrip(s: SparkSession, d: String): DataFrame = {
-    val out = s"${ioDir(d)}/documents_compact"
+    val out = s"${ioDir(s, d)}/documents_compact"
     documents(s, d).repartition(40).write.mode("overwrite").parquet(out)
     Layout.compact(s, out, targetFileBytes = 128L << 20,
       sortBy = Seq("doc_id"))
