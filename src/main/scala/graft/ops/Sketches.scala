@@ -468,7 +468,42 @@ object Sketches {
     result
   }
 
+  /** Mergeable QUANTILE sketch columns — the p50/p95/p99 companion to
+    * [[qSketchRollup]]'s distinct counts: stage 1 builds one HDR-style
+    * log-bucketed histogram sketch per (event_type, day) — the shape a
+    * warehouse persists per ingest shard — and stage 2 answers
+    * per-event-type quantiles by ADDING histograms, never rescanning or
+    * sorting raw values ([[graft.functions.HdrHistogram]]).
+    *
+    * Scale posture: stage 1 is one partial+final aggregation with a
+    * bounded bucket map per group; stage 2 touches #groups × ~1 KB. No
+    * per-group sort, no window over raw rows — the quantile cost is
+    * decoupled from row count entirely.
+    *
+    * Oracle-checked, unlike HLL-style sketches: the bucket arithmetic is
+    * integer-exact (exponent = length(bin(v)) − 1) and bucket counts add
+    * under union, so DuckDB computing the DIRECT histogram + rank walk
+    * must equal Spark's two-level merge — the oracle re-proves
+    * merge ≡ direct every round, the same trick the dedup DAG uses. */
+  def qHdrQuantiles(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.HdrHistogram.{hdrMergeQuantiles, hdrSketch}
+    val e = graft.Events.events(s, d).select(col("event_type"),
+      expr("ts div 86400000000000").as("day"), // epoch-day from nanos
+      (graft.Tables.dec2(col("value")) * 100).cast("long").as("cents"))
+    val daily = e.groupBy("event_type", "day")
+      .agg(hdrSketch(col("cents")).as("sketch"), count(lit(1)).as("n"))
+    daily.groupBy("event_type")
+      .agg(sum(col("n")).as("n_events"),
+        hdrMergeQuantiles(col("sketch"), Seq(0.5, 0.9, 0.99)).as("q"))
+      .select(col("event_type"), col("n_events"),
+        round(col("q")(0).cast("double") / 100.0, 2).as("p50"),
+        round(col("q")(1).cast("double") / 100.0, 2).as("p90"),
+        round(col("q")(2).cast("double") / 100.0, 2).as("p99"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_hdr_quantiles" -> qHdrQuantiles _,
     "q_minhash_lsh"   -> qMinhashLsh _,
     "q_simhash"       -> qSimhash _,
     "q_dedup_cluster" -> qDedupCluster _,
@@ -485,6 +520,56 @@ object Sketches {
     * that equality), so each shares its exact twin's oracle SQL and the
     * DuckDB gate re-proves LSH ≡ exact every round. */
   val oracleSql: Map[String, String] = Map(
+    // DIRECT histogram + rank walk: Spark merges per-day sketches, the
+    // oracle never splits by day — equality proves merge ≡ direct
+    // (bucket counts are associative). Bucket/representative arithmetic
+    // is the integer-exact mirror of HdrHistogram.bucketOf/repOf with
+    // exponent = length(bin(cents)) − 1.
+    "q_hdr_quantiles" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events),
+        |b AS (
+        |  SELECT event_type,
+        |    CASE WHEN cents < 128 THEN cents
+        |         ELSE (CAST(length(bin(cents)) - 7 AS BIGINT) * 128)
+        |            + ((cents >> (length(bin(cents)) - 8)) & 127)
+        |    END AS bucket, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM e GROUP BY 1, 2),
+        |r AS (
+        |  SELECT event_type, bucket, c,
+        |    CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY bucket
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum,
+        |    CAST(SUM(c) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        |  FROM b),
+        |rp AS (
+        |  SELECT event_type, cum, c, n,
+        |    CASE WHEN bucket < 128 THEN bucket
+        |         ELSE (CAST(1 AS BIGINT) << CAST((bucket // 128) + 6 AS INTEGER))
+        |            + (bucket % 128) *
+        |              (CAST(1 AS BIGINT) << CAST((bucket // 128) - 1 AS INTEGER))
+        |            + ((CAST(1 AS BIGINT) << CAST((bucket // 128) - 1 AS INTEGER)) >> 1)
+        |    END AS rep
+        |  FROM r),
+        |q AS (
+        |  SELECT event_type, MAX(n) AS n_events,
+        |    MIN(CASE WHEN CAST(ceil(0.5 * n) AS BIGINT) > cum - c
+        |              AND CAST(ceil(0.5 * n) AS BIGINT) <= cum
+        |             THEN rep END) AS p50c,
+        |    MIN(CASE WHEN CAST(ceil(0.9 * n) AS BIGINT) > cum - c
+        |              AND CAST(ceil(0.9 * n) AS BIGINT) <= cum
+        |             THEN rep END) AS p90c,
+        |    MIN(CASE WHEN CAST(ceil(0.99 * n) AS BIGINT) > cum - c
+        |              AND CAST(ceil(0.99 * n) AS BIGINT) <= cum
+        |             THEN rep END) AS p99c
+        |  FROM rp GROUP BY 1)
+        |SELECT event_type, n_events,
+        |  round(p50c / 100.0, 2) AS p50,
+        |  round(p90c / 100.0, 2) AS p90,
+        |  round(p99c / 100.0, 2) AS p99
+        |FROM q ORDER BY event_type""".stripMargin,
     // same contract as q_dedup_near (Text.oracleSql), same reasoning as
     // q_dedup_cluster_lsh sharing clusterSql below. NOTE the equality
     // leans on the corpus's Jaccard gap (built-in near-dups sit >= 0.9,
