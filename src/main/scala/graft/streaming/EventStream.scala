@@ -70,6 +70,24 @@ object EventStream {
         .kmvDistinct(xxhash64(col("user_id"))).as("est_users"))
       .select(col("w.start").as("wstart"), col("est_users"))
 
+  /** Streaming windowed value-quantile sketches via the mergeable HDR
+    * histogram ([[graft.functions.HdrHistogram]]): per-window state is
+    * the bounded bucket map regardless of event volume, merged by
+    * streaming state exactly as the batch partial/final split merges it.
+    * The emitted column is the SERIALIZED sketch — the same artifact a
+    * warehouse sketch table persists — so downstream consumers merge
+    * windows or decode p50/p95/p99 without touching raw events, and
+    * because bucket counts add under union the streaming bytes are
+    * BIT-identical to the batch sketch of the same window (StreamingSpec
+    * pins it; the determinism argument is HdrHistogram's scaladoc). */
+  def windowedValueQuantiles(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts_t", "2 hours")
+      .groupBy(window(col("ts_t"), "1 hour").as("w"))
+      .agg(graft.functions.HdrHistogram.hdrSketch(
+        (graft.Tables.dec2(col("value")) * 100).cast("long")).as("sketch"))
+      .select(col("w.start").as("wstart"), col("sketch"))
+
   /** Streaming exact dedup on event_id within the watermark horizon —
     * the streaming form of X1 (state = one key per id, evicted by the
     * watermark, so memory stays bounded). */

@@ -54,6 +54,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("streaming windowed HDR value-quantile sketches are byte-identical to batch") {
+    import org.apache.spark.sql.functions._
+    val q = EventStream
+      .windowedValueQuantiles(EventStream.readEvents(spark, sf))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("hdr_out")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("hdr_out")
+      .collect().map(r => (r.getTimestamp(0), r.getAs[Array[Byte]](1).toSeq))
+      .toMap
+    val batch = Events.events(spark, sf)
+      .groupBy(window(col("ts_t"), "1 hour").as("w"))
+      .agg(graft.functions.HdrHistogram.hdrSketch(
+        (graft.Tables.dec2(col("value")) * 100).cast("long")).as("sk"))
+      .select(col("w.start"), col("sk"))
+      .collect().map(r => (r.getTimestamp(0), r.getAs[Array[Byte]](1).toSeq))
+      .toMap
+    assert(streamed.nonEmpty)
+    // bucket counts add under union, so streaming-state merge order
+    // cannot change the serialized sketch — bytes, not just estimates
+    assert(streamed == batch)
+  }
+
   test("watermark accepts in-horizon late data and drops beyond-horizon late data") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.functions._
