@@ -138,6 +138,12 @@ object ScaleProbe {
     // codebooks stay fixed — copy-0 ids), and the triangle census over
     // 10 disjoint co-purchase components (edges ×10, degrees constant)
     "q_vector_ann_pq", "q_triangle_count",
+    // HDR sketch columns: bucket cardinality is value-range-bounded, so
+    // the merge stage should be flat while the encode pass tracks ×10
+    "q_hdr_quantiles",
+    // sketch-table rollup post the Hadoop-FS rework: the partial-sketch
+    // write and merge-read should both track volume, nothing driver-bound
+    "q_sketch_rollup",
     // the CNPJ vertical (reference envelope ">20 GB", readme.md:108):
     // synthetic flagship over the replica's 10× orders/customer
     "q_cnpj_flagship")

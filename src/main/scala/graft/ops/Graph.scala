@@ -21,7 +21,10 @@ import graft.Tables._
   * SAME materialized edge RDD instead of re-expanding the distinct
   * subtree — without it the static plan re-plans the lineitem scan 40+
   * times. At warehouse scale the edge list would be a bucketed table
-  * making every iteration's join shuffle-free.
+  * making every iteration's join shuffle-free —
+  * [[graft.PageRankBucketedSpec]] proves that claim at plan level
+  * (bucketed edges + derived contribution vector ⇒ zero exchanges below
+  * the join; only the dst re-key remains).
   *
   * Determinism: all arithmetic is scaled-integer (rank mass of 10^9,
   * floor division) — no floating point anywhere, so ranks are

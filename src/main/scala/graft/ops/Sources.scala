@@ -179,6 +179,88 @@ object Sources {
       .orderBy("lang")
   }
 
+  /** S8+ warehouse lifecycle: hive-partitioned daily layout + DYNAMIC
+    * partition overwrite — the idempotent-backfill pattern that keeps a
+    * 100 TB event warehouse maintainable. Stage 1 lands the full events
+    * table partitioned by epoch-day (`partitionBy("day")`, one directory
+    * per day → partition pruning makes any day-ranged read a file-list
+    * operation, the Spark analogue of the reference's skip-if-downloaded
+    * idempotent ingest at Ingest.scala S1). Stage 2 re-lands ONE day in
+    * `partitionOverwriteMode=dynamic`: only directories receiving new
+    * rows are replaced — exactly what a late-data backfill or a rerun
+    * after a partial failure does in production. Static overwrite
+    * semantics here would delete the other 29 days; duplicate-append
+    * semantics would double the backfilled day. The read-back per-day
+    * aggregate against the DIRECT oracle catches either corruption, so
+    * the oracle proves the overwrite touched precisely its partition.
+    *
+    * Scale posture: both writes parallelize per partition through the
+    * atomic job committer; day derivation is integer `ts div 86400e9`
+    * (epoch-nanos long — no double round trip, see the SKILL gotcha);
+    * the backfilled-day choice reads a 1-row max (driver control). */
+  def qPartitionedBackfill(s: SparkSession, d: String): DataFrame = {
+    val out = s"${ioDir(s, d)}/events_by_day"
+    val dayNs = 86400L * 1000 * 1000 * 1000
+    val ev = graft.Events.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        dec2(col("value")).as("v"),
+        expr(s"ts div $dayNs").as("day"))
+    ev.write.mode("overwrite").partitionBy("day").parquet(out)
+    val lastDay = ev.agg(max(col("day"))).head.getLong(0)
+    val prevMode =
+      s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      ev.where(col("day") === lastDay)
+        .write.mode("overwrite").partitionBy("day").parquet(out)
+    } finally {
+      prevMode match {
+        case Some(m) =>
+          s.conf.set("spark.sql.sources.partitionOverwriteMode", m)
+        case None =>
+          s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    }
+    s.read.parquet(out)
+      .groupBy(col("day").cast("long").as("day"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("event_id")).as("n_events"),
+        sum(col("v")).cast("double").as("sum_value"))
+      .orderBy("day")
+  }
+
+  /** S9+ schema evolution: a long-lived warehouse table gains a column
+    * without rewriting history. Stage 1 lands generation-1 files (3
+    * columns); stage 2 APPENDS generation-2 files carrying a new `bal`
+    * column; the read-back uses `mergeSchema` so the scan unions the two
+    * physical schemas — old files surface NULL for the new column, no
+    * rewrite, no copy. This is the parquet-level mechanism under every
+    * production ALTER TABLE ADD COLUMN at 100 TB (rewriting history for
+    * a new column is a full-table write you never want).
+    *
+    * The per-nation aggregate counts rows, non-null `bal`s and their sum:
+    * the DuckDB oracle recomputes the same from the source with an
+    * explicit NULL-column union, so the hash-match proves BOTH
+    * generations' files are read and the NULL back-fill is exact.
+    * Footgun pinned here deliberately: without mergeSchema the scan's
+    * schema comes from a random file and the new column can vanish —
+    * the operator always passes the option. */
+  def qSchemaEvolution(s: SparkSession, d: String): DataFrame = {
+    val out = s"${ioDir(s, d)}/supplier_evolving"
+    val v1 = supplier(s, d).select(col("s_suppkey"), col("s_nationkey"))
+    v1.write.mode("overwrite").parquet(out)
+    supplier(s, d)
+      .select(col("s_suppkey"), col("s_nationkey"),
+        dec2(col("s_acctbal")).as("bal"))
+      .write.mode("append").parquet(out)
+    s.read.option("mergeSchema", "true").parquet(out)
+      .groupBy("s_nationkey")
+      .agg(count(lit(1)).as("n"),
+        count(col("bal")).as("n_bal"),
+        sum(col("bal")).cast("double").as("sum_bal"))
+      .orderBy("s_nationkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_csv_scan"        -> qCsvScan _,
     "q_table_roundtrip" -> qTableRoundtrip _,
@@ -186,6 +268,8 @@ object Sources {
     "q_jsonl_roundtrip" -> qJsonlRoundtrip _,
     "q_fixedwidth_roundtrip" -> qFixedWidthRoundtrip _,
     "q_compact_roundtrip" -> qCompactRoundtrip _,
+    "q_partitioned_backfill" -> qPartitionedBackfill _,
+    "q_schema_evolution" -> qSchemaEvolution _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -220,5 +304,28 @@ object Sources {
         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
         |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    // aggregates the SOURCE events directly: equality proves the
+    // partitioned layout is lossless AND the dynamic overwrite replaced
+    // exactly its own day (static semantics would drop 29 days, append
+    // semantics would double one — both shift these counts)
+    "q_partitioned_backfill" ->
+      """SELECT epoch_ns(ts) // 86400000000000 AS day,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
+    // explicit NULL-column union mirrors what mergeSchema does physically:
+    // generation-1 rows carry no bal, generation-2 rows carry DECIMAL(18,2)
+    "q_schema_evolution" ->
+      """WITH u AS (
+        |  SELECT s_suppkey, s_nationkey,
+        |    CAST(NULL AS DECIMAL(18,2)) AS bal FROM supplier
+        |  UNION ALL
+        |  SELECT s_suppkey, s_nationkey,
+        |    CAST(s_acctbal AS DECIMAL(18,2)) AS bal FROM supplier)
+        |SELECT s_nationkey, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(COUNT(bal) AS BIGINT) AS n_bal,
+        |  CAST(SUM(bal) AS DOUBLE) AS sum_bal
+        |FROM u GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
   )
 }

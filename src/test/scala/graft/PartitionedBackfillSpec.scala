@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical pins for [[ops.Sources.qPartitionedBackfill]] beyond its
+  * DuckDB oracle (which proves the LOGICAL content): the layout really is
+  * one directory per day, a day-ranged read prunes to that one directory
+  * at planning time, and the session conf the operator flips for the
+  * dynamic overwrite is restored afterwards. */
+class PartitionedBackfillSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("daily layout prunes to one partition and conf is restored") {
+    val before =
+      spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    val out = ops.Sources.qPartitionedBackfill(spark, sf).collect()
+    assert(out.length > 1, "expected multiple days")
+    assert(
+      spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+        == before,
+      "operator leaked partitionOverwriteMode into the session")
+
+    // one hive directory per day on disk
+    val dir = new java.io.File("target/graft_io/sf0.001/events_by_day")
+    val dayDirs = dir.listFiles().filter(f =>
+      f.isDirectory && f.getName.startsWith("day="))
+    assert(dayDirs.length == out.length,
+      s"expected ${out.length} day= directories, found ${dayDirs.length}")
+
+    // a day-equality read must prune at PLANNING time: the scan's
+    // partition filters carry the predicate and the file listing
+    // collapses to the one matching directory
+    val day0 = out.head.getLong(0)
+    val scan = spark.read.parquet(dir.getPath).where(col("day") === day0)
+    val plan = scan.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(day"),
+      s"no partition filter pushed:\n$plan")
+    // inputFiles reports the RELATION's files pre-pruning; the files the
+    // pruned scan actually touches come from input_file_name()
+    val touched = scan.select(input_file_name().as("f"))
+      .distinct().collect().map(_.getString(0))
+    assert(touched.nonEmpty && touched.forall(_.contains(s"day=$day0")),
+      s"scan read outside the selected partition: ${touched.mkString(",")}")
+  }
+}
