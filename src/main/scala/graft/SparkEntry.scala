@@ -32,6 +32,7 @@ object SparkEntry {
     ops.Strings.queries ++
     ops.CorpusPipeline.queries ++
     ops.Sources.queries ++
+    ops.Layout.queries ++
     ops.Ranking.queries ++
     ops.QualitySignals.queries ++
     ops.Curation.queries ++
@@ -55,6 +56,7 @@ object SparkEntry {
     ops.Strings.oracleSql ++
     ops.CorpusPipeline.oracleSql ++
     ops.Sources.oracleSql ++
+    ops.Layout.oracleSql ++
     ops.Ranking.oracleSql ++
     ops.QualitySignals.oracleSql ++
     ops.Curation.oracleSql ++

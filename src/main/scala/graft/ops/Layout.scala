@@ -188,4 +188,220 @@ object Layout {
     CompactStats(before.size, after.size,
       bytesBefore, after.map(_.getLen).sum, rewrite.size)
   }
+
+  // ---------------------------------------------------------------------
+  // Manifest-based snapshot commits — the table-format core (the idea
+  // under Iceberg/Delta) on plain parquet + the Hadoop FileSystem API.
+  //
+  // A table is a directory whose READERS NEVER LIST IT: the authoritative
+  // state is the newest manifests/v<N>.manifest, a text file of
+  // root-relative data-file paths (relative so the table is relocatable).
+  // A write transaction (1) stages its parquet files under a uuid'd
+  // data/txn-* directory — invisible, since no manifest references them —
+  // then (2) publishes manifest v<N+1> = v<N>'s list + the new files via
+  // create-temp-then-rename. Rename-if-absent is the commit point and
+  // doubles as optimistic concurrency: two racing writers both try
+  // v<N+1>, the loser's rename fails (destination exists), and it retries
+  // against the new head. Crash between (1) and (2) leaves orphan files
+  // that no reader ever sees (compaction can sweep them by age).
+  //
+  // Why this is the 100 TB design: object stores make directory listing
+  // slow, expensive and (historically) eventually-consistent, while
+  // manifest-read + direct-file-open is O(1) round trips; snapshot reads
+  // pin a version so long queries see a frozen table while commits land;
+  // and the commit cost is one small-file rename regardless of data
+  // volume. SnapshotIsolationSpec pins version pinning + orphan
+  // invisibility; the q_manifest_snapshot oracle (shared with
+  // q_table_roundtrip) re-proves snapshot read ≡ plain table read.
+  // ---------------------------------------------------------------------
+
+  import org.apache.hadoop.fs.{FileSystem, Path}
+
+  private val ManifestRe = """v(\d+)\.manifest""".r
+
+  /** Newest committed version of `table`, 0 if none. */
+  def currentVersion(fs: FileSystem, table: Path): Int = {
+    val mdir = new Path(table, "manifests")
+    if (!fs.exists(mdir)) 0
+    else fs.listStatus(mdir).flatMap(st => st.getPath.getName match {
+      case ManifestRe(n) => Some(n.toInt)
+      case _             => None
+    }).foldLeft(0)(math.max)
+  }
+
+  private def manifestFiles(fs: FileSystem, table: Path, v: Int)
+      : Seq[String] = {
+    val in = fs.open(new Path(table, s"manifests/v$v.manifest"))
+    try scala.io.Source.fromInputStream(in, "UTF-8")
+      .getLines().filter(_.nonEmpty).toList
+    finally in.close()
+  }
+
+  /** Atomically commit `df` as an APPEND transaction; returns the new
+    * version. Retries the manifest CAS a bounded number of times. */
+  def commitSnapshot(spark: SparkSession, table: String,
+                     df: DataFrame): Int = {
+    val root = new Path(table)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val txn = new Path(root,
+      "data/txn-" + java.util.UUID.randomUUID().toString)
+    df.write.mode("overwrite").parquet(txn.toString)
+    val added = fs.listStatus(txn).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map(st => s"data/${txn.getName}/${st.getPath.getName}")
+    val mdir = new Path(root, "manifests")
+    fs.mkdirs(mdir)
+    var attempts = 0
+    while (attempts < 10) {
+      val head = currentVersion(fs, root)
+      val all =
+        (if (head == 0) Seq.empty else manifestFiles(fs, root, head)) ++
+          added
+      val tmp = new Path(mdir,
+        s".v${head + 1}.tmp-" + java.util.UUID.randomUUID().toString)
+      val out = fs.create(tmp, /* overwrite = */ false)
+      try out.write(all.mkString("\n").getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      // rename-if-absent IS the commit point / CAS: the loser of a race
+      // sees the destination taken, discards its temp, re-reads the head
+      if (fs.rename(tmp, new Path(mdir, s"v${head + 1}.manifest")))
+        return head + 1
+      fs.delete(tmp, false)
+      attempts += 1
+    }
+    throw new java.io.IOException(
+      s"commitSnapshot: lost the manifest race 10 times on $table")
+  }
+
+  /** Read `table` as of `version` (default: newest) — manifest-listed
+    * files only, never a directory listing. */
+  def readSnapshot(spark: SparkSession, table: String,
+                   version: Option[Int] = None): DataFrame = {
+    val root = new Path(table)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v = version.getOrElse(currentVersion(fs, root))
+    require(v > 0, s"readSnapshot: no committed version in $table")
+    val files = manifestFiles(fs, root, v)
+      .map(rel => new Path(root, rel).toString)
+    spark.read.parquet(files: _*)
+  }
+
+  /** Roll the table back to `version` by RE-COMMITTING its file list as
+    * the new head — history is never rewritten (the bad snapshots stay
+    * readable for forensics until expired), readers pinned to any
+    * version are unaffected, and the operation is the same O(1)
+    * manifest CAS as a normal commit. This is the production "undo the
+    * bad backfill" lever: data files are immutable, so undo is just
+    * pointing the head at yesterday's list. */
+  def rollbackTo(spark: SparkSession, table: String, version: Int): Int = {
+    val root = new Path(table)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = manifestFiles(fs, root, version) // throws if absent
+    val mdir = new Path(root, "manifests")
+    var attempts = 0
+    while (attempts < 10) {
+      val head = currentVersion(fs, root)
+      val tmp = new Path(mdir,
+        s".v${head + 1}.tmp-" + java.util.UUID.randomUUID().toString)
+      val out = fs.create(tmp, false)
+      try out.write(files.mkString("\n").getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      if (fs.rename(tmp, new Path(mdir, s"v${head + 1}.manifest")))
+        return head + 1
+      fs.delete(tmp, false)
+      attempts += 1
+    }
+    throw new java.io.IOException(
+      s"rollbackTo: lost the manifest race 10 times on $table")
+  }
+
+  /** Snapshot GC (VACUUM): drop manifests older than the newest
+    * `keepLast`, then delete every data file + empty txn directory no
+    * retained manifest references — this is what finally reclaims
+    * crashed-transaction orphans and files only historical snapshots
+    * used. Deletion order is the safe one: manifests first (so a
+    * concurrent reader can no longer pin a doomed version), files
+    * second; unreferenced txn dirs younger than `orphanOlderThanMs` are
+    * spared — they may be a live commit between staging and publish
+    * (pass 0 to force, tests only). Returns (#manifests, #files)
+    * removed. */
+  def expireSnapshots(spark: SparkSession, table: String,
+                      keepLast: Int = 2,
+                      orphanOlderThanMs: Long = 30L * 60 * 1000)
+      : (Int, Int) = {
+    require(keepLast >= 1, "must retain at least the head snapshot")
+    val root = new Path(table)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val head = currentVersion(fs, root)
+    val cutoff = head - keepLast + 1
+    val expired = (1 until cutoff)
+      .filter(v => fs.exists(new Path(root, s"manifests/v$v.manifest")))
+    val retainedFiles = (math.max(1, cutoff) to head)
+      .filter(v => fs.exists(new Path(root, s"manifests/v$v.manifest")))
+      .flatMap(v => manifestFiles(fs, root, v)).toSet
+    expired.foreach(v =>
+      fs.delete(new Path(root, s"manifests/v$v.manifest"), false))
+    // a transaction's files enter one manifest together, so a txn dir is
+    // either fully retained or fully garbage — sweep whole directories
+    // (this also clears _SUCCESS markers and crashed-txn leftovers)
+    val dataDir = new Path(root, "data")
+    var removed = 0
+    if (fs.exists(dataDir)) fs.listStatus(dataDir).foreach { txn =>
+      if (txn.isDirectory) {
+        val parquets = fs.listStatus(txn.getPath).filter(st =>
+          st.isFile && st.getPath.getName.endsWith(".parquet"))
+        val retained = parquets.exists(st => retainedFiles.contains(
+          s"data/${txn.getPath.getName}/${st.getPath.getName}"))
+        // age guard: an unreferenced dir younger than the threshold may
+        // be a LIVE transaction between staging and manifest publish —
+        // leave it for the next sweep (same mtime>0 object-store caveat
+        // as Sketches.qSketchRollup's leaf sweep)
+        val old = txn.getModificationTime > 0 &&
+          txn.getModificationTime <
+            System.currentTimeMillis() - orphanOlderThanMs
+        if (!retained && (old || orphanOlderThanMs == 0)) {
+          removed += parquets.length
+          fs.delete(txn.getPath, true)
+        }
+      }
+    }
+    (expired.size, removed)
+  }
+
+  /** Two committed append transactions + one deliberately crashed one
+    * (files staged, no manifest), read back at the newest snapshot. The
+    * oracle — shared with q_table_roundtrip's plain directory read —
+    * proves the manifest protocol loses nothing (both halves present)
+    * and leaks nothing (the orphan's duplicate rows would double every
+    * count if manifest-less files were visible). */
+  def qManifestSnapshot(s: SparkSession, d: String): DataFrame = {
+    import graft.Tables._
+    val table = s"${Sources.ioDir(s, d)}/orders_snapshot"
+    val root = new Path(table)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(root, true) // deterministic re-run: fresh table history
+    val o = orders(s, d)
+    commitSnapshot(s, table, o.where(pmod(col("o_orderkey"), lit(2)) === 0))
+    commitSnapshot(s, table, o.where(pmod(col("o_orderkey"), lit(2)) === 1))
+    // crashed transaction: staged files, manifest never published
+    o.limit(1000).write.mode("overwrite")
+      .parquet(new Path(root, "data/txn-crashed").toString)
+    readSnapshot(s, table)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum(dec2(col("o_totalprice"))).cast("double").as("sum_price"))
+      .orderBy("o_orderstatus")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_manifest_snapshot" -> qManifestSnapshot _,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    // SHARED with q_table_roundtrip (same output shape, same semantics):
+    // the DuckDB gate thereby proves snapshot read ≡ plain table read
+    "q_manifest_snapshot" -> Sources.oracleSql("q_table_roundtrip"),
+  )
 }

@@ -27,7 +27,7 @@ object Sources {
   // at (same contract as Sketches.qSketchRollup's configurable root —
   // java.io.File silently no-ops on non-local URIs). Root resolution
   // order matches the rollup: spark conf, JVM property, local target/.
-  private def ioDir(s: SparkSession, d: String): String = {
+  private[ops] def ioDir(s: SparkSession, d: String): String = {
     val sf = new org.apache.hadoop.fs.Path(d).getName
     val root = s.conf.getOption("spark.graft.io.dir")
       .orElse(sys.props.get("graft.io.dir"))
@@ -261,6 +261,48 @@ object Sources {
       .orderBy("s_nationkey")
   }
 
+  /** S8+ incremental aggregate maintenance — the materialized-rollup
+    * MERGE that keeps daily dashboards O(one day) instead of O(history):
+    * the "nightly" build materializes per-(event_type, day) partials for
+    * every CLOSED day to parquet; the "incremental" job aggregates ONLY
+    * the open day from source and folds it in by union + re-aggregate.
+    * COUNT/SUM partials are algebraic (merge = sum of partials), which
+    * is exactly why the materialized table stores n and sum_cents, NOT
+    * the average — avg is derived at read time as an IEEE double
+    * division of two exact integers, identical in any engine. The
+    * DuckDB oracle is the FULL recompute over all events, so the
+    * hash-match proves merge ≡ recompute every round.
+    *
+    * Scale posture: the increment never rescans history — it reads the
+    * rollup table (|event_types| × |days| rows, kilobytes at any corpus
+    * size) plus one day of source, which a daily-partitioned layout
+    * ([[qPartitionedBackfill]]) serves with one directory listing. Both
+    * aggregations are partial+final map-side-combined groupBys; money
+    * is integer cents end to end. The open-day cutoff is a 1-row max
+    * (batch-boundary input in a real job, derived here so the key is
+    * self-contained — same convention as Behavior.qScd2Merge). */
+  def qIncrementalAgg(s: SparkSession, d: String): DataFrame = {
+    val out = s"${ioDir(s, d)}/events_daily_rollup"
+    val dayNs = 86400L * 1000 * 1000 * 1000
+    val e = graft.Events.events(s, d)
+      .select(col("event_type"), expr(s"ts div $dayNs").as("day"),
+        (dec2(col("value")) * 100).cast("long").as("cents"))
+    val lastDay = e.agg(max(col("day"))).head.getLong(0)
+    e.where(col("day") < lastDay)
+      .groupBy("event_type", "day")
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+      .write.mode("overwrite").parquet(out)
+    val delta = e.where(col("day") === lastDay)
+      .groupBy("event_type", "day")
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+    s.read.parquet(out).unionByName(delta)
+      .groupBy("event_type", "day")
+      .agg(sum(col("n")).as("n"), sum(col("sum_cents")).as("sum_cents"))
+      .select(col("event_type"), col("day"), col("n"), col("sum_cents"),
+        (col("sum_cents").cast("double") / col("n")).as("avg_cents"))
+      .orderBy("event_type", "day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_csv_scan"        -> qCsvScan _,
     "q_table_roundtrip" -> qTableRoundtrip _,
@@ -270,6 +312,7 @@ object Sources {
     "q_compact_roundtrip" -> qCompactRoundtrip _,
     "q_partitioned_backfill" -> qPartitionedBackfill _,
     "q_schema_evolution" -> qSchemaEvolution _,
+    "q_incremental_agg" -> qIncrementalAgg _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -327,5 +370,15 @@ object Sources {
         |  CAST(COUNT(bal) AS BIGINT) AS n_bal,
         |  CAST(SUM(bal) AS DOUBLE) AS sum_bal
         |FROM u GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+    // FULL recompute from source: hash-equality proves the materialized
+    // union+re-aggregate merge path returns exactly the recompute
+    "q_incremental_agg" ->
+      """SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |    AS BIGINT) AS sum_cents,
+        |  CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |    AS DOUBLE) / COUNT(*) AS avg_cents
+        |FROM events GROUP BY 1, 2 ORDER BY event_type, day""".stripMargin,
   )
 }
