@@ -144,6 +144,11 @@ object ScaleProbe {
     // sketch-table rollup post the Hadoop-FS rework: the partial-sketch
     // write and merge-read should both track volume, nothing driver-bound
     "q_sketch_rollup",
+    // warehouse lifecycle: data writes must track volume while the
+    // metadata operations (partition dirs, manifest CAS, rollup merge)
+    // stay O(1) — q_schema_evolution is omitted (supplier isn't scaled
+    // in the replica, so its ratio would measure nothing)
+    "q_partitioned_backfill", "q_incremental_agg", "q_manifest_snapshot",
     // the CNPJ vertical (reference envelope ">20 GB", readme.md:108):
     // synthetic flagship over the replica's 10× orders/customer
     "q_cnpj_flagship")
