@@ -72,4 +72,29 @@ class SnapshotIsolationSpec extends AnyFunSuite {
     assert(readSnapshot(spark, table, Some(v2)).count() == n.count(),
       "a retained snapshot lost files to the sweep")
   }
+
+  test("racing commits both land through the rename CAS, nothing lost") {
+    import ops.Layout._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val table = "target/graft_io/spec/region_snapshot_race"
+    val root = new Path(table)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(root, true)
+    val r = Tables.region(spark, sf)
+    // two writers commit disjoint halves CONCURRENTLY: the loser of the
+    // v1 rename must retry as v2 on the re-read head — serialized
+    // append-only history, no lost update, regardless of who wins
+    val fa = Future(commitSnapshot(spark, table,
+      r.where(col("r_regionkey") < 2)))
+    val fb = Future(commitSnapshot(spark, table,
+      r.where(col("r_regionkey") >= 2)))
+    val versions = Seq(Await.result(fa, 120.seconds),
+      Await.result(fb, 120.seconds)).sorted
+    assert(versions == Seq(1, 2),
+      s"expected serialized versions 1,2 — got $versions")
+    assert(readSnapshot(spark, table).count() == r.count(),
+      "a racing commit's rows were lost")
+  }
 }
