@@ -27,7 +27,7 @@ object Sources {
   // at (same contract as Sketches.qSketchRollup's configurable root —
   // java.io.File silently no-ops on non-local URIs). Root resolution
   // order matches the rollup: spark conf, JVM property, local target/.
-  private[ops] def ioDir(s: SparkSession, d: String): String = {
+  private[graft] def ioDir(s: SparkSession, d: String): String = {
     val sf = new org.apache.hadoop.fs.Path(d).getName
     val root = s.conf.getOption("spark.graft.io.dir")
       .orElse(sys.props.get("graft.io.dir"))
@@ -207,20 +207,14 @@ object Sources {
         expr(s"ts div $dayNs").as("day"))
     ev.write.mode("overwrite").partitionBy("day").parquet(out)
     val lastDay = ev.agg(max(col("day"))).head.getLong(0)
-    val prevMode =
-      s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try {
-      ev.where(col("day") === lastDay)
-        .write.mode("overwrite").partitionBy("day").parquet(out)
-    } finally {
-      prevMode match {
-        case Some(m) =>
-          s.conf.set("spark.sql.sources.partitionOverwriteMode", m)
-        case None =>
-          s.conf.unset("spark.sql.sources.partitionOverwriteMode")
-      }
-    }
+    // per-WRITER dynamic mode: the DataFrameWriter option scopes the
+    // overwrite semantics to this one write — flipping the session conf
+    // (the previous form) would leak dynamic semantics into any query
+    // running concurrently in the same session during the window
+    ev.where(col("day") === lastDay)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("day").parquet(out)
     s.read.parquet(out)
       .groupBy(col("day").cast("long").as("day"))
       .agg(count(lit(1)).as("n"),

@@ -7,8 +7,8 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Physical pins for [[ops.Sources.qPartitionedBackfill]] beyond its
   * DuckDB oracle (which proves the LOGICAL content): the layout really is
   * one directory per day, a day-ranged read prunes to that one directory
-  * at planning time, and the session conf the operator flips for the
-  * dynamic overwrite is restored afterwards. */
+  * at planning time, and the backfill's dynamic overwrite stays scoped to
+  * its own writer (the session conf is never touched). */
 class PartitionedBackfillSpec extends AnyFunSuite {
 
   lazy val spark: SparkSession = SparkSession.builder()
@@ -20,18 +20,24 @@ class PartitionedBackfillSpec extends AnyFunSuite {
 
   private val sf = "/root/testdata/sf0.001"
 
-  test("daily layout prunes to one partition and conf is restored") {
+  test("daily layout prunes to one partition; dynamic mode is writer-scoped") {
     val before =
       spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     val out = ops.Sources.qPartitionedBackfill(spark, sf).collect()
     assert(out.length > 1, "expected multiple days")
+    // the operator uses the per-writer .option form, so the session conf
+    // must be byte-identical before and after — a concurrent query in the
+    // same session can never inherit dynamic-overwrite semantics from it
     assert(
       spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
         == before,
       "operator leaked partitionOverwriteMode into the session")
 
-    // one hive directory per day on disk
-    val dir = new java.io.File("target/graft_io/sf0.001/events_by_day")
+    // one hive directory per day on disk — resolved through the SAME
+    // ioDir the operator writes to (honors spark.graft.io.dir overrides;
+    // a hardcoded target/graft_io path silently checked a stale dir
+    // whenever the override was set)
+    val dir = new java.io.File(ops.Sources.ioDir(spark, sf) + "/events_by_day")
     val dayDirs = dir.listFiles().filter(f =>
       f.isDirectory && f.getName.startsWith("day="))
     assert(dayDirs.length == out.length,
