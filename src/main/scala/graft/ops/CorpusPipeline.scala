@@ -43,8 +43,17 @@ object CorpusPipeline {
     * Each stage DataFrame is cached so its count and its role as input to
     * the next stage share one computation — without this, the report's
     * four actions would recompute the expensive near-dup stage from
-    * scratch. */
-  def qCorpusClean(s: SparkSession, d: String): DataFrame = {
+    * scratch. The near-dup LOSER set is the injectable stage: the exact
+    * prefix-join pair set anchors the oracle ([[qCorpusClean]]); the
+    * banded MinHash-LSH pair set is the corpus-scale twin
+    * ([[qCorpusCleanLsh]]) — the LSH generator verifies candidates with
+    * the same exact Jaccard cut, so on any corpus where banding recall
+    * holds (near-dups at J ≥ 0.9 here, recall > 0.9999) the two pair
+    * sets are identical and the twins SHARE one oracle string, which
+    * makes DuckDB re-prove LSH ≡ exact end-to-end every round (same
+    * precedent as q_dedup_cluster vs q_dedup_cluster_lsh). */
+  private def attritionReport(s: SparkSession, d: String,
+      nearDupLoserPairs: DataFrame): DataFrame = {
     import s.implicits._
     val gate = col("n_tokens") >= 10 && col("quality") > 0.3
     // quality signals carry one row per RAW doc, so the raw total and the
@@ -56,7 +65,7 @@ object CorpusPipeline {
     val quality = tq.where(gate).select("doc_id")
     val exactKeep = Text.qDedupExact(s, d)
       .select(col("keep_id").as("doc_id")).cache()
-    val nearDupLosers = Text.nearDupPairs(s, d)
+    val nearDupLosers = nearDupLoserPairs
       .select(col("db").as("doc_id")).distinct().cache()
     try {
       val cnts = tq.agg(
@@ -79,8 +88,20 @@ object CorpusPipeline {
     }
   }
 
+  /** The oracle-anchor composition: exact prefix-join near-dup stage. */
+  def qCorpusClean(s: SparkSession, d: String): DataFrame =
+    attritionReport(s, d, Text.nearDupPairs(s, d))
+
+  /** The corpus-scale composition (r11 verdict task 4): the SAME
+    * pipeline riding the banded MinHash-LSH candidate generator —
+    * candidate volume bounded by bucket occupancy instead of prefix
+    * density, the plan a 100 TB cleaning run would actually ship. */
+  def qCorpusCleanLsh(s: SparkSession, d: String): DataFrame =
+    attritionReport(s, d, Sketches.minhashVerifiedPairs(s, d))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_corpus_clean" -> qCorpusClean _,
+    "q_corpus_clean_lsh" -> qCorpusCleanLsh _,
   )
 
   /** The attrition report IS deterministic SQL over the same tables, so
@@ -89,8 +110,11 @@ object CorpusPipeline {
     * (q_text_quality, q_dedup_exact, q_dedup_near) into one counting
     * query — the DuckDB gate then proves the COMPOSITION, not just the
     * stages. */
-  val oracleSql: Map[String, String] = Map(
-    "q_corpus_clean" ->
+  // ONE oracle string for both twins (exact + LSH): DuckDB recomputes
+  // the EXACT pipeline, so q_corpus_clean_lsh hash-matching it proves
+  // the banded composition returns identical attrition — banding lost
+  // no pair on this corpus (shared-string convention from SKILL.md)
+  private val corpusCleanSql: String =
       """WITH t AS (
         |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_m,
         |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
@@ -138,6 +162,10 @@ object CorpusPipeline {
         |  SELECT '2_exact_dedup_groups', CAST(COUNT(*) AS BIGINT) FROM ek
         |  UNION ALL
         |  SELECT '3_cleaned', CAST(COUNT(*) AS BIGINT) FROM cleaned)
-        |ORDER BY stage""".stripMargin,
+        |ORDER BY stage""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "q_corpus_clean" -> corpusCleanSql,
+    "q_corpus_clean_lsh" -> corpusCleanSql,
   )
 }

@@ -73,6 +73,93 @@ class SnapshotIsolationSpec extends AnyFunSuite {
       "a retained snapshot lost files to the sweep")
   }
 
+  test("a reader pinned to v_N survives a compactSnapshot REPLACE commit") {
+    import ops.Layout._
+    val table = "target/graft_io/spec/nation_optimize"
+    val root = new Path(table)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(root, true)
+    val n = Tables.nation(spark, sf)
+    commitSnapshot(spark, table,
+      n.where(col("n_nationkey") < 12).repartition(5))
+    val v2 = commitSnapshot(spark, table,
+      n.where(col("n_nationkey") >= 12).repartition(5))
+    val filesV2 = fs.listStatus(new Path(root, "manifests"))
+    // pin the pre-compact version: build the DataFrame NOW (resolving
+    // v2's file list), execute it only AFTER the compaction commits —
+    // exactly the mid-OPTIMIZE read the old rename-swap compact broke
+    val pinned = readSnapshot(spark, table, Some(v2))
+    val (v3, stats) = compactSnapshot(spark, table,
+      sortBy = Seq("n_nationkey"))
+    assert(v3 == v2 + 1)
+    assert(stats.filesAfter < stats.filesBefore,
+      s"compaction did not reduce file count: $stats")
+    // the pinned reader's files were never touched — it still answers
+    assert(pinned.count() == n.count(),
+      "a reader pinned to the pre-compact version lost files mid-OPTIMIZE")
+    assert(readSnapshot(spark, table, Some(v2)).count() == n.count())
+    // the head answers identically through the re-packed files
+    assert(readSnapshot(spark, table).count() == n.count())
+    // old files are reclaimed only by explicit expiry, exactly as for
+    // any other REPLACE'd snapshot
+    val (_, removed) = expireSnapshots(spark, table, keepLast = 1,
+      orphanOlderThanMs = 0)
+    assert(removed > 0, "expiry reclaimed none of the pre-compact files")
+    assert(readSnapshot(spark, table).count() == n.count())
+    assert(filesV2.nonEmpty) // silence unused warning paranoia
+  }
+
+  test("deleteWhere rewrites only affected files; untouched files stay byte-identical") {
+    import ops.Layout._
+    val table = "target/graft_io/spec/nation_cow"
+    val root = new Path(table)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(root, true)
+    val n = Tables.nation(spark, sf)
+    // two transactions split by key range: the delete predicate only
+    // matches the second, so txn-1's files must survive the delete
+    // without being opened for write
+    commitSnapshot(spark, table, n.where(col("n_nationkey") < 12))
+    val v2 = commitSnapshot(spark, table, n.where(col("n_nationkey") >= 12))
+    val before = manifestPaths(fs, root, v2)
+      .map(rel => rel -> fileSig(fs, root, rel)).toMap
+    val (v3, rewritten, untouched) = deleteWhere(spark, table,
+      col("n_nationkey") >= 20)
+    assert(v3 == v2 + 1)
+    assert(rewritten >= 1 && untouched >= 1,
+      s"expected a selective rewrite, got rewritten=$rewritten untouched=$untouched")
+    val after = manifestPaths(fs, root, v3)
+    // every untouched file keeps its exact manifest entry AND its bytes
+    val kept = after.filter(before.contains)
+    assert(kept.size == untouched,
+      s"untouched entries changed: kept=${kept.size} expected=$untouched")
+    kept.foreach { rel =>
+      assert(fileSig(fs, root, rel) == before(rel),
+        s"untouched file $rel was modified by the delete") }
+    // content: exactly the predicate's rows are gone
+    assert(readSnapshot(spark, table).count() ==
+      n.where(col("n_nationkey") < 20).count())
+    // the pre-delete snapshot still reads the full table (time travel)
+    assert(readSnapshot(spark, table, Some(v2)).count() == n.count())
+    // a delete matching nothing is a no-op: no new version, no rewrite
+    val (v4, r4, _) = deleteWhere(spark, table, col("n_nationkey") > 9999)
+    assert(v4 == v3 && r4 == 0, "no-match delete should not commit")
+  }
+
+  private def manifestPaths(fs: org.apache.hadoop.fs.FileSystem,
+      root: Path, v: Int): Seq[String] = {
+    val in = fs.open(new Path(root, s"manifests/v$v.manifest"))
+    try scala.io.Source.fromInputStream(in, "UTF-8")
+      .getLines().filter(_.nonEmpty).toList
+    finally in.close()
+  }
+
+  private def fileSig(fs: org.apache.hadoop.fs.FileSystem, root: Path,
+      rel: String): (Long, Long) = {
+    val st = fs.getFileStatus(new Path(root, rel))
+    (st.getLen, st.getModificationTime)
+  }
+
   test("racing commits both land through the rename CAS, nothing lost") {
     import ops.Layout._
     import scala.concurrent.{Await, Future}
