@@ -35,6 +35,38 @@ object Graph {
   private val Scale = 1000000000L
   private val Iters = 3
 
+  /** Ceiling for broadcasting the triangle census' adjacency table,
+    * conf-overridable (`spark.graft.triangle.broadcastBytes`) so tests
+    * can pin both dispatch branches. 1 GiB default: well under Spark's
+    * 8 GB broadcast hard limit and the point where per-executor
+    * rebroadcast cost stops beating a shuffled join. */
+  private[graft] val TriangleBroadcastMaxBytes: Long = 1L << 30
+
+  private[graft] def triangleBroadcastBytes(s: SparkSession): Long =
+    s.conf.getOption("spark.graft.triangle.broadcastBytes")
+      .map(_.toLong).getOrElse(TriangleBroadcastMaxBytes)
+
+  /** Planning-time size signal for the adjacency attachment — the same
+    * pure-plan-metadata style as Advanced.quantileInputEstimate (no job).
+    * The adjacency table's payload is one 8-byte neighbor entry per
+    * ORIENTED edge; with this schema's bounded baskets (≤ 7 lineitems
+    * per order → ≤ 21 pairs) distinct edges are at most ~3× lineitem
+    * rows, so 2× the pruned 16 B/row (orderkey, partkey) scan estimate
+    * upper-bounds the adjacency bytes. Deliberately an over-estimate:
+    * the cost of wrongly NOT broadcasting is one extra shuffle; the cost
+    * of wrongly broadcasting a data-proportional table at warehouse
+    * scale is a driver OOM. */
+  private[graft] def triangleAdjEstimate(s: SparkSession, d: String): BigInt =
+    lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+      .queryExecution.optimizedPlan.stats.sizeInBytes * 2
+
+  /** True when [[qTriangleCount]] broadcasts the adjacency table for
+    * this input — exposed so PlanAuditSpec asserts BOTH dispatch
+    * branches instead of trusting the threshold. */
+  private[graft] def triangleBroadcastsAdj(s: SparkSession, d: String)
+      : Boolean =
+    triangleAdjEstimate(s, d) <= BigInt(triangleBroadcastBytes(s))
+
   def qPagerank(s: SparkSession, d: String): DataFrame = {
     val pairs = lineitem(s, d)
       .select((col("l_suppkey") * 2).as("src"),
@@ -137,23 +169,29 @@ object Graph {
       .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
     // per-edge |out(u) ∩ out(v)| through the codegen'd kernel; edges
     // whose dst has no out-list close no triangle and drop at the join.
-    // adj is broadcast: one row per NODE (not per edge), so it is the
-    // small side by a factor of avg-degree — without the hint both
-    // joins shuffle every edge's ~√m-long neighbor array (measured 3×
-    // slower here). At warehouse scale where even the node table
-    // outgrows broadcast, the alternative is the same bucketed-join
-    // layout the PageRank note describes: adj and edges bucketed by
-    // node id make both attachments shuffle-free.
+    // SIZE-DISPATCHED adjacency attachment (same adaptive pattern as
+    // Text.nearDupPairs' broadcast/prefix-join crossover): below the
+    // estimate ceiling adj is broadcast — one row per NODE (not per
+    // edge), the small side by a factor of avg-degree; without the hint
+    // both joins shuffle every edge's ~√m-long neighbor array (measured
+    // 3× slower here). adj grows WITH the graph, though, so an
+    // unconditional broadcast is a driver OOM at warehouse scale —
+    // above the ceiling both attachments fall back to plain shuffled
+    // joins (and the further step is the bucketed layout the PageRank
+    // note describes: adj and edges bucketed by node id make both
+    // attachments shuffle-free).
     // repartition pins the kernel stage to cluster parallelism: the
     // edge list is tiny in BYTES (16 B/row), so AQE would coalesce it
     // to ~1 partition — right for data volume, wrong for this
     // compute-bound stage (all Σ min-outdeg comparisons on one core;
     // same reasoning as Text.dedupNearBroadcast)
+    val attach: DataFrame => DataFrame =
+      if (triangleBroadcastsAdj(s, d)) broadcast else identity
     val par = s.sparkContext.defaultParallelism
     val tri = oriented.repartition(par)
-      .join(broadcast(adj.select(col("node").as("src"),
+      .join(attach(adj.select(col("node").as("src"),
         col("nbrs").as("na"))), "src")
-      .join(broadcast(adj.select(col("node").as("dst"),
+      .join(attach(adj.select(col("node").as("dst"),
         col("nbrs").as("nb"))), "dst")
       .agg(coalesce(sum(sortedIntersectCount(col("na"), col("nb"))
         .cast("long")), lit(0L)).as("n_triangles"))

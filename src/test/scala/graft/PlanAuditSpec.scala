@@ -605,8 +605,12 @@ class PlanAuditSpec extends AnyFunSuite {
   }
 
   test("triangle census: adjacency broadcast, no wedge-row enumeration") {
+    // the dispatcher must choose broadcast at this scale (estimate far
+    // below the 1 GiB ceiling) …
+    assert(ops.Graph.triangleBroadcastsAdj(spark, sf),
+      "dispatcher did not pick broadcast at spec scale")
     val p = plan("q_triangle_count")
-    // both adjacency attachments are broadcast joins onto the edge scan
+    // … and both adjacency attachments are broadcast joins on the edges
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p.take(1200))
     // the intersection kernel (SortedIntersectCount) does the counting —
     // an edge-list self-join would show as a SortMergeJoin of the edge
@@ -614,6 +618,45 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("graft_sorted_intersect"),
       "intersection kernel missing from the plan:\n" + p.take(1500))
     assert(!p.contains("CartesianProduct"))
+  }
+
+  test("triangle census drops the broadcast hint above the size ceiling") {
+    // force the ceiling below any real input: the dispatcher must fall
+    // back to shuffled adjacency joins, because adj grows with the graph
+    // and a forced broadcast of a data-proportional table is a driver
+    // OOM at warehouse scale (the r11 `weak`)
+    val broadcastRows =
+      SparkEntry.queries("q_triangle_count")(spark, sf).collect()
+    spark.conf.set("spark.graft.triangle.broadcastBytes", "0")
+    // ALSO disable auto-broadcast: at spec scale the planner would still
+    // broadcast the now-unhinted adjacency on its own size estimate —
+    // which is the correct planner behavior (the dispatcher only stops
+    // FORCING broadcast; Spark may still choose it for genuinely small
+    // inputs). To see the at-scale fallback shape, take the planner's
+    // size-based choice off the table too.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      assert(!ops.Graph.triangleBroadcastsAdj(spark, sf),
+        "ceiling=0 but dispatcher still picked broadcast")
+      val p = plan("q_triangle_count")
+      // the adjacency attachments are now shuffle joins (the remaining
+      // broadcasts are the three 1-row stat frames' crossJoin idiom,
+      // which are BroadcastNestedLoopJoin, not BroadcastHashJoin)
+      assert(!p.contains("BroadcastHashJoin"),
+        "adjacency still broadcast with ceiling=0:\n" + p.take(1500))
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        "no shuffled adjacency join in the fallback plan:\n" + p.take(1500))
+      assert(p.contains("graft_sorted_intersect"))
+      assert(!p.contains("CartesianProduct"))
+      // dispatch changes the PLAN, never the answer
+      val shuffledRows =
+        SparkEntry.queries("q_triangle_count")(spark, sf).collect()
+      assert(shuffledRows.toSeq == broadcastRows.toSeq,
+        "shuffled-join branch returned different census numbers")
+    } finally {
+      spark.conf.unset("spark.graft.triangle.broadcastBytes")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
   }
 
   test("prefix-join prefixes are frequency-ordered and length-filtered") {
