@@ -59,11 +59,21 @@ object Bench {
     // codepaths once.
     timeOnce(ops.Relational.queries("q_star_join"))
     timeOnce(ops.Windows.queries("q_window_rank"))
+    // per-key executor-CPU attribution (protocol r12.cpu): wall seconds
+    // alone cannot distinguish a plan regression from a hotter box — r11
+    // showed a broad ~1.3× wall drift on untouched keys purely from
+    // machine load. CPU-ns per run is load-invariant for a fixed plan,
+    // so the next round diffs cpu_ns to find REAL regressions and
+    // wall/cpu to find contention.
+    val cpu = new BenchProtocol.CpuListener
+    spark.sparkContext.addSparkListener(cpu)
     val loadBefore = loadAvg1m()
     val cpuBefore = processCpuSec()
     val wallBefore = System.nanoTime()
     var rerunCount = 0
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (n, fn) =>
+      val cpu0 = cpu.snapshot(spark)
+      var runs = 2
       val a = timeOnce(fn)
       val b = timeOnce(fn)
       val t =
@@ -73,7 +83,7 @@ object Bench {
           // non-trivial): a scheduler hiccup or GC pause hit one of them.
           // Take a tie-breaking third run and report the median so one
           // bad sample can't define the key.
-          rerunCount += 1
+          runs += 1
           val c = timeOnce(fn)
           if (c < 0) math.min(a, b)
           else Seq(a, b, c).sorted.apply(1)
@@ -83,8 +93,12 @@ object Bench {
           // band — run-to-run variance, not plan changes. One more
           // sample and min-of-3 bounds it (band + floor constants and
           // their calibration: BenchProtocol).
-          BenchProtocol.boundedMin(a, b, { rerunCount += 1; timeOnce(fn) })
-      n -> t
+          BenchProtocol.boundedMin(a, b, { runs += 1; timeOnce(fn) })
+      rerunCount += runs - 2
+      // mean executor-CPU per run: totals would penalize triple-measured
+      // keys; the mean is comparable across keys and across rounds
+      val cpuPerRun = (cpu.snapshot(spark) - cpu0) / runs
+      (n, t, cpuPerRun)
     }
     val wallSec = (System.nanoTime() - wallBefore) / 1e9
     val cpuAfter = processCpuSec()
@@ -98,8 +112,12 @@ object Bench {
     // per-query seconds rounded to ms: sub-ms digits are pure noise and
     // ~40% of the artifact line's length
     def r3(v: Double): Double = math.rint(v * 1000) / 1000
-    val qs = results.map { case (k, v) =>
+    val qs = results.map { case (k, v, _) =>
       "\"" + k + "\":" + (if (v < 0) -1.0 else r3(v))
+    }.mkString("{", ",", "}")
+    // per-key mean executor-CPU ns per timed run (see protocol note)
+    val cpuQs = results.map { case (k, _, c) =>
+      "\"" + k + "\":" + c
     }.mkString("{", ",", "}")
     // -1 marks a failed query; only successful times enter the total so a
     // failure can't make the benchmark look FASTER
@@ -107,11 +125,12 @@ object Bench {
     val total = ok.sum
     val failed = results.size - ok.size
     val env =
-      s""""loadavg":{"before":${r3(loadBefore)},"after":${r3(loadAfter)}},""" +
+      s""""protocol":"${BenchProtocol.ProtocolVersion}",""" +
+        s""""loadavg":{"before":${r3(loadBefore)},"after":${r3(loadAfter)}},""" +
         s""""cpu_wall_ratio":${r3(cpuWallRatio)},"wall_sec":${r3(wallSec)},""" +
         s""""triple_measured":$rerunCount"""
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,$env,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,$env,"queries":$qs,"cpu_ns":$cpuQs,"sf":"$sfDir"}"""
     println(fullLine)
     // The artifact of record keeps only a bounded TAIL of stdout; with 85+
     // keys the full contract line above overflows it and the headline

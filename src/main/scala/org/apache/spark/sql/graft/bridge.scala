@@ -21,4 +21,12 @@ object ColumnBridge {
   /** The analyzed logical plan behind a Dataset. */
   def logicalPlan(df: Dataset[_]): LogicalPlan =
     df.asInstanceOf[classic.Dataset[_]].logicalPlan
+
+  /** Drain the async listener bus (`private[spark]` API): the bench's
+    * per-key executor-CPU attribution reads an accumulating
+    * SparkListener, and without a drain between keys the task-end
+    * events of key N's last stage can post after key N+1's snapshot —
+    * CPU bleeding across keys. */
+  def drainListenerBus(spark: SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
 }
