@@ -149,6 +149,16 @@ object ScaleProbe {
     // stay O(1) — q_schema_evolution is omitted (supplier isn't scaled
     // in the replica, so its ratio would measure nothing)
     "q_partitioned_backfill", "q_incremental_agg", "q_manifest_snapshot",
+    // round-12 lifecycle verbs: REPLACE-commit compaction (read+rewrite
+    // tracks volume, the CAS stays O(1)) and copy-on-write delete (the
+    // affected-file scan + selective rewrite track volume)
+    "q_compact_snapshot", "q_snapshot_delete",
+    // round-12 additions per the r11 verdict task 6: the remaining
+    // heavy keys never probed — Misra-Gries per group, SCD2 window
+    // merge, per-key rolling windows — and the corpus pipeline's new
+    // LSH composition (expected well under q_corpus_clean's ~8.6×)
+    "q_heavy_hitters_grouped", "q_scd2_merge", "q_rolling_window",
+    "q_corpus_clean_lsh",
     // the CNPJ vertical (reference envelope ">20 GB", readme.md:108):
     // synthetic flagship over the replica's 10× orders/customer
     "q_cnpj_flagship")

@@ -228,13 +228,50 @@ object Advanced {
   def qQuantilesAuto(s: SparkSession, d: String): DataFrame =
     exactQuantiles(s, d, QuantileDispatchBytes)
 
+  /** Bytes per (group, value) pair the window sort would move — the row
+    * width the catalog-stats path multiplies rowCount by (string flag +
+    * double ≈ 16 B, matching the measured pruned-scan estimates the
+    * threshold was calibrated against). */
+  private[graft] val QuantilePairBytes = 16L
+
+  /** rowCount from catalog statistics, when the querying session has a
+    * table ANALYZE'd (cnpj.Warehouse.analyzeTable) at exactly this
+    * directory's lineitem path. A measured cardinality beats the
+    * file-size proxy: parquet compression makes size-in-bytes a ~3×-off
+    * row-count estimator depending on encoding, while ANALYZE counted
+    * the actual rows — this is the first dispatch decision consuming CBO
+    * stats (r11 verdict task 7), the same one-scan-at-load-time,
+    * amortized-over-every-query trade the Warehouse doc describes.
+    * Catalog iteration is pure metadata (no job); qualified-path
+    * comparison mirrors Warehouse.readTableWithStats. */
+  private[graft] def catalogLineitemRowCount(s: SparkSession, d: String)
+      : Option[BigInt] = {
+    import org.apache.hadoop.fs.Path
+    val cat = s.sessionState.catalog
+    val hconf = s.sparkContext.hadoopConfiguration
+    def qualified(p: Path) = p.getFileSystem(hconf).makeQualified(p)
+    val want = qualified(new Path(s"$d/lineitem.parquet"))
+    cat.listTables(cat.getCurrentDatabase).iterator
+      .flatMap(id => scala.util.Try(cat.getTableMetadata(id)).toOption)
+      .find(m => scala.util.Try(
+        qualified(new Path(m.location)) == want).getOrElse(false))
+      .flatMap(_.stats)
+      .flatMap(_.rowCount)
+  }
+
   /** The dispatch signal, shared by the operator and by the probes that
-    * pin its behavior: Catalyst's size estimate of the pruned
-    * (group, value) projection — pure plan metadata, no job. */
+    * pin its behavior: catalog rowCount × pair width when ANALYZE'd
+    * statistics exist for this lineitem (see
+    * [[catalogLineitemRowCount]]), else Catalyst's size estimate of the
+    * pruned (group, value) projection — either way pure plan/catalog
+    * metadata, no job. */
   private[graft] def quantileInputEstimate(s: SparkSession, d: String): BigInt =
-    lineitem(s, d)
-      .select(col("l_returnflag"), col("l_extendedprice"))
-      .queryExecution.optimizedPlan.stats.sizeInBytes
+    catalogLineitemRowCount(s, d)
+      .map(_ * QuantilePairBytes)
+      .getOrElse(
+        lineitem(s, d)
+          .select(col("l_returnflag"), col("l_extendedprice"))
+          .queryExecution.optimizedPlan.stats.sizeInBytes)
 
   /** True when [[qQuantilesAuto]] takes the binned scale path for this
     * input — exposed so ScaleProbe and PlanAuditSpec assert the branch

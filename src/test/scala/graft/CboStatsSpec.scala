@@ -84,6 +84,31 @@ class CboStatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rc.isDefined && rc.get.toLong == Tables.orders(spark, sf).count())
   }
 
+  test("quantile dispatcher consumes ANALYZE'd rowCount when present") {
+    val liSf = "/root/testdata/sf0.001"
+    // no registration → the size proxy (parquet-bytes estimate) decides
+    val proxy = ops.Advanced.quantileInputEstimate(spark, liSf)
+    assert(ops.Advanced.catalogLineitemRowCount(spark, liSf).isEmpty)
+    val t = "cbo_spec_lineitem"
+    try {
+      // register + ANALYZE at exactly this sf dir's lineitem path: the
+      // dispatcher must switch from the compression-skewed byte proxy to
+      // measured-cardinality × pair width (r11 verdict task 7 — the
+      // first operator dispatch consuming catalog statistics)
+      Warehouse.analyzeTable(spark, t, s"$liSf/lineitem.parquet")
+      val rows = Tables.lineitem(spark, liSf).count()
+      assert(ops.Advanced.catalogLineitemRowCount(spark, liSf)
+        .contains(BigInt(rows)))
+      val est = ops.Advanced.quantileInputEstimate(spark, liSf)
+      assert(est == BigInt(rows) * ops.Advanced.QuantilePairBytes,
+        s"stats-present estimate $est != rows($rows) * pair width")
+      assert(est != proxy,
+        "stats-present branch indistinguishable from the size proxy")
+    } finally spark.sql(s"DROP TABLE IF EXISTS `$t`")
+    // registration dropped → back on the proxy, nothing sticky
+    assert(ops.Advanced.quantileInputEstimate(spark, liSf) == proxy)
+  }
+
   test("readTableWithStats routes through the registration only for its own dir") {
     Warehouse.analyzeTable(spark, table, dir, statsColumns = Seq("o_custkey"))
     // matching dir → the catalog relation, carrying rowCount stats
