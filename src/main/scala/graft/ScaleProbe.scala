@@ -150,9 +150,10 @@ object ScaleProbe {
     // in the replica, so its ratio would measure nothing)
     "q_partitioned_backfill", "q_incremental_agg", "q_manifest_snapshot",
     // round-12 lifecycle verbs: REPLACE-commit compaction (read+rewrite
-    // tracks volume, the CAS stays O(1)) and copy-on-write delete (the
-    // affected-file scan + selective rewrite track volume)
-    "q_compact_snapshot", "q_snapshot_delete",
+    // tracks volume, the CAS stays O(1)), copy-on-write delete and merge
+    // (affected-file scan + selective rewrite track volume)
+    "q_compact_snapshot", "q_snapshot_delete", "q_snapshot_merge",
+    "q_manifest_skipping", "q_snapshot_changes",
     // round-12 additions per the r11 verdict task 6: the remaining
     // heavy keys never probed — Misra-Gries per group, SCD2 window
     // merge, per-key rolling windows — and the corpus pipeline's new

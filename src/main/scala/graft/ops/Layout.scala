@@ -251,6 +251,14 @@ object Layout {
     }).foldLeft(0)(math.max)
   }
 
+  /** Manifest LINES (the commit-protocol currency: set arithmetic for
+    * append/replace rebasing operates on whole lines, which are copied
+    * verbatim across commits). A line is either a bare root-relative
+    * file path, or `path\tstatsCol\tmin\tmax` when the committing writer
+    * recorded column bounds — [[entryPath]]/[[entryStats]] split the two
+    * concerns, and every consumer that touches the filesystem goes
+    * through entryPath so stats-carrying and bare lines mix freely in
+    * one table's history. */
   private def manifestFiles(fs: FileSystem, table: Path, v: Int)
       : Seq[String] = {
     val in = fs.open(new Path(table, s"manifests/v$v.manifest"))
@@ -258,6 +266,22 @@ object Layout {
       .getLines().filter(_.nonEmpty).toList
     finally in.close()
   }
+
+  /** The file path of a manifest line (strips any stats suffix). */
+  private def entryPath(line: String): String =
+    line.indexOf('\t') match {
+      case -1 => line
+      case i  => line.substring(0, i)
+    }
+
+  /** (min, max) bounds recorded on `line` for `column`, if any. */
+  private def entryStats(line: String, column: String)
+      : Option[(Double, Double)] =
+    line.split('\t') match {
+      case Array(_, c, mn, mx) if c == column =>
+        scala.util.Try((mn.toDouble, mx.toDouble)).toOption
+      case _ => None
+    }
 
   /** The one manifest CAS loop, shared by every commit verb (APPEND,
     * REPLACE/compact, DELETE, rollback): `listFor(head)` computes the
@@ -302,15 +326,47 @@ object Layout {
   }
 
   /** Atomically commit `df` as an APPEND transaction; returns the new
-    * version. Retries the manifest CAS a bounded number of times. */
+    * version. Retries the manifest CAS a bounded number of times.
+    *
+    * `statsColumn`: record per-file min/max of a NUMERIC column in the
+    * manifest entry (`path\tcol\tmin\tmax`) — manifest-level data
+    * skipping, the same idea as Iceberg's manifest column bounds:
+    * [[readSnapshotRange]] then prunes whole files from the read set
+    * BEFORE any footer is opened, one metadata pass instead of N file
+    * opens. Worth pairing with a range-clustered arrangement
+    * (repartitionByRange + sortWithinPartitions on the column) so file
+    * bounds are disjoint and a selective range keeps O(1) files. The
+    * stats pass reads back only the just-staged files (one grouped
+    * aggregate over the txn dir, cost ∝ this commit, not the table). */
   def commitSnapshot(spark: SparkSession, table: String,
-                     df: DataFrame): Int = {
+                     df: DataFrame,
+                     statsColumn: Option[String] = None): Int = {
     val root = new Path(table)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val added = stageTxn(spark, fs, root, df)
+    val entries = statsColumn match {
+      case None => added
+      case Some(c) =>
+        val bounds = spark.read.parquet(
+            added.map(rel => new Path(root, rel).toString): _*)
+          .groupBy(input_file_name().as("__f"))
+          .agg(min(col(c).cast("double")).as("mn"),
+            max(col(c).cast("double")).as("mx"))
+          .collect()
+          .filter(r => !r.isNullAt(1) && !r.isNullAt(2)) // all-null column
+          .map(r => fsPathOf(r.getString(0)) -> (r.getDouble(1), r.getDouble(2)))
+          .toMap
+        added.map { rel =>
+          val k = fsPathOf(fs.makeQualified(new Path(root, rel)).toString)
+          bounds.get(k) match {
+            case Some((mn, mx)) => s"$rel\t$c\t$mn\t$mx"
+            case None           => rel // empty file: no rows, no bounds
+          }
+        }
+    }
     casCommit(fs, root, "commitSnapshot", head =>
       (if (head == 0) Seq.empty else manifestFiles(fs, root, head)) ++
-        added)
+        entries)
   }
 
   /** Read `table` as of `version` (default: newest) — manifest-listed
@@ -322,8 +378,82 @@ object Layout {
     val v = version.getOrElse(currentVersion(fs, root))
     require(v > 0, s"readSnapshot: no committed version in $table")
     val files = manifestFiles(fs, root, v)
-      .map(rel => new Path(root, rel).toString)
+      .map(line => new Path(root, entryPath(line)).toString)
     spark.read.parquet(files: _*)
+  }
+
+  /** The file-skipping decision, factored out so SnapshotIsolationSpec
+    * can assert the pruned set directly: (surviving lines, total lines)
+    * of `version`'s manifest for `column ∈ [lo, hi]`. A line without
+    * recorded bounds for `column` ALWAYS survives — stats are an
+    * optimization, never a correctness input. */
+  private[graft] def rangeFileSelection(spark: SparkSession, table: String,
+      column: String, lo: Long, hi: Long, version: Option[Int] = None)
+      : (Seq[String], Int) = {
+    val root = new Path(table)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v = version.getOrElse(currentVersion(fs, root))
+    require(v > 0, s"rangeFileSelection: no committed version in $table")
+    val lines = manifestFiles(fs, root, v)
+    val kept = lines.filter { line =>
+      entryStats(line, column) match {
+        case Some((mn, mx)) => mx >= lo && mn <= hi
+        case None           => true
+      }
+    }
+    (kept, lines.size)
+  }
+
+  /** Range read with MANIFEST-level data skipping: files whose recorded
+    * `column` bounds miss [lo, hi] are dropped from the read set before
+    * any parquet footer is opened — at 100 TB on an object store that is
+    * the difference between one manifest read and N per-file round
+    * trips, and it composes with (sits above) the parquet row-group
+    * pruning that still applies inside surviving files. The exact range
+    * filter is re-applied on the scan, so results are identical whether
+    * bounds were recorded or not. */
+  def readSnapshotRange(spark: SparkSession, table: String, column: String,
+      lo: Long, hi: Long, version: Option[Int] = None): DataFrame = {
+    val root = new Path(table)
+    val (kept, _) = rangeFileSelection(spark, table, column, lo, hi, version)
+    require(kept.nonEmpty, // schema would be unknowable from zero files
+      s"readSnapshotRange: every file of $table pruned; " +
+        "read the snapshot and filter instead")
+    spark.read.parquet(
+        kept.map(l => new Path(root, entryPath(l)).toString): _*)
+      .where(col(column) >= lit(lo) && col(column) <= lit(hi))
+  }
+
+  /** CDC-style incremental read: the rows APPENDED after `fromVersion`
+    * up to and including `toVersion` — the consumer loop that keeps a
+    * downstream rollup O(delta) instead of O(history) reads exactly
+    * this between checkpoints (same consumption contract as an Iceberg
+    * incremental scan). Valid only across APPEND commits: data files
+    * are immutable and appends only add lines, so the added rows ARE
+    * the line-set difference. A REPLACE commit in the range (compact /
+    * delete / merge) rewrites rows it did not logically change, so
+    * row-level change semantics would need delete-file machinery —
+    * detected (fromVersion's lines no longer a subset) and rejected
+    * loudly rather than answered wrong. */
+  def readChanges(spark: SparkSession, table: String,
+                  fromVersion: Int, toVersion: Int): DataFrame = {
+    require(fromVersion <= toVersion,
+      s"readChanges: fromVersion $fromVersion > toVersion $toVersion")
+    val root = new Path(table)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val from =
+      if (fromVersion == 0) Set.empty[String]
+      else manifestFiles(fs, root, fromVersion).toSet
+    val to = manifestFiles(fs, root, toVersion)
+    require(from.subsetOf(to.toSet),
+      s"readChanges: a REPLACE commit landed in ($fromVersion, $toVersion] " +
+        "— line-set diff is not a row-level change log across rewrites")
+    val added = to.filterNot(from)
+    val all = spark.read.parquet(
+      to.map(l => new Path(root, entryPath(l)).toString): _*)
+    if (added.isEmpty) all.where(lit(false)) // empty delta, stable schema
+    else spark.read.parquet(
+      added.map(l => new Path(root, entryPath(l)).toString): _*)
   }
 
   /** Roll the table back to `version` by RE-COMMITTING its file list as
@@ -373,11 +503,11 @@ object Layout {
     require(v0 > 0, s"compactSnapshot: no committed version in $table")
     val inputs = manifestFiles(fs, root, v0)
     val bytesBefore = inputs
-      .map(rel => fs.getFileStatus(new Path(root, rel)).getLen).sum
+      .map(l => fs.getFileStatus(new Path(root, entryPath(l))).getLen).sum
     val nOut = math.max(1L,
       (bytesBefore + targetFileBytes - 1) / targetFileBytes).toInt
     val df = spark.read.parquet(
-      inputs.map(rel => new Path(root, rel).toString): _*)
+      inputs.map(l => new Path(root, entryPath(l)).toString): _*)
     val arranged =
       if (sortBy.nonEmpty)
         df.repartitionByRange(nOut, sortBy.map(col): _*)
@@ -388,7 +518,7 @@ object Layout {
     val v = casCommit(fs, root, "compactSnapshot", head =>
       manifestFiles(fs, root, head).filterNot(inputSet) ++ added)
     val bytesAfter = added
-      .map(rel => fs.getFileStatus(new Path(root, rel)).getLen).sum
+      .map(l => fs.getFileStatus(new Path(root, entryPath(l))).getLen).sum
     (v, CompactStats(inputs.size, added.size,
       bytesBefore, bytesAfter, inputs.size))
   }
@@ -421,7 +551,7 @@ object Layout {
     val v0 = currentVersion(fs, root)
     require(v0 > 0, s"deleteWhere: no committed version in $table")
     val files = manifestFiles(fs, root, v0)
-    val abs = files.map(rel => rel -> new Path(root, rel).toString)
+    val abs = files.map(l => l -> new Path(root, entryPath(l)).toString)
     val affectedAbs = spark.read.parquet(abs.map(_._2): _*)
       .where(predicate)
       .select(input_file_name().as("f")).distinct()
@@ -444,6 +574,67 @@ object Layout {
     val v = casCommit(fs, root, "deleteWhere", head =>
       manifestFiles(fs, root, head).filterNot(affectedSet) ++ added)
     (v, affected.size, untouched.size)
+  }
+
+  /** Copy-on-write MERGE (upsert) — SQL `MERGE INTO t USING s ON
+    * t.key = s.key WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN
+    * INSERT *`, the late-fact-correction verb that pairs with
+    * [[deleteWhere]]. `source` must be unique on `key` (checked: a
+    * two-source-rows-per-key merge is ambiguous) and share the table's
+    * schema. Mechanics mirror the delete: (1) one scan of the head
+    * snapshot left-semi-joined against the source keys finds the files
+    * holding matched rows via input_file_name(); (2) ONLY those files
+    * are rewritten — their non-matched rows carried as-is, matched rows
+    * replaced by the source row — and every not-matched source row is
+    * appended to the same staged transaction; (3) the CAS commits
+    * head − affected + staged. Untouched files never open for write, so
+    * merge cost tracks the matched-file footprint plus the insert
+    * volume, not the table. Scale note: the key join shuffles
+    * (source-key, file) pairs only; Catalyst broadcasts the source side
+    * when the delta is small, which is the common nightly-correction
+    * shape. Returns (newVersion, filesRewritten, rowsInserted). */
+  def mergeInto(spark: SparkSession, table: String, source: DataFrame,
+                key: String): (Int, Int, Long) = {
+    val root = new Path(table)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v0 = currentVersion(fs, root)
+    require(v0 > 0, s"mergeInto: no committed version in $table")
+    val srcKeys = source.select(col(key)).distinct()
+    require(srcKeys.count() == source.count(),
+      s"mergeInto: source is not unique on `$key`")
+    val files = manifestFiles(fs, root, v0)
+    val abs = files.map(l => l -> new Path(root, entryPath(l)).toString)
+    val snap = spark.read.parquet(abs.map(_._2): _*)
+    // capture the provenance column BEFORE the key join —
+    // input_file_name() is single-source-only and cannot be evaluated
+    // on join output
+    val affectedAbs = snap
+      .select(col(key), input_file_name().as("__f"))
+      .join(source.select(col(key)), Seq(key), "left_semi")
+      .select(col("__f")).distinct()
+      .collect().map(r => fsPathOf(r.getString(0))).toSet
+    val (affected, _) = abs.partition { case (_, a) =>
+      affectedAbs.contains(fsPathOf(fs.makeQualified(new Path(a)).toString))
+    }
+    // not-matched source rows insert regardless of whether any file
+    // matched; matched-file rows are rewritten with updates applied
+    val inserts = source
+      .join(snap.select(col(key)), Seq(key), "left_anti")
+    val staged =
+      if (affected.isEmpty) inserts
+      else {
+        val old = spark.read.parquet(affected.map(_._2): _*)
+        val carried = old.join(source.select(col(key)), Seq(key), "left_anti")
+        val updated = source.join(old.select(col(key)).distinct(),
+          Seq(key), "left_semi")
+        carried.unionByName(updated).unionByName(inserts)
+      }
+    val nInserted = inserts.count()
+    val added = stageTxn(spark, fs, root, staged)
+    val affectedSet = affected.map(_._1).toSet
+    val v = casCommit(fs, root, "mergeInto", head =>
+      manifestFiles(fs, root, head).filterNot(affectedSet) ++ added)
+    (v, affected.size, nInserted)
   }
 
   /** Snapshot GC (VACUUM): drop manifests older than the newest
@@ -469,7 +660,7 @@ object Layout {
       .filter(v => fs.exists(new Path(root, s"manifests/v$v.manifest")))
     val retainedFiles = (math.max(1, cutoff) to head)
       .filter(v => fs.exists(new Path(root, s"manifests/v$v.manifest")))
-      .flatMap(v => manifestFiles(fs, root, v)).toSet
+      .flatMap(v => manifestFiles(fs, root, v)).map(entryPath).toSet
     expired.foreach(v =>
       fs.delete(new Path(root, s"manifests/v$v.manifest"), false))
     // Re-check the head before the DESTRUCTIVE half: retainedFiles was
@@ -592,10 +783,97 @@ object Layout {
       .orderBy("o_orderstatus")
   }
 
+  /** Copy-on-write MERGE, end to end: the table (narrow orders
+    * projection) lands as two parity transactions, then one
+    * [[mergeInto]] applies a delta carrying BOTH verbs — updates
+    * (price×2 for the o_orderkey%10==3 slice) and inserts (the %10==7
+    * slice re-keyed past the key range). The updated slice is all-odd
+    * (…3 is odd), so the even transaction's files must survive
+    * untouched. The oracle recomputes the merged state from source:
+    * hash-equality proves update-in-place, insert, and carry-through
+    * each did exactly their rows. Prices stay DECIMAL(18,2) through the
+    * update arithmetic so old and rewritten files share one physical
+    * schema. */
+  def qSnapshotMerge(s: SparkSession, d: String): DataFrame = {
+    import graft.Tables._
+    val table = s"${Sources.ioDir(s, d)}/orders_merge"
+    val root = new Path(table)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(root, true) // deterministic re-run: fresh table history
+    val o = orders(s, d).select(col("o_orderkey"), col("o_orderstatus"),
+      dec2(col("o_totalprice")).as("price"))
+    commitSnapshot(s, table, o.where(pmod(col("o_orderkey"), lit(2)) === 0))
+    commitSnapshot(s, table, o.where(pmod(col("o_orderkey"), lit(2)) === 1))
+    val mx = o.agg(max(col("o_orderkey"))).head.getLong(0)
+    val updates = o.where(pmod(col("o_orderkey"), lit(10)) === 3)
+      .withColumn("price", (col("price") * 2).cast("decimal(18,2)"))
+    val inserts = o.where(pmod(col("o_orderkey"), lit(10)) === 7)
+      .withColumn("o_orderkey", col("o_orderkey") + lit(2L * mx))
+    mergeInto(s, table, updates.unionByName(inserts), "o_orderkey")
+    readSnapshot(s, table)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum(col("price")).cast("double").as("sum_price"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** Manifest-level data skipping, end to end: land orders
+    * range-clustered on o_orderkey with per-file bounds recorded in the
+    * manifest, then answer a key-range aggregate through
+    * [[readSnapshotRange]]. The oracle recomputes from source with the
+    * same BETWEEN — hash-equality proves pruning drops only files the
+    * range could never touch; SnapshotIsolationSpec pins that files ARE
+    * dropped (and that stats-less files always survive). */
+  def qManifestSkipping(s: SparkSession, d: String): DataFrame = {
+    import graft.Tables._
+    val table = s"${Sources.ioDir(s, d)}/orders_skipping"
+    val root = new Path(table)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(root, true) // deterministic re-run: fresh table history
+    val o = orders(s, d).select(col("o_orderkey"), col("o_orderstatus"),
+      dec2(col("o_totalprice")).as("price"))
+    commitSnapshot(s, table,
+      o.repartitionByRange(8, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey"),
+      statsColumn = Some("o_orderkey"))
+    val mx = o.agg(max(col("o_orderkey"))).head.getLong(0)
+    readSnapshotRange(s, table, "o_orderkey", mx / 4, mx / 2)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum(col("price")).cast("double").as("sum_price"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** Incremental consumption, end to end: three append transactions land
+    * the table in thirds (o_orderkey mod 3), and [[readChanges]] between
+    * v1 and the head returns exactly the last two. The oracle recomputes
+    * the same two-thirds from source: hash-equality proves the line-set
+    * diff is precisely the appended rows — nothing from v1 leaks in,
+    * nothing appended is missed. */
+  def qSnapshotChanges(s: SparkSession, d: String): DataFrame = {
+    import graft.Tables._
+    val table = s"${Sources.ioDir(s, d)}/orders_cdc"
+    val root = new Path(table)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(root, true) // deterministic re-run: fresh table history
+    val o = orders(s, d)
+    val v1 = commitSnapshot(s, table, o.where(pmod(col("o_orderkey"), lit(3)) === 0))
+    commitSnapshot(s, table, o.where(pmod(col("o_orderkey"), lit(3)) === 1))
+    val v3 = commitSnapshot(s, table, o.where(pmod(col("o_orderkey"), lit(3)) === 2))
+    readChanges(s, table, v1, v3)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum(dec2(col("o_totalprice"))).cast("double").as("sum_price"))
+      .orderBy("o_orderstatus")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_manifest_snapshot" -> qManifestSnapshot _,
     "q_compact_snapshot"  -> qCompactSnapshot _,
     "q_snapshot_delete"   -> qSnapshotDelete _,
+    "q_snapshot_merge"    -> qSnapshotMerge _,
+    "q_manifest_skipping" -> qManifestSkipping _,
+    "q_snapshot_changes"  -> qSnapshotChanges _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -611,6 +889,40 @@ object Layout {
         |    AS sum_price
         |FROM orders
         |WHERE NOT (o_orderkey % 2 = 1 AND o_orderstatus = 'F')
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // post-merge state recomputed from source: update-in-place for the
+    // %10=3 slice, re-keyed inserts for the %10=7 slice
+    "q_snapshot_merge" ->
+      """WITH mx AS (SELECT MAX(o_orderkey) AS m FROM orders),
+        |base AS (
+        |  SELECT o_orderstatus,
+        |    CASE WHEN o_orderkey % 10 = 3
+        |      THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 2
+        |        AS DECIMAL(18,2))
+        |      ELSE CAST(o_totalprice AS DECIMAL(18,2)) END AS price
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT o_orderstatus, CAST(o_totalprice AS DECIMAL(18,2))
+        |  FROM orders, mx WHERE o_orderkey % 10 = 7)
+        |SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(price) AS DOUBLE) AS sum_price
+        |FROM base GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // same range recomputed from source — pruning must change the read
+    // set, never the answer
+    "q_manifest_skipping" ->
+      """WITH mx AS (SELECT MAX(o_orderkey) AS m FROM orders)
+        |SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_price
+        |FROM orders, mx
+        |WHERE o_orderkey >= mx.m // 4 AND o_orderkey <= mx.m // 2
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // the two appended thirds recomputed from source
+    "q_snapshot_changes" ->
+      """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_price
+        |FROM orders WHERE o_orderkey % 3 <> 0
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
   )
 }

@@ -146,6 +146,117 @@ class SnapshotIsolationSpec extends AnyFunSuite {
     assert(v4 == v3 && r4 == 0, "no-match delete should not commit")
   }
 
+  test("mergeInto updates in place, inserts new keys, leaves unmatched files intact") {
+    import ops.Layout._
+    val table = "target/graft_io/spec/nation_merge"
+    val root = new Path(table)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(root, true)
+    val n = Tables.nation(spark, sf)
+    commitSnapshot(spark, table, n.where(col("n_nationkey") < 12))
+    val v2 = commitSnapshot(spark, table, n.where(col("n_nationkey") >= 12))
+    val before = manifestPaths(fs, root, v2)
+      .map(rel => rel -> fileSig(fs, root, rel)).toMap
+    // delta: update the name of keys ≥ 20 (all in txn-2), insert three
+    // re-keyed rows — txn-1's files match nothing and must not be opened
+    val updates = n.where(col("n_nationkey") >= 20)
+      .withColumn("n_name", concat(col("n_name"), lit("_upd")))
+    val inserts = n.where(col("n_nationkey") < 3)
+      .withColumn("n_nationkey", col("n_nationkey") + 100)
+    val (v3, rewritten, nIns) =
+      mergeInto(spark, table, updates.unionByName(inserts), "n_nationkey")
+    assert(v3 == v2 + 1)
+    assert(nIns == 3, s"expected 3 inserts, got $nIns")
+    assert(rewritten >= 1 && rewritten < before.size,
+      s"expected a selective rewrite, got $rewritten of ${before.size}")
+    val after = manifestPaths(fs, root, v3)
+    val kept = after.filter(before.contains)
+    assert(kept.size == before.size - rewritten,
+      "untouched file count does not match the manifest carry-over")
+    kept.foreach { rel =>
+      assert(fileSig(fs, root, rel) == before(rel),
+        s"unmatched file $rel was modified by the merge") }
+    val head = readSnapshot(spark, table)
+    assert(head.count() == n.count() + 3)
+    // updated rows really carry the new values, carried rows the old
+    val upNames = head.where(col("n_nationkey") >= 20 &&
+        col("n_nationkey") < 100)
+      .select("n_name").collect().map(_.getString(0))
+    assert(upNames.nonEmpty && upNames.forall(_.endsWith("_upd")),
+      s"updates not applied: ${upNames.mkString(",")}")
+    val origNames = head.where(col("n_nationkey") < 20)
+      .select("n_name").collect().map(_.getString(0))
+    assert(origNames.nonEmpty && origNames.forall(!_.endsWith("_upd")),
+      "carried rows were clobbered by the update")
+    // the pre-merge snapshot is still the pre-merge table (time travel)
+    assert(readSnapshot(spark, table, Some(v2)).count() == n.count())
+    // a source with a duplicate key must be rejected, not merged twice
+    val dup = updates.unionByName(updates)
+    intercept[IllegalArgumentException] {
+      mergeInto(spark, table, dup, "n_nationkey")
+    }
+  }
+
+  test("manifest column bounds prune files; stats-less lines always survive") {
+    import ops.Layout._
+    val table = "target/graft_io/spec/orders_bounds"
+    val root = new Path(table)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(root, true)
+    val o = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_orderstatus"))
+    commitSnapshot(spark, table,
+      o.repartitionByRange(8, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey"),
+      statsColumn = Some("o_orderkey"))
+    val mx = o.agg(max(col("o_orderkey"))).head.getLong(0)
+    // a narrow range over a range-clustered table must drop most files…
+    val (kept, total) = rangeFileSelection(spark, table, "o_orderkey",
+      mx / 4, mx / 3)
+    assert(total >= 8 && kept.size < total,
+      s"no manifest-level pruning: kept ${kept.size} of $total")
+    // …and never change the answer
+    val pruned = readSnapshotRange(spark, table, "o_orderkey",
+      mx / 4, mx / 3).count()
+    val full = readSnapshot(spark, table)
+      .where(col("o_orderkey") >= mx / 4 && col("o_orderkey") <= mx / 3)
+      .count()
+    assert(pruned == full && full > 0)
+    // a later append WITHOUT stats: its lines carry no bounds and must
+    // always survive selection, even for a range they might not touch
+    commitSnapshot(spark, table, o.limit(50))
+    val (kept2, total2) = rangeFileSelection(spark, table, "o_orderkey",
+      mx / 4, mx / 3)
+    assert(total2 > total)
+    assert(kept2.size - kept.size == total2 - total,
+      "a stats-less manifest line was pruned")
+  }
+
+  test("readChanges returns exactly the appended rows, rejects REPLACE in range") {
+    import ops.Layout._
+    val table = "target/graft_io/spec/nation_cdc"
+    val root = new Path(table)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(root, true)
+    val n = Tables.nation(spark, sf)
+    val v1 = commitSnapshot(spark, table, n.where(col("n_nationkey") < 12))
+    val v2 = commitSnapshot(spark, table, n.where(col("n_nationkey") >= 12))
+    // the delta v1→v2 is exactly the second commit's rows
+    assert(readChanges(spark, table, v1, v2).count() ==
+      n.where(col("n_nationkey") >= 12).count())
+    // from-zero = everything; empty range = zero rows with a real schema
+    assert(readChanges(spark, table, 0, v2).count() == n.count())
+    val empty = readChanges(spark, table, v2, v2)
+    assert(empty.count() == 0 && empty.columns.contains("n_nationkey"))
+    // a REPLACE commit (copy-on-write delete) breaks the append-only
+    // line-diff semantics — the reader must refuse, not answer wrong
+    val (v3, _, _) = deleteWhere(spark, table, col("n_nationkey") === 5)
+    assert(v3 == v2 + 1)
+    intercept[IllegalArgumentException] {
+      readChanges(spark, table, v2, v3)
+    }
+  }
+
   private def manifestPaths(fs: org.apache.hadoop.fs.FileSystem,
       root: Path, v: Int): Seq[String] = {
     val in = fs.open(new Path(root, s"manifests/v$v.manifest"))
