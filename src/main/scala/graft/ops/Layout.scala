@@ -344,7 +344,20 @@ object Layout {
     val root = new Path(table)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val added = stageTxn(spark, fs, root, df)
-    val entries = statsColumn match {
+    val entries = withStats(spark, fs, root, added, statsColumn)
+    casCommit(fs, root, "commitSnapshot", head =>
+      (if (head == 0) Seq.empty else manifestFiles(fs, root, head)) ++
+        entries)
+  }
+
+  /** Decorate freshly staged file paths with `path\tcol\tmin\tmax`
+    * bounds (one grouped aggregate over ONLY the staged files; cost ∝
+    * the transaction, not the table). Shared by every commit verb that
+    * stages files so a stats-skipping table keeps its pruning through
+    * compaction too. */
+  private def withStats(spark: SparkSession, fs: FileSystem, root: Path,
+      added: Seq[String], statsColumn: Option[String]): Seq[String] =
+    statsColumn match {
       case None => added
       case Some(c) =>
         val bounds = spark.read.parquet(
@@ -364,10 +377,6 @@ object Layout {
           }
         }
     }
-    casCommit(fs, root, "commitSnapshot", head =>
-      (if (head == 0) Seq.empty else manifestFiles(fs, root, head)) ++
-        entries)
-  }
 
   /** Read `table` as of `version` (default: newest) — manifest-listed
     * files only, never a directory listing. */
@@ -496,7 +505,9 @@ object Layout {
     * regardless of table size. Returns (newVersion, stats). */
   def compactSnapshot(spark: SparkSession, table: String,
                       targetFileBytes: Long = 128L << 20,
-                      sortBy: Seq[String] = Nil): (Int, CompactStats) = {
+                      sortBy: Seq[String] = Nil,
+                      statsColumn: Option[String] = None)
+      : (Int, CompactStats) = {
     val root = new Path(table)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val v0 = currentVersion(fs, root)
@@ -513,7 +524,11 @@ object Layout {
         df.repartitionByRange(nOut, sortBy.map(col): _*)
           .sortWithinPartitions(sortBy.map(col): _*)
       else df.coalesce(nOut)
-    val added = stageTxn(spark, fs, root, arranged)
+    // re-record column bounds on the re-packed files (sortBy = the stats
+    // column gives disjoint per-file ranges) — without this an OPTIMIZE
+    // would silently strip a skipping table's pruning
+    val added = withStats(spark, fs, root,
+      stageTxn(spark, fs, root, arranged), statsColumn)
     val inputSet = inputs.toSet
     val v = casCommit(fs, root, "compactSnapshot", head =>
       manifestFiles(fs, root, head).filterNot(inputSet) ++ added)

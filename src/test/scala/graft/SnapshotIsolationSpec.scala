@@ -222,14 +222,28 @@ class SnapshotIsolationSpec extends AnyFunSuite {
       .where(col("o_orderkey") >= mx / 4 && col("o_orderkey") <= mx / 3)
       .count()
     assert(pruned == full && full > 0)
-    // a later append WITHOUT stats: its lines carry no bounds and must
-    // always survive selection, even for a range they might not touch
-    commitSnapshot(spark, table, o.limit(50))
+    // a later append WITHOUT stats (a deterministic slice disjoint from
+    // the queried range): its lines carry no bounds and must always
+    // survive selection, even for a range they cannot touch
+    commitSnapshot(spark, table, o.where(col("o_orderkey") <= mx / 10))
     val (kept2, total2) = rangeFileSelection(spark, table, "o_orderkey",
       mx / 4, mx / 3)
     assert(total2 > total)
     assert(kept2.size - kept.size == total2 - total,
       "a stats-less manifest line was pruned")
+    // OPTIMIZE with statsColumn re-records bounds on the re-packed
+    // files: pruning must survive compaction, and the range answer must
+    // not move
+    compactSnapshot(spark, table, targetFileBytes = 4 * 1024,
+      sortBy = Seq("o_orderkey"), statsColumn = Some("o_orderkey"))
+    val (kept3, total3) = rangeFileSelection(spark, table, "o_orderkey",
+      mx / 4, mx / 3)
+    assert(total3 > 1 && kept3.size < total3,
+      s"compaction stripped the bounds: kept ${kept3.size} of $total3")
+    // the appended slice (keys ≤ mx/10) is disjoint from [mx/4, mx/3],
+    // so the range answer is unchanged through append AND compaction
+    assert(readSnapshotRange(spark, table, "o_orderkey",
+      mx / 4, mx / 3).count() == pruned)
   }
 
   test("readChanges returns exactly the appended rows, rejects REPLACE in range") {
