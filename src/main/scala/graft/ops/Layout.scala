@@ -313,6 +313,27 @@ object Layout {
       s"$op: lost the manifest race 10 times on $root")
   }
 
+  /** The REPLACE-verb commit (compact / delete / merge): swap `inputSet`
+    * lines for `added` against the head AT EACH CAS ATTEMPT — but only
+    * while every input line is still present in that head. A racing
+    * APPEND keeps our inputs in its head, so the rebase proceeds with
+    * the appended files intact; a racing REPLACE that swapped any of our
+    * inputs makes the rebase unsound (we would resurrect rows the other
+    * commit rewrote, or drop its rewrites), so the commit ABORTS with
+    * IllegalArgumentException — the standard optimistic-concurrency
+    * conflict, and the caller re-runs the whole operation against the
+    * new head. Factored out of the verbs so the conflict guard is
+    * deterministically testable without thread interleaving. */
+  private[graft] def replaceCommit(fs: FileSystem, root: Path, op: String,
+      inputSet: Set[String], added: Seq[String]): Int =
+    casCommit(fs, root, op, { head =>
+      val headLines = manifestFiles(fs, root, head)
+      require(inputSet.subsetOf(headLines.toSet),
+        s"$op: concurrent REPLACE conflict — another commit swapped out " +
+          "input files of this operation; re-run it against the new head")
+      headLines.filterNot(inputSet) ++ added
+    })
+
   /** Stage `df` into a fresh uuid'd data/txn-* dir and return its
     * root-relative file paths — invisible until a manifest lists them. */
   private def stageTxn(spark: SparkSession, fs: FileSystem, root: Path,
@@ -458,9 +479,13 @@ object Layout {
       s"readChanges: a REPLACE commit landed in ($fromVersion, $toVersion] " +
         "— line-set diff is not a row-level change log across rewrites")
     val added = to.filterNot(from)
-    val all = spark.read.parquet(
-      to.map(l => new Path(root, entryPath(l)).toString): _*)
-    if (added.isEmpty) all.where(lit(false)) // empty delta, stable schema
+    // only open the files actually returned: reading the full snapshot
+    // for schema when the delta is non-empty would cost a footer pass
+    // over the whole table per incremental poll
+    if (added.isEmpty)
+      spark.read.parquet( // empty delta, stable schema from the snapshot
+        to.map(l => new Path(root, entryPath(l)).toString): _*)
+        .where(lit(false))
     else spark.read.parquet(
       added.map(l => new Path(root, entryPath(l)).toString): _*)
   }
@@ -529,9 +554,7 @@ object Layout {
     // would silently strip a skipping table's pruning
     val added = withStats(spark, fs, root,
       stageTxn(spark, fs, root, arranged), statsColumn)
-    val inputSet = inputs.toSet
-    val v = casCommit(fs, root, "compactSnapshot", head =>
-      manifestFiles(fs, root, head).filterNot(inputSet) ++ added)
+    val v = replaceCommit(fs, root, "compactSnapshot", inputs.toSet, added)
     val bytesAfter = added
       .map(l => fs.getFileStatus(new Path(root, entryPath(l))).getLen).sum
     (v, CompactStats(inputs.size, added.size,
@@ -585,9 +608,8 @@ object Layout {
     val kept = spark.read.parquet(affected.map(_._2): _*)
       .where(!coalesce(predicate, lit(false)))
     val added = stageTxn(spark, fs, root, kept)
-    val affectedSet = affected.map(_._1).toSet
-    val v = casCommit(fs, root, "deleteWhere", head =>
-      manifestFiles(fs, root, head).filterNot(affectedSet) ++ added)
+    val v = replaceCommit(fs, root, "deleteWhere",
+      affected.map(_._1).toSet, added)
     (v, affected.size, untouched.size)
   }
 
@@ -614,8 +636,15 @@ object Layout {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val v0 = currentVersion(fs, root)
     require(v0 > 0, s"mergeInto: no committed version in $table")
-    val srcKeys = source.select(col(key)).distinct()
-    require(srcKeys.count() == source.count(),
+    // one aggregate, not a count + a distinct-count job: the check runs
+    // on every merge, and the source is the only input scanned twice.
+    // countDistinct skips NULLs, so unique ⇔ n == k + (1 if any null) —
+    // at most one NULL-keyed row is allowed (it never matches the ON
+    // clause, so it is always a plain insert, as in SQL MERGE)
+    val u = source.agg(count(lit(1)).as("n"),
+      countDistinct(col(key)).as("k"),
+      count(when(col(key).isNull, 1)).as("nulls")).head
+    require(u.getLong(0) == u.getLong(1) + math.min(u.getLong(2), 1L),
       s"mergeInto: source is not unique on `$key`")
     val files = manifestFiles(fs, root, v0)
     val abs = files.map(l => l -> new Path(root, entryPath(l)).toString)
@@ -640,15 +669,18 @@ object Layout {
       else {
         val old = spark.read.parquet(affected.map(_._2): _*)
         val carried = old.join(source.select(col(key)), Seq(key), "left_anti")
-        val updated = source.join(old.select(col(key)).distinct(),
-          Seq(key), "left_semi")
+        // SQL MERGE updates EACH matched target row: a target holding N
+        // rows for a key yields N updated rows, so join the (non-distinct)
+        // old keys against the source — a semi-join of source against
+        // distinct old keys would collapse duplicates to one row
+        val updated = old.select(col(key)).join(source, Seq(key), "inner")
+          .select(source.columns.map(col): _*)
         carried.unionByName(updated).unionByName(inserts)
       }
     val nInserted = inserts.count()
     val added = stageTxn(spark, fs, root, staged)
-    val affectedSet = affected.map(_._1).toSet
-    val v = casCommit(fs, root, "mergeInto", head =>
-      manifestFiles(fs, root, head).filterNot(affectedSet) ++ added)
+    val v = replaceCommit(fs, root, "mergeInto",
+      affected.map(_._1).toSet, added)
     (v, affected.size, nInserted)
   }
 

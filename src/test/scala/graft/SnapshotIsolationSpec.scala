@@ -197,6 +197,91 @@ class SnapshotIsolationSpec extends AnyFunSuite {
     }
   }
 
+  test("a REPLACE commit whose inputs were swapped by a racing REPLACE aborts") {
+    import ops.Layout._
+    val table = "target/graft_io/spec/nation_replace_conflict"
+    val root = new Path(table)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(root, true)
+    val n = Tables.nation(spark, sf)
+    val v1 = commitSnapshot(spark, table, n.repartition(4))
+    val v1Lines = manifestPaths(fs, root, v1)
+    assert(v1Lines.size >= 2)
+    // another REPLACE (a compaction) lands first and swaps v1's files out
+    val (v2, _) = compactSnapshot(spark, table)
+    assert(v2 == v1 + 1)
+    // a REPLACE carrying the now-stale inputs must ABORT, not rebase:
+    // blindly committing head − staleInputs + added would resurrect rows
+    // the compaction rewrote (filterNot misses ⇒ nothing removed) while
+    // still adding the replacement files — silent duplication
+    intercept[IllegalArgumentException] {
+      replaceCommit(fs, root, "staleReplace",
+        Set(v1Lines.head), Seq.empty)
+    }
+    assert(currentVersion(fs, root) == v2,
+      "the aborted REPLACE must not have committed")
+    // the same commit against CURRENT head lines proceeds (here: drop one
+    // file — a delete-shaped REPLACE), and a racing APPEND's lines are
+    // untouched by the swap
+    val v2Lines = manifestPaths(fs, root, v2)
+    val v3 = replaceCommit(fs, root, "validReplace",
+      Set(v2Lines.head), Seq.empty)
+    assert(v3 == v2 + 1)
+    assert(manifestPaths(fs, root, v3) == v2Lines.drop(1))
+  }
+
+  test("mergeInto updates every matched row of a duplicate-key target") {
+    import ops.Layout._
+    val table = "target/graft_io/spec/nation_merge_duptarget"
+    val root = new Path(table)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(root, true)
+    val n = Tables.nation(spark, sf)
+    // the TARGET holds two rows per key (the source stays unique — only
+    // source-side duplicates are ambiguous); SQL MERGE updates EACH
+    // matched target row, so both copies must carry the new name and the
+    // row count must not shrink
+    commitSnapshot(spark, table, n.unionByName(n))
+    val src = n.where(col("n_nationkey") >= 20)
+      .withColumn("n_name", concat(col("n_name"), lit("_upd")))
+    val (v2, rewritten, nIns) = mergeInto(spark, table, src, "n_nationkey")
+    assert(v2 == 2 && nIns == 0 && rewritten >= 1)
+    val head = readSnapshot(spark, table)
+    assert(head.count() == 2 * n.count(),
+      "the merge collapsed duplicate-key target rows")
+    val matched = head.where(col("n_nationkey") >= 20)
+    assert(matched.count() == 2 * n.where(col("n_nationkey") >= 20).count())
+    assert(matched.select("n_name").collect()
+        .forall(_.getString(0).endsWith("_upd")),
+      "a duplicate target row missed the update")
+  }
+
+  test("mergeInto allows one NULL-keyed source row (insert), rejects two") {
+    import ops.Layout._
+    val table = "target/graft_io/spec/nation_merge_nullkey"
+    val root = new Path(table)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(root, true)
+    val n = Tables.nation(spark, sf)
+    commitSnapshot(spark, table, n)
+    // MERGE ON t.k = s.k: a NULL source key never matches, so it is a
+    // plain insert — exactly one such row is unambiguous and allowed
+    // cast to the TABLE's key type — a long null against an int column
+    // would be a schema-drifting write, not a null-key merge
+    val keyType = n.schema("n_nationkey").dataType
+    val oneNull = n.where(col("n_nationkey") === 0)
+      .withColumn("n_nationkey", lit(null).cast(keyType))
+    val (_, _, ins) = mergeInto(spark, table, oneNull, "n_nationkey")
+    assert(ins == 1, s"a lone NULL-keyed source row must insert, got $ins")
+    assert(readSnapshot(spark, table).where(col("n_nationkey").isNull)
+      .count() == 1)
+    // two NULL-keyed rows are duplicate keys for the uniqueness contract
+    val twoNulls = oneNull.unionByName(oneNull)
+    intercept[IllegalArgumentException] {
+      mergeInto(spark, table, twoNulls, "n_nationkey")
+    }
+  }
+
   test("manifest column bounds prune files; stats-less lines always survive") {
     import ops.Layout._
     val table = "target/graft_io/spec/orders_bounds"
