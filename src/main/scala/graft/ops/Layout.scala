@@ -267,6 +267,17 @@ object Layout {
     finally in.close()
   }
 
+  /** Root-relative data-file paths of `version`'s manifest — the
+    * line-set with stats suffixes stripped, for consumers that only walk
+    * the filesystem (the streaming source's per-batch delta diff). */
+  private[graft] def versionFilePaths(fs: FileSystem, root: Path,
+      version: Int): Seq[String] = {
+    require(fs.exists(new Path(root, s"manifests/v$version.manifest")),
+      s"manifest v$version of $root does not exist (expired by " +
+        "expireSnapshots, or never committed)")
+    manifestFiles(fs, root, version).map(entryPath)
+  }
+
   /** The file path of a manifest line (strips any stats suffix). */
   private def entryPath(line: String): String =
     line.indexOf('\t') match {
@@ -914,6 +925,47 @@ object Layout {
       .orderBy("o_orderstatus")
   }
 
+  private val streamSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Streaming table read, end to end: three append transactions land a
+    * narrow orders projection in thirds, then the `graft-manifest`
+    * structured-streaming source ([[graft.streaming.ManifestStreamProvider]])
+    * consumes the table with `maxVersionsPerTrigger = 1` — three
+    * commit-granular micro-batches into a memory sink — and the batch
+    * aggregate over the streamed rows is the answer. The oracle — shared
+    * with q_table_roundtrip — proves the streamed union ≡ the table:
+    * nothing dropped at a batch boundary, nothing delivered twice.
+    * ManifestStreamSpec pins the incremental side (delta-only batches,
+    * checkpoint resume, REPLACE refusal). */
+  def qManifestStream(s: SparkSession, d: String): DataFrame = {
+    import graft.Tables._
+    val table = s"${Sources.ioDir(s, d)}/orders_stream"
+    val root = new Path(table)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(root, true) // deterministic re-run: fresh table history
+    val o = orders(s, d).select(col("o_orderkey"), col("o_orderstatus"),
+      dec2(col("o_totalprice")).as("price"))
+    commitSnapshot(s, table, o.where(pmod(col("o_orderkey"), lit(3)) === 0))
+    commitSnapshot(s, table, o.where(pmod(col("o_orderkey"), lit(3)) === 1))
+    commitSnapshot(s, table, o.where(pmod(col("o_orderkey"), lit(3)) === 2))
+    val name = s"graft_manifest_stream_${streamSeq.incrementAndGet()}"
+    val q = s.readStream.format("graft-manifest")
+      .option("maxVersionsPerTrigger", "1").load(table)
+      .select(col("o_orderstatus"), col("price"))
+      .writeStream.format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    val res = s.table(name)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum(col("price")).cast("double").as("sum_price"))
+      .orderBy("o_orderstatus")
+    // materialize the (few-row) aggregate, then drop the memory sink's
+    // backing view so bench re-runs don't accumulate driver-side rows
+    val rows = java.util.Arrays.asList(res.collect(): _*)
+    s.catalog.dropTempView(name)
+    s.createDataFrame(rows, res.schema)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_manifest_snapshot" -> qManifestSnapshot _,
     "q_compact_snapshot"  -> qCompactSnapshot _,
@@ -921,6 +973,7 @@ object Layout {
     "q_snapshot_merge"    -> qSnapshotMerge _,
     "q_manifest_skipping" -> qManifestSkipping _,
     "q_snapshot_changes"  -> qSnapshotChanges _,
+    "q_manifest_stream"   -> qManifestStream _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -929,6 +982,8 @@ object Layout {
     "q_manifest_snapshot" -> Sources.oracleSql("q_table_roundtrip"),
     // also shared: compaction must swap layout, never content
     "q_compact_snapshot"  -> Sources.oracleSql("q_table_roundtrip"),
+    // also shared: a streamed read must deliver exactly the table once
+    "q_manifest_stream"   -> Sources.oracleSql("q_table_roundtrip"),
     // post-delete state recomputed from source with the negated predicate
     "q_snapshot_delete" ->
       """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,

@@ -22,6 +22,35 @@ object ColumnBridge {
   def logicalPlan(df: Dataset[_]): LogicalPlan =
     df.asInstanceOf[classic.Dataset[_]].logicalPlan
 
+  /** A DataFrame over concrete data files whose plan carries
+    * `isStreaming = true` — the FileStreamSource recipe, exposed so a
+    * graft v1 streaming `Source.getBatch` can hand micro-batch deltas to
+    * MicroBatchExecution (which rejects non-streaming plans). The files
+    * are read with the full file-source machinery: the schema is pinned
+    * (no per-batch inference), and downstream filters/projections still
+    * push into the scan of each micro-batch. */
+  def streamingFileRelation(spark: SparkSession, format: String,
+      paths: Seq[String],
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    import org.apache.spark.sql.execution.datasources.{DataSource, LogicalRelation}
+    val cs = spark.asInstanceOf[classic.SparkSession]
+    val ds = DataSource(cs, className = format, paths = paths,
+      userSpecifiedSchema = Some(schema))
+    classic.Dataset.ofRows(cs, LogicalRelation(
+      ds.resolveRelation(checkFilesExist = false), isStreaming = true))
+  }
+
+  /** Zero-row streaming DataFrame with a pinned schema — the shape a
+    * streaming source must return for an empty delta (a plain empty
+    * DataFrame would fail MicroBatchExecution's isStreaming check). */
+  def emptyStreamingDF(spark: SparkSession,
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val cs = spark.asInstanceOf[classic.SparkSession]
+    cs.internalCreateDataFrame(
+      cs.sparkContext.emptyRDD[org.apache.spark.sql.catalyst.InternalRow],
+      schema, isStreaming = true)
+  }
+
   /** Drain the async listener bus (`private[spark]` API): the bench's
     * per-key executor-CPU attribution reads an accumulating
     * SparkListener, and without a drain between keys the task-end
