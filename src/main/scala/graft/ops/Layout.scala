@@ -2,6 +2,8 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types
 
 /** Physical-layout operators: multi-dimensional clustering for write-time
   * data skipping.
@@ -258,14 +260,45 @@ object Layout {
     * recorded column bounds — [[entryPath]]/[[entryStats]] split the two
     * concerns, and every consumer that touches the filesystem goes
     * through entryPath so stats-carrying and bare lines mix freely in
-    * one table's history. */
+    * one table's history. `#`-prefixed header lines (the per-version
+    * schema record) are metadata, not line currency — skipped here so
+    * the rebase arithmetic never copies a stale header across commits. */
   private def manifestFiles(fs: FileSystem, table: Path, v: Int)
+      : Seq[String] = rawManifestLines(fs, table, v).filterNot(isHeader)
+
+  private def isHeader(line: String): Boolean = line.startsWith("#")
+
+  private def rawManifestLines(fs: FileSystem, table: Path, v: Int)
       : Seq[String] = {
     val in = fs.open(new Path(table, s"manifests/v$v.manifest"))
     try scala.io.Source.fromInputStream(in, "UTF-8")
       .getLines().filter(_.nonEmpty).toList
     finally in.close()
   }
+
+  private val SchemaHeader = "#schema\t"
+
+  /** The table schema RECORDED for `version` — written by every commit
+    * since schema tracking landed; None for manifests that predate it
+    * (readers then fall back to file-footer inference, the old
+    * behavior). Versioned schemas are what make time travel honest
+    * under evolution: v_N reads with v_N's schema, not today's. */
+  def versionSchema(spark: SparkSession, table: String,
+      version: Option[Int] = None): Option[types.StructType] = {
+    val root = new Path(table)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v = version.getOrElse(currentVersion(fs, root))
+    require(v > 0, s"versionSchema: no committed version in $table")
+    schemaOf(fs, root, v)
+  }
+
+  private def schemaOf(fs: FileSystem, root: Path, v: Int)
+      : Option[types.StructType] =
+    rawManifestLines(fs, root, v).collectFirst {
+      case l if l.startsWith(SchemaHeader) =>
+        types.DataType.fromJson(l.substring(SchemaHeader.length))
+          .asInstanceOf[types.StructType]
+    }
 
   /** Root-relative data-file paths of `version`'s manifest — the
     * line-set with stats suffixes stripped, for consumers that only walk
@@ -302,17 +335,23 @@ object Layout {
     * whatever landed first. rename-if-absent IS the commit point: the
     * loser sees the destination taken, discards its temp, retries. */
   private def casCommit(fs: FileSystem, root: Path, op: String,
-                        listFor: Int => Seq[String]): Int = {
+                        listFor: Int => Seq[String],
+                        schemaFor: Int => Option[types.StructType] =
+                          _ => None): Int = {
     val mdir = new Path(root, "manifests")
     fs.mkdirs(mdir)
     var attempts = 0
     while (attempts < 10) {
       val head = currentVersion(fs, root)
       val all = listFor(head)
+      // the schema header is computed per attempt too: a racing commit
+      // may have evolved the schema, and this commit must merge onto
+      // whatever actually landed, exactly like the line rebase
+      val header = schemaFor(head).map(s => SchemaHeader + s.json).toSeq
       val tmp = new Path(mdir,
         s".v${head + 1}.tmp-" + java.util.UUID.randomUUID().toString)
       val out = fs.create(tmp, /* overwrite = */ false)
-      try out.write(all.mkString("\n").getBytes(
+      try out.write((header ++ all).mkString("\n").getBytes(
         java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
       if (fs.rename(tmp, new Path(mdir, s"v${head + 1}.manifest")))
@@ -343,7 +382,7 @@ object Layout {
         s"$op: concurrent REPLACE conflict — another commit swapped out " +
           "input files of this operation; re-run it against the new head")
       headLines.filterNot(inputSet) ++ added
-    })
+    }, head => schemaOf(fs, root, head)) // a rewrite never changes schema
 
   /** Stage `df` into a fresh uuid'd data/txn-* dir and return its
     * root-relative file paths — invisible until a manifest lists them. */
@@ -379,7 +418,18 @@ object Layout {
     val entries = withStats(spark, fs, root, added, statsColumn)
     casCommit(fs, root, "commitSnapshot", head =>
       (if (head == 0) Seq.empty else manifestFiles(fs, root, head)) ++
-        entries)
+        entries,
+      // schema evolution at the commit point: new columns APPEND to the
+      // prior recorded schema (parquet-merge rules; type changes throw),
+      // recorded all-nullable so pre-evolution files null-fill under the
+      // evolved read schema. A legacy head without a recorded schema
+      // stays unrecorded — inferring one from this append's (possibly
+      // narrower) frame could silently hide existing columns.
+      head =>
+        if (head == 0) Some(ColumnBridge.nullableSchema(df.schema))
+        else schemaOf(fs, root, head).map(prior =>
+          ColumnBridge.mergeSchemas(prior,
+            ColumnBridge.nullableSchema(df.schema))))
   }
 
   /** Decorate freshly staged file paths with `path\tcol\tmin\tmax`
@@ -410,8 +460,21 @@ object Layout {
         }
     }
 
+  /** Open manifest-listed files under `version`'s RECORDED schema when
+    * present: files older than an added column null-fill it, files newer
+    * than a rollback target project it away — either way the reader sees
+    * the schema that was the table's contract AT that version, which is
+    * what makes time travel honest under evolution. Pre-schema-tracking
+    * manifests fall back to footer inference (the old behavior). */
+  private def readVersionFiles(spark: SparkSession, fs: FileSystem,
+      root: Path, v: Int, paths: Seq[String]): DataFrame = {
+    val r = spark.read
+    schemaOf(fs, root, v).fold(r)(s => r.schema(s)).parquet(paths: _*)
+  }
+
   /** Read `table` as of `version` (default: newest) — manifest-listed
-    * files only, never a directory listing. */
+    * files only, never a directory listing; schema = the version's
+    * recorded schema (see [[versionSchema]]). */
   def readSnapshot(spark: SparkSession, table: String,
                    version: Option[Int] = None): DataFrame = {
     val root = new Path(table)
@@ -420,7 +483,7 @@ object Layout {
     require(v > 0, s"readSnapshot: no committed version in $table")
     val files = manifestFiles(fs, root, v)
       .map(line => new Path(root, entryPath(line)).toString)
-    spark.read.parquet(files: _*)
+    readVersionFiles(spark, fs, root, v, files)
   }
 
   /** The file-skipping decision, factored out so SnapshotIsolationSpec
@@ -456,12 +519,15 @@ object Layout {
   def readSnapshotRange(spark: SparkSession, table: String, column: String,
       lo: Long, hi: Long, version: Option[Int] = None): DataFrame = {
     val root = new Path(table)
-    val (kept, _) = rangeFileSelection(spark, table, column, lo, hi, version)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v = version.getOrElse(currentVersion(fs, root))
+    val (kept, _) =
+      rangeFileSelection(spark, table, column, lo, hi, Some(v))
     require(kept.nonEmpty, // schema would be unknowable from zero files
       s"readSnapshotRange: every file of $table pruned; " +
         "read the snapshot and filter instead")
-    spark.read.parquet(
-        kept.map(l => new Path(root, entryPath(l)).toString): _*)
+    readVersionFiles(spark, fs, root, v,
+        kept.map(l => new Path(root, entryPath(l)).toString))
       .where(col(column) >= lit(lo) && col(column) <= lit(hi))
   }
 
@@ -492,13 +558,14 @@ object Layout {
     val added = to.filterNot(from)
     // only open the files actually returned: reading the full snapshot
     // for schema when the delta is non-empty would cost a footer pass
-    // over the whole table per incremental poll
+    // over the whole table per incremental poll; both branches read
+    // under toVersion's recorded schema (the consumer's contract)
     if (added.isEmpty)
-      spark.read.parquet( // empty delta, stable schema from the snapshot
-        to.map(l => new Path(root, entryPath(l)).toString): _*)
-        .where(lit(false))
-    else spark.read.parquet(
-      added.map(l => new Path(root, entryPath(l)).toString): _*)
+      readVersionFiles(spark, fs, root, toVersion,
+        to.map(l => new Path(root, entryPath(l)).toString))
+        .where(lit(false)) // empty delta, stable schema
+    else readVersionFiles(spark, fs, root, toVersion,
+      added.map(l => new Path(root, entryPath(l)).toString))
   }
 
   /** Roll the table back to `version` by RE-COMMITTING its file list as
@@ -520,7 +587,8 @@ object Layout {
     // this read and the rename is still narrowed by expireSnapshots' own
     // head re-check — see the note there.)
     casCommit(fs, root, "rollbackTo", _ =>
-      manifestFiles(fs, root, version)) // throws if expired
+      manifestFiles(fs, root, version), // throws if expired
+      _ => schemaOf(fs, root, version)) // undo restores the schema too
   }
 
   /** OPTIMIZE as a REPLACE commit on a manifest table — the unification
@@ -553,8 +621,8 @@ object Layout {
       .map(l => fs.getFileStatus(new Path(root, entryPath(l))).getLen).sum
     val nOut = math.max(1L,
       (bytesBefore + targetFileBytes - 1) / targetFileBytes).toInt
-    val df = spark.read.parquet(
-      inputs.map(l => new Path(root, entryPath(l)).toString): _*)
+    val df = readVersionFiles(spark, fs, root, v0,
+      inputs.map(l => new Path(root, entryPath(l)).toString))
     val arranged =
       if (sortBy.nonEmpty)
         df.repartitionByRange(nOut, sortBy.map(col): _*)
@@ -601,7 +669,10 @@ object Layout {
     require(v0 > 0, s"deleteWhere: no committed version in $table")
     val files = manifestFiles(fs, root, v0)
     val abs = files.map(l => l -> new Path(root, entryPath(l)).toString)
-    val affectedAbs = spark.read.parquet(abs.map(_._2): _*)
+    // read under the recorded schema: a predicate on an evolved column
+    // must see null (and keep the row) on pre-evolution files, not fail
+    // to resolve
+    val affectedAbs = readVersionFiles(spark, fs, root, v0, abs.map(_._2))
       .where(predicate)
       .select(input_file_name().as("f")).distinct()
       .collect().map(r => fsPathOf(r.getString(0))).toSet
@@ -616,7 +687,7 @@ object Layout {
     // rows where it evaluates NULL are KEPT (a bare !predicate would
     // drop them, silently deleting every row with a null in a predicate
     // column)
-    val kept = spark.read.parquet(affected.map(_._2): _*)
+    val kept = readVersionFiles(spark, fs, root, v0, affected.map(_._2))
       .where(!coalesce(predicate, lit(false)))
     val added = stageTxn(spark, fs, root, kept)
     val v = replaceCommit(fs, root, "deleteWhere",
@@ -659,7 +730,7 @@ object Layout {
       s"mergeInto: source is not unique on `$key`")
     val files = manifestFiles(fs, root, v0)
     val abs = files.map(l => l -> new Path(root, entryPath(l)).toString)
-    val snap = spark.read.parquet(abs.map(_._2): _*)
+    val snap = readVersionFiles(spark, fs, root, v0, abs.map(_._2))
     // capture the provenance column BEFORE the key join —
     // input_file_name() is single-source-only and cannot be evaluated
     // on join output
@@ -678,7 +749,7 @@ object Layout {
     val staged =
       if (affected.isEmpty) inserts
       else {
-        val old = spark.read.parquet(affected.map(_._2): _*)
+        val old = readVersionFiles(spark, fs, root, v0, affected.map(_._2))
         val carried = old.join(source.select(col(key)), Seq(key), "left_anti")
         // SQL MERGE updates EACH matched target row: a target holding N
         // rows for a key yields N updated rows, so join the (non-distinct)
@@ -925,6 +996,35 @@ object Layout {
       .orderBy("o_orderstatus")
   }
 
+  /** Schema evolution on the manifest table, end to end: generation 1
+    * commits a narrow supplier projection, generation 2 appends with a
+    * new `bal` column — the commit MERGES the recorded schema (add-column
+    * only; type changes throw), and the head read null-fills gen-1 rows
+    * under the evolved schema. The oracle — shared with
+    * q_schema_evolution's explicit NULL-union — proves the evolved read
+    * is exactly the mergeSchema semantics, with the schema now a
+    * versioned table property instead of a per-read option (time travel
+    * to v1 sees v1's schema; SnapshotIsolationSpec pins that side). */
+  def qSnapshotEvolution(s: SparkSession, d: String): DataFrame = {
+    import graft.Tables._
+    val table = s"${Sources.ioDir(s, d)}/supplier_snapshot_evolving"
+    val root = new Path(table)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(root, true) // deterministic re-run: fresh table history
+    val sup = supplier(s, d)
+    commitSnapshot(s, table,
+      sup.select(col("s_suppkey"), col("s_nationkey")))
+    commitSnapshot(s, table,
+      sup.select(col("s_suppkey"), col("s_nationkey"),
+        dec2(col("s_acctbal")).as("bal")))
+    readSnapshot(s, table)
+      .groupBy("s_nationkey")
+      .agg(count(lit(1)).as("n"),
+        count(col("bal")).as("n_bal"),
+        sum(col("bal")).cast("double").as("sum_bal"))
+      .orderBy("s_nationkey")
+  }
+
   private val streamSeq = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** Streaming table read, end to end: three append transactions land a
@@ -974,6 +1074,7 @@ object Layout {
     "q_manifest_skipping" -> qManifestSkipping _,
     "q_snapshot_changes"  -> qSnapshotChanges _,
     "q_manifest_stream"   -> qManifestStream _,
+    "q_snapshot_evolution" -> qSnapshotEvolution _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -984,6 +1085,9 @@ object Layout {
     "q_compact_snapshot"  -> Sources.oracleSql("q_table_roundtrip"),
     // also shared: a streamed read must deliver exactly the table once
     "q_manifest_stream"   -> Sources.oracleSql("q_table_roundtrip"),
+    // shared with the directory-level mergeSchema key: versioned schema
+    // tracking must answer exactly like the explicit NULL-union
+    "q_snapshot_evolution" -> Sources.oracleSql("q_schema_evolution"),
     // post-delete state recomputed from source with the negated predicate
     "q_snapshot_delete" ->
       """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,

@@ -22,6 +22,22 @@ object ColumnBridge {
   def logicalPlan(df: Dataset[_]): LogicalPlan =
     df.asInstanceOf[classic.Dataset[_]].logicalPlan
 
+  /** Parquet-semantics schema merge (`StructType.merge`, `private[sql]`):
+    * existing fields keep their position and type, new fields append;
+    * incompatible type changes throw — exactly the add-column-only
+    * evolution contract the manifest table's schema tracking enforces. */
+  def mergeSchemas(base: org.apache.spark.sql.types.StructType,
+      other: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType =
+    base.merge(other)
+
+  /** `StructType.asNullable` (`private[spark]`): a recorded table schema
+    * must be all-nullable so pre-evolution files can null-fill columns
+    * added after them. */
+  def nullableSchema(s: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType =
+    s.asNullable
+
   /** A DataFrame over concrete data files whose plan carries
     * `isStreaming = true` — the FileStreamSource recipe, exposed so a
     * graft v1 streaming `Source.getBatch` can hand micro-batch deltas to

@@ -282,6 +282,50 @@ class SnapshotIsolationSpec extends AnyFunSuite {
     }
   }
 
+  test("schema evolution: per-version schemas, null-fill, honest time travel") {
+    import ops.Layout._
+    val table = "target/graft_io/spec/nation_schema_evo"
+    val root = new Path(table)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(root, true)
+    val n = Tables.nation(spark, sf)
+    val narrow = n.select(col("n_nationkey"), col("n_name"))
+    val wide = n.select(col("n_nationkey"), col("n_name"),
+      col("n_regionkey"))
+    val v1 = commitSnapshot(spark, table, narrow)
+    val v2 = commitSnapshot(spark, table, wide)
+    // the recorded schemas differ per version, and reads honor them:
+    // head sees the evolved column (old rows null-filled), v1 does not
+    assert(versionSchema(spark, table, Some(v1)).get.fieldNames.toSeq ==
+      Seq("n_nationkey", "n_name"))
+    assert(versionSchema(spark, table, Some(v2)).get.fieldNames.toSeq ==
+      Seq("n_nationkey", "n_name", "n_regionkey"))
+    val head = readSnapshot(spark, table)
+    assert(head.columns.contains("n_regionkey"))
+    assert(head.where(col("n_regionkey").isNull).count() == narrow.count(),
+      "pre-evolution rows must null-fill the added column")
+    assert(!readSnapshot(spark, table, Some(v1)).columns
+      .contains("n_regionkey"),
+      "time travel to v1 must see v1's schema, not today's")
+    // a DELETE whose predicate touches the evolved column runs fine over
+    // pre-evolution files (NULL predicate -> row kept, SQL semantics)
+    val (v3, _, _) = deleteWhere(spark, table, col("n_regionkey") === 2)
+    val afterDelete = readSnapshot(spark, table)
+    assert(afterDelete.where(col("n_regionkey") === 2).count() == 0)
+    assert(afterDelete.where(col("n_regionkey").isNull).count() ==
+      narrow.count(), "a NULL-predicate row was deleted")
+    // compaction carries the schema forward unchanged
+    compactSnapshot(spark, table)
+    assert(versionSchema(spark, table).get.fieldNames.toSeq ==
+      Seq("n_nationkey", "n_name", "n_regionkey"))
+    // rollback restores the old schema along with the old file list
+    rollbackTo(spark, table, v1)
+    assert(versionSchema(spark, table).get.fieldNames.toSeq ==
+      Seq("n_nationkey", "n_name"))
+    assert(!readSnapshot(spark, table).columns.contains("n_regionkey"))
+    assert(v3 == v2 + 1)
+  }
+
   test("manifest column bounds prune files; stats-less lines always survive") {
     import ops.Layout._
     val table = "target/graft_io/spec/orders_bounds"
@@ -360,7 +404,9 @@ class SnapshotIsolationSpec extends AnyFunSuite {
       root: Path, v: Int): Seq[String] = {
     val in = fs.open(new Path(root, s"manifests/v$v.manifest"))
     try scala.io.Source.fromInputStream(in, "UTF-8")
-      .getLines().filter(_.nonEmpty).toList
+      .getLines().filter(_.nonEmpty)
+      .filterNot(_.startsWith("#")) // skip the schema header line
+      .toList
     finally in.close()
   }
 
