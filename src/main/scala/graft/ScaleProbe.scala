@@ -160,6 +160,10 @@ object ScaleProbe {
     // LSH composition (expected well under q_corpus_clean's ~8.6×)
     "q_heavy_hitters_grouped", "q_scd2_merge", "q_rolling_window",
     "q_corpus_clean_lsh",
+    // streaming table read: per-trigger cost is manifest metadata (O(1)
+    // in table size) + the delta scan, so the 3-commit end-to-end key
+    // should track data volume, never file count
+    "q_manifest_stream",
     // the CNPJ vertical (reference envelope ">20 GB", readme.md:108):
     // synthetic flagship over the replica's 10× orders/customer
     "q_cnpj_flagship")

@@ -300,6 +300,34 @@ object Layout {
           .asInstanceOf[types.StructType]
     }
 
+  private val TxnHeader = "#txn\t"
+
+  /** Writer-transaction markers of `version`: appId → highest batch id
+    * that writer has committed — the exactly-once ledger the streaming
+    * sink consults before applying a replayed micro-batch (same idea as
+    * Delta's txnAppId/txnVersion). Carried forward by EVERY commit verb:
+    * a compaction or rollback must never erase the knowledge that batch
+    * N was already applied, or a sink restart would double-write it. */
+  private def txnsOf(fs: FileSystem, root: Path, v: Int)
+      : Map[String, Long] =
+    if (v == 0) Map.empty
+    else rawManifestLines(fs, root, v).collect {
+      case l if l.startsWith(TxnHeader) =>
+        l.substring(TxnHeader.length).split('\t') match {
+          case Array(app, b) => app -> b.toLong
+          case _ => throw new IllegalStateException(s"bad txn header: $l")
+        }
+    }.toMap
+
+  /** The highest batch id `appId` has committed to `table`, if any. */
+  def lastCommittedBatch(spark: SparkSession, table: String,
+      appId: String): Option[Long] = {
+    val root = new Path(table)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v = currentVersion(fs, root)
+    if (v == 0) None else txnsOf(fs, root, v).get(appId)
+  }
+
   /** Root-relative data-file paths of `version`'s manifest — the
     * line-set with stats suffixes stripped, for consumers that only walk
     * the filesystem (the streaming source's per-batch delta diff). */
@@ -337,17 +365,23 @@ object Layout {
   private def casCommit(fs: FileSystem, root: Path, op: String,
                         listFor: Int => Seq[String],
                         schemaFor: Int => Option[types.StructType] =
-                          _ => None): Int = {
+                          _ => None,
+                        txnFor: Int => Map[String, Long] =
+                          (h: Int) => Map.empty): Int = {
     val mdir = new Path(root, "manifests")
     fs.mkdirs(mdir)
     var attempts = 0
     while (attempts < 10) {
       val head = currentVersion(fs, root)
       val all = listFor(head)
-      // the schema header is computed per attempt too: a racing commit
-      // may have evolved the schema, and this commit must merge onto
-      // whatever actually landed, exactly like the line rebase
-      val header = schemaFor(head).map(s => SchemaHeader + s.json).toSeq
+      // headers are computed per attempt too: a racing commit may have
+      // evolved the schema or advanced a txn marker, and this commit
+      // must rebase onto whatever actually landed, like the line rebase.
+      // Txn markers CARRY by default (every verb preserves them);
+      // `txnFor` supplies this commit's updates on top.
+      val txns = txnsOf(fs, root, head) ++ txnFor(head)
+      val header = schemaFor(head).map(s => SchemaHeader + s.json).toSeq ++
+        txns.toSeq.sorted.map { case (app, b) => s"$TxnHeader$app\t$b" }
       val tmp = new Path(mdir,
         s".v${head + 1}.tmp-" + java.util.UUID.randomUUID().toString)
       val out = fs.create(tmp, /* overwrite = */ false)
@@ -419,17 +453,112 @@ object Layout {
     casCommit(fs, root, "commitSnapshot", head =>
       (if (head == 0) Seq.empty else manifestFiles(fs, root, head)) ++
         entries,
-      // schema evolution at the commit point: new columns APPEND to the
-      // prior recorded schema (parquet-merge rules; type changes throw),
-      // recorded all-nullable so pre-evolution files null-fill under the
-      // evolved read schema. A legacy head without a recorded schema
-      // stays unrecorded — inferring one from this append's (possibly
-      // narrower) frame could silently hide existing columns.
-      head =>
-        if (head == 0) Some(ColumnBridge.nullableSchema(df.schema))
-        else schemaOf(fs, root, head).map(prior =>
-          ColumnBridge.mergeSchemas(prior,
-            ColumnBridge.nullableSchema(df.schema))))
+      appendSchemaFor(fs, root, df))
+  }
+
+  /** The APPEND verb's schema record: new columns MERGE onto the prior
+    * recorded schema (parquet-merge rules; type changes throw), recorded
+    * all-nullable so pre-evolution files null-fill under the evolved
+    * read schema. A legacy head without a recorded schema stays
+    * unrecorded — inferring one from this append's (possibly narrower)
+    * frame could silently hide existing columns. */
+  private def appendSchemaFor(fs: FileSystem, root: Path, df: DataFrame)
+      : Int => Option[types.StructType] =
+    head =>
+      if (head == 0) Some(ColumnBridge.nullableSchema(df.schema))
+      else schemaOf(fs, root, head).map(prior =>
+        ColumnBridge.mergeSchemas(prior,
+          ColumnBridge.nullableSchema(df.schema)))
+
+  /** Thrown inside the CAS loop when an idempotent commit discovers its
+    * batch already landed — control flow, not an error. */
+  private object AlreadyCommitted extends RuntimeException {
+    override def fillInStackTrace(): Throwable = this
+  }
+
+  /** Abandon a staged-but-uncommitted transaction's directory NOW
+    * instead of waiting for vacuum (best effort — a failure here just
+    * leaves a normal crashed-txn orphan). */
+  private def dropStaged(fs: FileSystem, root: Path,
+      added: Seq[String]): Unit =
+    added.headOption.foreach(rel =>
+      fs.delete(new Path(root, rel).getParent, true))
+
+  /** [[commitSnapshot]] carrying an exactly-once writer-transaction
+    * marker: commits `df` AND records `appId → batchId` in the SAME
+    * manifest rename — unless the head already carries a marker for
+    * `appId` at or past `batchId`, in which case nothing commits and
+    * None is returned (the staged files are dropped). Because the
+    * marker check and the data commit are one atomic CAS, a replayed
+    * streaming micro-batch (sink restart after a crash between sink
+    * commit and checkpoint write) is a no-op instead of a double-write —
+    * the same contract as Delta's txnAppId/txnVersion. Markers are
+    * carried forward by every other verb, so an OPTIMIZE or rollback
+    * between batches never forgets what was applied. */
+  def commitSnapshotTxn(spark: SparkSession, table: String, df: DataFrame,
+      appId: String, batchId: Long,
+      statsColumn: Option[String] = None): Option[Int] = {
+    require(!appId.contains('\t') && !appId.contains('\n'),
+      "appId must not contain tab/newline (manifest header currency)")
+    val root = new Path(table)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // cheap pre-check: skip the staging write entirely on a known replay
+    if (txnsOf(fs, root, currentVersion(fs, root)).get(appId)
+        .exists(_ >= batchId)) return None
+    val added = stageTxn(spark, fs, root, df)
+    val entries = withStats(spark, fs, root, added, statsColumn)
+    try Some(casCommit(fs, root, "commitSnapshotTxn",
+      head => {
+        // re-checked per CAS attempt: the replay might land between the
+        // pre-check and the rename
+        if (txnsOf(fs, root, head).get(appId).exists(_ >= batchId))
+          throw AlreadyCommitted
+        (if (head == 0) Seq.empty else manifestFiles(fs, root, head)) ++
+          entries
+      },
+      appendSchemaFor(fs, root, df),
+      _ => Map(appId -> batchId)))
+    catch { case AlreadyCommitted =>
+      dropStaged(fs, root, added); None
+    }
+  }
+
+  /** Full-table REPLACE (INSERT OVERWRITE): swap the ENTIRE line set
+    * for `df`'s files in one commit; old files stay readable to pinned
+    * versions until vacuum, like any REPLACE. */
+  def replaceSnapshot(spark: SparkSession, table: String,
+      df: DataFrame): Int = {
+    val root = new Path(table)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val added = stageTxn(spark, fs, root, df)
+    casCommit(fs, root, "replaceSnapshot", _ => added,
+      _ => Some(ColumnBridge.nullableSchema(df.schema)))
+  }
+
+  /** Full-table REPLACE with the same exactly-once marker — the
+    * streaming sink's Complete-mode verb: each batch swaps the ENTIRE
+    * line set for the new result (old files stay for pinned readers
+    * until vacuum, like any REPLACE), idempotent on (appId, batchId). */
+  def replaceSnapshotTxn(spark: SparkSession, table: String, df: DataFrame,
+      appId: String, batchId: Long): Option[Int] = {
+    require(!appId.contains('\t') && !appId.contains('\n'),
+      "appId must not contain tab/newline (manifest header currency)")
+    val root = new Path(table)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (txnsOf(fs, root, currentVersion(fs, root)).get(appId)
+        .exists(_ >= batchId)) return None
+    val added = stageTxn(spark, fs, root, df)
+    try Some(casCommit(fs, root, "replaceSnapshotTxn",
+      head => {
+        if (txnsOf(fs, root, head).get(appId).exists(_ >= batchId))
+          throw AlreadyCommitted
+        added
+      },
+      _ => Some(ColumnBridge.nullableSchema(df.schema)),
+      _ => Map(appId -> batchId)))
+    catch { case AlreadyCommitted =>
+      dropStaged(fs, root, added); None
+    }
   }
 
   /** Decorate freshly staged file paths with `path\tcol\tmin\tmax`
@@ -1066,6 +1195,40 @@ object Layout {
     s.createDataFrame(rows, res.schema)
   }
 
+  /** The full streaming lakehouse loop, end to end: orders lands in a
+    * source manifest table as three append commits; a structured-
+    * streaming query reads it with the `graft-manifest` SOURCE
+    * (commit-granular batches) and writes it through the
+    * `graft-manifest` SINK (exactly-once txn markers keyed by the
+    * checkpoint); the answer aggregates the SINK table's head snapshot.
+    * Oracle shared with q_table_roundtrip: the piped table must equal
+    * the source exactly — no batch dropped, none double-committed.
+    * ManifestStreamSpec pins the replay/idempotence mechanics. */
+  def qManifestPipe(s: SparkSession, d: String): DataFrame = {
+    import graft.Tables._
+    val base = s"${Sources.ioDir(s, d)}/orders_pipe"
+    val (src, dst, ckpt) = (s"$base/src", s"$base/dst", s"$base/ckpt")
+    val fs = new Path(base)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(base), true) // deterministic re-run
+    val o = orders(s, d).select(col("o_orderkey"), col("o_orderstatus"),
+      dec2(col("o_totalprice")).as("price"))
+    commitSnapshot(s, src, o.where(pmod(col("o_orderkey"), lit(3)) === 0))
+    commitSnapshot(s, src, o.where(pmod(col("o_orderkey"), lit(3)) === 1))
+    commitSnapshot(s, src, o.where(pmod(col("o_orderkey"), lit(3)) === 2))
+    val q = s.readStream.format("graft-manifest")
+      .option("maxVersionsPerTrigger", "1").load(src)
+      .writeStream.format("graft-manifest")
+      .option("checkpointLocation", ckpt).option("path", dst)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    readSnapshot(s, dst)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum(col("price")).cast("double").as("sum_price"))
+      .orderBy("o_orderstatus")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_manifest_snapshot" -> qManifestSnapshot _,
     "q_compact_snapshot"  -> qCompactSnapshot _,
@@ -1075,6 +1238,7 @@ object Layout {
     "q_snapshot_changes"  -> qSnapshotChanges _,
     "q_manifest_stream"   -> qManifestStream _,
     "q_snapshot_evolution" -> qSnapshotEvolution _,
+    "q_manifest_pipe"     -> qManifestPipe _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1088,6 +1252,8 @@ object Layout {
     // shared with the directory-level mergeSchema key: versioned schema
     // tracking must answer exactly like the explicit NULL-union
     "q_snapshot_evolution" -> Sources.oracleSql("q_schema_evolution"),
+    // also shared: source → sink piping must reproduce the table exactly
+    "q_manifest_pipe"     -> Sources.oracleSql("q_table_roundtrip"),
     // post-delete state recomputed from source with the negated predicate
     "q_snapshot_delete" ->
       """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,

@@ -3,9 +3,10 @@ package graft.streaming
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SQLContext}
 import org.apache.spark.sql.classic.SparkSession
-import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.execution.streaming.{Offset, Sink, Source}
 import org.apache.spark.sql.graft.ColumnBridge
-import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSinkProvider, StreamSourceProvider}
+import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.StructType
 
 import graft.ops.Layout
@@ -52,9 +53,38 @@ import graft.ops.Layout
   * incrementally instead of recomputing from scratch.
   */
 class ManifestStreamProvider extends StreamSourceProvider
-    with DataSourceRegister {
+    with StreamSinkProvider with DataSourceRegister {
 
   override def shortName(): String = "graft-manifest"
+
+  /** The WRITE side: `df.writeStream.format("graft-manifest")` commits
+    * each micro-batch to the manifest table — Append appends, Complete
+    * REPLACE-swaps the whole table per batch (the aggregation-result
+    * shape). Exactly-once: the sink records `appId → batchId` in the
+    * same manifest rename as the data (see [[Layout.commitSnapshotTxn]]),
+    * so a batch replayed after a crash between sink commit and
+    * checkpoint write is a no-op. `appId` defaults to the query's
+    * checkpoint location — one logical query, one ledger entry; set
+    * `.option("appId", ...)` explicitly when several queries share a
+    * checkpoint root or a query's checkpoint moves. Without either,
+    * delivery degrades to at-least-once (documented, not silent: batch
+    * writers outside streaming should use the Layout verbs directly). */
+  override def createSink(sqlContext: SQLContext,
+      parameters: Map[String, String], partitionColumns: Seq[String],
+      outputMode: OutputMode): Sink = {
+    require(partitionColumns.isEmpty,
+      "graft-manifest sink: partitionBy is not supported; range-cluster " +
+        "with compactSnapshot(sortBy) instead")
+    require(outputMode == OutputMode.Append() ||
+        outputMode == OutputMode.Complete(),
+      s"graft-manifest sink supports Append and Complete, not $outputMode")
+    val p = parameters.map { case (k, v) => k.toLowerCase -> v }
+    new ManifestStreamSink(
+      sqlContext.sparkSession.asInstanceOf[SparkSession],
+      tableOf(parameters),
+      complete = outputMode == OutputMode.Complete(),
+      appId = p.get("appid").orElse(p.get("checkpointlocation")))
+  }
 
   private def tableOf(parameters: Map[String, String]): String = {
     val p = parameters.map { case (k, v) => k.toLowerCase -> v }
@@ -171,4 +201,28 @@ class ManifestStreamSource(spark: SparkSession, table: String,
   override def stop(): Unit = ()
 
   override def toString: String = s"ManifestStreamSource[$table]"
+}
+
+class ManifestStreamSink(spark: SparkSession, table: String,
+    complete: Boolean, appId: Option[String]) extends Sink {
+
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    // addBatch's frame wraps the micro-batch's incremental execution and
+    // cannot go through the batch writer; re-wrap at the InternalRow
+    // level (no decode/encode round trip)
+    val batch = ColumnBridge.rewrapBatch(data)
+    appId match {
+      case Some(app) =>
+        // None = this (appId, batchId) already landed — a replay after a
+        // crash between sink commit and checkpoint write; dropping it IS
+        // the exactly-once contract
+        if (complete) Layout.replaceSnapshotTxn(spark, table, batch, app, batchId)
+        else Layout.commitSnapshotTxn(spark, table, batch, app, batchId)
+      case None => // at-least-once (no ledger identity — see provider doc)
+        if (complete) Layout.replaceSnapshot(spark, table, batch)
+        else Layout.commitSnapshot(spark, table, batch)
+    }
+  }
+
+  override def toString: String = s"ManifestStreamSink[$table]"
 }

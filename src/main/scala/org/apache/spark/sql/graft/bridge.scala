@@ -56,6 +56,18 @@ object ColumnBridge {
       ds.resolveRelation(checkFilesExist = false), isStreaming = true))
   }
 
+  /** Re-wrap a v1 `Sink.addBatch` DataFrame (backed by the micro-batch's
+    * IncrementalExecution) as a plain batch DataFrame WITHOUT a
+    * row-level decode/encode round trip: execute the incremental plan to
+    * InternalRows and wrap them directly (rows copied — the scan reuses
+    * mutable UnsafeRows). The result can be written with the normal
+    * batch writer, which `addBatch`'s own frame cannot. */
+  def rewrapBatch(df: DataFrame): DataFrame = {
+    val cs = df.sparkSession.asInstanceOf[classic.SparkSession]
+    val qe = df.asInstanceOf[classic.Dataset[_]].queryExecution
+    cs.internalCreateDataFrame(qe.toRdd.map(_.copy()), df.schema)
+  }
+
   /** Zero-row streaming DataFrame with a pinned schema — the shape a
     * streaming source must return for an empty delta (a plain empty
     * DataFrame would fail MicroBatchExecution's isStreaming check). */

@@ -6,6 +6,8 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQueryException
 import org.scalatest.funsuite.AnyFunSuite
 
+import graft.streaming.ManifestStreamProvider
+
 /** Pins the manifest streaming source ([[graft.streaming.ManifestStreamProvider]]):
   * version-offset incremental delivery, commit-granular admission
   * control, checkpoint resume, startingVersion, and the loud refusal on
@@ -134,6 +136,84 @@ class ManifestStreamSpec extends AnyFunSuite {
     assert(got.count() == nation.count(),
       "restart re-delivered rows before the checkpointed version")
     assert(got.select("n_nationkey").distinct().count() == nation.count())
+  }
+
+  test("table-to-table: stream a manifest table into a manifest sink") {
+    import graft.ops.Layout._
+    val src = freshTable("pipe_src")
+    val dst = freshTable("pipe_dst")
+    val ckpt = freshTable("pipe_ckpt")
+    commitSnapshot(spark, src, nation.where(col("n_nationkey") < 8))
+    commitSnapshot(spark, src,
+      nation.where(col("n_nationkey") >= 8 && col("n_nationkey") < 16))
+    commitSnapshot(spark, src, nation.where(col("n_nationkey") >= 16))
+    val q = spark.readStream.format("graft-manifest")
+      .option("maxVersionsPerTrigger", "1").load(src)
+      .writeStream.format("graft-manifest")
+      .option("checkpointLocation", ckpt)
+      .option("path", dst)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    // content equality AND commit-granular versions on the sink side
+    assert(readSnapshot(spark, dst).count() == nation.count())
+    assert(readSnapshot(spark, dst).select("n_nationkey").distinct()
+      .count() == nation.count(), "a batch was double-committed")
+    val root = new Path(dst)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(currentVersion(fs, root) == 3,
+      "expected one sink commit per source version")
+    // the exactly-once ledger carries the checkpoint-derived appId
+    assert(lastCommittedBatch(spark, dst, ckpt).contains(2L),
+      "txn marker missing or wrong: " +
+        lastCommittedBatch(spark, dst, ckpt))
+  }
+
+  test("a replayed (appId, batchId) commit is a no-op, atomically") {
+    import graft.ops.Layout._
+    val table = freshTable("txn_replay")
+    val app = "spec-writer"
+    val v1 = commitSnapshotTxn(spark, table,
+      nation.where(col("n_nationkey") < 12), app, 0L)
+    assert(v1.contains(1))
+    // replay of batch 0: skipped, no version, no rows
+    assert(commitSnapshotTxn(spark, table,
+      nation.where(col("n_nationkey") < 12), app, 0L).isEmpty)
+    assert(readSnapshot(spark, table).count() == 12)
+    // next batch lands; a compaction between batches must CARRY the
+    // marker, or a replay after the compaction would double-write
+    assert(commitSnapshotTxn(spark, table,
+      nation.where(col("n_nationkey") >= 12), app, 1L).contains(2))
+    compactSnapshot(spark, table)
+    assert(lastCommittedBatch(spark, table, app).contains(1L),
+      "compaction dropped the txn marker")
+    assert(commitSnapshotTxn(spark, table,
+      nation.where(col("n_nationkey") >= 12), app, 1L).isEmpty)
+    assert(readSnapshot(spark, table).count() == nation.count())
+    // a DIFFERENT writer's batch 0 is not confused with this one's
+    assert(commitSnapshotTxn(spark, table,
+      nation.where(col("n_nationkey") === 0), "other-writer", 0L).isDefined)
+  }
+
+  test("Complete mode REPLACE-swaps the table per batch, idempotently") {
+    import graft.ops.Layout._
+    val table = freshTable("complete")
+    val sink = new ManifestStreamProvider().createSink(spark.sqlContext,
+      Map("path" -> table, "appId" -> "agg-query"),
+      Seq.empty, org.apache.spark.sql.streaming.OutputMode.Complete())
+    sink.addBatch(0, nation.where(col("n_nationkey") < 10))
+    assert(readSnapshot(spark, table).count() == 10)
+    sink.addBatch(1, nation.where(col("n_nationkey") < 5))
+    assert(readSnapshot(spark, table).count() == 5,
+      "Complete mode must replace, not append")
+    // replayed batch 1: table unchanged, no new version
+    val root = new Path(table)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v = currentVersion(fs, root)
+    sink.addBatch(1, nation.where(col("n_nationkey") < 5))
+    assert(currentVersion(fs, root) == v &&
+      readSnapshot(spark, table).count() == 5)
+    // time travel still reaches batch 0's content (REPLACE, not erase)
+    assert(readSnapshot(spark, table, Some(1)).count() == 10)
   }
 
   test("a REPLACE commit inside the batch range fails the stream loudly") {
