@@ -268,12 +268,38 @@ object Layout {
 
   private def isHeader(line: String): Boolean = line.startsWith("#")
 
+  /** Bounded cache of manifest contents. A committed manifest file is
+    * never rewritten in place, but a table CAN be dropped and recreated
+    * at the same path (every spec/bench fixture does), so the cache key
+    * carries the file's (mtime, length) identity — one cheap
+    * getFileStatus instead of re-reading a manifest that can list
+    * millions of entries. It matters because one commit attempt consults
+    * the head manifest several times (file lines, schema header, txn
+    * carry, a txn verb's replay re-check): with the cache that is one
+    * GET + N HEADs per attempt instead of N GETs. */
+  private val manifestCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String, Seq[String]](64, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, Seq[String]]): Boolean =
+          size() > 64
+      })
+
   private def rawManifestLines(fs: FileSystem, table: Path, v: Int)
       : Seq[String] = {
-    val in = fs.open(new Path(table, s"manifests/v$v.manifest"))
-    try scala.io.Source.fromInputStream(in, "UTF-8")
-      .getLines().filter(_.nonEmpty).toList
-    finally in.close()
+    val mf = new Path(table, s"manifests/v$v.manifest")
+    val st = fs.getFileStatus(mf) // FileNotFound here = expired/missing
+    val key = s"${fs.makeQualified(mf)}#${st.getModificationTime}" +
+      s"#${st.getLen}"
+    val hit = manifestCache.get(key)
+    if (hit != null) return hit
+    val in = fs.open(mf)
+    val lines =
+      try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().filter(_.nonEmpty).toList
+      finally in.close()
+    manifestCache.put(key, lines)
+    lines
   }
 
   private val SchemaHeader = "#schema\t"

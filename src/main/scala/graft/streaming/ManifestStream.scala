@@ -63,12 +63,18 @@ class ManifestStreamProvider extends StreamSourceProvider
     * shape). Exactly-once: the sink records `appId → batchId` in the
     * same manifest rename as the data (see [[Layout.commitSnapshotTxn]]),
     * so a batch replayed after a crash between sink commit and
-    * checkpoint write is a no-op. `appId` defaults to the query's
-    * checkpoint location — one logical query, one ledger entry; set
-    * `.option("appId", ...)` explicitly when several queries share a
-    * checkpoint root or a query's checkpoint moves. Without either,
-    * delivery degrades to at-least-once (documented, not silent: batch
-    * writers outside streaming should use the Layout verbs directly). */
+    * checkpoint write is a no-op.
+    *
+    * The ledger identity is REQUIRED, never guessed: `.option("appId",
+    * ...)` explicitly, else the `checkpointLocation` OPTION (normalized
+    * to a qualified URI so a respelled path — relative vs absolute —
+    * keeps the same identity). A checkpoint set only through the
+    * `spark.sql.streaming.checkpointLocation` session conf is NOT
+    * visible to this API and is per-session root anyway (not
+    * query-unique), so in that case the sink REFUSES to start rather
+    * than silently degrade to at-least-once; pass
+    * `.option("deliveryMode", "at-least-once")` to opt out of the
+    * ledger deliberately. */
   override def createSink(sqlContext: SQLContext,
       parameters: Map[String, String], partitionColumns: Seq[String],
       outputMode: OutputMode): Sink = {
@@ -78,20 +84,42 @@ class ManifestStreamProvider extends StreamSourceProvider
     require(outputMode == OutputMode.Append() ||
         outputMode == OutputMode.Complete(),
       s"graft-manifest sink supports Append and Complete, not $outputMode")
-    val p = parameters.map { case (k, v) => k.toLowerCase -> v }
-    new ManifestStreamSink(
-      sqlContext.sparkSession.asInstanceOf[SparkSession],
-      tableOf(parameters),
-      complete = outputMode == OutputMode.Complete(),
-      appId = p.get("appid").orElse(p.get("checkpointlocation")))
+    val p = lowered(parameters)
+    val spark =
+      sqlContext.sparkSession.asInstanceOf[SparkSession]
+    val atLeastOnce = p.get("deliverymode") match {
+      case None | Some("exactly-once") => false
+      case Some("at-least-once")       => true
+      case Some(other) => throw new IllegalArgumentException(
+        s"deliveryMode must be exactly-once or at-least-once, not $other")
+    }
+    val appId: Option[String] =
+      if (atLeastOnce) None
+      else p.get("appid").orElse(
+        p.get("checkpointlocation").map { c =>
+          // qualify through the FS: "ckpt" and "file:/cwd/ckpt" are the
+          // same query and must hit the same ledger entry
+          val cp = new Path(c)
+          cp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .makeQualified(cp).toUri.toString
+        }).orElse(throw new IllegalArgumentException(
+          "graft-manifest sink: exactly-once needs a ledger identity — " +
+            "pass .option(\"checkpointLocation\", ...) or " +
+            ".option(\"appId\", ...); to deliberately run without the " +
+            "ledger, .option(\"deliveryMode\", \"at-least-once\")"))
+    new ManifestStreamSink(spark, tableOf(p),
+      complete = outputMode == OutputMode.Complete(), appId = appId)
   }
 
-  private def tableOf(parameters: Map[String, String]): String = {
-    val p = parameters.map { case (k, v) => k.toLowerCase -> v }
+  private def lowered(parameters: Map[String, String])
+      : Map[String, String] =
+    parameters.map { case (k, v) => k.toLowerCase -> v }
+
+  /** `p` must already be [[lowered]]. */
+  private def tableOf(p: Map[String, String]): String =
     p.getOrElse("path", throw new IllegalArgumentException(
       "graft-manifest source requires a table root: .load(path) or " +
         ".option(\"path\", ...)"))
-  }
 
   override def sourceSchema(sqlContext: SQLContext,
       schema: Option[StructType], providerName: String,
@@ -99,15 +127,15 @@ class ManifestStreamProvider extends StreamSourceProvider
     (shortName(), schema.getOrElse {
       // pin the schema from the head snapshot once, at stream resolution
       // — per-batch inference could drift across file schema evolution
-      Layout.readSnapshot(sqlContext.sparkSession, tableOf(parameters))
-        .schema
+      Layout.readSnapshot(sqlContext.sparkSession,
+        tableOf(lowered(parameters))).schema
     })
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source = {
-    val p = parameters.map { case (k, v) => k.toLowerCase -> v }
-    val table = tableOf(parameters)
+    val p = lowered(parameters)
+    val table = tableOf(p)
     val pinned = schema.getOrElse(
       Layout.readSnapshot(sqlContext.sparkSession, table).schema)
     new ManifestStreamSource(

@@ -59,13 +59,14 @@ object ColumnBridge {
   /** Re-wrap a v1 `Sink.addBatch` DataFrame (backed by the micro-batch's
     * IncrementalExecution) as a plain batch DataFrame WITHOUT a
     * row-level decode/encode round trip: execute the incremental plan to
-    * InternalRows and wrap them directly (rows copied — the scan reuses
-    * mutable UnsafeRows). The result can be written with the normal
-    * batch writer, which `addBatch`'s own frame cannot. */
+    * InternalRows and wrap them directly. No per-row copy — safe for
+    * consumers that stream rows straight into a writer (a parquet stage
+    * write never buffers row references), which is FileStreamSink's own
+    * pattern; a consumer that COLLECTS rows must copy them itself. */
   def rewrapBatch(df: DataFrame): DataFrame = {
     val cs = df.sparkSession.asInstanceOf[classic.SparkSession]
     val qe = df.asInstanceOf[classic.Dataset[_]].queryExecution
-    cs.internalCreateDataFrame(qe.toRdd.map(_.copy()), df.schema)
+    cs.internalCreateDataFrame(qe.toRdd, df.schema)
   }
 
   /** Zero-row streaming DataFrame with a pinned schema — the shape a

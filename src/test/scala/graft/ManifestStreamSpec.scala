@@ -162,10 +162,12 @@ class ManifestStreamSpec extends AnyFunSuite {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     assert(currentVersion(fs, root) == 3,
       "expected one sink commit per source version")
-    // the exactly-once ledger carries the checkpoint-derived appId
-    assert(lastCommittedBatch(spark, dst, ckpt).contains(2L),
-      "txn marker missing or wrong: " +
-        lastCommittedBatch(spark, dst, ckpt))
+    // the exactly-once ledger carries the checkpoint-derived appId,
+    // normalized to a qualified URI so a respelled path (relative vs
+    // absolute) keeps the same ledger identity across restarts
+    val app = fs.makeQualified(new Path(ckpt)).toUri.toString
+    assert(lastCommittedBatch(spark, dst, app).contains(2L),
+      "txn marker missing or wrong: " + lastCommittedBatch(spark, dst, app))
   }
 
   test("a replayed (appId, batchId) commit is a no-op, atomically") {
@@ -214,6 +216,27 @@ class ManifestStreamSpec extends AnyFunSuite {
       readSnapshot(spark, table).count() == 5)
     // time travel still reaches batch 0's content (REPLACE, not erase)
     assert(readSnapshot(spark, table, Some(1)).count() == 10)
+  }
+
+  test("sink refuses to start without a ledger identity unless opted out") {
+    import graft.ops.Layout._
+    val table = freshTable("identity")
+    val provider = new ManifestStreamProvider()
+    // no appId, no checkpointLocation option: refusing beats silently
+    // degrading to at-least-once (a session-conf checkpoint is invisible
+    // to this API and not query-unique anyway)
+    intercept[IllegalArgumentException] {
+      provider.createSink(spark.sqlContext, Map("path" -> table),
+        Seq.empty, org.apache.spark.sql.streaming.OutputMode.Append())
+    }
+    // the explicit opt-out: at-least-once, replays double-append — the
+    // documented trade, exercised so it stays deliberate
+    val sink = provider.createSink(spark.sqlContext,
+      Map("path" -> table, "deliveryMode" -> "at-least-once"),
+      Seq.empty, org.apache.spark.sql.streaming.OutputMode.Append())
+    sink.addBatch(0, nation.where(col("n_nationkey") < 3))
+    sink.addBatch(0, nation.where(col("n_nationkey") < 3))
+    assert(readSnapshot(spark, table).count() == 6)
   }
 
   test("a REPLACE commit inside the batch range fails the stream loudly") {
