@@ -345,6 +345,29 @@ object Layout {
         }
     }.toMap
 
+  /** Time travel by wall clock: the newest version whose manifest was
+    * committed at or before `tsMillis` — the rename IS the commit point,
+    * so the manifest file's mtime is the commit time (same resolution
+    * contract as Delta's timestampAsOf). Fails if the oldest retained
+    * snapshot is already newer than `tsMillis` (history before it was
+    * vacuumed, or the table did not exist yet). */
+  def versionAt(spark: SparkSession, table: String,
+      tsMillis: Long): Int = {
+    val root = new Path(table)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val head = currentVersion(fs, root)
+    require(head > 0, s"versionAt: no committed version in $table")
+    val at = (1 to head)
+      .filter(v => fs.exists(new Path(root, s"manifests/v$v.manifest")))
+      .reverse
+      .find(v => fs.getFileStatus(
+        new Path(root, s"manifests/v$v.manifest"))
+        .getModificationTime <= tsMillis)
+    at.getOrElse(throw new IllegalArgumentException(
+      s"versionAt: no snapshot of $table at or before $tsMillis " +
+        "(before table creation, or expired by expireSnapshots)"))
+  }
+
   /** The highest batch id `appId` has committed to `table`, if any. */
   def lastCommittedBatch(spark: SparkSession, table: String,
       appId: String): Option[Long] = {
@@ -614,6 +637,21 @@ object Layout {
           }
         }
     }
+
+  /** A version's concrete file paths + recorded schema — what a batch
+    * relation provider needs to hand the file-source machinery
+    * (pushdown, pruning, vectorized read) a snapshot without going
+    * through a DataFrame first. */
+  private[graft] def snapshotLayout(spark: SparkSession, table: String,
+      version: Option[Int]): (Seq[String], Option[types.StructType]) = {
+    val root = new Path(table)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v = version.getOrElse(currentVersion(fs, root))
+    require(v > 0, s"snapshotLayout: no committed version in $table")
+    (manifestFiles(fs, root, v)
+       .map(l => new Path(root, entryPath(l)).toString),
+     schemaOf(fs, root, v))
+  }
 
   /** Open manifest-listed files under `version`'s RECORDED schema when
     * present: files older than an added column null-fill it, files newer
@@ -1255,6 +1293,32 @@ object Layout {
       .orderBy("o_orderstatus")
   }
 
+  /** The DataFrameReader/Writer surface of the format, end to end:
+    * orders lands through `df.write.format("graft-manifest")` as two
+    * append commits, is read back through `spark.read.format(...)` (the
+    * file-source relation with pushdown over the manifest's file list),
+    * and aggregated. Oracle shared with q_table_roundtrip — the format
+    * API must be a lossless veneer over the commit verbs.
+    * ManifestStreamSpec pins SaveMode mapping, time travel options and
+    * the pushdown plan shape. */
+  def qManifestBatchIo(s: SparkSession, d: String): DataFrame = {
+    import graft.Tables._
+    val table = s"${Sources.ioDir(s, d)}/orders_batch_fmt"
+    val root = new Path(table)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(root, true) // deterministic re-run: fresh table history
+    val o = orders(s, d)
+    o.where(pmod(col("o_orderkey"), lit(2)) === 0)
+      .write.format("graft-manifest").mode("append").save(table)
+    o.where(pmod(col("o_orderkey"), lit(2)) === 1)
+      .write.format("graft-manifest").mode("append").save(table)
+    s.read.format("graft-manifest").load(table)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum(dec2(col("o_totalprice"))).cast("double").as("sum_price"))
+      .orderBy("o_orderstatus")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_manifest_snapshot" -> qManifestSnapshot _,
     "q_compact_snapshot"  -> qCompactSnapshot _,
@@ -1265,6 +1329,7 @@ object Layout {
     "q_manifest_stream"   -> qManifestStream _,
     "q_snapshot_evolution" -> qSnapshotEvolution _,
     "q_manifest_pipe"     -> qManifestPipe _,
+    "q_manifest_batch_io" -> qManifestBatchIo _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1280,6 +1345,8 @@ object Layout {
     "q_snapshot_evolution" -> Sources.oracleSql("q_schema_evolution"),
     // also shared: source → sink piping must reproduce the table exactly
     "q_manifest_pipe"     -> Sources.oracleSql("q_table_roundtrip"),
+    // also shared: the reader/writer veneer must be lossless too
+    "q_manifest_batch_io" -> Sources.oracleSql("q_table_roundtrip"),
     // post-delete state recomputed from source with the negated predicate
     "q_snapshot_delete" ->
       """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,

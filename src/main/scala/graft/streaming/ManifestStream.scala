@@ -1,11 +1,11 @@
 package graft.streaming
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SQLContext}
+import org.apache.spark.sql.{DataFrame, SQLContext, SaveMode}
 import org.apache.spark.sql.classic.SparkSession
 import org.apache.spark.sql.execution.streaming.{Offset, Sink, Source}
 import org.apache.spark.sql.graft.ColumnBridge
-import org.apache.spark.sql.sources.{DataSourceRegister, StreamSinkProvider, StreamSourceProvider}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider, StreamSinkProvider, StreamSourceProvider}
 import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.StructType
 
@@ -53,9 +53,63 @@ import graft.ops.Layout
   * incrementally instead of recomputing from scratch.
   */
 class ManifestStreamProvider extends StreamSourceProvider
-    with StreamSinkProvider with DataSourceRegister {
+    with StreamSinkProvider with RelationProvider
+    with CreatableRelationProvider with DataSourceRegister {
 
   override def shortName(): String = "graft-manifest"
+
+  /** BATCH read: `spark.read.format("graft-manifest").load(table)` —
+    * the head snapshot, or time travel via `.option("versionAsOf", v)` /
+    * `.option("timestampAsOf", epochMillis)`. The relation is the
+    * file-source machinery over the snapshot's explicit file list with
+    * the version's recorded schema, so filter pushdown, column pruning
+    * and the vectorized parquet reader all apply exactly as on a plain
+    * parquet directory — the manifest only decides WHICH files exist. */
+  override def createRelation(sqlContext: SQLContext,
+      parameters: Map[String, String]): BaseRelation = {
+    val p = lowered(parameters)
+    val spark = sqlContext.sparkSession.asInstanceOf[SparkSession]
+    val table = tableOf(p)
+    val version: Option[Int] = (p.get("versionasof"),
+        p.get("timestampasof")) match {
+      case (Some(_), Some(_)) => throw new IllegalArgumentException(
+        "versionAsOf and timestampAsOf are mutually exclusive")
+      case (Some(v), None)  => Some(v.toInt)
+      case (None, Some(ts)) => Some(Layout.versionAt(spark, table, ts.toLong))
+      case (None, None)     => None
+    }
+    val (paths, schema) = Layout.snapshotLayout(spark, table, version)
+    ColumnBridge.fileRelation(spark, "parquet", paths, schema)
+  }
+
+  /** BATCH write: `df.write.format("graft-manifest").mode(...)` maps
+    * SaveModes onto the commit verbs — Append → append commit,
+    * Overwrite → full-table REPLACE (pinned readers keep the old
+    * version until vacuum), ErrorIfExists/Ignore honor their contracts
+    * against the table's committed-version existence. */
+  override def createRelation(sqlContext: SQLContext, mode: SaveMode,
+      parameters: Map[String, String], data: DataFrame): BaseRelation = {
+    val p = lowered(parameters)
+    val spark = sqlContext.sparkSession.asInstanceOf[SparkSession]
+    val table = tableOf(p)
+    val stats = p.get("statscolumn")
+    val exists = scala.util.Try(
+      Layout.versionSchema(spark, table)).isSuccess
+    mode match {
+      case SaveMode.Append =>
+        Layout.commitSnapshot(spark, table, data, stats)
+      case SaveMode.Overwrite =>
+        Layout.replaceSnapshot(spark, table, data)
+      case SaveMode.ErrorIfExists =>
+        if (exists) throw new IllegalArgumentException(
+          s"manifest table $table already has committed versions " +
+            "(SaveMode.ErrorIfExists)")
+        Layout.commitSnapshot(spark, table, data, stats)
+      case SaveMode.Ignore =>
+        if (!exists) Layout.commitSnapshot(spark, table, data, stats)
+    }
+    createRelation(sqlContext, parameters)
+  }
 
   /** The WRITE side: `df.writeStream.format("graft-manifest")` commits
     * each micro-batch to the manifest table — Append appends, Complete

@@ -38,6 +38,21 @@ object ColumnBridge {
       : org.apache.spark.sql.types.StructType =
     s.asNullable
 
+  /** A BATCH BaseRelation over concrete data files — what a v1
+    * RelationProvider returns so `spark.read.format(...)` gets the full
+    * file-source machinery (filter pushdown, column pruning, vectorized
+    * parquet) over an explicit file list instead of a directory. */
+  def fileRelation(spark: SparkSession, format: String,
+      paths: Seq[String],
+      schema: Option[org.apache.spark.sql.types.StructType])
+      : org.apache.spark.sql.sources.BaseRelation = {
+    import org.apache.spark.sql.execution.datasources.DataSource
+    val cs = spark.asInstanceOf[classic.SparkSession]
+    DataSource(cs, className = format, paths = paths,
+      userSpecifiedSchema = schema)
+      .resolveRelation(checkFilesExist = false)
+  }
+
   /** A DataFrame over concrete data files whose plan carries
     * `isStreaming = true` — the FileStreamSource recipe, exposed so a
     * graft v1 streaming `Source.getBatch` can hand micro-batch deltas to

@@ -218,6 +218,46 @@ class ManifestStreamSpec extends AnyFunSuite {
     assert(readSnapshot(spark, table, Some(1)).count() == 10)
   }
 
+  test("batch format: SaveModes map to commit verbs; time travel; pushdown") {
+    import graft.ops.Layout._
+    val table = freshTable("batch_fmt")
+    val a = nation.where(col("n_nationkey") < 10)
+    val b = nation.where(col("n_nationkey") >= 10)
+    a.write.format("graft-manifest").mode("append").save(table)
+    val root = new Path(table)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val t1 = fs.getFileStatus(new Path(root, "manifests/v1.manifest"))
+      .getModificationTime
+    Thread.sleep(20) // separate the two commits' mtimes
+    b.write.format("graft-manifest").mode("append").save(table)
+    def readFmt(opts: (String, String)*) = {
+      var r = spark.read.format("graft-manifest")
+      opts.foreach { case (k, v) => r = r.option(k, v) }
+      r.load(table)
+    }
+    assert(readFmt().count() == nation.count())
+    // the relation is real file-source machinery: the filter pushes
+    // into the parquet scan, not a post-scan Filter over opaque rows
+    val plan = readFmt().where(col("n_nationkey") === 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("n_nationkey"),
+      s"filter did not push into the scan:\n$plan")
+    // time travel: by version and by commit wall clock
+    assert(readFmt("versionAsOf" -> "1").count() == 10)
+    assert(readFmt("timestampAsOf" -> t1.toString).count() == 10)
+    // overwrite = full REPLACE; the pre-overwrite version stays pinned
+    nation.where(col("n_nationkey") < 3)
+      .write.format("graft-manifest").mode("overwrite").save(table)
+    assert(readFmt().count() == 3)
+    assert(readSnapshot(spark, table, Some(2)).count() == nation.count())
+    // errorIfExists refuses a live table; ignore is a no-op
+    intercept[IllegalArgumentException] {
+      a.write.format("graft-manifest").mode("errorifexists").save(table)
+    }
+    a.write.format("graft-manifest").mode("ignore").save(table)
+    assert(readFmt().count() == 3)
+  }
+
   test("sink refuses to start without a ledger identity unless opted out") {
     import graft.ops.Layout._
     val table = freshTable("identity")
