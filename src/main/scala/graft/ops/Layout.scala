@@ -277,13 +277,17 @@ object Layout {
     * the head manifest several times (file lines, schema header, txn
     * carry, a txn verb's replay re-check): with the cache that is one
     * GET + N HEADs per attempt instead of N GETs. */
+  // bounded by CHARACTERS, not entry count: one manifest can list
+  // millions of lines, and 64 of those LRU'd by count alone would pin
+  // gigabytes of driver heap — ~32M chars ≈ tens of MB with String
+  // overhead, still holding hundreds of ordinary manifests
+  private val ManifestCacheMaxChars = 32L << 20
+  private var manifestCacheChars = 0L
   private val manifestCache =
-    java.util.Collections.synchronizedMap(
-      new java.util.LinkedHashMap[String, Seq[String]](64, 0.75f, true) {
-        override def removeEldestEntry(
-            e: java.util.Map.Entry[String, Seq[String]]): Boolean =
-          size() > 64
-      })
+    new java.util.LinkedHashMap[String, Seq[String]](64, 0.75f,
+      /* accessOrder = */ true)
+  private def charsOf(lines: Seq[String]): Long =
+    lines.iterator.map(_.length.toLong).sum
 
   private def rawManifestLines(fs: FileSystem, table: Path, v: Int)
       : Seq[String] = {
@@ -291,14 +295,31 @@ object Layout {
     val st = fs.getFileStatus(mf) // FileNotFound here = expired/missing
     val key = s"${fs.makeQualified(mf)}#${st.getModificationTime}" +
       s"#${st.getLen}"
-    val hit = manifestCache.get(key)
-    if (hit != null) return hit
+    manifestCache.synchronized {
+      val hit = manifestCache.get(key)
+      if (hit != null) return hit
+    }
     val in = fs.open(mf)
     val lines =
       try scala.io.Source.fromInputStream(in, "UTF-8")
         .getLines().filter(_.nonEmpty).toList
       finally in.close()
-    manifestCache.put(key, lines)
+    manifestCache.synchronized {
+      if (!manifestCache.containsKey(key)) {
+        manifestCacheChars += charsOf(lines)
+        manifestCache.put(key, lines)
+        // evict LRU-first until back under budget (the just-inserted
+        // entry is spared so a single huge manifest still caches)
+        val it = manifestCache.entrySet().iterator()
+        while (manifestCacheChars > ManifestCacheMaxChars && it.hasNext) {
+          val e = it.next()
+          if (e.getKey != key) {
+            manifestCacheChars -= charsOf(e.getValue)
+            it.remove()
+          }
+        }
+      }
+    }
     lines
   }
 
@@ -395,13 +416,26 @@ object Layout {
       case i  => line.substring(0, i)
     }
 
-  /** (min, max) bounds recorded on `line` for `column`, if any. */
+  /** (min, max) bounds recorded on `line` for `column`, if any. NaN
+    * bounds (old manifests written before the commit-side NaN filter)
+    * read back as no-bounds — the file then always survives selection
+    * instead of being wrongly pruned by always-false NaN comparisons. */
   private def entryStats(line: String, column: String)
       : Option[(Double, Double)] =
     line.split('\t') match {
       case Array(_, c, mn, mx) if c == column =>
         scala.util.Try((mn.toDouble, mx.toDouble)).toOption
+          .filterNot(b => b._1.isNaN || b._2.isNaN)
       case _ => None
+    }
+
+  /** The stats column a version's manifest records bounds for, if any —
+    * what a rewriting verb (delete/merge) uses to keep the skipping
+    * property it found. */
+  private def statsColumnOf(fs: FileSystem, root: Path, v: Int)
+      : Option[String] =
+    manifestFiles(fs, root, v).collectFirst {
+      case l if l.count(_ == '\t') == 3 => l.split('\t')(1)
     }
 
   /** The one manifest CAS loop, shared by every commit verb (APPEND,
@@ -546,40 +580,24 @@ object Layout {
     * between batches never forgets what was applied. */
   def commitSnapshotTxn(spark: SparkSession, table: String, df: DataFrame,
       appId: String, batchId: Long,
-      statsColumn: Option[String] = None): Option[Int] = {
-    require(!appId.contains('\t') && !appId.contains('\n'),
-      "appId must not contain tab/newline (manifest header currency)")
-    val root = new Path(table)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // cheap pre-check: skip the staging write entirely on a known replay
-    if (txnsOf(fs, root, currentVersion(fs, root)).get(appId)
-        .exists(_ >= batchId)) return None
-    val added = stageTxn(spark, fs, root, df)
-    val entries = withStats(spark, fs, root, added, statsColumn)
-    try Some(casCommit(fs, root, "commitSnapshotTxn",
-      head => {
-        // re-checked per CAS attempt: the replay might land between the
-        // pre-check and the rename
-        if (txnsOf(fs, root, head).get(appId).exists(_ >= batchId))
-          throw AlreadyCommitted
-        (if (head == 0) Seq.empty else manifestFiles(fs, root, head)) ++
-          entries
-      },
-      appendSchemaFor(fs, root, df),
-      _ => Map(appId -> batchId)))
-    catch { case AlreadyCommitted =>
-      dropStaged(fs, root, added); None
+      statsColumn: Option[String] = None): Option[Int] =
+    txnGuarded(spark, table, df, appId, batchId, "commitSnapshotTxn") {
+      (fs, root, added) =>
+        val entries = withStats(spark, fs, root, added, statsColumn)
+        (head => (if (head == 0) Seq.empty
+                  else manifestFiles(fs, root, head)) ++ entries,
+         appendSchemaFor(fs, root, df))
     }
-  }
 
   /** Full-table REPLACE (INSERT OVERWRITE): swap the ENTIRE line set
     * for `df`'s files in one commit; old files stay readable to pinned
     * versions until vacuum, like any REPLACE. */
-  def replaceSnapshot(spark: SparkSession, table: String,
-      df: DataFrame): Int = {
+  def replaceSnapshot(spark: SparkSession, table: String, df: DataFrame,
+      statsColumn: Option[String] = None): Int = {
     val root = new Path(table)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val added = stageTxn(spark, fs, root, df)
+    val added = withStats(spark, fs, root,
+      stageTxn(spark, fs, root, df), statsColumn)
     casCommit(fs, root, "replaceSnapshot", _ => added,
       _ => Some(ColumnBridge.nullableSchema(df.schema)))
   }
@@ -589,21 +607,40 @@ object Layout {
     * line set for the new result (old files stay for pinned readers
     * until vacuum, like any REPLACE), idempotent on (appId, batchId). */
   def replaceSnapshotTxn(spark: SparkSession, table: String, df: DataFrame,
-      appId: String, batchId: Long): Option[Int] = {
+      appId: String, batchId: Long): Option[Int] =
+    txnGuarded(spark, table, df, appId, batchId, "replaceSnapshotTxn") {
+      (_, _, added) =>
+        (_ => added, _ => Some(ColumnBridge.nullableSchema(df.schema)))
+    }
+
+  /** The one exactly-once commit scaffold both txn verbs share: appId
+    * validation, the cheap pre-check, staging, the per-attempt replay
+    * re-check inside the CAS, and the abandon-on-replay cleanup. `body`
+    * receives the staged file entries and returns the verb's (listFor,
+    * schemaFor) pair — the only part that differs. */
+  private def txnGuarded(spark: SparkSession, table: String, df: DataFrame,
+      appId: String, batchId: Long, op: String)(
+      body: (FileSystem, Path, Seq[String]) =>
+        (Int => Seq[String], Int => Option[types.StructType]))
+      : Option[Int] = {
     require(!appId.contains('\t') && !appId.contains('\n'),
       "appId must not contain tab/newline (manifest header currency)")
     val root = new Path(table)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // cheap pre-check: skip the staging write entirely on a known replay
     if (txnsOf(fs, root, currentVersion(fs, root)).get(appId)
         .exists(_ >= batchId)) return None
     val added = stageTxn(spark, fs, root, df)
-    try Some(casCommit(fs, root, "replaceSnapshotTxn",
+    val (listFor, schemaFor) = body(fs, root, added)
+    try Some(casCommit(fs, root, op,
       head => {
+        // re-checked per CAS attempt: the replay might land between the
+        // pre-check and the rename
         if (txnsOf(fs, root, head).get(appId).exists(_ >= batchId))
           throw AlreadyCommitted
-        added
+        listFor(head)
       },
-      _ => Some(ColumnBridge.nullableSchema(df.schema)),
+      schemaFor,
       _ => Map(appId -> batchId)))
     catch { case AlreadyCommitted =>
       dropStaged(fs, root, added); None
@@ -626,7 +663,12 @@ object Layout {
           .agg(min(col(c).cast("double")).as("mn"),
             max(col(c).cast("double")).as("mx"))
           .collect()
-          .filter(r => !r.isNullAt(1) && !r.isNullAt(2)) // all-null column
+          // all-null column → no bounds; NaN poisons range comparisons
+          // (every NaN compare is false, so a NaN bound would make
+          // rangeFileSelection WRONGLY prune a file that has in-range
+          // rows) → record no bounds for that file, it always survives
+          .filter(r => !r.isNullAt(1) && !r.isNullAt(2) &&
+            !r.getDouble(1).isNaN && !r.getDouble(2).isNaN)
           .map(r => fsPathOf(r.getString(0)) -> (r.getDouble(1), r.getDouble(2)))
           .toMap
         added.map { rel =>
@@ -834,9 +876,23 @@ object Layout {
   }
 
   /** URI-scheme/slash-insensitive normal form for matching
-    * input_file_name() output against manifest-derived paths. */
+    * input_file_name() output against manifest-derived paths. The two
+    * sides arrive differently encoded: input_file_name() reports a
+    * URL-ENCODED uri (SparkPath — a space is `%20`), while a qualified
+    * hadoop Path renders the raw characters. Parse as a URI first (which
+    * DECODES escapes); fall back to hadoop-Path normalization for
+    * strings a strict URI parser rejects (raw spaces etc.), whose
+    * getPath decodes Path's own quoting. Both routes land on the
+    * decoded filesystem path, so `/data/my table/x` staged by a writer
+    * matches `file:///data/my%20table/x` reported by a scan. */
   private def fsPathOf(p: String): String =
-    new Path(p).toUri.getPath
+    try {
+      val u = new java.net.URI(p)
+      if (u.getPath != null && u.getPath.nonEmpty) u.getPath
+      else new Path(p).toUri.getPath
+    } catch { case _: java.net.URISyntaxException =>
+      new Path(p).toUri.getPath
+    }
 
   /** Copy-on-write row-level DELETE — the next most-used lifecycle verb
     * after append/compact (GDPR erasure, late-fact correction): rewrite
@@ -882,7 +938,11 @@ object Layout {
     // column)
     val kept = readVersionFiles(spark, fs, root, v0, affected.map(_._2))
       .where(!coalesce(predicate, lit(false)))
-    val added = stageTxn(spark, fs, root, kept)
+    // rewritten files re-record the table's stats column (if any):
+    // without this, every delete would silently strip a skipping
+    // table's pruning — the guard compactSnapshot already carries
+    val added = withStats(spark, fs, root, stageTxn(spark, fs, root, kept),
+      statsColumnOf(fs, root, v0))
     val v = replaceCommit(fs, root, "deleteWhere",
       affected.map(_._1).toSet, added)
     (v, affected.size, untouched.size)
@@ -936,27 +996,35 @@ object Layout {
       affectedAbs.contains(fsPathOf(fs.makeQualified(new Path(a)).toString))
     }
     // not-matched source rows insert regardless of whether any file
-    // matched; matched-file rows are rewritten with updates applied
+    // matched; matched-file rows are rewritten with updates applied.
+    // The insert set is both counted and written — persist it so the
+    // source⋈snapshot anti-join runs once, not once per consumer
     val inserts = source
       .join(snap.select(col(key)), Seq(key), "left_anti")
-    val staged =
-      if (affected.isEmpty) inserts
-      else {
-        val old = readVersionFiles(spark, fs, root, v0, affected.map(_._2))
-        val carried = old.join(source.select(col(key)), Seq(key), "left_anti")
-        // SQL MERGE updates EACH matched target row: a target holding N
-        // rows for a key yields N updated rows, so join the (non-distinct)
-        // old keys against the source — a semi-join of source against
-        // distinct old keys would collapse duplicates to one row
-        val updated = old.select(col(key)).join(source, Seq(key), "inner")
-          .select(source.columns.map(col): _*)
-        carried.unionByName(updated).unionByName(inserts)
-      }
-    val nInserted = inserts.count()
-    val added = stageTxn(spark, fs, root, staged)
-    val v = replaceCommit(fs, root, "mergeInto",
-      affected.map(_._1).toSet, added)
-    (v, affected.size, nInserted)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nInserted = inserts.count() // materializes the cache
+      val staged =
+        if (affected.isEmpty) inserts
+        else {
+          val old = readVersionFiles(spark, fs, root, v0, affected.map(_._2))
+          val carried = old.join(source.select(col(key)), Seq(key), "left_anti")
+          // SQL MERGE updates EACH matched target row: a target holding N
+          // rows for a key yields N updated rows, so join the (non-distinct)
+          // old keys against the source — a semi-join of source against
+          // distinct old keys would collapse duplicates to one row
+          val updated = old.select(col(key)).join(source, Seq(key), "inner")
+            .select(source.columns.map(col): _*)
+          carried.unionByName(updated).unionByName(inserts)
+        }
+      // rewritten + inserted files keep the table's recorded bounds, as
+      // in deleteWhere
+      val added = withStats(spark, fs, root,
+        stageTxn(spark, fs, root, staged), statsColumnOf(fs, root, v0))
+      val v = replaceCommit(fs, root, "mergeInto",
+        affected.map(_._1).toSet, added)
+      (v, affected.size, nInserted)
+    } finally inserts.unpersist()
   }
 
   /** Snapshot GC (VACUUM): drop manifests older than the newest

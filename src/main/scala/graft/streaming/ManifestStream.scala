@@ -99,7 +99,7 @@ class ManifestStreamProvider extends StreamSourceProvider
       case SaveMode.Append =>
         Layout.commitSnapshot(spark, table, data, stats)
       case SaveMode.Overwrite =>
-        Layout.replaceSnapshot(spark, table, data)
+        Layout.replaceSnapshot(spark, table, data, stats)
       case SaveMode.ErrorIfExists =>
         if (exists) throw new IllegalArgumentException(
           s"manifest table $table already has committed versions " +

@@ -373,6 +373,16 @@ class SnapshotIsolationSpec extends AnyFunSuite {
     // so the range answer is unchanged through append AND compaction
     assert(readSnapshotRange(spark, table, "o_orderkey",
       mx / 4, mx / 3).count() == pruned)
+    // a copy-on-write DELETE re-records bounds on its rewritten files
+    // (statsColumnOf picks the table's recorded column up automatically)
+    val (_, rewritten, _) = deleteWhere(spark, table,
+      col("o_orderkey") === mx)
+    assert(rewritten >= 1)
+    val (kept4, total4) = rangeFileSelection(spark, table, "o_orderkey",
+      mx / 4, mx / 3)
+    assert(kept4.size < total4, "the delete stripped the table's bounds")
+    assert(readSnapshotRange(spark, table, "o_orderkey",
+      mx / 4, mx / 3).count() == pruned)
   }
 
   test("readChanges returns exactly the appended rows, rejects REPLACE in range") {
