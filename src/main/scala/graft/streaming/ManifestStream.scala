@@ -3,6 +3,7 @@ package graft.streaming
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SQLContext, SaveMode}
 import org.apache.spark.sql.classic.SparkSession
+import org.apache.spark.sql.connector.read.streaming.{ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow, Offset => OffsetV2}
 import org.apache.spark.sql.execution.streaming.{Offset, Sink, Source}
 import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider, StreamSinkProvider, StreamSourceProvider}
@@ -220,7 +221,8 @@ object ManifestOffset {
 
 class ManifestStreamSource(spark: SparkSession, table: String,
     pinnedSchema: StructType, startingVersion: Int,
-    maxVersionsPerTrigger: Option[Int]) extends Source {
+    maxVersionsPerTrigger: Option[Int]) extends Source
+    with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
   require(maxVersionsPerTrigger.forall(_ >= 1),
     "maxVersionsPerTrigger must be >= 1")
@@ -229,34 +231,49 @@ class ManifestStreamSource(spark: SparkSession, table: String,
   private val fs =
     root.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** Highest version already handed out through [[getOffset]] — the
-    * admission-control floor. Restart-safe: MicroBatchExecution replays
-    * `getBatch` for the last checkpointed batch before the first
-    * `getOffset` of a run, which re-raises this floor to the
-    * checkpointed offset (and [[commit]] raises it too), so a capped
-    * source never re-offers versions an earlier run already processed. */
-  private var exposed: Int = startingVersion
+  /** Trigger.AvailableNow contract: deliver exactly the commits present
+    * when the query started (still in capped per-trigger batches), then
+    * terminate — commits landing mid-run wait for the next start. This
+    * is the FileStreamSource pattern; WITHOUT native support, Spark's
+    * AvailableNowSourceWrapper would capture ONE capped offset as the
+    * run's final target and stop a maxVersionsPerTrigger source after a
+    * single batch, silently under-delivering the backlog. */
+  private var availableNowCeiling: Option[Int] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCeiling = Some(Layout.currentVersion(fs, root))
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
 
   override def schema: StructType = pinnedSchema
 
-  override def getOffset: Option[Offset] = {
+  /** Admission control lives in [[latestOffset]]; MicroBatchExecution
+    * never calls getOffset on a SupportsAdmissionControl source. */
+  override def getOffset: Option[Offset] =
+    throw new UnsupportedOperationException(
+      "getOffset is not called on a SupportsAdmissionControl source")
+
+  override def latestOffset(startOffset: OffsetV2,
+      limit: ReadLimit): OffsetV2 = {
+    val start = Option(startOffset)
+      .map(ManifestOffset.of(_).version).getOrElse(startingVersion)
+    val head0 = Layout.currentVersion(fs, root)
+    val head = availableNowCeiling.fold(head0)(math.min(head0, _))
+    val cap = maxVersionsPerTrigger.fold(head)(m =>
+      math.min(head, start + m))
+    if (cap <= startingVersion) null // table has nothing to stream yet
+    else ManifestOffset(math.max(cap, start)) // == start signals idle
+  }
+
+  override def reportLatestOffset(): OffsetV2 = {
     val head = Layout.currentVersion(fs, root)
-    val cap = maxVersionsPerTrigger match {
-      case Some(m) => math.min(head, exposed + m)
-      case None    => head
-    }
-    if (cap <= startingVersion) None
-    else {
-      exposed = math.max(exposed, cap)
-      Some(ManifestOffset(exposed))
-    }
+    if (head <= startingVersion) null else ManifestOffset(head)
   }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val to = ManifestOffset.of(end).version
     val from = start.map(ManifestOffset.of(_).version)
       .getOrElse(startingVersion)
-    exposed = math.max(exposed, to)
     if (to <= from) // restart replay of an already-finished range
       return ColumnBridge.emptyStreamingDF(spark, pinnedSchema)
     val fromPaths =
@@ -274,10 +291,6 @@ class ManifestStreamSource(spark: SparkSession, table: String,
     else
       ColumnBridge.streamingFileRelation(spark, "parquet",
         added.map(rel => new Path(root, rel).toString), pinnedSchema)
-  }
-
-  override def commit(end: Offset): Unit = {
-    exposed = math.max(exposed, ManifestOffset.of(end).version)
   }
 
   override def stop(): Unit = ()

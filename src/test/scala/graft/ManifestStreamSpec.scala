@@ -92,6 +92,33 @@ class ManifestStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("Trigger.AvailableNow drains the capped backlog fully, then stops") {
+    import graft.ops.Layout._
+    val table = freshTable("availnow")
+    commitSnapshot(spark, table, nation.where(col("n_nationkey") < 8))
+    commitSnapshot(spark, table,
+      nation.where(col("n_nationkey") >= 8 && col("n_nationkey") < 16))
+    commitSnapshot(spark, table, nation.where(col("n_nationkey") >= 16))
+    val name = freshName()
+    // without native SupportsTriggerAvailableNow, the wrapper would
+    // capture ONE capped offset (v1) as the final target and terminate
+    // after 8 of 25 rows — the capped backlog must still drain fully
+    val q = spark.readStream.format("graft-manifest")
+      .option("maxVersionsPerTrigger", "1").load(table)
+      .select(col("n_nationkey"), col("n_name"))
+      .writeStream.format("memory").queryName(name)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      assert(q.awaitTermination(120000),
+        "AvailableNow query did not self-terminate")
+      assert(spark.table(name).count() == nation.count(),
+        "AvailableNow under-delivered the capped backlog")
+      assert(q.recentProgress.count(_.numInputRows > 0) == 3,
+        "expected 3 commit-granular batches under the cap")
+    } finally q.stop()
+  }
+
   test("startingVersion skips history before it") {
     import graft.ops.Layout._
     val table = freshTable("sv")
