@@ -162,8 +162,13 @@ object ScaleProbe {
     "q_corpus_clean_lsh",
     // streaming table read: per-trigger cost is manifest metadata (O(1)
     // in table size) + the delta scan, so the 3-commit end-to-end key
-    // should track data volume, never file count
-    "q_manifest_stream",
+    // should track data volume, never file count; the pipe adds the
+    // sink's per-batch staging write, and the batch veneer adds the
+    // relation-resolution overhead — all should track volume
+    "q_manifest_stream", "q_manifest_pipe", "q_manifest_batch_io",
+    // categorical skipping: the one-language read should scale with the
+    // LANGUAGE's bytes, not the table's
+    "q_manifest_skipping_str",
     // the CNPJ vertical (reference envelope ">20 GB", readme.md:108):
     // synthetic flagship over the replica's 10× orders/customer
     "q_cnpj_flagship")

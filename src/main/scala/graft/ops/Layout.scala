@@ -438,6 +438,27 @@ object Layout {
       case l if l.count(_ == '\t') == 3 => l.split('\t')(1)
     }
 
+  // string bounds are URL-encoded (tab/newline are the manifest's
+  // structural characters) and prefixed so a numeric reader never
+  // mistakes them for doubles nor vice versa
+  private val StrBound = "S:"
+  private def encBound(s: String): String =
+    StrBound + java.net.URLEncoder.encode(s, "UTF-8")
+  private def decBound(s: String): Option[String] =
+    if (s.startsWith(StrBound))
+      Some(java.net.URLDecoder.decode(s.substring(StrBound.length), "UTF-8"))
+    else None
+
+  /** Lexicographic (min, max) STRING bounds recorded on `line` for
+    * `column`, if any — the categorical twin of [[entryStats]]. */
+  private def entryStatsString(line: String, column: String)
+      : Option[(String, String)] =
+    line.split('\t') match {
+      case Array(_, c, mn, mx) if c == column =>
+        for (a <- decBound(mn); b <- decBound(mx)) yield (a, b)
+      case _ => None
+    }
+
   /** The one manifest CAS loop, shared by every commit verb (APPEND,
     * REPLACE/compact, DELETE, rollback): `listFor(head)` computes the
     * new version's file list against the head CURRENT AT EACH ATTEMPT —
@@ -657,23 +678,33 @@ object Layout {
     statsColumn match {
       case None => added
       case Some(c) =>
-        val bounds = spark.read.parquet(
-            added.map(rel => new Path(root, rel).toString): _*)
-          .groupBy(input_file_name().as("__f"))
-          .agg(min(col(c).cast("double")).as("mn"),
-            max(col(c).cast("double")).as("mx"))
+        val df = spark.read.parquet(
+          added.map(rel => new Path(root, rel).toString): _*)
+        // STRING columns record lexicographic bounds (categorical
+        // pruning — language, source, partition-ish keys); everything
+        // else goes through the numeric double path
+        val isStr = df.schema(c).dataType == types.StringType
+        val keyCol = if (isStr) col(c) else col(c).cast("double")
+        val rows = df.groupBy(input_file_name().as("__f"))
+          .agg(min(keyCol).as("mn"), max(keyCol).as("mx"))
           .collect()
-          // all-null column → no bounds; NaN poisons range comparisons
-          // (every NaN compare is false, so a NaN bound would make
-          // rangeFileSelection WRONGLY prune a file that has in-range
-          // rows) → record no bounds for that file, it always survives
-          .filter(r => !r.isNullAt(1) && !r.isNullAt(2) &&
-            !r.getDouble(1).isNaN && !r.getDouble(2).isNaN)
-          .map(r => fsPathOf(r.getString(0)) -> (r.getDouble(1), r.getDouble(2)))
-          .toMap
+          .filter(r => !r.isNullAt(1) && !r.isNullAt(2)) // all-null col
+        val rendered: Map[String, (String, String)] =
+          if (isStr)
+            rows.map(r => fsPathOf(r.getString(0)) ->
+              (encBound(r.getString(1)), encBound(r.getString(2)))).toMap
+          else
+            rows
+              // NaN poisons range comparisons (every NaN compare is
+              // false, so a NaN bound would make rangeFileSelection
+              // WRONGLY prune a file that has in-range rows) → record
+              // no bounds for that file, it always survives
+              .filter(r => !r.getDouble(1).isNaN && !r.getDouble(2).isNaN)
+              .map(r => fsPathOf(r.getString(0)) ->
+                (r.getDouble(1).toString, r.getDouble(2).toString)).toMap
         added.map { rel =>
           val k = fsPathOf(fs.makeQualified(new Path(root, rel)).toString)
-          bounds.get(k) match {
+          rendered.get(k) match {
             case Some((mn, mx)) => s"$rel\t$c\t$mn\t$mx"
             case None           => rel // empty file: no rows, no bounds
           }
@@ -764,6 +795,51 @@ object Layout {
     readVersionFiles(spark, fs, root, v,
         kept.map(l => new Path(root, entryPath(l)).toString))
       .where(col(column) >= lit(lo) && col(column) <= lit(hi))
+  }
+
+  /** Categorical file skipping: (surviving lines, total) of `version`'s
+    * manifest for `column = value` under recorded STRING bounds. A line
+    * without string bounds for `column` ALWAYS survives — stats are an
+    * optimization, never a correctness input. */
+  private[graft] def eqFileSelection(spark: SparkSession, table: String,
+      column: String, value: String, version: Option[Int] = None)
+      : (Seq[String], Int) = {
+    val root = new Path(table)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v = version.getOrElse(currentVersion(fs, root))
+    require(v > 0, s"eqFileSelection: no committed version in $table")
+    val lines = manifestFiles(fs, root, v)
+    val kept = lines.filter { line =>
+      entryStatsString(line, column) match {
+        case Some((mn, mx)) => mn <= value && value <= mx
+        case None           => true
+      }
+    }
+    (kept, lines.size)
+  }
+
+  /** Point read on a categorical column with MANIFEST-level skipping —
+    * the hive-partition-pruning shape without hive directories: land
+    * the table range-clustered on the column (so files hold contiguous
+    * value runs and bounds are tight), and an equality read opens only
+    * the files whose recorded lexicographic [min, max] straddles the
+    * value. At a 100 TB corpus keyed by language or source this is the
+    * difference between scanning one language's files and opening every
+    * footer. The exact predicate is re-applied on the scan, so results
+    * are identical whether bounds exist or not. */
+  def readSnapshotEquals(spark: SparkSession, table: String,
+      column: String, value: String,
+      version: Option[Int] = None): DataFrame = {
+    val root = new Path(table)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v = version.getOrElse(currentVersion(fs, root))
+    val (kept, _) = eqFileSelection(spark, table, column, value, Some(v))
+    require(kept.nonEmpty, // schema would be unknowable from zero files
+      s"readSnapshotEquals: every file of $table pruned; " +
+        "read the snapshot and filter instead")
+    readVersionFiles(spark, fs, root, v,
+        kept.map(l => new Path(root, entryPath(l)).toString))
+      .where(col(column) === lit(value))
   }
 
   /** CDC-style incremental read: the rows APPENDED after `fromVersion`
@@ -1234,6 +1310,34 @@ object Layout {
       .orderBy("o_orderstatus")
   }
 
+  /** Categorical manifest skipping, end to end: documents land
+    * range-clustered on `lang` with lexicographic string bounds
+    * recorded per file, then one language is answered through
+    * [[readSnapshotEquals]] — the hive-partition-pruning shape without
+    * hive directories. The oracle recomputes from source with the same
+    * equality filter: hash-match proves pruning drops only files the
+    * value cannot reach; SnapshotIsolationSpec pins that files ARE
+    * dropped and that bounds survive encoding round trips. */
+  def qManifestSkippingStr(s: SparkSession, d: String): DataFrame = {
+    import graft.Tables._
+    val table = s"${Sources.ioDir(s, d)}/documents_lang_skipping"
+    val root = new Path(table)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(root, true) // deterministic re-run: fresh table history
+    val docs = documents(s, d).select(col("doc_id"), col("lang"),
+      col("n_chars"))
+    commitSnapshot(s, table,
+      docs.repartitionByRange(8, col("lang"), col("doc_id"))
+        .sortWithinPartitions("lang", "doc_id"),
+      statsColumn = Some("lang"))
+    readSnapshotEquals(s, table, "lang", "en")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"),
+        sum(col("n_chars")).as("sum_chars"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy("lang")
+  }
+
   /** Incremental consumption, end to end: three append transactions land
     * the table in thirds (o_orderkey mod 3), and [[readChanges]] between
     * v1 and the head returns exactly the last two. The oracle recomputes
@@ -1398,6 +1502,7 @@ object Layout {
     "q_snapshot_evolution" -> qSnapshotEvolution _,
     "q_manifest_pipe"     -> qManifestPipe _,
     "q_manifest_batch_io" -> qManifestBatchIo _,
+    "q_manifest_skipping_str" -> qManifestSkippingStr _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1415,6 +1520,13 @@ object Layout {
     "q_manifest_pipe"     -> Sources.oracleSql("q_table_roundtrip"),
     // also shared: the reader/writer veneer must be lossless too
     "q_manifest_batch_io" -> Sources.oracleSql("q_table_roundtrip"),
+    // categorical pruning must never change the answer
+    "q_manifest_skipping_str" ->
+      """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |FROM documents WHERE lang = 'en'
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     // post-delete state recomputed from source with the negated predicate
     "q_snapshot_delete" ->
       """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,

@@ -385,6 +385,45 @@ class SnapshotIsolationSpec extends AnyFunSuite {
       mx / 4, mx / 3).count() == pruned)
   }
 
+  test("string column bounds prune files categorically; odd values round-trip") {
+    import ops.Layout._
+    val table = "target/graft_io/spec/docs_lang_bounds"
+    val root = new Path(table)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(root, true)
+    val d = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    commitSnapshot(spark, table,
+      d.repartitionByRange(6, col("lang"), col("doc_id"))
+        .sortWithinPartitions("lang", "doc_id"),
+      statsColumn = Some("lang"))
+    val langs = d.select("lang").distinct().collect().map(_.getString(0))
+    assert(langs.length >= 2, "fixture needs multiple languages")
+    val one = langs.min
+    // a single language's read must drop files…
+    val (kept, total) = eqFileSelection(spark, table, "lang", one)
+    assert(total >= 6 && kept.size < total,
+      s"no categorical pruning: kept ${kept.size} of $total")
+    // …and never change the answer
+    assert(readSnapshotEquals(spark, table, "lang", one).count() ==
+      d.where(col("lang") === one).count())
+    // bounds with tab/newline/unicode survive the encoding round trip:
+    // every row of a one-file commit carries the nasty value, so the
+    // recorded min == max == value, and the equality read still finds it
+    val nasty = "pt\tBR\nçã%o"
+    val table2 = "target/graft_io/spec/docs_nasty_bounds"
+    val root2 = new Path(table2)
+    fs.delete(root2, true)
+    commitSnapshot(spark, table2,
+      d.limit(5).withColumn("lang", lit(nasty)).coalesce(1),
+      statsColumn = Some("lang"))
+    assert(readSnapshotEquals(spark, table2, "lang", nasty).count() == 5)
+    // a value outside the bounds prunes everything → loud refusal
+    intercept[IllegalArgumentException] {
+      readSnapshotEquals(spark, table2, "lang", "zz")
+    }
+  }
+
   test("readChanges returns exactly the appended rows, rejects REPLACE in range") {
     import ops.Layout._
     val table = "target/graft_io/spec/nation_cdc"
