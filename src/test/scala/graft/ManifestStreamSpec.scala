@@ -306,6 +306,51 @@ class ManifestStreamSpec extends AnyFunSuite {
     assert(readSnapshot(spark, table).count() == 6)
   }
 
+  test("a txn append racing a concurrent compaction: both land, nothing lost") {
+    import graft.ops.Layout._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val table = freshTable("txn_race")
+    val app = "race-writer"
+    commitSnapshot(spark, table,
+      nation.where(col("n_nationkey") < 12).repartition(5))
+    // an APPEND (the sink's verb) and a REPLACE (OPTIMIZE) race: the
+    // append's rebase is always input-safe, the compaction aborts only
+    // if ITS inputs were swapped (they aren't — appends add lines), so
+    // both must eventually land via CAS retries in either order
+    val fa = Future(commitSnapshotTxn(spark, table,
+      nation.where(col("n_nationkey") >= 12), app, 7L))
+    val fb = Future(
+      try Some(compactSnapshot(spark, table))
+      catch { case _: IllegalArgumentException => None }) // conflict-abort is legal
+    val a = Await.result(fa, 120.seconds)
+    val b = Await.result(fb, 120.seconds)
+    assert(a.isDefined, "the txn append must never conflict-abort")
+    // whatever the interleaving: full content, marker recorded, and a
+    // replay of the batch is STILL a no-op (compaction carried it)
+    assert(readSnapshot(spark, table).count() == nation.count(),
+      s"rows lost in the race (compact ran: ${b.isDefined})")
+    assert(lastCommittedBatch(spark, table, app).contains(7L))
+    assert(commitSnapshotTxn(spark, table,
+      nation.where(col("n_nationkey") >= 12), app, 7L).isEmpty)
+    assert(readSnapshot(spark, table).count() == nation.count())
+  }
+
+  test("versionAt refuses timestamps before the table existed") {
+    import graft.ops.Layout._
+    val table = freshTable("version_at")
+    commitSnapshot(spark, table, nation.where(col("n_nationkey") < 5))
+    val root = new Path(table)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val t1 = fs.getFileStatus(new Path(root, "manifests/v1.manifest"))
+      .getModificationTime
+    assert(versionAt(spark, table, t1) == 1)
+    intercept[IllegalArgumentException] {
+      versionAt(spark, table, t1 - 10000) // before the first commit
+    }
+  }
+
   test("a REPLACE commit inside the batch range fails the stream loudly") {
     import graft.ops.Layout._
     val table = freshTable("repl")
