@@ -223,20 +223,27 @@ object Layout {
   // invisibility; the q_manifest_snapshot oracle (shared with
   // q_table_roundtrip) re-proves snapshot read ≡ plain table read.
   //
-  // COMMIT-SAFETY PRECONDITION: the CAS is only a CAS where rename is an
-  // atomic fail-if-destination-exists operation — true on HDFS and on
-  // local filesystems (Hadoop 3.4 rename onto an existing destination
-  // returns false and preserves the winner), FALSE on raw object stores
-  // (S3A rename is a non-atomic copy+delete with no fail-if-exists
-  // guarantee; two racing writers could both "win" v<N+1> and one
-  // commit's files would silently vanish from history). This is the same
-  // caveat every Hadoop-committed table format carries: on S3, Delta
-  // requires a LogStore with a conditional-put/locking service and
-  // Iceberg requires a catalog (Hive/Glue/REST) to arbitrate the commit.
-  // Deploying THIS protocol against an object store likewise needs an
-  // external commit arbiter (a DynamoDB-style lock or a conditional-put
-  // manifest write); the manifest-read/direct-open READ path needs no
-  // such help and is where the object-store win actually lives.
+  // COMMIT-SAFETY PRECONDITION: rename-if-absent is a true CAS only
+  // where rename atomically fails on an existing destination — HDFS
+  // guarantees that; stock LocalFileSystem does NOT (it delegates to
+  // POSIX rename(2), which silently REPLACES the destination and
+  // returns true), and raw object stores don't either (S3A rename is a
+  // non-atomic copy+delete). The protocol therefore never trusts the
+  // rename's boolean alone: every commit embeds a per-attempt UUID
+  // (`#commit` header) and re-reads the destination after a
+  // "successful" rename — a writer whose UUID is not the one on disk
+  // LOST the race (its content was, or will be, displaced) and retries
+  // against the new head, so no commit is ever silently dropped even on
+  // overwriting filesystems. What the verify cannot restore on such
+  // filesystems is version-content immutability during the race window
+  // (a reader could observe v<N+1> twice with different content before
+  // the loser rebases to v<N+2>) — the same class of caveat every
+  // Hadoop-committed table format carries: on S3, Delta requires a
+  // LogStore with a conditional-put/locking service and Iceberg a
+  // catalog (Hive/Glue/REST) to arbitrate commits. Deploying THIS
+  // protocol against an object store likewise wants an external commit
+  // arbiter; the manifest-read/direct-open READ path needs no such help
+  // and is where the object-store win actually lives.
   // ---------------------------------------------------------------------
 
   import org.apache.hadoop.fs.{FileSystem, Path}
@@ -255,14 +262,16 @@ object Layout {
 
   /** Manifest LINES (the commit-protocol currency: set arithmetic for
     * append/replace rebasing operates on whole lines, which are copied
-    * verbatim across commits). A line is either a bare root-relative
-    * file path, or `path\tstatsCol\tmin\tmax` when the committing writer
-    * recorded column bounds — [[entryPath]]/[[entryStats]] split the two
-    * concerns, and every consumer that touches the filesystem goes
-    * through entryPath so stats-carrying and bare lines mix freely in
+    * verbatim across commits). A line is a root-relative file path,
+    * optionally followed by a `@bytes` size token and any number of
+    * per-column `col\tmin\tmax` bounds groups (see the grammar at
+    * [[entryBounds]]) — [[entryPath]]/[[entrySize]]/[[entryBounds]]
+    * split the concerns, and every consumer that touches the filesystem
+    * goes through entryPath so decorated and bare lines mix freely in
     * one table's history. `#`-prefixed header lines (the per-version
-    * schema record) are metadata, not line currency — skipped here so
-    * the rebase arithmetic never copies a stale header across commits. */
+    * schema record, txn markers, the commit UUID) are metadata, not
+    * line currency — skipped here so the rebase arithmetic never copies
+    * a stale header across commits. */
   private def manifestFiles(fs: FileSystem, table: Path, v: Int)
       : Seq[String] = rawManifestLines(fs, table, v).filterNot(isHeader)
 
@@ -276,7 +285,16 @@ object Layout {
     * millions of entries. It matters because one commit attempt consults
     * the head manifest several times (file lines, schema header, txn
     * carry, a txn verb's replay re-check): with the cache that is one
-    * GET + N HEADs per attempt instead of N GETs. */
+    * GET + N HEADs per attempt instead of N GETs.
+    *
+    * (mtime, length) identity has one known hole: manifest lines are
+    * fixed-width (UUID txn dirs + fixed part names), so a table dropped
+    * and recreated at the same path can produce a same-length manifest,
+    * and on a filesystem with coarse (1 s) mtime resolution the cache
+    * could then serve the OLD table's file list. Local FS checksums
+    * aren't available to strengthen the key cheaply, so the
+    * drop-and-recreate path must call [[invalidateManifestCache]] (or
+    * [[dropTable]], which does) — every fixture in this repo does. */
   // bounded by CHARACTERS, not entry count: one manifest can list
   // millions of lines, and 64 of those LRU'd by count alone would pin
   // gigabytes of driver heap — ~32M chars ≈ tens of MB with String
@@ -321,6 +339,35 @@ object Layout {
       }
     }
     lines
+  }
+
+  /** Drop every cached manifest of `table` — REQUIRED before reusing a
+    * path for a NEW table (see the cache-identity note on the cache
+    * above). Deleting files does not invalidate; this does. */
+  def invalidateManifestCache(spark: SparkSession, table: String): Unit = {
+    val root = new Path(table)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val prefix = fs.makeQualified(new Path(root, "manifests")).toString
+    manifestCache.synchronized {
+      val it = manifestCache.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getKey.startsWith(prefix)) {
+          manifestCacheChars -= charsOf(e.getValue)
+          it.remove()
+        }
+      }
+    }
+  }
+
+  /** Delete a manifest table AND its cache entries — the
+    * drop-and-recreate fixture verb. A bare `fs.delete` can leave the
+    * cache poisoned for a recreated table at the same path. */
+  def dropTable(spark: SparkSession, table: String): Unit = {
+    invalidateManifestCache(spark, table)
+    val root = new Path(table)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(root, true)
   }
 
   private val SchemaHeader = "#schema\t"
@@ -409,63 +456,125 @@ object Layout {
     manifestFiles(fs, root, version).map(entryPath)
   }
 
-  /** The file path of a manifest line (strips any stats suffix). */
+  /** The file path of a manifest line (strips any size/stats suffix). */
   private def entryPath(line: String): String =
     line.indexOf('\t') match {
       case -1 => line
       case i  => line.substring(0, i)
     }
 
-  /** (min, max) bounds recorded on `line` for `column`, if any. NaN
-    * bounds (old manifests written before the commit-side NaN filter)
-    * read back as no-bounds — the file then always survives selection
-    * instead of being wrongly pruned by always-false NaN comparisons. */
-  private def entryStats(line: String, column: String)
-      : Option[(Double, Double)] =
-    line.split('\t') match {
-      case Array(_, c, mn, mx) if c == column =>
-        scala.util.Try((mn.toDouble, mx.toDouble)).toOption
-          .filterNot(b => b._1.isNaN || b._2.isNaN)
-      case _ => None
-    }
+  // ------------------------------------------------------------------
+  // Per-file statistics suffixes. Line grammar (every older form is a
+  // prefix of it and still parses — old tables keep reading):
+  //
+  //   line  := path ("\t@" bytes)? group*
+  //   group := "\t" column "\t" bound "\t" bound     (min, max)
+  //   bound := "S:" url-encoded string               (lexicographic)
+  //          | "L:" decimal long                     (lossless integral)
+  //          | double literal                        (fractional/legacy)
+  //
+  // `@bytes` is the data file's length — the streaming source's
+  // byte-capped admission control reads it from the manifest instead of
+  // issuing one getFileStatus per file per trigger. Bounds groups record
+  // ANY number of columns per file — the Iceberg/Delta shape, where
+  // every hot filter column gets manifest-level skipping, not just one.
+  // Integral bounds are recorded as "L:" longs and compared in long,
+  // never through double: a |v| > 2^53 key round-tripped through double
+  // rounds, and a rounded max below the true max would WRONGLY prune a
+  // file that contains in-range rows — stats must never become a
+  // correctness input.
+  // ------------------------------------------------------------------
 
-  /** The stats column a version's manifest records bounds for, if any —
-    * what a rewriting verb (delete/merge) uses to keep the skipping
-    * property it found. */
-  private def statsColumnOf(fs: FileSystem, root: Path, v: Int)
-      : Option[String] =
-    manifestFiles(fs, root, v).collectFirst {
-      case l if l.count(_ == '\t') == 3 => l.split('\t')(1)
-    }
+  private[graft] sealed trait ColBounds
+  private[graft] final case class LongBounds(mn: Long, mx: Long)
+      extends ColBounds
+  private[graft] final case class NumBounds(mn: Double, mx: Double)
+      extends ColBounds
+  private[graft] final case class StrBounds(mn: String, mx: String)
+      extends ColBounds
 
   // string bounds are URL-encoded (tab/newline are the manifest's
   // structural characters) and prefixed so a numeric reader never
   // mistakes them for doubles nor vice versa
-  private val StrBound = "S:"
+  private val StrPfx = "S:"
+  private val LongPfx = "L:"
   private def encBound(s: String): String =
-    StrBound + java.net.URLEncoder.encode(s, "UTF-8")
-  private def decBound(s: String): Option[String] =
-    if (s.startsWith(StrBound))
-      Some(java.net.URLDecoder.decode(s.substring(StrBound.length), "UTF-8"))
-    else None
+    StrPfx + java.net.URLEncoder.encode(s, "UTF-8")
 
-  /** Lexicographic (min, max) STRING bounds recorded on `line` for
-    * `column`, if any — the categorical twin of [[entryStats]]. */
-  private def entryStatsString(line: String, column: String)
-      : Option[(String, String)] =
-    line.split('\t') match {
-      case Array(_, c, mn, mx) if c == column =>
-        for (a <- decBound(mn); b <- decBound(mx)) yield (a, b)
-      case _ => None
+  /** Decode one (min, max) bound pair. NaN bounds (old manifests written
+    * before the commit-side NaN filter) read back as no-bounds — the
+    * file then always survives selection instead of being wrongly pruned
+    * by always-false NaN comparisons. */
+  private def decodePair(mn: String, mx: String): Option[ColBounds] =
+    if (mn.startsWith(StrPfx) && mx.startsWith(StrPfx))
+      Some(StrBounds(
+        java.net.URLDecoder.decode(mn.substring(StrPfx.length), "UTF-8"),
+        java.net.URLDecoder.decode(mx.substring(StrPfx.length), "UTF-8")))
+    else if (mn.startsWith(LongPfx) && mx.startsWith(LongPfx))
+      scala.util.Try(LongBounds(mn.substring(LongPfx.length).toLong,
+        mx.substring(LongPfx.length).toLong)).toOption
+    else
+      scala.util.Try(NumBounds(mn.toDouble, mx.toDouble)).toOption
+        .filterNot(b => b.mn.isNaN || b.mx.isNaN)
+
+  /** All column bounds recorded on `line` (possibly none). */
+  private[graft] def entryBounds(line: String): Map[String, ColBounds] = {
+    val f = line.split('\t')
+    var i = 1
+    if (i < f.length && f(i).startsWith("@")) i += 1
+    val b = Map.newBuilder[String, ColBounds]
+    while (i + 3 <= f.length) {
+      decodePair(f(i + 1), f(i + 2)).foreach(v => b += f(i) -> v)
+      i += 3
     }
+    b.result()
+  }
+
+  /** The data file's recorded byte length, if the committing writer
+    * recorded one (every commit since the size token landed does;
+    * consumers fall back to getFileStatus for older lines). */
+  private[graft] def entrySize(line: String): Option[Long] = {
+    val f = line.split('\t')
+    if (f.length > 1 && f(1).startsWith("@"))
+      scala.util.Try(f(1).substring(1).toLong).toOption
+    else None
+  }
+
+  /** Every column any line of `version`'s manifest records bounds for —
+    * what a rewriting verb (delete/merge/compact) uses to keep the
+    * skipping property it found. */
+  private[graft] def statsColumnsOf(fs: FileSystem, root: Path, v: Int)
+      : Seq[String] =
+    manifestFiles(fs, root, v).iterator
+      .flatMap(l => entryBounds(l).keysIterator)
+      .distinct.toSeq
+
+  private val CommitHeader = "#commit\t"
+
+  /** The commit UUID recorded in a manifest, read UNCACHED — the
+    * post-rename winner check must see the file's actual current bytes,
+    * never a cache entry keyed on (mtime, length). */
+  private def commitIdOf(fs: FileSystem, mf: Path): Option[String] = {
+    val in = fs.open(mf)
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .find(_.startsWith(CommitHeader))
+      .map(_.substring(CommitHeader.length))
+    finally in.close()
+  }
 
   /** The one manifest CAS loop, shared by every commit verb (APPEND,
     * REPLACE/compact, DELETE, rollback): `listFor(head)` computes the
     * new version's file list against the head CURRENT AT EACH ATTEMPT —
     * so a loser of the rename race automatically rebases its intent
     * (append: head + added; replace: head − swapped + added) onto
-    * whatever landed first. rename-if-absent IS the commit point: the
-    * loser sees the destination taken, discards its temp, retries. */
+    * whatever landed first. The commit point is rename PLUS a re-read of
+    * the destination verifying this attempt's UUID: a successful rename
+    * is NOT proof of winning on filesystems where rename silently
+    * replaces an existing destination (stock LocalFileSystem = POSIX
+    * rename(2) does exactly that), so trusting the boolean alone would
+    * let two racing commits both "win" v<N+1> and silently drop one.
+    * With the verify, the displaced writer detects the loss and retries
+    * against the new head, rebasing as usual. */
   private def casCommit(fs: FileSystem, root: Path, op: String,
                         listFor: Int => Seq[String],
                         schemaFor: Int => Option[types.StructType] =
@@ -484,17 +593,25 @@ object Layout {
       // Txn markers CARRY by default (every verb preserves them);
       // `txnFor` supplies this commit's updates on top.
       val txns = txnsOf(fs, root, head) ++ txnFor(head)
-      val header = schemaFor(head).map(s => SchemaHeader + s.json).toSeq ++
-        txns.toSeq.sorted.map { case (app, b) => s"$TxnHeader$app\t$b" }
+      val attemptId = java.util.UUID.randomUUID().toString
+      val header = (CommitHeader + attemptId) +:
+        (schemaFor(head).map(s => SchemaHeader + s.json).toSeq ++
+          txns.toSeq.sorted.map { case (app, b) => s"$TxnHeader$app\t$b" })
       val tmp = new Path(mdir,
-        s".v${head + 1}.tmp-" + java.util.UUID.randomUUID().toString)
+        s".v${head + 1}.tmp-" + attemptId)
       val out = fs.create(tmp, /* overwrite = */ false)
       try out.write((header ++ all).mkString("\n").getBytes(
         java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
-      if (fs.rename(tmp, new Path(mdir, s"v${head + 1}.manifest")))
-        return head + 1
-      fs.delete(tmp, false)
+      val dst = new Path(mdir, s"v${head + 1}.manifest")
+      if (fs.rename(tmp, dst)) {
+        // won only if OUR bytes are what the destination now holds; a
+        // mismatch means another writer's commit occupies (or
+        // overwrote) this version — treat as a lost race and retry.
+        // The destination is the other writer's live manifest: never
+        // delete it, and our tmp no longer exists (it was renamed).
+        if (commitIdOf(fs, dst).contains(attemptId)) return head + 1
+      } else fs.delete(tmp, false)
       attempts += 1
     }
     throw new java.io.IOException(
@@ -523,37 +640,42 @@ object Layout {
     }, head => schemaOf(fs, root, head)) // a rewrite never changes schema
 
   /** Stage `df` into a fresh uuid'd data/txn-* dir and return its
-    * root-relative file paths — invisible until a manifest lists them. */
+    * root-relative file (path, bytes) pairs — invisible until a manifest
+    * lists them. Sizes ride along from the one listStatus the staging
+    * already does, so recording them in manifest lines is free. */
   private def stageTxn(spark: SparkSession, fs: FileSystem, root: Path,
-                       df: DataFrame): Seq[String] = {
+                       df: DataFrame): Seq[(String, Long)] = {
     val txn = new Path(root,
       "data/txn-" + java.util.UUID.randomUUID().toString)
     df.write.mode("overwrite").parquet(txn.toString)
     fs.listStatus(txn).toSeq
       .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-      .map(st => s"data/${txn.getName}/${st.getPath.getName}")
+      .map(st => (s"data/${txn.getName}/${st.getPath.getName}", st.getLen))
   }
 
   /** Atomically commit `df` as an APPEND transaction; returns the new
     * version. Retries the manifest CAS a bounded number of times.
     *
-    * `statsColumn`: record per-file min/max of a NUMERIC column in the
-    * manifest entry (`path\tcol\tmin\tmax`) — manifest-level data
-    * skipping, the same idea as Iceberg's manifest column bounds:
-    * [[readSnapshotRange]] then prunes whole files from the read set
-    * BEFORE any footer is opened, one metadata pass instead of N file
-    * opens. Worth pairing with a range-clustered arrangement
-    * (repartitionByRange + sortWithinPartitions on the column) so file
-    * bounds are disjoint and a selective range keeps O(1) files. The
-    * stats pass reads back only the just-staged files (one grouped
-    * aggregate over the txn dir, cost ∝ this commit, not the table). */
+    * `statsColumns`: record per-file min/max bounds for each named
+    * column in the manifest entry (see the grammar at [[entryBounds]])
+    * — manifest-level data skipping, the same idea as Iceberg's
+    * manifest column bounds: [[readSnapshotWhere]] and friends then
+    * prune whole files from the read set BEFORE any footer is opened,
+    * one metadata pass instead of N file opens, and every recorded
+    * column prunes independently (a z-ordered table records BOTH
+    * clustering columns). Worth pairing with a clustered arrangement
+    * (repartitionByRange + sortWithinPartitions, or [[zorderWrite]]'s
+    * arrangement) so file bounds are tight and a selective predicate
+    * keeps O(1) files. The stats pass reads back only the just-staged
+    * files (one grouped aggregate over the txn dir, cost ∝ this commit,
+    * not the table). */
   def commitSnapshot(spark: SparkSession, table: String,
                      df: DataFrame,
-                     statsColumn: Option[String] = None): Int = {
+                     statsColumns: Seq[String] = Nil): Int = {
     val root = new Path(table)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val added = stageTxn(spark, fs, root, df)
-    val entries = withStats(spark, fs, root, added, statsColumn)
+    val entries = withStats(spark, fs, root, added, statsColumns)
     casCommit(fs, root, "commitSnapshot", head =>
       (if (head == 0) Seq.empty else manifestFiles(fs, root, head)) ++
         entries,
@@ -561,18 +683,69 @@ object Layout {
   }
 
   /** The APPEND verb's schema record: new columns MERGE onto the prior
-    * recorded schema (parquet-merge rules; type changes throw), recorded
-    * all-nullable so pre-evolution files null-fill under the evolved
-    * read schema. A legacy head without a recorded schema stays
-    * unrecorded — inferring one from this append's (possibly narrower)
-    * frame could silently hide existing columns. */
+    * recorded schema via [[mergeWiden]] (add-column + numeric widening;
+    * anything else refuses loudly), recorded all-nullable so
+    * pre-evolution files null-fill under the evolved read schema. A
+    * legacy head without a recorded schema stays unrecorded — inferring
+    * one from this append's (possibly narrower) frame could silently
+    * hide existing columns. */
   private def appendSchemaFor(fs: FileSystem, root: Path, df: DataFrame)
       : Int => Option[types.StructType] =
     head =>
       if (head == 0) Some(ColumnBridge.nullableSchema(df.schema))
       else schemaOf(fs, root, head).map(prior =>
-        ColumnBridge.mergeSchemas(prior,
-          ColumnBridge.nullableSchema(df.schema)))
+        mergeWiden(prior, ColumnBridge.nullableSchema(df.schema)))
+
+  /** Schema-evolution merge for the APPEND verb: add-column (new fields
+    * append, nullable, so pre-evolution files null-fill) PLUS lossless
+    * numeric WIDENING — TINYINT/SMALLINT/INT → BIGINT and FLOAT →
+    * DOUBLE, the next schema change every real pipeline makes after
+    * add-column. The widened read works because Spark 4's vectorized
+    * parquet reader performs widening type promotion at scan time
+    * (SPARK-40876): pre-widening int32 files read cleanly under the
+    * evolved BIGINT schema, no rewrite. A NARROWER append (int rows
+    * into a long column) keeps the wider recorded type, also promoted
+    * at read. Anything else — string → int, narrowing as a schema
+    * change, decimal rescale — is REFUSED at commit time with a named
+    * error: failing the append beats committing a schema the read path
+    * cannot honor and failing some later merge instead. Nested structs
+    * keep the parquet-merge add-field rules (no widening inside). */
+  private[graft] def mergeWiden(prior: types.StructType,
+      incoming: types.StructType): types.StructType = {
+    def refuse(colName: String, a: types.DataType, b: types.DataType) =
+      throw new IllegalArgumentException(
+        "graft-manifest schema evolution: incompatible type change on " +
+          s"column `$colName`: ${a.sql} -> ${b.sql}. Supported: " +
+          "add-column, TINYINT/SMALLINT/INT -> BIGINT widening, " +
+          "FLOAT -> DOUBLE widening. Rewrite the table " +
+          "(replaceSnapshot) for anything else.")
+    def integral(t: types.DataType): Boolean = t match {
+      case types.ByteType | types.ShortType | types.IntegerType |
+           types.LongType => true
+      case _ => false
+    }
+    def wider(a: types.DataType, b: types.DataType, colName: String)
+        : types.DataType = (a, b) match {
+      case (x, y) if x == y => x
+      case (x, y) if integral(x) && integral(y) =>
+        if (x.defaultSize >= y.defaultSize) x else y
+      case (types.FloatType, types.DoubleType) |
+           (types.DoubleType, types.FloatType) => types.DoubleType
+      case (x: types.StructType, y: types.StructType) =>
+        scala.util.Try(ColumnBridge.mergeSchemas(x, y))
+          .getOrElse(refuse(colName, x, y))
+      case _ => refuse(colName, a, b)
+    }
+    val inByName = incoming.fields.map(f => f.name -> f).toMap
+    val priorNames = prior.fieldNames.toSet
+    val mergedPrior = prior.fields.map { pf =>
+      inByName.get(pf.name).fold(pf)(inf =>
+        pf.copy(dataType = wider(pf.dataType, inf.dataType, pf.name),
+          nullable = true))
+    }
+    types.StructType(mergedPrior ++
+      incoming.fields.filterNot(f => priorNames.contains(f.name)))
+  }
 
   /** Thrown inside the CAS loop when an idempotent commit discovers its
     * batch already landed — control flow, not an error. */
@@ -584,9 +757,9 @@ object Layout {
     * instead of waiting for vacuum (best effort — a failure here just
     * leaves a normal crashed-txn orphan). */
   private def dropStaged(fs: FileSystem, root: Path,
-      added: Seq[String]): Unit =
-    added.headOption.foreach(rel =>
-      fs.delete(new Path(root, rel).getParent, true))
+      staged: Seq[(String, Long)]): Unit =
+    staged.headOption.foreach { case (rel, _) =>
+      fs.delete(new Path(root, rel).getParent, true) }
 
   /** [[commitSnapshot]] carrying an exactly-once writer-transaction
     * marker: commits `df` AND records `appId → batchId` in the SAME
@@ -601,10 +774,10 @@ object Layout {
     * between batches never forgets what was applied. */
   def commitSnapshotTxn(spark: SparkSession, table: String, df: DataFrame,
       appId: String, batchId: Long,
-      statsColumn: Option[String] = None): Option[Int] =
+      statsColumns: Seq[String] = Nil): Option[Int] =
     txnGuarded(spark, table, df, appId, batchId, "commitSnapshotTxn") {
       (fs, root, added) =>
-        val entries = withStats(spark, fs, root, added, statsColumn)
+        val entries = withStats(spark, fs, root, added, statsColumns)
         (head => (if (head == 0) Seq.empty
                   else manifestFiles(fs, root, head)) ++ entries,
          appendSchemaFor(fs, root, df))
@@ -614,11 +787,11 @@ object Layout {
     * for `df`'s files in one commit; old files stay readable to pinned
     * versions until vacuum, like any REPLACE. */
   def replaceSnapshot(spark: SparkSession, table: String, df: DataFrame,
-      statsColumn: Option[String] = None): Int = {
+      statsColumns: Seq[String] = Nil): Int = {
     val root = new Path(table)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val added = withStats(spark, fs, root,
-      stageTxn(spark, fs, root, df), statsColumn)
+      stageTxn(spark, fs, root, df), statsColumns)
     casCommit(fs, root, "replaceSnapshot", _ => added,
       _ => Some(ColumnBridge.nullableSchema(df.schema)))
   }
@@ -630,8 +803,9 @@ object Layout {
   def replaceSnapshotTxn(spark: SparkSession, table: String, df: DataFrame,
       appId: String, batchId: Long): Option[Int] =
     txnGuarded(spark, table, df, appId, batchId, "replaceSnapshotTxn") {
-      (_, _, added) =>
-        (_ => added, _ => Some(ColumnBridge.nullableSchema(df.schema)))
+      (fs, root, added) =>
+        val entries = withStats(spark, fs, root, added, Nil)
+        (_ => entries, _ => Some(ColumnBridge.nullableSchema(df.schema)))
     }
 
   /** The one exactly-once commit scaffold both txn verbs share: appId
@@ -641,7 +815,7 @@ object Layout {
     * schemaFor) pair — the only part that differs. */
   private def txnGuarded(spark: SparkSession, table: String, df: DataFrame,
       appId: String, batchId: Long, op: String)(
-      body: (FileSystem, Path, Seq[String]) =>
+      body: (FileSystem, Path, Seq[(String, Long)]) =>
         (Int => Seq[String], Int => Option[types.StructType]))
       : Option[Int] = {
     require(!appId.contains('\t') && !appId.contains('\n'),
@@ -668,48 +842,79 @@ object Layout {
     }
   }
 
-  /** Decorate freshly staged file paths with `path\tcol\tmin\tmax`
-    * bounds (one grouped aggregate over ONLY the staged files; cost ∝
-    * the transaction, not the table). Shared by every commit verb that
-    * stages files so a stats-skipping table keeps its pruning through
-    * compaction too. */
+  /** Render staged (path, bytes) pairs as manifest lines: `path\t@bytes`
+    * plus a `col\tmin\tmax` bounds group for every requested stats
+    * column (ONE grouped aggregate over only the staged files computes
+    * all columns' bounds at once; cost ∝ the transaction, not the
+    * table). Shared by every commit verb that stages files so a
+    * stats-skipping table keeps its pruning through compaction, delete
+    * and merge rewrites too.
+    *
+    * Typing: STRING columns record lexicographic `S:` bounds
+    * (categorical pruning — language, source, partition-ish keys);
+    * INTEGRAL columns record lossless `L:` long bounds compared in long
+    * (a double round trip on a |v| > 2^53 key could move a recorded max
+    * below the true max and wrongly prune); everything else goes through
+    * the double path. Columns absent from the staged frame's schema (an
+    * append predating an evolved column) record no bounds — their files
+    * always survive selection. */
   private def withStats(spark: SparkSession, fs: FileSystem, root: Path,
-      added: Seq[String], statsColumn: Option[String]): Seq[String] =
-    statsColumn match {
-      case None => added
-      case Some(c) =>
-        val df = spark.read.parquet(
-          added.map(rel => new Path(root, rel).toString): _*)
-        // STRING columns record lexicographic bounds (categorical
-        // pruning — language, source, partition-ish keys); everything
-        // else goes through the numeric double path
-        val isStr = df.schema(c).dataType == types.StringType
-        val keyCol = if (isStr) col(c) else col(c).cast("double")
-        val rows = df.groupBy(input_file_name().as("__f"))
-          .agg(min(keyCol).as("mn"), max(keyCol).as("mx"))
-          .collect()
-          .filter(r => !r.isNullAt(1) && !r.isNullAt(2)) // all-null col
-        val rendered: Map[String, (String, String)] =
-          if (isStr)
-            rows.map(r => fsPathOf(r.getString(0)) ->
-              (encBound(r.getString(1)), encBound(r.getString(2)))).toMap
-          else
-            rows
-              // NaN poisons range comparisons (every NaN compare is
-              // false, so a NaN bound would make rangeFileSelection
-              // WRONGLY prune a file that has in-range rows) → record
-              // no bounds for that file, it always survives
-              .filter(r => !r.getDouble(1).isNaN && !r.getDouble(2).isNaN)
-              .map(r => fsPathOf(r.getString(0)) ->
-                (r.getDouble(1).toString, r.getDouble(2).toString)).toMap
-        added.map { rel =>
-          val k = fsPathOf(fs.makeQualified(new Path(root, rel)).toString)
-          rendered.get(k) match {
-            case Some((mn, mx)) => s"$rel\t$c\t$mn\t$mx"
-            case None           => rel // empty file: no rows, no bounds
-          }
-        }
+      staged: Seq[(String, Long)], statsColumns: Seq[String])
+      : Seq[String] = {
+    require(statsColumns.forall(c =>
+      !c.contains('\t') && !c.contains('\n') && !c.startsWith("@")),
+      "stats column names must not contain tab/newline or start with @ " +
+        "(manifest line currency)")
+    def bare = staged.map { case (rel, len) => s"$rel\t@$len" }
+    if (statsColumns.isEmpty || staged.isEmpty) return bare
+    val df = spark.read.parquet(
+      staged.map { case (rel, _) => new Path(root, rel).toString }: _*)
+    val present = statsColumns.filter(df.columns.contains)
+    if (present.isEmpty) return bare
+    def isIntegral(dt: types.DataType) = dt match {
+      case types.ByteType | types.ShortType | types.IntegerType |
+           types.LongType => true
+      case _ => false
     }
+    def keyed(c: String): Column = df.schema(c).dataType match {
+      case types.StringType           => col(c)
+      case dt if isIntegral(dt)       => col(c).cast("long")
+      case _                          => col(c).cast("double")
+    }
+    val aggs = present.flatMap(c =>
+      Seq(min(keyed(c)).as(s"__mn_$c"), max(keyed(c)).as(s"__mx_$c")))
+    val rows = df.groupBy(input_file_name().as("__f"))
+      .agg(aggs.head, aggs.tail: _*).collect()
+    val rendered: Map[String, String] = rows.map { r =>
+      val groups = new StringBuilder
+      present.zipWithIndex.foreach { case (c, i) =>
+        val (mnI, mxI) = (1 + 2 * i, 2 + 2 * i)
+        if (!r.isNullAt(mnI) && !r.isNullAt(mxI)) { // all-null → no bounds
+          val pair: Option[(String, String)] =
+            df.schema(c).dataType match {
+              case types.StringType =>
+                Some((encBound(r.getString(mnI)),
+                  encBound(r.getString(mxI))))
+              case dt if isIntegral(dt) =>
+                Some((LongPfx + r.getLong(mnI), LongPfx + r.getLong(mxI)))
+              case _ =>
+                // NaN poisons range comparisons (every NaN compare is
+                // false → a NaN bound would WRONGLY prune a file that
+                // has in-range rows): record no bounds, file survives
+                val (mn, mx) = (r.getDouble(mnI), r.getDouble(mxI))
+                if (mn.isNaN || mx.isNaN) None
+                else Some((mn.toString, mx.toString))
+            }
+          pair.foreach { case (mn, mx) => groups ++= s"\t$c\t$mn\t$mx" }
+        }
+      }
+      fsPathOf(r.getString(0)) -> groups.result()
+    }.toMap
+    staged.map { case (rel, len) =>
+      val k = fsPathOf(fs.makeQualified(new Path(root, rel)).toString)
+      s"$rel\t@$len" + rendered.getOrElse(k, "")
+    }
+  }
 
   /** A version's concrete file paths + recorded schema — what a batch
     * relation provider needs to hand the file-source machinery
@@ -752,95 +957,134 @@ object Layout {
     readVersionFiles(spark, fs, root, v, files)
   }
 
-  /** The file-skipping decision, factored out so SnapshotIsolationSpec
-    * can assert the pruned set directly: (surviving lines, total lines)
-    * of `version`'s manifest for `column ∈ [lo, hi]`. A line without
-    * recorded bounds for `column` ALWAYS survives — stats are an
-    * optimization, never a correctness input. */
+  /** File-skipping predicates evaluable against recorded per-file
+    * bounds. A file survives a [[Skip]] unless its recorded bounds for
+    * that column PROVE no row can match — no bounds, or bounds of a
+    * different type, always survive: stats are an optimization, never a
+    * correctness input. */
+  sealed trait Skip { def column: String }
+  /** column ∈ [lo, hi] (numeric bounds; long-typed legs compare in long) */
+  final case class SkipRange(column: String, lo: Long, hi: Long)
+      extends Skip
+  /** column = value (lexicographic string bounds) */
+  final case class SkipEquals(column: String, value: String) extends Skip
+  /** column ∈ values — the IN-list shape (the flagship's three filters) */
+  final case class SkipIn(column: String, values: Seq[Long]) extends Skip
+
+  private def survives(bounds: Map[String, ColBounds], s: Skip): Boolean =
+    bounds.get(s.column) match {
+      case None => true
+      case Some(b) => (s, b) match {
+        // integral bounds compare in LONG, never through double — see
+        // the 2^53 note on the line grammar
+        case (SkipRange(_, lo, hi), LongBounds(mn, mx)) =>
+          mx >= lo && mn <= hi
+        case (SkipRange(_, lo, hi), NumBounds(mn, mx)) =>
+          mx >= lo && mn <= hi
+        case (SkipEquals(_, v), StrBounds(mn, mx)) => mn <= v && v <= mx
+        case (SkipIn(_, vs), LongBounds(mn, mx)) =>
+          vs.exists(v => mn <= v && v <= mx)
+        case (SkipIn(_, vs), NumBounds(mn, mx)) =>
+          vs.exists(v => mn <= v && v <= mx)
+        case _ => true // bounds of another type can prove nothing
+      }
+    }
+
+  /** The file-skipping decision over ANY conjunction of predicates,
+    * factored out so SnapshotIsolationSpec can assert the pruned set
+    * directly: (surviving lines, total lines). A file is dropped when
+    * any ONE predicate's bounds rule it out — conjunctive semantics,
+    * which is what makes multi-column stats pay: a z-ordered table
+    * records bounds for both clustering columns and each prunes
+    * independently. */
+  private[graft] def fileSelection(spark: SparkSession, table: String,
+      skips: Seq[Skip], version: Option[Int] = None)
+      : (Seq[String], Int) = {
+    val root = new Path(table)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v = version.getOrElse(currentVersion(fs, root))
+    require(v > 0, s"fileSelection: no committed version in $table")
+    val lines = manifestFiles(fs, root, v)
+    val kept = lines.filter { line =>
+      val b = entryBounds(line)
+      skips.forall(s => survives(b, s))
+    }
+    (kept, lines.size)
+  }
+
   private[graft] def rangeFileSelection(spark: SparkSession, table: String,
       column: String, lo: Long, hi: Long, version: Option[Int] = None)
-      : (Seq[String], Int) = {
-    val root = new Path(table)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val v = version.getOrElse(currentVersion(fs, root))
-    require(v > 0, s"rangeFileSelection: no committed version in $table")
-    val lines = manifestFiles(fs, root, v)
-    val kept = lines.filter { line =>
-      entryStats(line, column) match {
-        case Some((mn, mx)) => mx >= lo && mn <= hi
-        case None           => true
-      }
-    }
-    (kept, lines.size)
-  }
+      : (Seq[String], Int) =
+    fileSelection(spark, table, Seq(SkipRange(column, lo, hi)), version)
 
-  /** Range read with MANIFEST-level data skipping: files whose recorded
-    * `column` bounds miss [lo, hi] are dropped from the read set before
-    * any parquet footer is opened — at 100 TB on an object store that is
-    * the difference between one manifest read and N per-file round
-    * trips, and it composes with (sits above) the parquet row-group
-    * pruning that still applies inside surviving files. The exact range
-    * filter is re-applied on the scan, so results are identical whether
-    * bounds were recorded or not. */
-  def readSnapshotRange(spark: SparkSession, table: String, column: String,
-      lo: Long, hi: Long, version: Option[Int] = None): DataFrame = {
-    val root = new Path(table)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val v = version.getOrElse(currentVersion(fs, root))
-    val (kept, _) =
-      rangeFileSelection(spark, table, column, lo, hi, Some(v))
-    require(kept.nonEmpty, // schema would be unknowable from zero files
-      s"readSnapshotRange: every file of $table pruned; " +
-        "read the snapshot and filter instead")
-    readVersionFiles(spark, fs, root, v,
-        kept.map(l => new Path(root, entryPath(l)).toString))
-      .where(col(column) >= lit(lo) && col(column) <= lit(hi))
-  }
-
-  /** Categorical file skipping: (surviving lines, total) of `version`'s
-    * manifest for `column = value` under recorded STRING bounds. A line
-    * without string bounds for `column` ALWAYS survives — stats are an
-    * optimization, never a correctness input. */
   private[graft] def eqFileSelection(spark: SparkSession, table: String,
       column: String, value: String, version: Option[Int] = None)
-      : (Seq[String], Int) = {
+      : (Seq[String], Int) =
+    fileSelection(spark, table, Seq(SkipEquals(column, value)), version)
+
+  /** The exact Column predicate a [[Skip]] stands for — re-applied on
+    * the pruned scan, so results are identical whether bounds were
+    * recorded or not. */
+  private def predicateOf(s: Skip): Column = s match {
+    case SkipRange(c, lo, hi) => col(c) >= lit(lo) && col(c) <= lit(hi)
+    case SkipEquals(c, v)     => col(c) === lit(v)
+    case SkipIn(c, vs)        => col(c).isin(vs: _*)
+  }
+
+  private def emptyFrame(spark: SparkSession, s: types.StructType) =
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), s)
+
+  /** Snapshot read with MANIFEST-level data skipping over any
+    * conjunction of predicates: files whose recorded bounds rule out
+    * ANY predicate are dropped from the read set before a single
+    * parquet footer is opened — at 100 TB on an object store that is
+    * the difference between one manifest read and N per-file round
+    * trips, and it composes with (sits above) the parquet row-group
+    * pruning that still applies inside surviving files. The exact
+    * predicates are re-applied on the scan. When EVERY file is pruned,
+    * the read returns an EMPTY frame under the version's recorded
+    * schema — a legitimately selective query is not an error; only a
+    * legacy table predating recorded schemas refuses, since zero files
+    * leave its schema unknowable. */
+  def readSnapshotWhere(spark: SparkSession, table: String,
+      skips: Seq[Skip], version: Option[Int] = None): DataFrame = {
     val root = new Path(table)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val v = version.getOrElse(currentVersion(fs, root))
-    require(v > 0, s"eqFileSelection: no committed version in $table")
-    val lines = manifestFiles(fs, root, v)
-    val kept = lines.filter { line =>
-      entryStatsString(line, column) match {
-        case Some((mn, mx)) => mn <= value && value <= mx
-        case None           => true
+    val (kept, _) = fileSelection(spark, table, skips, Some(v))
+    val base =
+      if (kept.nonEmpty)
+        readVersionFiles(spark, fs, root, v,
+          kept.map(l => new Path(root, entryPath(l)).toString))
+      else schemaOf(fs, root, v) match {
+        case Some(s) => emptyFrame(spark, s)
+        case None => throw new IllegalArgumentException(
+          s"readSnapshotWhere: every file of $table pruned, and the " +
+            "table predates recorded schemas (zero files leave its " +
+            "schema unknowable) — read the snapshot and filter instead")
       }
-    }
-    (kept, lines.size)
+    skips.foldLeft(base)((df, s) => df.where(predicateOf(s)))
   }
 
-  /** Point read on a categorical column with MANIFEST-level skipping —
+  /** Range read with manifest-level skipping — [[readSnapshotWhere]]
+    * with one [[SkipRange]]. */
+  def readSnapshotRange(spark: SparkSession, table: String, column: String,
+      lo: Long, hi: Long, version: Option[Int] = None): DataFrame =
+    readSnapshotWhere(spark, table, Seq(SkipRange(column, lo, hi)), version)
+
+  /** Point read on a categorical column with manifest-level skipping —
     * the hive-partition-pruning shape without hive directories: land
     * the table range-clustered on the column (so files hold contiguous
     * value runs and bounds are tight), and an equality read opens only
     * the files whose recorded lexicographic [min, max] straddles the
     * value. At a 100 TB corpus keyed by language or source this is the
     * difference between scanning one language's files and opening every
-    * footer. The exact predicate is re-applied on the scan, so results
-    * are identical whether bounds exist or not. */
+    * footer. */
   def readSnapshotEquals(spark: SparkSession, table: String,
       column: String, value: String,
-      version: Option[Int] = None): DataFrame = {
-    val root = new Path(table)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val v = version.getOrElse(currentVersion(fs, root))
-    val (kept, _) = eqFileSelection(spark, table, column, value, Some(v))
-    require(kept.nonEmpty, // schema would be unknowable from zero files
-      s"readSnapshotEquals: every file of $table pruned; " +
-        "read the snapshot and filter instead")
-    readVersionFiles(spark, fs, root, v,
-        kept.map(l => new Path(root, entryPath(l)).toString))
-      .where(col(column) === lit(value))
-  }
+      version: Option[Int] = None): DataFrame =
+    readSnapshotWhere(spark, table, Seq(SkipEquals(column, value)), version)
 
   /** CDC-style incremental read: the rows APPENDED after `fromVersion`
     * up to and including `toVersion` — the consumer loop that keeps a
@@ -921,15 +1165,17 @@ object Layout {
   def compactSnapshot(spark: SparkSession, table: String,
                       targetFileBytes: Long = 128L << 20,
                       sortBy: Seq[String] = Nil,
-                      statsColumn: Option[String] = None)
+                      statsColumns: Seq[String] = Nil)
       : (Int, CompactStats) = {
     val root = new Path(table)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val v0 = currentVersion(fs, root)
     require(v0 > 0, s"compactSnapshot: no committed version in $table")
     val inputs = manifestFiles(fs, root, v0)
-    val bytesBefore = inputs
-      .map(l => fs.getFileStatus(new Path(root, entryPath(l))).getLen).sum
+    // recorded @sizes spare one getFileStatus per file (legacy lines
+    // without the token still stat)
+    val bytesBefore = inputs.map(l => entrySize(l).getOrElse(
+      fs.getFileStatus(new Path(root, entryPath(l))).getLen)).sum
     val nOut = math.max(1L,
       (bytesBefore + targetFileBytes - 1) / targetFileBytes).toInt
     val df = readVersionFiles(spark, fs, root, v0,
@@ -941,12 +1187,16 @@ object Layout {
       else df.coalesce(nOut)
     // re-record column bounds on the re-packed files (sortBy = the stats
     // column gives disjoint per-file ranges) — without this an OPTIMIZE
-    // would silently strip a skipping table's pruning
+    // would silently strip a skipping table's pruning. The caller's
+    // statsColumns win when given; otherwise the table's own recorded
+    // columns carry, so a plain OPTIMIZE never strips pruning either.
     val added = withStats(spark, fs, root,
-      stageTxn(spark, fs, root, arranged), statsColumn)
+      stageTxn(spark, fs, root, arranged),
+      if (statsColumns.nonEmpty) statsColumns
+      else statsColumnsOf(fs, root, v0))
     val v = replaceCommit(fs, root, "compactSnapshot", inputs.toSet, added)
-    val bytesAfter = added
-      .map(l => fs.getFileStatus(new Path(root, entryPath(l))).getLen).sum
+    val bytesAfter = added.map(l => entrySize(l).getOrElse(
+      fs.getFileStatus(new Path(root, entryPath(l))).getLen)).sum
     (v, CompactStats(inputs.size, added.size,
       bytesBefore, bytesAfter, inputs.size))
   }
@@ -1014,11 +1264,16 @@ object Layout {
     // column)
     val kept = readVersionFiles(spark, fs, root, v0, affected.map(_._2))
       .where(!coalesce(predicate, lit(false)))
-    // rewritten files re-record the table's stats column (if any):
+    // rewritten files re-record the table's stats columns (if any):
     // without this, every delete would silently strip a skipping
-    // table's pruning — the guard compactSnapshot already carries
-    val added = withStats(spark, fs, root, stageTxn(spark, fs, root, kept),
-      statsColumnOf(fs, root, v0))
+    // table's pruning — the guard compactSnapshot already carries.
+    // A rewrite that keeps ZERO rows stages nothing: the affected
+    // files' entries simply leave the manifest (no empty placeholder
+    // file enters it).
+    val added =
+      if (kept.isEmpty) Seq.empty[String]
+      else withStats(spark, fs, root, stageTxn(spark, fs, root, kept),
+        statsColumnsOf(fs, root, v0))
     val v = replaceCommit(fs, root, "deleteWhere",
       affected.map(_._1).toSet, added)
     (v, affected.size, untouched.size)
@@ -1040,67 +1295,116 @@ object Layout {
     * volume, not the table. Scale note: the key join shuffles
     * (source-key, file) pairs only; Catalyst broadcasts the source side
     * when the delta is small, which is the common nightly-correction
-    * shape. Returns (newVersion, filesRewritten, rowsInserted). */
+    * shape.
+    *
+    * `deleteWhen` adds the third MERGE clause — `WHEN MATCHED AND
+    * <cond> THEN DELETE`, the late-fact retraction every warehouse
+    * MERGE eventually needs. The condition is evaluated on the SOURCE
+    * row (typically a retraction marker column): matched target rows
+    * whose source row satisfies it are deleted instead of updated, and
+    * delete-marked source rows never insert. Returns (newVersion,
+    * filesRewritten, rowsInserted). */
   def mergeInto(spark: SparkSession, table: String, source: DataFrame,
-                key: String): (Int, Int, Long) = {
+                key: String, deleteWhen: Option[Column] = None)
+      : (Int, Int, Long) = {
     val root = new Path(table)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val v0 = currentVersion(fs, root)
     require(v0 > 0, s"mergeInto: no committed version in $table")
-    // one aggregate, not a count + a distinct-count job: the check runs
-    // on every merge, and the source is the only input scanned twice.
-    // countDistinct skips NULLs, so unique ⇔ n == k + (1 if any null) —
-    // at most one NULL-keyed row is allowed (it never matches the ON
-    // clause, so it is always a plain insert, as in SQL MERGE)
-    val u = source.agg(count(lit(1)).as("n"),
-      countDistinct(col(key)).as("k"),
-      count(when(col(key).isNull, 1)).as("nulls")).head
-    require(u.getLong(0) == u.getLong(1) + math.min(u.getLong(2), 1L),
-      s"mergeInto: source is not unique on `$key`")
-    val files = manifestFiles(fs, root, v0)
-    val abs = files.map(l => l -> new Path(root, entryPath(l)).toString)
-    val snap = readVersionFiles(spark, fs, root, v0, abs.map(_._2))
-    // capture the provenance column BEFORE the key join —
-    // input_file_name() is single-source-only and cannot be evaluated
-    // on join output
-    val affectedAbs = snap
-      .select(col(key), input_file_name().as("__f"))
-      .join(source.select(col(key)), Seq(key), "left_semi")
-      .select(col("__f")).distinct()
-      .collect().map(r => fsPathOf(r.getString(0))).toSet
-    val (affected, _) = abs.partition { case (_, a) =>
-      affectedAbs.contains(fsPathOf(fs.makeQualified(new Path(a)).toString))
-    }
-    // not-matched source rows insert regardless of whether any file
-    // matched; matched-file rows are rewritten with updates applied.
-    // The insert set is both counted and written — persist it so the
-    // source⋈snapshot anti-join runs once, not once per consumer
-    val inserts = source
-      .join(snap.select(col(key)), Seq(key), "left_anti")
+    // Materialize the source ONCE at entry: this verb evaluates it
+    // several times (uniqueness aggregate, matched-file semi-join,
+    // insert anti-join, update join), and a source that is expensive
+    // or not perfectly deterministic across evaluations — a
+    // concurrently-changing table, a nondeterministic expression —
+    // could pass the uniqueness check yet yield duplicated or
+    // inconsistent updates. Same reason Delta materializes its merge
+    // source.
+    val src = source
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val nInserted = inserts.count() // materializes the cache
-      val staged =
-        if (affected.isEmpty) inserts
-        else {
-          val old = readVersionFiles(spark, fs, root, v0, affected.map(_._2))
-          val carried = old.join(source.select(col(key)), Seq(key), "left_anti")
-          // SQL MERGE updates EACH matched target row: a target holding N
-          // rows for a key yields N updated rows, so join the (non-distinct)
-          // old keys against the source — a semi-join of source against
-          // distinct old keys would collapse duplicates to one row
-          val updated = old.select(col(key)).join(source, Seq(key), "inner")
-            .select(source.columns.map(col): _*)
-          carried.unionByName(updated).unionByName(inserts)
-        }
-      // rewritten + inserted files keep the table's recorded bounds, as
-      // in deleteWhere
-      val added = withStats(spark, fs, root,
-        stageTxn(spark, fs, root, staged), statsColumnOf(fs, root, v0))
-      val v = replaceCommit(fs, root, "mergeInto",
-        affected.map(_._1).toSet, added)
-      (v, affected.size, nInserted)
-    } finally inserts.unpersist()
+      // one aggregate, not a count + a distinct-count job: the check
+      // runs on every merge. countDistinct skips NULLs, so unique ⇔
+      // n == k + (1 if any null) — at most one NULL-keyed row is
+      // allowed (it never matches the ON clause, so it is always a
+      // plain insert, as in SQL MERGE)
+      val u = src.agg(count(lit(1)).as("n"),
+        countDistinct(col(key)).as("k"),
+        count(when(col(key).isNull, 1)).as("nulls")).head
+      require(u.getLong(0) == u.getLong(1) + math.min(u.getLong(2), 1L),
+        s"mergeInto: source is not unique on `$key`")
+      val files = manifestFiles(fs, root, v0)
+      val abs = files.map(l => l -> new Path(root, entryPath(l)).toString)
+      val snap = readVersionFiles(spark, fs, root, v0, abs.map(_._2))
+      // the source may carry EXTRA columns (e.g. the deleteWhen
+      // marker); only the table's columns flow into updates/inserts —
+      // but it must cover all of them
+      val tcols = snap.columns.toSeq
+      require(tcols.forall(src.columns.contains),
+        "mergeInto: source must carry every table column; missing: " +
+          tcols.filterNot(src.columns.contains).mkString(", "))
+      // WHEN MATCHED [AND deleteWhen] THEN DELETE — the late-fact
+      // retraction clause. The condition is evaluated on the SOURCE
+      // row: delete-marked rows retract their matched target rows and
+      // NEVER insert (a retraction of a row that no longer exists is a
+      // no-op, not a resurrection); unmarked rows update-or-insert as
+      // before.
+      val upSrc = deleteWhen.fold(src)(c =>
+        src.where(!coalesce(c, lit(false))))
+      // capture the provenance column BEFORE the key join —
+      // input_file_name() is single-source-only and cannot be
+      // evaluated on join output. Files matched by EITHER clause
+      // (update or delete keys) are affected.
+      val affectedAbs = snap
+        .select(col(key), input_file_name().as("__f"))
+        .join(src.select(col(key)), Seq(key), "left_semi")
+        .select(col("__f")).distinct()
+        .collect().map(r => fsPathOf(r.getString(0))).toSet
+      val (affected, _) = abs.partition { case (_, a) =>
+        affectedAbs.contains(
+          fsPathOf(fs.makeQualified(new Path(a)).toString))
+      }
+      // not-matched non-delete source rows insert regardless of whether
+      // any file matched; matched-file rows are rewritten with updates
+      // applied. The insert set is both counted and written — persist
+      // it so the source⋈snapshot anti-join runs once per consumer
+      val inserts = upSrc.select(tcols.map(col): _*)
+        .join(snap.select(col(key)), Seq(key), "left_anti")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val nInserted = inserts.count() // materializes the cache
+        val staged =
+          if (affected.isEmpty) inserts
+          else {
+            val old =
+              readVersionFiles(spark, fs, root, v0, affected.map(_._2))
+            // ALL matched rows (update AND delete keys) leave the
+            // rewrite; only update-matched re-enter with the source row
+            // applied — what stays out is exactly the deleted set
+            val carried =
+              old.join(src.select(col(key)), Seq(key), "left_anti")
+            // SQL MERGE updates EACH matched target row: a target
+            // holding N rows for a key yields N updated rows, so join
+            // the (non-distinct) old keys against the source — a
+            // semi-join of source against distinct old keys would
+            // collapse duplicates to one row
+            val updated = old.select(col(key))
+              .join(upSrc, Seq(key), "inner")
+              .select(tcols.map(col): _*)
+            carried.unionByName(updated).unionByName(inserts)
+          }
+        // rewritten + inserted files keep the table's recorded bounds,
+        // as in deleteWhere; a rewrite keeping ZERO rows (every row of
+        // the affected files deleted) stages nothing and the affected
+        // entries simply leave the manifest
+        val added =
+          if (staged.isEmpty) Seq.empty[String]
+          else withStats(spark, fs, root,
+            stageTxn(spark, fs, root, staged), statsColumnsOf(fs, root, v0))
+        val v = replaceCommit(fs, root, "mergeInto",
+          affected.map(_._1).toSet, added)
+        (v, affected.size, nInserted)
+      } finally inserts.unpersist()
+    } finally src.unpersist()
   }
 
   /** Snapshot GC (VACUUM): drop manifests older than the newest
@@ -1181,15 +1485,13 @@ object Layout {
   def qManifestSnapshot(s: SparkSession, d: String): DataFrame = {
     import graft.Tables._
     val table = s"${Sources.ioDir(s, d)}/orders_snapshot"
-    val root = new Path(table)
-    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
-    fs.delete(root, true) // deterministic re-run: fresh table history
+    dropTable(s, table) // deterministic re-run: fresh table history
     val o = orders(s, d)
     commitSnapshot(s, table, o.where(pmod(col("o_orderkey"), lit(2)) === 0))
     commitSnapshot(s, table, o.where(pmod(col("o_orderkey"), lit(2)) === 1))
     // crashed transaction: staged files, manifest never published
     o.limit(1000).write.mode("overwrite")
-      .parquet(new Path(root, "data/txn-crashed").toString)
+      .parquet(s"$table/data/txn-crashed")
     readSnapshot(s, table)
       .groupBy("o_orderstatus")
       .agg(count(lit(1)).as("n"),
@@ -1207,9 +1509,7 @@ object Layout {
   def qCompactSnapshot(s: SparkSession, d: String): DataFrame = {
     import graft.Tables._
     val table = s"${Sources.ioDir(s, d)}/orders_optimize"
-    val root = new Path(table)
-    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
-    fs.delete(root, true) // deterministic re-run: fresh table history
+    dropTable(s, table) // deterministic re-run: fresh table history
     val o = orders(s, d)
     commitSnapshot(s, table,
       o.where(pmod(col("o_orderkey"), lit(2)) === 0).repartition(10))
@@ -1234,9 +1534,7 @@ object Layout {
   def qSnapshotDelete(s: SparkSession, d: String): DataFrame = {
     import graft.Tables._
     val table = s"${Sources.ioDir(s, d)}/orders_cow_delete"
-    val root = new Path(table)
-    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
-    fs.delete(root, true) // deterministic re-run: fresh table history
+    dropTable(s, table) // deterministic re-run: fresh table history
     val o = orders(s, d)
     commitSnapshot(s, table, o.where(pmod(col("o_orderkey"), lit(2)) === 0))
     commitSnapshot(s, table, o.where(pmod(col("o_orderkey"), lit(2)) === 1))
@@ -1251,21 +1549,20 @@ object Layout {
 
   /** Copy-on-write MERGE, end to end: the table (narrow orders
     * projection) lands as two parity transactions, then one
-    * [[mergeInto]] applies a delta carrying BOTH verbs — updates
-    * (price×2 for the o_orderkey%10==3 slice) and inserts (the %10==7
-    * slice re-keyed past the key range). The updated slice is all-odd
-    * (…3 is odd), so the even transaction's files must survive
-    * untouched. The oracle recomputes the merged state from source:
-    * hash-equality proves update-in-place, insert, and carry-through
-    * each did exactly their rows. Prices stay DECIMAL(18,2) through the
-    * update arithmetic so old and rewritten files share one physical
-    * schema. */
+    * [[mergeInto]] applies a delta carrying ALL THREE verbs — updates
+    * (price×2 for the o_orderkey%10==3 slice), inserts (the %10==7
+    * slice re-keyed past the key range), and DELETES (the %10==1 slice
+    * retracted via the `WHEN MATCHED AND is_retract THEN DELETE`
+    * clause). Every touched slice is all-odd (…1 and …3 are odd), so
+    * the even transaction's files must survive untouched. The oracle
+    * recomputes the merged state from source: hash-equality proves
+    * update-in-place, retraction, insert, and carry-through each did
+    * exactly their rows. Prices stay DECIMAL(18,2) through the update
+    * arithmetic so old and rewritten files share one physical schema. */
   def qSnapshotMerge(s: SparkSession, d: String): DataFrame = {
     import graft.Tables._
     val table = s"${Sources.ioDir(s, d)}/orders_merge"
-    val root = new Path(table)
-    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
-    fs.delete(root, true) // deterministic re-run: fresh table history
+    dropTable(s, table) // deterministic re-run: fresh table history
     val o = orders(s, d).select(col("o_orderkey"), col("o_orderstatus"),
       dec2(col("o_totalprice")).as("price"))
     commitSnapshot(s, table, o.where(pmod(col("o_orderkey"), lit(2)) === 0))
@@ -1273,9 +1570,15 @@ object Layout {
     val mx = o.agg(max(col("o_orderkey"))).head.getLong(0)
     val updates = o.where(pmod(col("o_orderkey"), lit(10)) === 3)
       .withColumn("price", (col("price") * 2).cast("decimal(18,2)"))
+      .withColumn("is_retract", lit(false))
     val inserts = o.where(pmod(col("o_orderkey"), lit(10)) === 7)
       .withColumn("o_orderkey", col("o_orderkey") + lit(2L * mx))
-    mergeInto(s, table, updates.unionByName(inserts), "o_orderkey")
+      .withColumn("is_retract", lit(false))
+    val retracts = o.where(pmod(col("o_orderkey"), lit(10)) === 1)
+      .withColumn("is_retract", lit(true))
+    mergeInto(s, table,
+      updates.unionByName(inserts).unionByName(retracts),
+      "o_orderkey", deleteWhen = Some(col("is_retract")))
     readSnapshot(s, table)
       .groupBy("o_orderstatus")
       .agg(count(lit(1)).as("n"),
@@ -1293,15 +1596,13 @@ object Layout {
   def qManifestSkipping(s: SparkSession, d: String): DataFrame = {
     import graft.Tables._
     val table = s"${Sources.ioDir(s, d)}/orders_skipping"
-    val root = new Path(table)
-    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
-    fs.delete(root, true) // deterministic re-run: fresh table history
+    dropTable(s, table) // deterministic re-run: fresh table history
     val o = orders(s, d).select(col("o_orderkey"), col("o_orderstatus"),
       dec2(col("o_totalprice")).as("price"))
     commitSnapshot(s, table,
       o.repartitionByRange(8, col("o_orderkey"))
         .sortWithinPartitions("o_orderkey"),
-      statsColumn = Some("o_orderkey"))
+      statsColumns = Seq("o_orderkey"))
     val mx = o.agg(max(col("o_orderkey"))).head.getLong(0)
     readSnapshotRange(s, table, "o_orderkey", mx / 4, mx / 2)
       .groupBy("o_orderstatus")
@@ -1321,21 +1622,83 @@ object Layout {
   def qManifestSkippingStr(s: SparkSession, d: String): DataFrame = {
     import graft.Tables._
     val table = s"${Sources.ioDir(s, d)}/documents_lang_skipping"
-    val root = new Path(table)
-    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
-    fs.delete(root, true) // deterministic re-run: fresh table history
+    dropTable(s, table) // deterministic re-run: fresh table history
     val docs = documents(s, d).select(col("doc_id"), col("lang"),
       col("n_chars"))
     commitSnapshot(s, table,
       docs.repartitionByRange(8, col("lang"), col("doc_id"))
         .sortWithinPartitions("lang", "doc_id"),
-      statsColumn = Some("lang"))
+      statsColumns = Seq("lang"))
     readSnapshotEquals(s, table, "lang", "en")
       .groupBy("lang")
       .agg(count(lit(1)).as("n"),
         sum(col("n_chars")).as("sum_chars"),
         countDistinct(col("doc_id")).as("n_docs"))
       .orderBy("lang")
+  }
+
+  /** MULTI-column manifest skipping, end to end: orders lands z-ordered
+    * on (o_custkey, o_orderkey) with per-file bounds recorded for BOTH
+    * columns — exactly the pairing the z-layout exists for: each file
+    * covers a small rectangle of the two-column value space, so each
+    * column's recorded bounds are tight and a conjunctive two-range
+    * query prunes on both independently (the reference itself indexes
+    * three columns of one table,
+    * ETLCNPJFinalEmpresaEstabelecimentos.py:178-181). The oracle
+    * recomputes the same conjunction from source — pruning must change
+    * the read set, never the answer; SnapshotIsolationSpec pins that
+    * files ARE dropped for each column independently and that both
+    * columns' bounds survive delete/merge/compact rewrites. */
+  def qManifestSkippingMulti(s: SparkSession, d: String): DataFrame = {
+    import graft.Tables._
+    val table = s"${Sources.ioDir(s, d)}/orders_skipping_multi"
+    dropTable(s, table) // deterministic re-run: fresh table history
+    val o = orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+      col("o_orderstatus"), dec2(col("o_totalprice")).as("price"))
+    commitSnapshot(s, table,
+      zArranged(o, "o_custkey", "o_orderkey", files = 16, buckets = 1024),
+      statsColumns = Seq("o_custkey", "o_orderkey"))
+    val m = o.agg(max(col("o_orderkey")).as("mk"),
+      max(col("o_custkey")).as("mc")).head
+    val (mk, mc) = (m.getLong(0), m.getLong(1))
+    readSnapshotWhere(s, table, Seq(
+        SkipRange("o_custkey", mc / 8, mc / 4),
+        SkipRange("o_orderkey", mk / 8, mk / 4)))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum(col("price")).cast("double").as("sum_price"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** Type-WIDENING schema evolution, end to end: generation 1 commits
+    * supplier with s_suppkey as INT, generation 2 appends the same
+    * column as BIGINT — the commit widens the recorded schema
+    * (INT → BIGINT), and the head read promotes gen-1's int32 files at
+    * scan time (Spark 4 vectorized-reader widening, SPARK-40876): no
+    * file rewrite, both generations under one BIGINT schema. The
+    * oracle recomputes the whole-table aggregate from source —
+    * hash-equality proves no row was lost or mistyped through the
+    * widening; SnapshotIsolationSpec pins the refusal path for a
+    * genuinely incompatible change (string → int). */
+  def qSnapshotWidening(s: SparkSession, d: String): DataFrame = {
+    import graft.Tables._
+    val table = s"${Sources.ioDir(s, d)}/supplier_snapshot_widening"
+    dropTable(s, table) // deterministic re-run: fresh table history
+    val sup = supplier(s, d)
+    commitSnapshot(s, table,
+      sup.where(pmod(col("s_suppkey"), lit(2)) === 0)
+        .select(col("s_suppkey").cast("int").as("s_suppkey"),
+          col("s_nationkey"), dec2(col("s_acctbal")).as("bal")))
+    commitSnapshot(s, table,
+      sup.where(pmod(col("s_suppkey"), lit(2)) === 1)
+        .select(col("s_suppkey").cast("long").as("s_suppkey"),
+          col("s_nationkey"), dec2(col("s_acctbal")).as("bal")))
+    readSnapshot(s, table)
+      .groupBy("s_nationkey")
+      .agg(count(lit(1)).as("n"),
+        sum(col("s_suppkey")).as("sum_key"),
+        sum(col("bal")).cast("double").as("sum_bal"))
+      .orderBy("s_nationkey")
   }
 
   /** Incremental consumption, end to end: three append transactions land
@@ -1347,9 +1710,7 @@ object Layout {
   def qSnapshotChanges(s: SparkSession, d: String): DataFrame = {
     import graft.Tables._
     val table = s"${Sources.ioDir(s, d)}/orders_cdc"
-    val root = new Path(table)
-    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
-    fs.delete(root, true) // deterministic re-run: fresh table history
+    dropTable(s, table) // deterministic re-run: fresh table history
     val o = orders(s, d)
     val v1 = commitSnapshot(s, table, o.where(pmod(col("o_orderkey"), lit(3)) === 0))
     commitSnapshot(s, table, o.where(pmod(col("o_orderkey"), lit(3)) === 1))
@@ -1373,9 +1734,7 @@ object Layout {
   def qSnapshotEvolution(s: SparkSession, d: String): DataFrame = {
     import graft.Tables._
     val table = s"${Sources.ioDir(s, d)}/supplier_snapshot_evolving"
-    val root = new Path(table)
-    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
-    fs.delete(root, true) // deterministic re-run: fresh table history
+    dropTable(s, table) // deterministic re-run: fresh table history
     val sup = supplier(s, d)
     commitSnapshot(s, table,
       sup.select(col("s_suppkey"), col("s_nationkey")))
@@ -1405,9 +1764,7 @@ object Layout {
   def qManifestStream(s: SparkSession, d: String): DataFrame = {
     import graft.Tables._
     val table = s"${Sources.ioDir(s, d)}/orders_stream"
-    val root = new Path(table)
-    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
-    fs.delete(root, true) // deterministic re-run: fresh table history
+    dropTable(s, table) // deterministic re-run: fresh table history
     val o = orders(s, d).select(col("o_orderkey"), col("o_orderstatus"),
       dec2(col("o_totalprice")).as("price"))
     commitSnapshot(s, table, o.where(pmod(col("o_orderkey"), lit(3)) === 0))
@@ -1444,9 +1801,9 @@ object Layout {
     import graft.Tables._
     val base = s"${Sources.ioDir(s, d)}/orders_pipe"
     val (src, dst, ckpt) = (s"$base/src", s"$base/dst", s"$base/ckpt")
-    val fs = new Path(base)
-      .getFileSystem(s.sparkContext.hadoopConfiguration)
-    fs.delete(new Path(base), true) // deterministic re-run
+    dropTable(s, src); dropTable(s, dst) // deterministic re-run
+    new Path(base).getFileSystem(s.sparkContext.hadoopConfiguration)
+      .delete(new Path(base), true)
     val o = orders(s, d).select(col("o_orderkey"), col("o_orderstatus"),
       dec2(col("o_totalprice")).as("price"))
     commitSnapshot(s, src, o.where(pmod(col("o_orderkey"), lit(3)) === 0))
@@ -1476,9 +1833,7 @@ object Layout {
   def qManifestBatchIo(s: SparkSession, d: String): DataFrame = {
     import graft.Tables._
     val table = s"${Sources.ioDir(s, d)}/orders_batch_fmt"
-    val root = new Path(table)
-    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
-    fs.delete(root, true) // deterministic re-run: fresh table history
+    dropTable(s, table) // deterministic re-run: fresh table history
     val o = orders(s, d)
     o.where(pmod(col("o_orderkey"), lit(2)) === 0)
       .write.format("graft-manifest").mode("append").save(table)
@@ -1503,6 +1858,8 @@ object Layout {
     "q_manifest_pipe"     -> qManifestPipe _,
     "q_manifest_batch_io" -> qManifestBatchIo _,
     "q_manifest_skipping_str" -> qManifestSkippingStr _,
+    "q_manifest_skipping_multi" -> qManifestSkippingMulti _,
+    "q_snapshot_widening" -> qSnapshotWidening _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1536,7 +1893,8 @@ object Layout {
         |WHERE NOT (o_orderkey % 2 = 1 AND o_orderstatus = 'F')
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     // post-merge state recomputed from source: update-in-place for the
-    // %10=3 slice, re-keyed inserts for the %10=7 slice
+    // %10=3 slice, retraction (WHEN MATCHED DELETE) of the %10=1 slice,
+    // re-keyed inserts for the %10=7 slice
     "q_snapshot_merge" ->
       """WITH mx AS (SELECT MAX(o_orderkey) AS m FROM orders),
         |base AS (
@@ -1545,7 +1903,7 @@ object Layout {
         |      THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 2
         |        AS DECIMAL(18,2))
         |      ELSE CAST(o_totalprice AS DECIMAL(18,2)) END AS price
-        |  FROM orders
+        |  FROM orders WHERE o_orderkey % 10 <> 1
         |  UNION ALL
         |  SELECT o_orderstatus, CAST(o_totalprice AS DECIMAL(18,2))
         |  FROM orders, mx WHERE o_orderkey % 10 = 7)
@@ -1562,6 +1920,26 @@ object Layout {
         |FROM orders, mx
         |WHERE o_orderkey >= mx.m // 4 AND o_orderkey <= mx.m // 2
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // the same two-column conjunction recomputed from source — pruning
+    // on either column must change the read set, never the answer
+    "q_manifest_skipping_multi" ->
+      """WITH m AS (SELECT MAX(o_orderkey) AS mk, MAX(o_custkey) AS mc
+        |           FROM orders)
+        |SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_price
+        |FROM orders, m
+        |WHERE o_custkey >= m.mc // 8 AND o_custkey <= m.mc // 4
+        |  AND o_orderkey >= m.mk // 8 AND o_orderkey <= m.mk // 4
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // whole-table aggregate recomputed from source: the widened read
+    // must lose or mistype nothing across the INT->BIGINT generations
+    "q_snapshot_widening" ->
+      """SELECT s_nationkey, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(s_suppkey) AS BIGINT) AS sum_key,
+        |  CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_bal
+        |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
     // the two appended thirds recomputed from source
     "q_snapshot_changes" ->
       """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,

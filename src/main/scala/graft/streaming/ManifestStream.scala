@@ -93,7 +93,7 @@ class ManifestStreamProvider extends StreamSourceProvider
     val p = lowered(parameters)
     val spark = sqlContext.sparkSession.asInstanceOf[SparkSession]
     val table = tableOf(p)
-    val stats = p.get("statscolumn")
+    val stats = statsColumnsOf(p)
     val exists = scala.util.Try(
       Layout.versionSchema(spark, table)).isSuccess
     mode match {
@@ -169,6 +169,14 @@ class ManifestStreamProvider extends StreamSourceProvider
   private def lowered(parameters: Map[String, String])
       : Map[String, String] =
     parameters.map { case (k, v) => k.toLowerCase -> v }
+
+  /** `statsColumns` (comma-separated, the multi-column form) with
+    * `statsColumn` as the accepted single-column spelling; `p` must
+    * already be [[lowered]]. */
+  private def statsColumnsOf(p: Map[String, String]): Seq[String] =
+    p.get("statscolumns").orElse(p.get("statscolumn"))
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Nil)
 
   /** `p` must already be [[lowered]]. */
   private def tableOf(p: Map[String, String]): String =

@@ -205,7 +205,9 @@ class SnapshotIsolationSpec extends AnyFunSuite {
     fs.delete(root, true)
     val n = Tables.nation(spark, sf)
     val v1 = commitSnapshot(spark, table, n.repartition(4))
-    val v1Lines = manifestPaths(fs, root, v1)
+    // replaceCommit's currency is whole manifest LINES (incl. the @size
+    // token), not bare paths
+    val v1Lines = manifestLines(fs, root, v1)
     assert(v1Lines.size >= 2)
     // another REPLACE (a compaction) lands first and swaps v1's files out
     val (v2, _) = compactSnapshot(spark, table)
@@ -223,11 +225,11 @@ class SnapshotIsolationSpec extends AnyFunSuite {
     // the same commit against CURRENT head lines proceeds (here: drop one
     // file — a delete-shaped REPLACE), and a racing APPEND's lines are
     // untouched by the swap
-    val v2Lines = manifestPaths(fs, root, v2)
+    val v2Lines = manifestLines(fs, root, v2)
     val v3 = replaceCommit(fs, root, "validReplace",
       Set(v2Lines.head), Seq.empty)
     assert(v3 == v2 + 1)
-    assert(manifestPaths(fs, root, v3) == v2Lines.drop(1))
+    assert(manifestLines(fs, root, v3) == v2Lines.drop(1))
   }
 
   test("mergeInto updates every matched row of a duplicate-key target") {
@@ -337,7 +339,7 @@ class SnapshotIsolationSpec extends AnyFunSuite {
     commitSnapshot(spark, table,
       o.repartitionByRange(8, col("o_orderkey"))
         .sortWithinPartitions("o_orderkey"),
-      statsColumn = Some("o_orderkey"))
+      statsColumns = Seq("o_orderkey"))
     val mx = o.agg(max(col("o_orderkey"))).head.getLong(0)
     // a narrow range over a range-clustered table must drop most files…
     val (kept, total) = rangeFileSelection(spark, table, "o_orderkey",
@@ -364,7 +366,7 @@ class SnapshotIsolationSpec extends AnyFunSuite {
     // files: pruning must survive compaction, and the range answer must
     // not move
     compactSnapshot(spark, table, targetFileBytes = 4 * 1024,
-      sortBy = Seq("o_orderkey"), statsColumn = Some("o_orderkey"))
+      sortBy = Seq("o_orderkey"), statsColumns = Seq("o_orderkey"))
     val (kept3, total3) = rangeFileSelection(spark, table, "o_orderkey",
       mx / 4, mx / 3)
     assert(total3 > 1 && kept3.size < total3,
@@ -396,7 +398,7 @@ class SnapshotIsolationSpec extends AnyFunSuite {
     commitSnapshot(spark, table,
       d.repartitionByRange(6, col("lang"), col("doc_id"))
         .sortWithinPartitions("lang", "doc_id"),
-      statsColumn = Some("lang"))
+      statsColumns = Seq("lang"))
     val langs = d.select("lang").distinct().collect().map(_.getString(0))
     assert(langs.length >= 2, "fixture needs multiple languages")
     val one = langs.min
@@ -416,12 +418,15 @@ class SnapshotIsolationSpec extends AnyFunSuite {
     fs.delete(root2, true)
     commitSnapshot(spark, table2,
       d.limit(5).withColumn("lang", lit(nasty)).coalesce(1),
-      statsColumn = Some("lang"))
+      statsColumns = Seq("lang"))
     assert(readSnapshotEquals(spark, table2, "lang", nasty).count() == 5)
-    // a value outside the bounds prunes everything → loud refusal
-    intercept[IllegalArgumentException] {
-      readSnapshotEquals(spark, table2, "lang", "zz")
-    }
+    // a value outside the bounds prunes EVERY file: a legitimately
+    // selective query returns an EMPTY frame under the recorded schema,
+    // not an error (the refusal survives only for legacy tables with no
+    // recorded schema, whose schema zero files cannot supply)
+    val allPruned = readSnapshotEquals(spark, table2, "lang", "zz")
+    assert(allPruned.columns.toSeq == Seq("doc_id", "lang", "n_chars"))
+    assert(allPruned.count() == 0)
   }
 
   test("readChanges returns exactly the appended rows, rejects REPLACE in range") {
@@ -449,15 +454,25 @@ class SnapshotIsolationSpec extends AnyFunSuite {
     }
   }
 
-  private def manifestPaths(fs: org.apache.hadoop.fs.FileSystem,
+  /** Raw manifest LINES (minus headers) — the commit-protocol currency,
+    * including @size and stats suffixes. */
+  private def manifestLines(fs: org.apache.hadoop.fs.FileSystem,
       root: Path, v: Int): Seq[String] = {
     val in = fs.open(new Path(root, s"manifests/v$v.manifest"))
     try scala.io.Source.fromInputStream(in, "UTF-8")
       .getLines().filter(_.nonEmpty)
-      .filterNot(_.startsWith("#")) // skip the schema header line
+      .filterNot(_.startsWith("#")) // skip the header lines
       .toList
     finally in.close()
   }
+
+  /** The lines' bare file paths (suffixes stripped). */
+  private def manifestPaths(fs: org.apache.hadoop.fs.FileSystem,
+      root: Path, v: Int): Seq[String] =
+    manifestLines(fs, root, v).map(l => l.indexOf('\t') match {
+      case -1 => l
+      case i  => l.substring(0, i)
+    })
 
   private def fileSig(fs: org.apache.hadoop.fs.FileSystem, root: Path,
       rel: String): (Long, Long) = {
