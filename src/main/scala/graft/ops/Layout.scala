@@ -59,8 +59,8 @@ object Layout {
     * range-partition into `files` contiguous z chunks and sort within
     * each — every output file is a near-rectangle of the two-column
     * value space. */
-  private def zArranged(df: DataFrame, a: String, b: String,
-                        files: Int, buckets: Int): DataFrame = {
+  private[graft] def zArranged(df: DataFrame, a: String, b: String,
+                               files: Int, buckets: Int): DataFrame = {
     val stats = df.agg(
       min(col(a)).as("__amin"), max(col(a)).as("__amax"),
       min(col(b)).as("__bmin"), max(col(b)).as("__bmax"))
@@ -223,27 +223,27 @@ object Layout {
   // invisibility; the q_manifest_snapshot oracle (shared with
   // q_table_roundtrip) re-proves snapshot read ≡ plain table read.
   //
-  // COMMIT-SAFETY PRECONDITION: rename-if-absent is a true CAS only
-  // where rename atomically fails on an existing destination — HDFS
-  // guarantees that; stock LocalFileSystem does NOT (it delegates to
+  // COMMIT-SAFETY PRECONDITION: publish-if-absent is a true CAS only
+  // where the publish atomically fails on an existing destination. The
+  // protocol gets that on both filesystems it runs on, by different
+  // primitives: HDFS rename refuses an existing destination
+  // atomically; local filesystems get link(2) via [[publishNoReplace]]
+  // — POSIX hard-link creation fails with EEXIST atomically, unlike
   // POSIX rename(2), which silently REPLACES the destination and
-  // returns true), and raw object stores don't either (S3A rename is a
-  // non-atomic copy+delete). The protocol therefore never trusts the
-  // rename's boolean alone: every commit embeds a per-attempt UUID
-  // (`#commit` header) and re-reads the destination after a
-  // "successful" rename — a writer whose UUID is not the one on disk
-  // LOST the race (its content was, or will be, displaced) and retries
-  // against the new head, so no commit is ever silently dropped even on
-  // overwriting filesystems. What the verify cannot restore on such
-  // filesystems is version-content immutability during the race window
-  // (a reader could observe v<N+1> twice with different content before
-  // the loser rebases to v<N+2>) — the same class of caveat every
-  // Hadoop-committed table format carries: on S3, Delta requires a
-  // LogStore with a conditional-put/locking service and Iceberg a
-  // catalog (Hive/Glue/REST) to arbitrate commits. Deploying THIS
-  // protocol against an object store likewise wants an external commit
-  // arbiter; the manifest-read/direct-open READ path needs no such help
-  // and is where the object-store win actually lives.
+  // returns true. On top of the exclusive publish, every commit embeds
+  // a per-attempt UUID (`#commit` header) and re-reads the destination
+  // after a "successful" publish — belt and braces for filesystems
+  // with neither primitive (raw object stores: S3A rename is a
+  // non-atomic copy+delete). There the verify NARROWS the lost-update
+  // window but does not close it (A can publish, verify its own UUID,
+  // and return before B's copy replaces the object) — the same class
+  // of caveat every Hadoop-committed table format carries: on S3,
+  // Delta requires a LogStore with a conditional-put/locking service
+  // and Iceberg a catalog (Hive/Glue/REST) to arbitrate commits.
+  // Deploying THIS protocol against an object store likewise REQUIRES
+  // an external commit arbiter (or S3 conditional PUT); the
+  // manifest-read/direct-open READ path needs no such help and is
+  // where the object-store win actually lives.
   // ---------------------------------------------------------------------
 
   import org.apache.hadoop.fs.{FileSystem, Path}
@@ -456,6 +456,15 @@ object Layout {
     manifestFiles(fs, root, version).map(entryPath)
   }
 
+  /** `version`'s (root-relative path, recorded byte size) pairs — what
+    * the streaming source's byte-capped admission control sums per
+    * candidate version without a single getFileStatus (legacy lines
+    * predating the `@bytes` token return None and the consumer stats
+    * them individually). */
+  private[graft] def versionFileEntries(fs: FileSystem, root: Path,
+      version: Int): Seq[(String, Option[Long])] =
+    manifestFiles(fs, root, version).map(l => (entryPath(l), entrySize(l)))
+
   /** The file path of a manifest line (strips any size/stats suffix). */
   private def entryPath(line: String): String =
     line.indexOf('\t') match {
@@ -474,8 +483,10 @@ object Layout {
   //          | double literal                        (fractional/legacy)
   //
   // `@bytes` is the data file's length — the streaming source's
-  // byte-capped admission control reads it from the manifest instead of
-  // issuing one getFileStatus per file per trigger. Bounds groups record
+  // byte/file-capped admission control (maxBytesPerTrigger /
+  // maxFilesPerTrigger) and compactSnapshot's byte accounting read it
+  // from the manifest instead of issuing one getFileStatus per file
+  // per trigger. Bounds groups record
   // ANY number of columns per file — the Iceberg/Delta shape, where
   // every hot filter column gets manifest-level skipping, not just one.
   // Integral bounds are recorded as "L:" longs and compared in long,
@@ -562,19 +573,43 @@ object Layout {
     finally in.close()
   }
 
+  /** Publish `tmp` as `dst` atomically-failing-if-`dst`-exists — the
+    * primitive the CAS needs, chosen per filesystem. Local (`file:`)
+    * schemes get POSIX link(2) via NIO `createLink`: hard-link creation
+    * fails with EEXIST ATOMICALLY, which POSIX rename does not (it
+    * silently replaces), so link is the real arbiter the commit
+    * protocol wants on overwriting filesystems. Everything else gets
+    * `fs.rename` — atomic fail-if-exists on HDFS; on object stores
+    * neither primitive exists and the caller's UUID verify is the
+    * (window-narrowing, not window-closing) backstop. Returns false on
+    * a lost race; `tmp` is consumed either way. */
+  private[graft] def publishNoReplace(fs: FileSystem, tmp: Path,
+      dst: Path): Boolean =
+    if ("file" == fs.getUri.getScheme) {
+      val t = java.nio.file.Paths.get(fs.makeQualified(tmp).toUri.getPath)
+      val d = java.nio.file.Paths.get(fs.makeQualified(dst).toUri.getPath)
+      val won =
+        try { java.nio.file.Files.createLink(d, t); true }
+        catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      fs.delete(tmp, false) // drops the checksum sidecar too
+      won
+    } else if (fs.rename(tmp, dst)) true
+    else { fs.delete(tmp, false); false }
+
   /** The one manifest CAS loop, shared by every commit verb (APPEND,
     * REPLACE/compact, DELETE, rollback): `listFor(head)` computes the
     * new version's file list against the head CURRENT AT EACH ATTEMPT —
-    * so a loser of the rename race automatically rebases its intent
+    * so a loser of the publish race automatically rebases its intent
     * (append: head + added; replace: head − swapped + added) onto
-    * whatever landed first. The commit point is rename PLUS a re-read of
-    * the destination verifying this attempt's UUID: a successful rename
-    * is NOT proof of winning on filesystems where rename silently
-    * replaces an existing destination (stock LocalFileSystem = POSIX
-    * rename(2) does exactly that), so trusting the boolean alone would
-    * let two racing commits both "win" v<N+1> and silently drop one.
-    * With the verify, the displaced writer detects the loss and retries
-    * against the new head, rebasing as usual. */
+    * whatever landed first. The commit point is [[publishNoReplace]]
+    * (exclusive link(2) on local filesystems, fail-if-exists rename on
+    * HDFS) PLUS a re-read of the destination verifying this attempt's
+    * UUID — on those two filesystems the publish alone decides the
+    * race and the verify is a free invariant check; on filesystems
+    * with no exclusive primitive (object-store rename = copy+delete)
+    * the verify is the only guard and leaves a residual window (see
+    * the protocol comment above): such deployments need an external
+    * arbiter. */
   private def casCommit(fs: FileSystem, root: Path, op: String,
                         listFor: Int => Seq[String],
                         schemaFor: Int => Option[types.StructType] =
@@ -604,14 +639,16 @@ object Layout {
         java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
       val dst = new Path(mdir, s"v${head + 1}.manifest")
-      if (fs.rename(tmp, dst)) {
+      if (publishNoReplace(fs, tmp, dst)) {
         // won only if OUR bytes are what the destination now holds; a
         // mismatch means another writer's commit occupies (or
         // overwrote) this version — treat as a lost race and retry.
         // The destination is the other writer's live manifest: never
-        // delete it, and our tmp no longer exists (it was renamed).
+        // delete it. On local/HDFS the exclusive publish already
+        // decided the race, so this read is an invariant check; on
+        // overwrite-capable stores it is the (residual-window) guard.
         if (commitIdOf(fs, dst).contains(attemptId)) return head + 1
-      } else fs.delete(tmp, false)
+      }
       attempts += 1
     }
     throw new java.io.IOException(
@@ -669,9 +706,20 @@ object Layout {
     * keeps O(1) files. The stats pass reads back only the just-staged
     * files (one grouped aggregate over the txn dir, cost ∝ this commit,
     * not the table). */
+  /** Rejects column names the tab-delimited manifest grammar cannot
+    * carry. Called at the TOP of every verb accepting caller
+    * statsColumns — before stageTxn writes anything — so a bad name
+    * fails fast instead of orphaning a staged txn dir until vacuum. */
+  private def validateStatsColumns(statsColumns: Seq[String]): Unit =
+    require(statsColumns.forall(c =>
+      !c.contains('\t') && !c.contains('\n') && !c.startsWith("@")),
+      "stats column names must not contain tab/newline or start with @ " +
+        "(manifest line currency)")
+
   def commitSnapshot(spark: SparkSession, table: String,
                      df: DataFrame,
                      statsColumns: Seq[String] = Nil): Int = {
+    validateStatsColumns(statsColumns)
     val root = new Path(table)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val added = stageTxn(spark, fs, root, df)
@@ -774,7 +822,8 @@ object Layout {
     * between batches never forgets what was applied. */
   def commitSnapshotTxn(spark: SparkSession, table: String, df: DataFrame,
       appId: String, batchId: Long,
-      statsColumns: Seq[String] = Nil): Option[Int] =
+      statsColumns: Seq[String] = Nil): Option[Int] = {
+    validateStatsColumns(statsColumns)
     txnGuarded(spark, table, df, appId, batchId, "commitSnapshotTxn") {
       (fs, root, added) =>
         val entries = withStats(spark, fs, root, added, statsColumns)
@@ -782,12 +831,14 @@ object Layout {
                   else manifestFiles(fs, root, head)) ++ entries,
          appendSchemaFor(fs, root, df))
     }
+  }
 
   /** Full-table REPLACE (INSERT OVERWRITE): swap the ENTIRE line set
     * for `df`'s files in one commit; old files stay readable to pinned
     * versions until vacuum, like any REPLACE. */
   def replaceSnapshot(spark: SparkSession, table: String, df: DataFrame,
       statsColumns: Seq[String] = Nil): Int = {
+    validateStatsColumns(statsColumns)
     val root = new Path(table)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val added = withStats(spark, fs, root,
@@ -861,10 +912,7 @@ object Layout {
   private def withStats(spark: SparkSession, fs: FileSystem, root: Path,
       staged: Seq[(String, Long)], statsColumns: Seq[String])
       : Seq[String] = {
-    require(statsColumns.forall(c =>
-      !c.contains('\t') && !c.contains('\n') && !c.startsWith("@")),
-      "stats column names must not contain tab/newline or start with @ " +
-        "(manifest line currency)")
+    validateStatsColumns(statsColumns) // backstop; verbs validate first
     def bare = staged.map { case (rel, len) => s"$rel\t@$len" }
     if (statsColumns.isEmpty || staged.isEmpty) return bare
     val df = spark.read.parquet(
@@ -1165,8 +1213,13 @@ object Layout {
   def compactSnapshot(spark: SparkSession, table: String,
                       targetFileBytes: Long = 128L << 20,
                       sortBy: Seq[String] = Nil,
-                      statsColumns: Seq[String] = Nil)
+                      statsColumns: Seq[String] = Nil,
+                      zorderBy: Option[(String, String)] = None,
+                      zBuckets: Int = 1024)
       : (Int, CompactStats) = {
+    validateStatsColumns(statsColumns)
+    require(sortBy.isEmpty || zorderBy.isEmpty,
+      "compactSnapshot: sortBy and zorderBy are mutually exclusive")
     val root = new Path(table)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val v0 = currentVersion(fs, root)
@@ -1180,11 +1233,18 @@ object Layout {
       (bytesBefore + targetFileBytes - 1) / targetFileBytes).toInt
     val df = readVersionFiles(spark, fs, root, v0,
       inputs.map(l => new Path(root, entryPath(l)).toString))
-    val arranged =
-      if (sortBy.nonEmpty)
+    // zorderBy = re-cluster on BOTH columns (the OPTIMIZE a
+    // two-column-skipping table needs: coalesce would merge disjoint
+    // rectangles and a single-column sort would scatter the other
+    // column's bounds); sortBy = one-column range clustering; default
+    // = shuffle-free coalesce bin-packing, as in [[compact]].
+    val arranged = zorderBy match {
+      case Some((a, b)) => zArranged(df, a, b, nOut, zBuckets)
+      case None if sortBy.nonEmpty =>
         df.repartitionByRange(nOut, sortBy.map(col): _*)
           .sortWithinPartitions(sortBy.map(col): _*)
-      else df.coalesce(nOut)
+      case None => df.coalesce(nOut)
+    }
     // re-record column bounds on the re-packed files (sortBy = the stats
     // column gives disjoint per-file ranges) — without this an OPTIMIZE
     // would silently strip a skipping table's pruning. The caller's

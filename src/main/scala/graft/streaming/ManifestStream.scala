@@ -45,8 +45,19 @@ import graft.ops.Layout
   *    version streams only commits after it.
   *  - `maxVersionsPerTrigger` (optional): admission control — cap how
   *    many commits a single micro-batch may cover, bounding batch size
-  *    by commit granularity the way Delta's `maxFilesPerTrigger` bounds
-  *    it by files. Backlog drains across successive triggers.
+  *    by commit granularity. Backlog drains across successive triggers.
+  *  - `maxBytesPerTrigger` / `maxFilesPerTrigger` (optional): admission
+  *    control by DATA size — commits vary 100× in bytes, so a
+  *    version-count cap alone cannot bound executor memory per batch.
+  *    Versions are admitted whole (commit granularity is the atomic
+  *    unit — a partial version would break the line-diff contract),
+  *    accumulating each candidate's added bytes/files from the
+  *    manifest's recorded `@bytes` tokens — NO per-file getFileStatus;
+  *    admission stops before the version that would cross the cap. Soft
+  *    limits in the Delta/Kafka style: the first version of a batch is
+  *    always admitted even if it alone exceeds the cap (otherwise the
+  *    stream would wedge), so forward progress is unconditional. All
+  *    three caps compose — the tightest wins.
   *
   * Reference slot: the nightly re-export loop the reference runs end to
   * end each time (`ETLCNPJFinalEmpresaEstabelecimentos.py:237-265`) —
@@ -204,7 +215,9 @@ class ManifestStreamProvider extends StreamSourceProvider
     new ManifestStreamSource(
       sqlContext.sparkSession.asInstanceOf[SparkSession], table, pinned,
       p.get("startingversion").map(_.toInt).getOrElse(0),
-      p.get("maxversionspertrigger").map(_.toInt))
+      p.get("maxversionspertrigger").map(_.toInt),
+      p.get("maxbytespertrigger").map(_.toLong),
+      p.get("maxfilespertrigger").map(_.toLong))
   }
 }
 
@@ -229,11 +242,17 @@ object ManifestOffset {
 
 class ManifestStreamSource(spark: SparkSession, table: String,
     pinnedSchema: StructType, startingVersion: Int,
-    maxVersionsPerTrigger: Option[Int]) extends Source
+    maxVersionsPerTrigger: Option[Int],
+    maxBytesPerTrigger: Option[Long] = None,
+    maxFilesPerTrigger: Option[Long] = None) extends Source
     with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
   require(maxVersionsPerTrigger.forall(_ >= 1),
     "maxVersionsPerTrigger must be >= 1")
+  require(maxBytesPerTrigger.forall(_ >= 1),
+    "maxBytesPerTrigger must be >= 1")
+  require(maxFilesPerTrigger.forall(_ >= 1),
+    "maxFilesPerTrigger must be >= 1")
 
   private val root = new Path(table)
   private val fs =
@@ -261,14 +280,48 @@ class ManifestStreamSource(spark: SparkSession, table: String,
     throw new UnsupportedOperationException(
       "getOffset is not called on a SupportsAdmissionControl source")
 
+  /** The highest version this trigger may cover: start from the
+    * version-count cap, then tighten by cumulative ADDED bytes/files —
+    * each candidate version's contribution is its line-set delta over
+    * the previous version, sized from the manifest's `@bytes` tokens
+    * (legacy stats-less lines fall back to one getFileStatus each).
+    * Soft caps: the batch's first version is always admitted, so one
+    * oversized commit passes through alone rather than wedging the
+    * stream. Cost per trigger ∝ admitted versions' manifests (all
+    * LRU-cached), never table size. */
+  private def admittedCap(start: Int, vCap: Int): Int = {
+    if (maxBytesPerTrigger.isEmpty && maxFilesPerTrigger.isEmpty)
+      return vCap
+    var bytes = 0L
+    var files = 0L
+    var prev: Set[String] =
+      if (start == 0) Set.empty
+      else Layout.versionFilePaths(fs, root, start).toSet
+    var v = start
+    while (v < vCap) {
+      val entries = Layout.versionFileEntries(fs, root, v + 1)
+      val added = entries.filterNot { case (p, _) => prev(p) }
+      bytes += added.map { case (p, sz) => sz.getOrElse(
+        fs.getFileStatus(new Path(root, p)).getLen) }.sum
+      files += added.size
+      val over = maxBytesPerTrigger.exists(bytes > _) ||
+        maxFilesPerTrigger.exists(files > _)
+      if (over) return if (v == start) v + 1 else v
+      v += 1
+      prev = entries.iterator.map(_._1).toSet
+    }
+    vCap
+  }
+
   override def latestOffset(startOffset: OffsetV2,
       limit: ReadLimit): OffsetV2 = {
     val start = Option(startOffset)
       .map(ManifestOffset.of(_).version).getOrElse(startingVersion)
     val head0 = Layout.currentVersion(fs, root)
     val head = availableNowCeiling.fold(head0)(math.min(head0, _))
-    val cap = maxVersionsPerTrigger.fold(head)(m =>
+    val vCap = maxVersionsPerTrigger.fold(head)(m =>
       math.min(head, start + m))
+    val cap = if (vCap > start) admittedCap(start, vCap) else vCap
     if (cap <= startingVersion) null // table has nothing to stream yet
     else ManifestOffset(math.max(cap, start)) // == start signals idle
   }

@@ -371,4 +371,61 @@ class ManifestStreamSpec extends AnyFunSuite {
         s"wrong failure: ${ex.getMessage}")
     } finally q.stop()
   }
+
+  test("maxBytesPerTrigger packs a 100x size-skewed backlog into byte-bounded batches") {
+    import graft.ops.Layout._
+    import org.apache.spark.sql.streaming.Trigger
+    val table = freshTable("bytecap")
+    val o = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_orderstatus"))
+    val mn = o.agg(min(col("o_orderkey"))).head.getLong(0)
+    val one = o.where(col("o_orderkey") === mn).coalesce(1)
+    val big = o.where(col("o_orderkey") =!= mn).coalesce(4)
+    commitSnapshot(spark, table, one) // v1: tiny
+    commitSnapshot(spark, table, big) // v2: ~100x v1, four files
+    commitSnapshot(spark, table, one) // v3: tiny
+    commitSnapshot(spark, table, one) // v4: tiny
+    val root = new Path(table)
+    val hfs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // delta bytes per version, straight from the manifest's @bytes
+    // tokens — the admission path must never need a getFileStatus
+    def cum(v: Int): Long =
+      versionFileEntries(hfs, root, v).map(_._2.get).sum
+    val d3 = cum(3) - cum(2)
+    val d4 = cum(4) - cum(3)
+    // cap = exactly the two tiny commits together: v1 batches alone
+    // (adding v2 would cross), v2 passes alone (oversized first
+    // version — soft cap, no wedge), v3+v4 pack into one final batch
+    val name = freshName()
+    val q = spark.readStream.format("graft-manifest")
+      .option("maxBytesPerTrigger", (d3 + d4).toString).load(table)
+      .writeStream.format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try {
+      assert(q.awaitTermination(120000),
+        "AvailableNow query did not self-terminate under a byte cap")
+      assert(spark.table(name).count() == o.count() + 2,
+        "byte-capped backlog under-delivered")
+      val batches = q.recentProgress.filter(_.numInputRows > 0)
+        .map(_.numInputRows).toSeq
+      assert(batches == Seq(1, o.count() - 1, 2),
+        s"expected byte-bounded batches [1, big, 2] — got $batches")
+    } finally q.stop()
+    // file-count admission over the same history: v2's four files
+    // exceed a 1-file cap but pass alone; every tiny commit is its own
+    // batch — four batches in all
+    val name2 = freshName()
+    val q2 = spark.readStream.format("graft-manifest")
+      .option("maxFilesPerTrigger", "1").load(table)
+      .writeStream.format("memory").queryName(name2)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try {
+      assert(q2.awaitTermination(120000))
+      assert(spark.table(name2).count() == o.count() + 2)
+      assert(q2.recentProgress.count(_.numInputRows > 0) == 4,
+        "expected one batch per commit under maxFilesPerTrigger=1")
+    } finally q2.stop()
+  }
 }

@@ -504,4 +504,189 @@ class SnapshotIsolationSpec extends AnyFunSuite {
     assert(readSnapshot(spark, table).count() == r.count(),
       "a racing commit's rows were lost")
   }
+
+  test("multi-column bounds prune on each column independently and survive rewrites") {
+    import ops.Layout._
+    val table = "target/graft_io/spec/orders_bounds_multi"
+    val root = new Path(table)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(root, true)
+    val o = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+    commitSnapshot(spark, table,
+      zArranged(o, "o_custkey", "o_orderkey", files = 16, buckets = 1024),
+      statsColumns = Seq("o_custkey", "o_orderkey"))
+    val m = o.agg(max(col("o_orderkey")).as("mk"),
+      max(col("o_custkey")).as("mc")).head
+    val (mk, mc) = (m.getLong(0), m.getLong(1))
+    val custLeg = SkipRange("o_custkey", mc / 8, mc / 4)
+    val keyLeg = SkipRange("o_orderkey", mk / 8, mk / 4)
+    def prunes(leg: Skip, what: String): Int = {
+      val (kept, total) = fileSelection(spark, table, Seq(leg))
+      assert(kept.size < total,
+        s"$what did not prune: kept ${kept.size} of $total")
+      kept.size
+    }
+    // each z-order column prunes INDEPENDENTLY — the property the
+    // multi-column stats exist for…
+    val kc = prunes(custLeg, "o_custkey leg")
+    val kk = prunes(keyLeg, "o_orderkey leg")
+    // …and the conjunction prunes at least as hard as either leg
+    val (kBoth, _) = fileSelection(spark, table, Seq(custLeg, keyLeg))
+    assert(kBoth.size <= math.min(kc, kk))
+    // pruning changes the read set, never the answer
+    def answer(): Long = readSnapshotWhere(spark, table,
+      Seq(custLeg, keyLeg)).count()
+    def full(): Long = readSnapshot(spark, table)
+      .where(col("o_custkey").between(mc / 8, mc / 4) &&
+        col("o_orderkey").between(mk / 8, mk / 4)).count()
+    assert(answer() == full() && answer() > 0)
+    // BOTH columns' bounds survive a copy-on-write DELETE…
+    deleteWhere(spark, table, col("o_orderkey") === mk)
+    prunes(custLeg, "o_custkey leg after delete")
+    prunes(keyLeg, "o_orderkey leg after delete")
+    assert(answer() == full())
+    // …a MERGE (updates rewrite files, inserts add one)…
+    mergeInto(spark, table,
+      o.where(col("o_orderkey") <= mk / 20)
+        .withColumn("o_orderstatus", lit("X")), "o_orderkey")
+    prunes(custLeg, "o_custkey leg after merge")
+    prunes(keyLeg, "o_orderkey leg after merge")
+    assert(answer() == full())
+    // …and a z-order OPTIMIZE with no explicit statsColumns (the
+    // table's own recorded columns must carry through the re-pack,
+    // and the re-cluster must keep BOTH columns' rectangles tight)
+    compactSnapshot(spark, table, targetFileBytes = 4 * 1024,
+      zorderBy = Some(("o_custkey", "o_orderkey")))
+    prunes(custLeg, "o_custkey leg after compact")
+    prunes(keyLeg, "o_orderkey leg after compact")
+    assert(answer() == full())
+  }
+
+  test("widening evolution: INT→BIGINT in place; string→int refused with the named error") {
+    import ops.Layout._
+    import org.apache.spark.sql.types._
+    // the merge rule itself: string → int has no lossless promotion
+    val e1 = intercept[IllegalArgumentException] {
+      mergeWiden(StructType(Seq(StructField("k", StringType))),
+        StructType(Seq(StructField("k", IntegerType))))
+    }
+    assert(e1.getMessage.contains("incompatible type change") &&
+      e1.getMessage.contains("`k`"))
+    // decimal rescale is refused too (not a widening this format does)
+    intercept[IllegalArgumentException] {
+      mergeWiden(StructType(Seq(StructField("d", DecimalType(10, 2)))),
+        StructType(Seq(StructField("d", DecimalType(12, 4)))))
+    }
+    // end to end: an append whose column type cannot merge REFUSES the
+    // commit — the table's version and schema stay untouched
+    val table = "target/graft_io/spec/widen_refusal"
+    val root = new Path(table)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(root, true)
+    val n = Tables.nation(spark, sf)
+      .select(col("n_nationkey").cast("int").as("k"), col("n_name"))
+    commitSnapshot(spark, table, n)
+    val e2 = intercept[IllegalArgumentException] {
+      commitSnapshot(spark, table,
+        n.select(col("n_name").as("k"), col("n_name")))
+    }
+    assert(e2.getMessage.contains("incompatible type change"))
+    assert(currentVersion(fs, root) == 1,
+      "a refused append must not advance the version")
+    assert(versionSchema(spark, table).get("k").dataType == IntegerType)
+    // the happy path: a BIGINT append WIDENS the recorded schema and
+    // gen-1 int32 files promote at scan time — and a later NARROWER
+    // int append keeps the wide type
+    commitSnapshot(spark, table,
+      n.select((col("k") + lit(100)).cast("long").as("k"), col("n_name")))
+    assert(versionSchema(spark, table).get("k").dataType == LongType)
+    commitSnapshot(spark, table,
+      n.select((col("k") + lit(200)).cast("int").as("k"), col("n_name")))
+    assert(versionSchema(spark, table).get("k").dataType == LongType,
+      "a narrower append must keep the widened type")
+    val got = readSnapshot(spark, table).agg(
+      count(lit(1)), sum(col("k"))).head
+    val nn = n.count()
+    val base = n.agg(sum(col("k").cast("long"))).head.getLong(0)
+    assert(got.getLong(0) == 3 * nn)
+    assert(got.getLong(1) == 3 * base + 300 * nn,
+      "rows lost or mistyped through the widening")
+  }
+
+  test("publishNoReplace never overwrites: an occupied version survives byte-identical") {
+    import ops.Layout._
+    val dir = new Path("target/graft_io/spec/publish_arbiter/manifests")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(dir.getParent, true)
+    fs.mkdirs(dir)
+    def write(p: Path, s: String): Unit = {
+      val out = fs.create(p, false)
+      try out.write(s.getBytes("UTF-8")) finally out.close()
+    }
+    def read(p: Path): String = {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    }
+    // the lost-race branch the UUID verify narrows elsewhere: here the
+    // destination is ALREADY another writer's live manifest — the
+    // publish must fail atomically and leave the winner's bytes intact
+    // (POSIX rename(2) would have silently replaced them)
+    val dst = new Path(dir, "v1.manifest")
+    val tmp = new Path(dir, ".v1.tmp-ours")
+    write(dst, "#commit\tforeign-winner\nwinner.parquet")
+    write(tmp, "#commit\tours\nours.parquet")
+    assert(!publishNoReplace(fs, tmp, dst),
+      "publish over an occupied version must report a lost race")
+    assert(read(dst) == "#commit\tforeign-winner\nwinner.parquet",
+      "the foreign winner's manifest was clobbered")
+    assert(!fs.exists(tmp), "the loser's tmp must be consumed")
+    // the won-race branch: a fresh destination publishes our bytes
+    val tmp2 = new Path(dir, ".v2.tmp-ours")
+    val dst2 = new Path(dir, "v2.manifest")
+    write(tmp2, "#commit\tours2\nours2.parquet")
+    assert(publishNoReplace(fs, tmp2, dst2))
+    assert(read(dst2) == "#commit\tours2\nours2.parquet")
+    assert(!fs.exists(tmp2))
+  }
+
+  test("eight concurrent writers: every commit lands, serialized 1..8, rows conserved") {
+    import ops.Layout._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val table = "target/graft_io/spec/orders_snapshot_race8"
+    val root = new Path(table)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(root, true)
+    val o = Tables.orders(spark, sf).select(col("o_orderkey"))
+    // eight writers race the SAME link(2)-arbitrated version sequence;
+    // any silently dropped commit shows up as missing rows
+    val fs8 = (0 until 8).map(i => Future(commitSnapshot(spark, table,
+      o.where(pmod(col("o_orderkey"), lit(8)) === i))))
+    val versions = fs8.map(Await.result(_, 300.seconds)).sorted
+    assert(versions == (1 to 8),
+      s"expected serialized versions 1..8 — got $versions")
+    assert(readSnapshot(spark, table).count() == o.count(),
+      "a racing commit's rows were lost")
+  }
+
+  test("a bad stats column name fails BEFORE staging — no orphaned txn dir") {
+    import ops.Layout._
+    val table = "target/graft_io/spec/stats_validation"
+    val root = new Path(table)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(root, true)
+    intercept[IllegalArgumentException] {
+      commitSnapshot(spark, table, Tables.nation(spark, sf),
+        statsColumns = Seq("bad\tname"))
+    }
+    assert(!fs.exists(new Path(root, "data")),
+      "the refused commit staged files it then orphaned")
+    intercept[IllegalArgumentException] {
+      compactSnapshot(spark, table, statsColumns = Seq("@bad"))
+    }
+    assert(!fs.exists(root) || fs.listStatus(root).isEmpty)
+  }
 }
