@@ -39,6 +39,7 @@ object SparkEntry {
     ops.Behavior.queries ++
     ops.Bpe.queries ++
     ops.Graph.queries ++
+    sql.GraftSql.queries ++
     cnpj.FlagshipKey.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -63,5 +64,6 @@ object SparkEntry {
     ops.Behavior.oracleSql ++
     ops.Bpe.oracleSql ++
     ops.Graph.oracleSql ++
+    sql.GraftSql.oracleSql ++
     cnpj.FlagshipKey.oracleSql
 }

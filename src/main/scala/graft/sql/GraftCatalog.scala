@@ -1,0 +1,318 @@
+package graft.sql
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, WriteBuilder}
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.sources.InsertableRelation
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.ops.Layout
+
+/** The SQL front door for graft-manifest tables — a DataSourceV2
+  * [[TableCatalog]], so the ENTIRE lifecycle runs as SQL text the way
+  * the reference drives everything through SQL strings
+  * (`ETLCNPJFinalEmpresaEstabelecimentos.py:191-234`):
+  *
+  * {{{
+  *   spark.conf.set("spark.sql.catalog.graft", "graft.sql.GraftCatalog")
+  *   spark.conf.set("spark.sql.catalog.graft.warehouse", "/data/wh")
+  *   spark.sql("CREATE TABLE graft.default.t (k BIGINT, v STRING)")
+  *   spark.sql("INSERT INTO graft.default.t SELECT ...")
+  *   spark.sql("INSERT OVERWRITE graft.default.t SELECT ...")
+  *   spark.sql("SELECT * FROM graft.default.t VERSION AS OF 2")
+  *   spark.sql("SELECT * FROM graft.default.t TIMESTAMP AS OF '...'")
+  *   spark.sql("DROP TABLE graft.default.t")
+  * }}}
+  *
+  * Identifiers map to warehouse paths (`<warehouse>/<ns...>/<name>`),
+  * the Delta-style path catalog shape. Reads hand Spark the snapshot's
+  * EXPLICIT file list through the native parquet ScanBuilder
+  * ([[ColumnBridge.parquetScanBuilder]]) — full filter pushdown, column
+  * pruning and vectorized read, zero directory listings at plan time
+  * (the manifest already decided which files exist: one small metadata
+  * read regardless of table size, the property that matters at 100 TB).
+  * Writes ride the V1 write bridge onto the commit verbs — INSERT INTO
+  * = atomic APPEND commit, INSERT OVERWRITE = full-table REPLACE —
+  * so SQL writers and programmatic [[Layout]] writers serialize through
+  * the SAME manifest CAS, and `VERSION AS OF` time travel over SQL
+  * tables is exact (catalog `loadTable(ident, version)` pins the
+  * snapshot; `TIMESTAMP AS OF` resolves through [[Layout.versionAt]]).
+  *
+  * Deliberately NOT here: `MERGE INTO` / `DELETE FROM` SQL rewrites
+  * (SupportsRowLevelOperations) — the Scala verbs
+  * [[Layout.mergeInto]]/[[Layout.deleteWhere]] carry those semantics;
+  * wiring Spark's row-level-operation planner onto them is a surface,
+  * not a semantics, gap. */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var warehouse: String = _
+
+  override def initialize(name: String,
+      options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = Option(options.get("warehouse")).getOrElse(
+      "spark-warehouse/" + name)
+  }
+
+  override def name(): String = catalogName
+
+  private def spark: SparkSession = SparkSession.active
+
+  private def dirOf(ident: Identifier): String =
+    (warehouse +: (ident.namespace() :+ ident.name())).mkString("/")
+
+  private def dirOf(ns: Array[String]): String =
+    (warehouse +: ns).mkString("/")
+
+  private def fsOf(p: Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** A manifest table IS a directory with committed versions — the
+    * manifests dir is the existence marker, exactly what every other
+    * Layout consumer keys on. */
+  override def tableExists(ident: Identifier): Boolean = {
+    val m = new Path(dirOf(ident), "manifests")
+    fsOf(m).exists(m)
+  }
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val dir = new Path(dirOf(namespace))
+    val fs = fsOf(dir)
+    if (!fs.exists(dir)) throw new NoSuchNamespaceException(
+      catalogName +: namespace)
+    fs.listStatus(dir).collect {
+      case st if st.isDirectory &&
+          fs.exists(new Path(st.getPath, "manifests")) =>
+        Identifier.of(namespace, st.getPath.getName)
+    }
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    new GraftTable(dirOf(ident), None)
+  }
+
+  /** `SELECT ... VERSION AS OF n` — pin the scan to manifest version n. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val v = try version.toInt catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"graft-manifest versions are integers; got '$version'")
+    }
+    new GraftTable(dirOf(ident), Some(v))
+  }
+
+  /** `SELECT ... TIMESTAMP AS OF t` — Spark hands epoch MICROseconds;
+    * resolve to the newest version committed at or before it. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val dir = dirOf(ident)
+    new GraftTable(dir,
+      Some(Layout.versionAt(spark, dir, timestamp / 1000L)))
+  }
+
+  /** CREATE TABLE commits an EMPTY v1 carrying the declared schema —
+    * the schema record is the table's contract from birth, so a first
+    * INSERT that doesn't match refuses instead of silently defining
+    * the table. CTAS = this + the planner's follow-up append (v2). */
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    require(partitions.isEmpty,
+      "graft-manifest tables do not take PARTITIONED BY — use the " +
+        "layout verbs (z-order / clustered compaction + statsColumns " +
+        "manifest skipping) instead of hive partitioning")
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    val dir = dirOf(ident)
+    val empty = spark.createDataFrame(
+      new util.ArrayList[org.apache.spark.sql.Row](), schema)
+      .repartition(1)
+    Layout.commitSnapshot(spark, dir, empty)
+    new GraftTable(dir, None)
+  }
+
+  override def alterTable(ident: Identifier,
+      changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "ALTER TABLE is not supported; schema evolution happens at " +
+        "commit time (add-column + widening on append)")
+
+  override def dropTable(ident: Identifier): Boolean =
+    if (!tableExists(ident)) false
+    else { Layout.dropTable(spark, dirOf(ident)); true }
+
+  override def renameTable(from: Identifier, to: Identifier): Unit = {
+    if (!tableExists(from)) throw new NoSuchTableException(from)
+    if (tableExists(to)) throw new TableAlreadyExistsException(to)
+    Layout.invalidateManifestCache(spark, dirOf(from))
+    val src = new Path(dirOf(from))
+    val dst = new Path(dirOf(to))
+    val fs = fsOf(src)
+    fs.mkdirs(dst.getParent)
+    require(fs.rename(src, dst), s"rename $src -> $dst failed")
+  }
+
+  // -- namespaces: directories under the warehouse root ---------------
+
+  override def listNamespaces(): Array[Array[String]] = {
+    val root = new Path(warehouse)
+    val fs = fsOf(root)
+    if (!fs.exists(root)) Array.empty
+    else fs.listStatus(root).collect {
+      case st if st.isDirectory &&
+          !fs.exists(new Path(st.getPath, "manifests")) =>
+        Array(st.getPath.getName)
+    }
+  }
+
+  override def listNamespaces(namespace: Array[String])
+      : Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces() else Array.empty
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.isEmpty ||
+      namespace.sameElements(Array("default")) || {
+        val d = new Path(dirOf(namespace))
+        fsOf(d).exists(d)
+      }
+
+  override def loadNamespaceMetadata(namespace: Array[String])
+      : util.Map[String, String] = {
+    if (!namespaceExists(namespace))
+      throw new NoSuchNamespaceException(catalogName +: namespace)
+    Map(SupportsNamespaces.PROP_LOCATION -> dirOf(namespace)).asJava
+  }
+
+  override def createNamespace(namespace: Array[String],
+      metadata: util.Map[String, String]): Unit =
+    fsOf(new Path(warehouse)).mkdirs(new Path(dirOf(namespace)))
+
+  override def alterNamespace(namespace: Array[String],
+      changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("ALTER NAMESPACE")
+
+  override def dropNamespace(namespace: Array[String],
+      cascade: Boolean): Boolean = {
+    val d = new Path(dirOf(namespace))
+    val fs = fsOf(d)
+    if (!fs.exists(d)) false
+    else {
+      require(cascade || fs.listStatus(d).isEmpty,
+        s"namespace ${namespace.mkString(".")} is not empty")
+      fs.delete(d, true)
+    }
+  }
+}
+
+/** One manifest snapshot as a DSv2 [[Table]]: reads pin `version` (None
+  * = head resolved PER QUERY, so a SQL reader always sees the newest
+  * commit); writes refuse on a time-travel handle (mutating the past is
+  * not a thing). The scan is Spark's own parquet ScanBuilder over the
+  * manifest's explicit file list — `EXPLAIN` on a catalog SELECT shows
+  * PushedFilters/ReadSchema like any parquet scan. */
+class GraftTable(path: String, version: Option[Int])
+    extends Table with SupportsRead with SupportsWrite {
+
+  private def spark: SparkSession = SparkSession.active
+
+  override def name(): String = s"graft.`$path`" +
+    version.fold("")(v => s"@v$v")
+
+  override def schema(): StructType = {
+    val (files, recorded) = Layout.snapshotLayout(spark, path, version)
+    recorded.getOrElse {
+      // legacy pre-schema-tracking table: footer inference
+      require(files.nonEmpty,
+        s"$path has no recorded schema and no files to infer one from")
+      spark.read.parquet(files: _*).schema
+    }
+  }
+
+  override def properties(): util.Map[String, String] =
+    Map(TableCatalog.PROP_LOCATION -> path,
+      TableCatalog.PROP_PROVIDER -> "graft-manifest").asJava
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : ScanBuilder = {
+    val (files, _) = Layout.snapshotLayout(spark, path, version)
+    ColumnBridge.parquetScanBuilder(spark, files, schema(),
+      options.asCaseSensitiveMap())
+  }
+
+  /** INSERT INTO → APPEND commit; INSERT OVERWRITE (truncate) →
+    * full-table REPLACE. Rides the V1 write bridge: the commit itself
+    * is the manifest CAS, shared with every programmatic verb. */
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(version.isEmpty,
+      s"cannot write to $path pinned at VERSION AS OF ${version.get}")
+    new WriteBuilder with SupportsTruncate {
+      private var overwrite = false
+      override def truncate(): WriteBuilder = { overwrite = true; this }
+      override def build(): V1Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: DataFrame, ignored: Boolean): Unit =
+              if (overwrite) Layout.replaceSnapshot(data.sparkSession,
+                path, data)
+              else Layout.commitSnapshot(data.sparkSession, path, data)
+          }
+      }
+    }
+  }
+
+  override def toString: String = name()
+}
+
+/** The SQL-surface query key: the whole table lifecycle as `spark.sql`
+  * text over a registered catalog, nothing programmatic in the data
+  * path. Oracle shared with q_table_roundtrip — CREATE + two INSERT
+  * halves must reassemble orders exactly; GraftCatalogSpec pins the
+  * pieces the aggregate can't see (VERSION AS OF / TIMESTAMP AS OF
+  * reads, INSERT OVERWRITE, CTAS, DROP, filter pushdown in EXPLAIN). */
+object GraftSql {
+  import org.apache.spark.sql.functions._
+  import graft.Tables._
+
+  def qManifestSql(s: SparkSession, d: String): DataFrame = {
+    val wh = s"${graft.ops.Sources.ioDir(s, d)}/sql_catalog"
+    s.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    s.sql("DROP TABLE IF EXISTS graft.default.orders_sql")
+    orders(s, d)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        dec2(col("o_totalprice")).as("price"))
+      .createOrReplaceTempView("orders_sql_src")
+    s.sql("""CREATE TABLE graft.default.orders_sql
+            |  (o_orderkey BIGINT, o_orderstatus STRING,
+            |   price DECIMAL(18,2))""".stripMargin)
+    s.sql("""INSERT INTO graft.default.orders_sql
+            |SELECT * FROM orders_sql_src WHERE o_orderkey % 2 = 0""".stripMargin)
+    s.sql("""INSERT INTO graft.default.orders_sql
+            |SELECT * FROM orders_sql_src WHERE o_orderkey % 2 = 1""".stripMargin)
+    s.sql("""SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+            |  CAST(SUM(price) AS DOUBLE) AS sum_price
+            |FROM graft.default.orders_sql
+            |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_manifest_sql" -> qManifestSql _)
+
+  val oracleSql: Map[String, String] = Map(
+    "q_manifest_sql" -> graft.ops.Sources.oracleSql("q_table_roundtrip"))
+}

@@ -95,6 +95,29 @@ object ColumnBridge {
       schema, isStreaming = true)
   }
 
+  /** DSv2 ScanBuilder over an EXPLICIT snapshot file list — what the
+    * graft-manifest TableCatalog's table hands Spark so `SELECT`s over
+    * a registered table get the native parquet machinery (filter
+    * pushdown, column pruning, aggregate pushdown, vectorized read)
+    * without any directory listing: the manifest decided which files
+    * exist, the FileIndex here only stats them. */
+  def parquetScanBuilder(spark: SparkSession, files: Seq[String],
+      schema: org.apache.spark.sql.types.StructType,
+      options: java.util.Map[String, String])
+      : org.apache.spark.sql.connector.read.ScanBuilder = {
+    import org.apache.spark.sql.execution.datasources.{FileStatusCache, InMemoryFileIndex}
+    import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    import scala.jdk.CollectionConverters._
+    val cs = spark.asInstanceOf[classic.SparkSession]
+    val index = new InMemoryFileIndex(cs,
+      files.map(new org.apache.hadoop.fs.Path(_)),
+      options.asScala.toMap, Some(schema),
+      FileStatusCache.getOrCreate(cs), None, None)
+    ParquetScanBuilder(cs, index, schema, schema,
+      new CaseInsensitiveStringMap(options))
+  }
+
   /** Drain the async listener bus (`private[spark]` API): the bench's
     * per-key executor-CPU attribution reads an accumulating
     * SparkListener, and without a drain between keys the task-end

@@ -1,0 +1,140 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the SQL front door ([[graft.sql.GraftCatalog]]): the manifest
+  * table lifecycle driven entirely by `spark.sql` text — CREATE /
+  * INSERT INTO / INSERT OVERWRITE / CTAS / DROP, exact `VERSION AS OF`
+  * and `TIMESTAMP AS OF` time travel through the catalog, schema
+  * enforcement from the CREATE-time record, and the plan shape (filter
+  * pushdown into the parquet scan over manifest-listed files). */
+class GraftCatalogSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.catalog.graft", "graft.sql.GraftCatalog")
+      .config("spark.sql.catalog.graft.warehouse",
+        "target/graft_io/spec/sql_catalog_wh")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    val wh = new Path("target/graft_io/spec/sql_catalog_wh")
+    wh.getFileSystem(s.sparkContext.hadoopConfiguration).delete(wh, true)
+    s
+  }
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("CREATE + INSERT INTO + SELECT round-trips through SQL text") {
+    val n = Tables.nation(spark, sf)
+    n.createOrReplaceTempView("nation_src")
+    spark.sql("DROP TABLE IF EXISTS graft.default.nation_sql")
+    spark.sql("""CREATE TABLE graft.default.nation_sql
+                |  (n_nationkey BIGINT, n_name STRING,
+                |   n_regionkey BIGINT)""".stripMargin)
+    // a created-but-empty table is a real v1 with the declared schema
+    assert(spark.sql("SELECT * FROM graft.default.nation_sql").count() == 0)
+    spark.sql("""INSERT INTO graft.default.nation_sql
+                |SELECT n_nationkey, n_name, n_regionkey
+                |FROM nation_src WHERE n_nationkey < 10""".stripMargin)
+    spark.sql("""INSERT INTO graft.default.nation_sql
+                |SELECT n_nationkey, n_name, n_regionkey
+                |FROM nation_src WHERE n_nationkey >= 10""".stripMargin)
+    assert(spark.sql("SELECT * FROM graft.default.nation_sql").count()
+      == n.count())
+    // SQL writers and programmatic readers share one table: the Scala
+    // snapshot API sees exactly what SQL committed
+    val viaApi = ops.Layout.readSnapshot(spark,
+      "target/graft_io/spec/sql_catalog_wh/default/nation_sql")
+    assert(viaApi.count() == n.count())
+  }
+
+  test("VERSION AS OF and TIMESTAMP AS OF pin exact snapshots") {
+    // history built by the previous test: v1 empty, v2 = keys<10, v3 = rest
+    assert(spark.sql(
+      "SELECT * FROM graft.default.nation_sql VERSION AS OF 1").count() == 0)
+    assert(spark.sql(
+      "SELECT * FROM graft.default.nation_sql VERSION AS OF 2").count() == 10)
+    val head = spark.sql("SELECT * FROM graft.default.nation_sql").count()
+    assert(spark.sql(
+      "SELECT * FROM graft.default.nation_sql VERSION AS OF 3").count() == head)
+    // a future timestamp resolves to the head version
+    assert(spark.sql(
+      """SELECT * FROM graft.default.nation_sql
+        |TIMESTAMP AS OF '2999-01-01'""".stripMargin).count() == head)
+    // writing through a time-travel handle is refused
+    val e = intercept[Exception] {
+      spark.sql("""INSERT INTO (SELECT * FROM graft.default.nation_sql
+                  |VERSION AS OF 2) VALUES (1, 'x', 1)""".stripMargin)
+    }
+    assert(e != null)
+  }
+
+  test("filters push into the parquet scan over manifest-listed files") {
+    val plan = spark.sql(
+      """SELECT n_name FROM graft.default.nation_sql
+        |WHERE n_nationkey = 7""".stripMargin)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("n_nationkey"),
+      s"no pushdown in catalog scan plan:\n$plan")
+    assert(plan.contains("ReadSchema") &&
+      !plan.contains("n_regionkey"),
+      "column pruning lost: n_regionkey read for a 2-column query")
+  }
+
+  test("INSERT OVERWRITE replaces the whole table as one REPLACE commit") {
+    spark.sql("""INSERT OVERWRITE graft.default.nation_sql
+                |SELECT n_nationkey, n_name, n_regionkey
+                |FROM nation_src WHERE n_nationkey < 5""".stripMargin)
+    assert(spark.sql("SELECT * FROM graft.default.nation_sql").count() == 5)
+    // pinned history is still readable after the overwrite
+    assert(spark.sql(
+      "SELECT * FROM graft.default.nation_sql VERSION AS OF 2").count() == 10)
+  }
+
+  test("CTAS creates and fills in one statement; DROP removes the table") {
+    spark.sql("DROP TABLE IF EXISTS graft.default.region_ctas")
+    spark.sql("""CREATE TABLE graft.default.region_ctas AS
+                |SELECT r_regionkey, r_name FROM region_src""".stripMargin)
+    assert(spark.sql("SELECT * FROM graft.default.region_ctas").count()
+      == Tables.region(spark, sf).count())
+    spark.sql("DROP TABLE graft.default.region_ctas")
+    assert(!spark.catalog.tableExists("graft.default.region_ctas"))
+  }
+
+  test("an INSERT that contradicts the CREATE-time schema is refused") {
+    val e = intercept[Exception] {
+      spark.sql("""INSERT INTO graft.default.nation_sql
+                  |SELECT n_name, n_nationkey, n_regionkey
+                  |FROM nation_src""".stripMargin)
+    }
+    assert(e.getMessage.toLowerCase.contains("cannot") ||
+      e.getMessage.toLowerCase.contains("cast") ||
+      e.getMessage.toLowerCase.contains("incompatible"),
+      s"wrong failure: ${e.getMessage}")
+  }
+
+  test("the q_manifest_sql key answers identically to the direct aggregate") {
+    val got = graft.sql.GraftSql.qManifestSql(spark, sf).collect()
+    val want = Tables.orders(spark, sf)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum(Tables.dec2(col("o_totalprice"))).cast("double")
+          .as("sum_price"))
+      .orderBy("o_orderstatus").collect()
+    assert(got.toSeq == want.toSeq)
+  }
+
+  override def withFixture(test: NoArgTest) = {
+    // region_src is used by the CTAS test; register lazily once
+    if (spark.catalog.tableExists("region_src") == false)
+      Tables.region(spark, sf).createOrReplaceTempView("region_src")
+    super.withFixture(test)
+  }
+}
