@@ -169,6 +169,15 @@ object ScaleProbe {
     // categorical skipping: the one-language read should scale with the
     // LANGUAGE's bytes, not the table's
     "q_manifest_skipping_str",
+    // round-13 lakehouse keys (r13 verdict task 7): multi-column
+    // skipping's z-write + two-range read should track volume with the
+    // pruning fraction constant; widening evolution adds only the
+    // schema-merge O(1) on top of two appends
+    "q_manifest_skipping_multi", "q_snapshot_widening",
+    // round-14: the SQL catalog lifecycle — CREATE + two INSERT commits
+    // + aggregate read through the DSv2 scan; all data-volume-bound,
+    // catalog resolution O(1)
+    "q_manifest_sql",
     // the CNPJ vertical (reference envelope ">20 GB", readme.md:108):
     // synthetic flagship over the replica's 10× orders/customer
     "q_cnpj_flagship")

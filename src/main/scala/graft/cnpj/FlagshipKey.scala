@@ -71,6 +71,31 @@ object FlagshipKey {
       col("c_acctbal").cast("decimal(12,2)").cast("string")
         .as("capital_social"))
 
+  /** The fact table's warehouse landing: the reference bulk-loads
+    * estabelecimentos into SQLite and B-tree-indexes the filter columns
+    * (`ETLCNPJFinalEmpresaEstabelecimentos.py:167-182`) before querying.
+    * Here the same load→index→query pipeline runs on the engine's OWN
+    * table format: estabelecimentos commits into a graft-manifest table
+    * z-clustered on (id_municipio, id_cnae) with manifest bounds
+    * recorded for BOTH — the two selective IN filters then prune whole
+    * files from the read set before any footer opens, the secondary-
+    * index role at 100 TB. FlagshipManifestSpec pins the pruning. */
+  private[graft] def estabTable(s: SparkSession, d: String): String =
+    s"${graft.ops.Sources.ioDir(s, d)}/cnpj_estab_manifest"
+
+  private def estabSnapshot(s: SparkSession, d: String): DataFrame = {
+    import graft.ops.Layout
+    val table = estabTable(s, d)
+    Layout.dropTable(s, table) // deterministic re-run: fresh history
+    Layout.commitSnapshot(s, table,
+      Layout.zArranged(estab(s, d), "id_municipio", "id_cnae",
+        files = 8, buckets = 64),
+      statsColumns = Seq("id_municipio", "id_cnae"))
+    Layout.readSnapshotWhere(s, table, Seq(
+      Layout.SkipIn("id_municipio", Flagship.municipios.map(_.toLong)),
+      Layout.SkipIn("id_cnae", Flagship.cnaes)))
+  }
+
   def qCnpjFlagship(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val cnaeDim = cnaeIds.toDF("id_cnae")
@@ -85,7 +110,8 @@ object FlagshipKey {
       .select(col("id_situacao_cadastral"),
         concat(lit("situacao_"), col("id_situacao_cadastral").cast("string"))
           .as("descricao_situacao_cadastral"))
-    Flagship.query(estab(s, d), cnaeDim, empresas(s, d), munDim, motDim)
+    Flagship.query(estabSnapshot(s, d), cnaeDim, empresas(s, d), munDim,
+        motDim)
       .orderBy("cnpj_basico", "numero")
   }
 

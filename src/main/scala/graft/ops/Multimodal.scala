@@ -399,18 +399,39 @@ object Multimodal {
     * Hamming pairs over (doc_id, phash) → label propagation → full
     * per-doc (doc_id, cluster_rep, cluster_size) assignment.
     * MultimodalCodecSpec drives this directly on real encoded fixtures. */
+  /** The returned frame still reads the cached signatures, so the cache
+    * is held here and dropped on the NEXT invocation — the same
+    * one-retained-round discipline as labelPropagation's cache. */
+  private var lastSigCache: DataFrame = null
+
   private[graft] def clusterSignatures(sigs: DataFrame): DataFrame = {
+    synchronized {
+      if (lastSigCache != null) {
+        try lastSigCache.unpersist(blocking = false)
+        catch { case _: Throwable => () }
+      }
+      lastSigCache = sigs.persist()
+    }
+    // signatures feed BOTH the pair generator and the final assignment
+    // join — materialize once, or the dHash mapPartitions pass (and the
+    // payload scan under it) runs twice
+    val sig = lastSigCache
     val pairs = graft.ops.Sketches
-      .hammingBandedPairs(sigs, "doc_id", "phash")
+      .hammingBandedPairs(sig, "doc_id", "phash")
     val clustered = graft.ops.Sketches
       .labelPropagation(pairs.select(col("da"), col("db")), maxIter = 20)
-    val assigned = sigs.join(clustered,
-        sigs("doc_id") === clustered("id"), "left")
+    val assigned = sig.join(clustered,
+        sig("doc_id") === clustered("id"), "left")
       .select(col("doc_id"),
         coalesce(col("lbl"), col("doc_id")).as("cluster_rep"))
-    val sizes = assigned.groupBy(col("cluster_rep").as("cr"))
-      .agg(count(lit(1)).as("cluster_size"))
-    assigned.join(sizes, col("cluster_rep") === col("cr"))
+    // cluster_size over a window on the SAME key the frame is about
+    // to shuffle on anyway — one pass, where the old
+    // groupBy(cluster_rep) + equi-join shape paid a second shuffle
+    // plus a join for the identical answer
+    assigned
+      .withColumn("cluster_size",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("cluster_rep")))
       .select(col("doc_id"), col("cluster_rep"), col("cluster_size"))
       .orderBy("doc_id")
   }
