@@ -12,7 +12,10 @@ import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.ScanBuilder
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, WriteBuilder}
 import org.apache.spark.sql.graft.ColumnBridge
-import org.apache.spark.sql.sources.InsertableRelation
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.sources.{Filter, InsertableRelation}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -48,11 +51,14 @@ import graft.ops.Layout
   * tables is exact (catalog `loadTable(ident, version)` pins the
   * snapshot; `TIMESTAMP AS OF` resolves through [[Layout.versionAt]]).
   *
-  * Deliberately NOT here: `MERGE INTO` / `DELETE FROM` SQL rewrites
-  * (SupportsRowLevelOperations) — the Scala verbs
-  * [[Layout.mergeInto]]/[[Layout.deleteWhere]] carry those semantics;
-  * wiring Spark's row-level-operation planner onto them is a surface,
-  * not a semantics, gap. */
+  * `DELETE FROM t [WHERE ...]` also works: translated filters feed the
+  * copy-on-write [[Layout.deleteWhere]] verb (SupportsDelete), and the
+  * no-WHERE form truncates via an empty REPLACE commit. Deliberately
+  * NOT here: `MERGE INTO` / `UPDATE` SQL rewrites
+  * (SupportsRowLevelOperations' group-based rewrite planner) — the
+  * Scala verb [[Layout.mergeInto]] carries those semantics; wiring
+  * Spark's row-level-operation planner onto it is a surface, not a
+  * semantics, gap. */
 class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   private var catalogName: String = _
@@ -222,7 +228,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   * manifest's explicit file list — `EXPLAIN` on a catalog SELECT shows
   * PushedFilters/ReadSchema like any parquet scan. */
 class GraftTable(path: String, version: Option[Int])
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite
+    with SupportsDelete {
 
   private def spark: SparkSession = SparkSession.active
 
@@ -273,6 +280,60 @@ class GraftTable(path: String, version: Option[Int])
           }
       }
     }
+  }
+
+  /** `DELETE FROM t WHERE ...` — translated v1 filters feed the
+    * copy-on-write [[Layout.deleteWhere]] verb: only files that can
+    * contain matching rows are rewritten, the swap is one REPLACE
+    * commit, and pinned time-travel readers keep the pre-delete
+    * version. `DELETE FROM t` (no WHERE) arrives as [[truncateTable]]
+    * and REPLACE-commits an empty line set. */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    version.isEmpty && filters.forall(f => filterToColumn(f).isDefined)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    require(version.isEmpty,
+      s"cannot DELETE from $path pinned at VERSION AS OF ${version.get}")
+    val pred = filters.flatMap(filterToColumn)
+      .reduceOption(_ && _).getOrElse(lit(true))
+    Layout.deleteWhere(spark, path, pred)
+  }
+
+  override def truncateTable(): Boolean = {
+    require(version.isEmpty,
+      s"cannot TRUNCATE $path pinned at VERSION AS OF ${version.get}")
+    val empty = spark.createDataFrame(
+      new util.ArrayList[org.apache.spark.sql.Row](), schema())
+      .repartition(1)
+    Layout.replaceSnapshot(spark, path, empty)
+    true
+  }
+
+  /** v1 [[Filter]] → Column translation for the DELETE path — the
+    * standard connector subset; None = untranslatable, reported
+    * through canDeleteWhere so Spark refuses the statement instead of
+    * deleting the wrong rows. */
+  private def filterToColumn(f: Filter): Option[Column] = f match {
+    case sources.EqualTo(a, v)            => Some(col(a) === lit(v))
+    case sources.EqualNullSafe(a, v)      => Some(col(a) <=> lit(v))
+    case sources.GreaterThan(a, v)        => Some(col(a) > lit(v))
+    case sources.GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case sources.LessThan(a, v)           => Some(col(a) < lit(v))
+    case sources.LessThanOrEqual(a, v)    => Some(col(a) <= lit(v))
+    case sources.In(a, vs)                => Some(col(a).isin(vs.toSeq: _*))
+    case sources.IsNull(a)                => Some(col(a).isNull)
+    case sources.IsNotNull(a)             => Some(col(a).isNotNull)
+    case sources.StringStartsWith(a, v)   => Some(col(a).startsWith(v))
+    case sources.StringEndsWith(a, v)     => Some(col(a).endsWith(v))
+    case sources.StringContains(a, v)     => Some(col(a).contains(v))
+    case sources.AlwaysTrue()             => Some(lit(true))
+    case sources.AlwaysFalse()            => Some(lit(false))
+    case sources.And(l, r) =>
+      for (a <- filterToColumn(l); b <- filterToColumn(r)) yield a && b
+    case sources.Or(l, r) =>
+      for (a <- filterToColumn(l); b <- filterToColumn(r)) yield a || b
+    case sources.Not(c) => filterToColumn(c).map(!_)
+    case _ => None
   }
 
   override def toString: String = name()

@@ -120,6 +120,39 @@ class GraftCatalogSpec extends AnyFunSuite {
       s"wrong failure: ${e.getMessage}")
   }
 
+  test("DELETE FROM rewrites copy-on-write; history stays pinned; no-WHERE truncates") {
+    val n = Tables.nation(spark, sf)
+    n.createOrReplaceTempView("nation_src")
+    spark.sql("DROP TABLE IF EXISTS graft.default.nation_del")
+    spark.sql("""CREATE TABLE graft.default.nation_del AS
+                |SELECT n_nationkey, n_name, n_regionkey
+                |FROM nation_src""".stripMargin)
+    val before = spark.sql("SELECT * FROM graft.default.nation_del").count()
+    assert(before == n.count())
+    spark.sql(
+      "DELETE FROM graft.default.nation_del WHERE n_nationkey < 10")
+    assert(spark.sql("SELECT * FROM graft.default.nation_del").count()
+      == before - 10)
+    // SQL NULL semantics on the predicate ride the verb's coalesce
+    spark.sql(
+      "DELETE FROM graft.default.nation_del WHERE n_name LIKE 'A%'")
+    val expect = n.where(col("n_nationkey") >= 10 &&
+      !col("n_name").startsWith("A")).count()
+    assert(spark.sql("SELECT * FROM graft.default.nation_del").count()
+      == expect)
+    // the pre-delete snapshot is still pinned (CTAS = v1 empty + v2 fill)
+    assert(spark.sql(
+      "SELECT * FROM graft.default.nation_del VERSION AS OF 2").count()
+      == before)
+    // DELETE with no WHERE = truncate, as a REPLACE commit
+    spark.sql("DELETE FROM graft.default.nation_del")
+    assert(spark.sql("SELECT * FROM graft.default.nation_del").count() == 0)
+    assert(spark.sql(
+      "SELECT * FROM graft.default.nation_del VERSION AS OF 2").count()
+      == before,
+      "truncate must not destroy pinned history")
+  }
+
   test("the q_manifest_sql key answers identically to the direct aggregate") {
     val got = graft.sql.GraftSql.qManifestSql(spark, sf).collect()
     val want = Tables.orders(spark, sf)
