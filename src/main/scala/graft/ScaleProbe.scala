@@ -40,7 +40,12 @@ object ScaleProbe {
     // v3: the replica also scales customer and shifts orders' o_custkey
     // (the CNPJ flagship probe needs a 10× empresas population; marker is
     // versioned so an older replica left in target/ rebuilds)
-    val done = new java.io.File(s"$out/_REPLICA_DONE_v3")
+    // v4: the UNSCALED dim tables (supplier/part/nation/region) are now
+    // copied in — "dim tables are not scaled" never meant "not present",
+    // and their absence made every probed key touching them die with
+    // FileNotFoundException (the r14 probe shipped q_snapshot_widening
+    // as a -1.0 sentinel for exactly this)
+    val done = new java.io.File(s"$out/_REPLICA_DONE_v4")
     if (done.exists()) return
     val docs = Tables.documents(spark, src)
     val docStep = shiftStep(docs, "doc_id")
@@ -107,6 +112,13 @@ object ScaleProbe {
       emb.withColumn("vec_id", col("vec_id") + i * vecStep)
     }.reduce(_ unionAll _)
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+
+    // dims pass through unscaled (facts grow, dims don't) — present so
+    // a probed key can open them
+    Seq("supplier", "part", "nation", "region").foreach { t =>
+      spark.read.parquet(s"$src/$t.parquet")
+        .write.mode("overwrite").parquet(s"$out/$t.parquet")
+    }
 
     done.getParentFile.mkdirs()
     done.createNewFile()
@@ -179,8 +191,10 @@ object ScaleProbe {
     // catalog resolution O(1)
     "q_manifest_sql",
     // the CNPJ vertical (reference envelope ">20 GB", readme.md:108):
-    // synthetic flagship over the replica's 10× orders/customer
-    "q_cnpj_flagship")
+    // synthetic flagship over the replica's 10× orders/customer —
+    // r15 splits load (z-cluster + commit, data-volume-bound) from
+    // query (pruned read + star join) so each phase gets its own ratio
+    "q_cnpj_load", "q_cnpj_flagship")
 
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -248,8 +262,17 @@ object ScaleProbe {
     val qs = rows.map { case (k, a, b, r) =>
       s""""$k":{"sf01_sec":${r3(a)},"sf1_sec":${r3(b)},"ratio":${r3(r)}}"""
     }.mkString("{", ",", "}")
+    // a -1 sentinel is a FAILED measurement, not a ratio — it must ship
+    // as an explicit failed_keys entry (and shout), never as a silent
+    // number a reader has to notice (the r14 artifact shipped one)
+    val failed = rows.collect { case (k, a, b, _) if a < 0 || b < 0 => k }
+    if (failed.nonEmpty)
+      System.err.println(
+        s"PROBE FAILED KEYS (measurement errored, not a plan property): " +
+          failed.mkString(", "))
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
-      s"""{"metric":"sf1_scaling","copies":10,"quantiles_auto_binned_at_sf1":$autoBinnedAtSf1,"flagship_emp_join":{"sf01":"$fs01emp","sf1":"$fs1emp"},"loadavg":{"before":${r3(loadBefore)},"after":${r3(load1m())}},"queries":$qs,"src":"$src"}"""
+      s"""{"metric":"sf1_scaling","copies":10,"quantiles_auto_binned_at_sf1":$autoBinnedAtSf1,"flagship_emp_join":{"sf01":"$fs01emp","sf1":"$fs1emp"},"loadavg":{"before":${r3(loadBefore)},"after":${r3(load1m())}},"failed_keys":$failedJson,"queries":$qs,"src":"$src"}"""
     println(line)
     val w = new java.io.PrintWriter("/root/repo/BENCH_sf1.json", "UTF-8")
     try w.println(line) finally w.close()

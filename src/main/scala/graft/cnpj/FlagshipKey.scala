@@ -83,7 +83,21 @@ object FlagshipKey {
   private[graft] def estabTable(s: SparkSession, d: String): String =
     s"${graft.ops.Sources.ioDir(s, d)}/cnpj_estab_manifest"
 
-  private def estabSnapshot(s: SparkSession, d: String): DataFrame = {
+  /** Marker proving the z-clustered warehouse table is built and
+    * current for this build recipe — bump the suffix on any change to
+    * the load (layout params, stats columns, estab derivation) so a
+    * stale table from an older recipe rebuilds instead of silently
+    * serving. */
+  private def loadMarker(s: SparkSession, d: String) =
+    new java.io.File(s"${estabTable(s, d)}/_FLAGSHIP_LOAD_OK_v1")
+
+  /** The timed LOAD: drop + z-cluster + manifest-commit the fact table,
+    * every invocation — the reference's bulk-load + CREATE INDEX phase
+    * (`ETLCNPJFinalEmpresaEstabelecimentos.py:167-182`) as its own
+    * bench-visible cost, instead of hiding inside the query key (the
+    * r14 verdict: `q_cnpj_flagship` timed a 16 s CPU rebuild per run
+    * with no note). */
+  private def buildEstabWarehouse(s: SparkSession, d: String): String = {
     import graft.ops.Layout
     val table = estabTable(s, d)
     Layout.dropTable(s, table) // deterministic re-run: fresh history
@@ -91,9 +105,38 @@ object FlagshipKey {
       Layout.zArranged(estab(s, d), "id_municipio", "id_cnae",
         files = 8, buckets = 64),
       statsColumns = Seq("id_municipio", "id_cnae"))
+    val m = loadMarker(s, d)
+    m.getParentFile.mkdirs()
+    m.createNewFile()
+    table
+  }
+
+  /** The QUERY path's warehouse handle: build once, reuse thereafter
+    * (marker-guarded, like the scale probe's `_REPLICA_DONE`) — so
+    * `q_cnpj_flagship` measures the query over the existing table, the
+    * phase split the reference itself uses (load+index `:167-182`, then
+    * `export_select` queries `:185-188`). */
+  private def estabSnapshot(s: SparkSession, d: String): DataFrame = {
+    import graft.ops.Layout
+    val table = estabTable(s, d)
+    if (!loadMarker(s, d).exists()) buildEstabWarehouse(s, d)
     Layout.readSnapshotWhere(s, table, Seq(
       Layout.SkipIn("id_municipio", Flagship.municipios.map(_.toLong)),
       Layout.SkipIn("id_cnae", Flagship.cnaes)))
+  }
+
+  /** Oracle-checked load key: after the commit, the aggregates are read
+    * BACK from the manifest table (the committed bytes, not the input
+    * frame), so the hash compare proves load fidelity end-to-end. */
+  def qCnpjLoad(s: SparkSession, d: String): DataFrame = {
+    import graft.ops.Layout
+    val table = buildEstabWarehouse(s, d)
+    Layout.readSnapshot(s, table).agg(
+      count(lit(1)).as("n_estab"),
+      countDistinct(col("cnpj_basico")).as("n_empresas"),
+      sum(col("id_cnae")).as("sum_cnae"),
+      sum(col("id_municipio")).as("sum_municipio"),
+      sum(col("id_situacao_cadastral")).as("sum_situacao"))
   }
 
   def qCnpjFlagship(s: SparkSession, d: String): DataFrame = {
@@ -117,9 +160,28 @@ object FlagshipKey {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cnpj_flagship" -> qCnpjFlagship _,
+    "q_cnpj_load" -> qCnpjLoad _,
   )
 
+  /** The estab construction as a DuckDB CTE — shared by both oracles. */
+  private def estabCte: String =
+    s"""SELECT o_custkey AS cnpj_basico,
+       |    [${cnaeIds.mkString(", ")}]
+       |      [CAST(o_orderkey % 5 AS INTEGER) + 1] AS id_cnae,
+       |    [${munIds.mkString(", ")}]
+       |      [CAST(o_orderkey % 4 AS INTEGER) + 1] AS id_municipio,
+       |    o_orderkey % 9 AS id_situacao_cadastral
+       |  FROM orders""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "q_cnpj_load" ->
+      s"""WITH estab AS ($estabCte)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_estab,
+         |  CAST(COUNT(DISTINCT cnpj_basico) AS BIGINT) AS n_empresas,
+         |  CAST(SUM(id_cnae) AS BIGINT) AS sum_cnae,
+         |  CAST(SUM(id_municipio) AS BIGINT) AS sum_municipio,
+         |  CAST(SUM(id_situacao_cadastral) AS BIGINT) AS sum_situacao
+         |FROM estab""".stripMargin,
     "q_cnpj_flagship" ->
       s"""WITH estab AS (
          |  SELECT o_custkey AS cnpj_basico,

@@ -589,10 +589,26 @@ object Layout {
       val t = java.nio.file.Paths.get(fs.makeQualified(tmp).toUri.getPath)
       val d = java.nio.file.Paths.get(fs.makeQualified(dst).toUri.getPath)
       val won =
-        try { java.nio.file.Files.createLink(d, t); true }
-        catch { case _: java.nio.file.FileAlreadyExistsException => false }
-      fs.delete(tmp, false) // drops the checksum sidecar too
-      won
+        try { java.nio.file.Files.createLink(d, t); Some(true) }
+        catch {
+          case _: java.nio.file.FileAlreadyExistsException => Some(false)
+          // a `file:` mount without link(2) support (FUSE/overlay/
+          // network mounts): fall back to the rename path below — the
+          // caller's UUID verify then carries the race, exactly the
+          // pre-link behavior on such filesystems
+          case _: UnsupportedOperationException => None
+          case e: java.nio.file.FileSystemException
+              if e.getMessage != null &&
+                e.getMessage.contains("not supported") => None
+        }
+      won match {
+        case Some(w) =>
+          fs.delete(tmp, false) // drops the checksum sidecar too
+          w
+        case None =>
+          if (fs.rename(tmp, dst)) true
+          else { fs.delete(tmp, false); false }
+      }
     } else if (fs.rename(tmp, dst)) true
     else { fs.delete(tmp, false); false }
 

@@ -401,21 +401,40 @@ object Multimodal {
     * MultimodalCodecSpec drives this directly on real encoded fixtures. */
   /** The returned frame still reads the cached signatures, so the cache
     * is held here and dropped on the NEXT invocation — the same
-    * one-retained-round discipline as labelPropagation's cache. */
+    * one-retained-round discipline as labelPropagation's cache.
+    * Registered with [[graft.ops.Text.clearCaches]] (via
+    * [[clearSigCache]]) so the bench's order-independence contract
+    * ("memoized intermediates are cleared before EVERY timed run",
+    * BenchProtocol.scala) covers it — the r14 round shipped this cache
+    * unregistered and the retained signatures frame survived into every
+    * subsequent bench key. */
   private var lastSigCache: DataFrame = null
 
+  /** Drop the retained signatures cache (bench order-independence). */
+  def clearSigCache(): Unit = synchronized {
+    if (lastSigCache != null) {
+      try lastSigCache.unpersist(blocking = false)
+      catch { case _: Throwable => () }
+      lastSigCache = null
+    }
+  }
+
   private[graft] def clusterSignatures(sigs: DataFrame): DataFrame = {
-    synchronized {
+    // capture the freshly persisted frame INSIDE the lock: reading
+    // lastSigCache after release would let a concurrent invocation swap
+    // (and unpersist) the cache between release and read, silently
+    // clustering the OTHER caller's signatures
+    val sig = synchronized {
       if (lastSigCache != null) {
         try lastSigCache.unpersist(blocking = false)
         catch { case _: Throwable => () }
       }
       lastSigCache = sigs.persist()
+      lastSigCache
     }
     // signatures feed BOTH the pair generator and the final assignment
     // join — materialize once, or the dHash mapPartitions pass (and the
     // payload scan under it) runs twice
-    val sig = lastSigCache
     val pairs = graft.ops.Sketches
       .hammingBandedPairs(sig, "doc_id", "phash")
     val clustered = graft.ops.Sketches

@@ -47,6 +47,10 @@ object Text {
     // label propagation retains its final round's cache for the caller;
     // drop it here too so cluster-key timings stay order-independent
     Sketches.clearLabelPropCache()
+    // ... and the visual-dedup signatures cache, same retained-round
+    // discipline (the r14 bench shipped it unregistered and the judge
+    // flagged the resulting cross-key cache bleed)
+    Multimodal.clearSigCache()
   }
 
   /** Content fingerprint: md5 over whitespace-normalized lowercase text —

@@ -95,8 +95,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val dir = new Path(dirOf(namespace))
     val fs = fsOf(dir)
-    if (!fs.exists(dir)) throw new NoSuchNamespaceException(
-      catalogName +: namespace)
+    // `default` (and the root namespace) always exist per
+    // namespaceExists — SHOW TABLES on a fresh catalog must list empty,
+    // not throw, before the first CREATE TABLE materializes the dir
+    if (!fs.exists(dir)) {
+      if (namespaceExists(namespace)) return Array.empty
+      throw new NoSuchNamespaceException(catalogName +: namespace)
+    }
     fs.listStatus(dir).collect {
       case st if st.isDirectory &&
           fs.exists(new Path(st.getPath, "manifests")) =>
@@ -233,11 +238,28 @@ class GraftTable(path: String, version: Option[Int])
 
   private def spark: SparkSession = SparkSession.active
 
+  /** The snapshot this Table instance reads, resolved ONCE — schema()
+    * (called at analysis) and newScanBuilder (called at planning) must
+    * describe the SAME version, or a concurrent commit landing between
+    * the two resolutions pairs version N's files with version N+1's
+    * schema (the r14 ADVICE race). Spark resolves a fresh Table per
+    * statement, so head-freshness is preserved across queries; within
+    * one statement the snapshot is pinned, which is exactly snapshot
+    * isolation. */
+  private lazy val pinnedLayout: (Seq[String], Option[StructType]) = {
+    val head = version.orElse {
+      val root = new Path(path)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      Some(Layout.currentVersion(fs, root))
+    }
+    Layout.snapshotLayout(spark, path, head)
+  }
+
   override def name(): String = s"graft.`$path`" +
     version.fold("")(v => s"@v$v")
 
   override def schema(): StructType = {
-    val (files, recorded) = Layout.snapshotLayout(spark, path, version)
+    val (files, recorded) = pinnedLayout
     recorded.getOrElse {
       // legacy pre-schema-tracking table: footer inference
       require(files.nonEmpty,
@@ -256,7 +278,7 @@ class GraftTable(path: String, version: Option[Int])
 
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : ScanBuilder = {
-    val (files, _) = Layout.snapshotLayout(spark, path, version)
+    val (files, _) = pinnedLayout
     ColumnBridge.parquetScanBuilder(spark, files, schema(),
       options.asCaseSensitiveMap())
   }
@@ -349,25 +371,38 @@ object GraftSql {
   import org.apache.spark.sql.functions._
   import graft.Tables._
 
+  /** Catalog name derived from the warehouse path: Spark's
+    * CatalogManager caches the catalog INSTANCE on first lookup and
+    * never re-initializes it, so re-pointing `spark.sql.catalog
+    * .graft.warehouse` in a session that already used `graft` silently
+    * keeps the first path (the r14 ADVICE finding). One name per
+    * warehouse makes first-use pinning correct by construction. */
+  private[graft] def catalogFor(s: SparkSession, wh: String): String = {
+    val name = "graft_" + java.lang.Long.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(wh) & 0xffffffffL)
+    s.conf.set(s"spark.sql.catalog.$name", classOf[GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$name.warehouse", wh)
+    name
+  }
+
   def qManifestSql(s: SparkSession, d: String): DataFrame = {
     val wh = s"${graft.ops.Sources.ioDir(s, d)}/sql_catalog"
-    s.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
-    s.conf.set("spark.sql.catalog.graft.warehouse", wh)
-    s.sql("DROP TABLE IF EXISTS graft.default.orders_sql")
+    val cat = catalogFor(s, wh)
+    s.sql(s"DROP TABLE IF EXISTS $cat.default.orders_sql")
     orders(s, d)
       .select(col("o_orderkey"), col("o_orderstatus"),
         dec2(col("o_totalprice")).as("price"))
       .createOrReplaceTempView("orders_sql_src")
-    s.sql("""CREATE TABLE graft.default.orders_sql
+    s.sql(s"""CREATE TABLE $cat.default.orders_sql
             |  (o_orderkey BIGINT, o_orderstatus STRING,
             |   price DECIMAL(18,2))""".stripMargin)
-    s.sql("""INSERT INTO graft.default.orders_sql
+    s.sql(s"""INSERT INTO $cat.default.orders_sql
             |SELECT * FROM orders_sql_src WHERE o_orderkey % 2 = 0""".stripMargin)
-    s.sql("""INSERT INTO graft.default.orders_sql
+    s.sql(s"""INSERT INTO $cat.default.orders_sql
             |SELECT * FROM orders_sql_src WHERE o_orderkey % 2 = 1""".stripMargin)
-    s.sql("""SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+    s.sql(s"""SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
             |  CAST(SUM(price) AS DOUBLE) AS sum_price
-            |FROM graft.default.orders_sql
+            |FROM $cat.default.orders_sql
             |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
   }
 
