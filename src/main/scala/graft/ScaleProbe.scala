@@ -190,6 +190,11 @@ object ScaleProbe {
     // + aggregate read through the DSv2 scan; all data-volume-bound,
     // catalog resolution O(1)
     "q_manifest_sql",
+    // round-15: MERGE INTO through the group-based COW rewrite — the
+    // rewrite cost is matched-file footprint + insert volume (runtime
+    // group filtering prunes the rest), so the key should track data
+    // volume like the insert path it extends
+    "q_manifest_merge_sql",
     // the CNPJ vertical (reference envelope ">20 GB", readme.md:108):
     // synthetic flagship over the replica's 10× orders/customer —
     // r15 splits load (z-cluster + commit, data-volume-bound) from

@@ -1483,6 +1483,46 @@ object Layout {
     } finally src.unpersist()
   }
 
+  // -- SQL row-level operation support (graft.sql.GraftRowLevel) -------
+  // MERGE INTO / UPDATE / complex DELETE arrive through Spark's
+  // group-based rewrite (SupportsRowLevelOperations): the planner reads
+  // the affected file-groups through a COW scan and writes back their
+  // surviving rows; these two verbs are the manifest-format half —
+  // the group inventory the scan prunes, and the swap commit.
+
+  /** A pinned version's manifest entries as (manifest line, qualified
+    * absolute path, bytes) — the file-group inventory for a COW
+    * row-level scan. The absolute path doubles as the `_file` metadata
+    * value, so runtime group filtering compares exactly the strings
+    * this list carries. */
+  private[graft] def rowLevelEntries(spark: SparkSession, table: String,
+      version: Int): Seq[(String, String, Long)] = {
+    val root = new Path(table)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    manifestFiles(fs, root, version).map { l =>
+      val p = new Path(root, entryPath(l))
+      (l, fs.makeQualified(p).toString,
+        entrySize(l).getOrElse(fs.getFileStatus(p).getLen))
+    }
+  }
+
+  /** Commit a row-level rewrite: swap `affectedLines` (the groups the
+    * COW scan read) for `staged` root-relative files — one REPLACE CAS,
+    * re-recording the table's stats columns on the rewritten files like
+    * every other rewrite verb. An empty `affectedLines` (no group
+    * matched, pure not-matched inserts) degenerates to an append. */
+  private[graft] def commitRewrite(spark: SparkSession, table: String,
+      version: Int, affectedLines: Set[String],
+      staged: Seq[(String, Long)], op: String): Int = {
+    val root = new Path(table)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val added =
+      if (staged.isEmpty) Seq.empty[String]
+      else withStats(spark, fs, root, staged,
+        statsColumnsOf(fs, root, version))
+    replaceCommit(fs, root, op, affectedLines, added)
+  }
+
   /** Snapshot GC (VACUUM): drop manifests older than the newest
     * `keepLast`, then delete every data file + empty txn directory no
     * retained manifest references — this is what finally reclaims

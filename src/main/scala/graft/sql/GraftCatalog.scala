@@ -10,7 +10,7 @@ import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchT
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.ScanBuilder
-import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, WriteBuilder}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, SupportsTruncate, V1Write, WriteBuilder}
 import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.sources
 import org.apache.spark.sql.sources.{Filter, InsertableRelation}
@@ -53,12 +53,11 @@ import graft.ops.Layout
   *
   * `DELETE FROM t [WHERE ...]` also works: translated filters feed the
   * copy-on-write [[Layout.deleteWhere]] verb (SupportsDelete), and the
-  * no-WHERE form truncates via an empty REPLACE commit. Deliberately
-  * NOT here: `MERGE INTO` / `UPDATE` SQL rewrites
-  * (SupportsRowLevelOperations' group-based rewrite planner) — the
-  * Scala verb [[Layout.mergeInto]] carries those semantics; wiring
-  * Spark's row-level-operation planner onto it is a surface, not a
-  * semantics, gap. */
+  * no-WHERE form truncates via an empty REPLACE commit. `MERGE INTO` /
+  * `UPDATE` / subquery-`DELETE` ride Spark's group-based row-level
+  * rewrite (SupportsRowLevelOperations → [[GraftRowLevelOperation]]):
+  * a `_file`-group COW scan with runtime group filtering, committed as
+  * one REPLACE CAS — see [[graft.sql.GraftRowLevel]]. */
 class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   private var catalogName: String = _
@@ -234,7 +233,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   * PushedFilters/ReadSchema like any parquet scan. */
 class GraftTable(path: String, version: Option[Int])
     extends Table with SupportsRead with SupportsWrite
-    with SupportsDelete {
+    with SupportsDelete with SupportsRowLevelOperations
+    with SupportsMetadataColumns {
 
   private def spark: SparkSession = SparkSession.active
 
@@ -246,14 +246,14 @@ class GraftTable(path: String, version: Option[Int])
     * statement, so head-freshness is preserved across queries; within
     * one statement the snapshot is pinned, which is exactly snapshot
     * isolation. */
-  private lazy val pinnedLayout: (Seq[String], Option[StructType]) = {
-    val head = version.orElse {
-      val root = new Path(path)
-      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      Some(Layout.currentVersion(fs, root))
-    }
-    Layout.snapshotLayout(spark, path, head)
+  private lazy val pinnedVersion: Int = version.getOrElse {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Layout.currentVersion(fs, root)
   }
+
+  private lazy val pinnedLayout: (Seq[String], Option[StructType]) =
+    Layout.snapshotLayout(spark, path, Some(pinnedVersion))
 
   override def name(): String = s"graft.`$path`" +
     version.fold("")(v => s"@v$v")
@@ -272,15 +272,50 @@ class GraftTable(path: String, version: Option[Int])
     Map(TableCatalog.PROP_LOCATION -> path,
       TableCatalog.PROP_PROVIDER -> "graft-manifest").asJava
 
+  // BATCH_WRITE is the ROW-LEVEL path's capability (ReplaceData's V2
+  // write); plain INSERT still rides V1_BATCH_WRITE because
+  // newWriteBuilder returns a V1Write — the physical planner dispatches
+  // on the Write object, not the capability set.
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
 
+  /** `_file` (which data file holds the row) — the row-level planner's
+    * group id; see [[GraftRowLevel.FileColumn]]. */
+  override def metadataColumns(): Array[MetadataColumn] =
+    Array(GraftRowLevel.FileColumn)
+
+  /** `MERGE INTO` / `UPDATE` / rewrite-path `DELETE`: hand Spark's
+    * group-based rewrite a pinned-snapshot COW operation (see
+    * [[GraftRowLevelOperation]]). Time-travel handles refuse — mutating
+    * the past is not a thing. */
+  override def newRowLevelOperationBuilder(info: RowLevelOperationInfo)
+      : RowLevelOperationBuilder = {
+    require(version.isEmpty,
+      s"cannot ${info.command()} $path pinned at VERSION AS OF " +
+        version.getOrElse(""))
+    new RowLevelOperationBuilder {
+      override def build(): RowLevelOperation =
+        new GraftRowLevelOperation(path, pinnedVersion,
+          ColumnBridge.nullableSchema(schema()), info.command())
+    }
+  }
+
+  /** Plain reads ride Spark's vectorized parquet ScanBuilder (pushdown,
+    * columnar batches) exactly as before; if the plan requests the
+    * `_file` metadata column — only the row-level group-filter subquery
+    * does — the builder switches to the row-based COW scan, which
+    * synthesizes `_file` per row. */
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : ScanBuilder = {
     val (files, _) = pinnedLayout
-    ColumnBridge.parquetScanBuilder(spark, files, schema(),
-      options.asCaseSensitiveMap())
+    new org.apache.spark.sql.graft.SnapshotScanBuilder(spark, files,
+      schema(), options.asCaseSensitiveMap(),
+      (required, pushedData) => new GraftCowScan(
+        Layout.rowLevelEntries(spark, path, pinnedVersion),
+        ColumnBridge.nullableSchema(schema()), required, pushedData,
+        s"$path@v$pinnedVersion"))
   }
 
   /** INSERT INTO → APPEND commit; INSERT OVERWRITE (truncate) →
@@ -406,9 +441,71 @@ object GraftSql {
             |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
   }
 
+  /** The row-level SQL surface as a bench key: CREATE + INSERT a
+    * manifest table from half of orders, then one `MERGE INTO` whose
+    * source both overlaps (update/delete clauses) and extends (insert
+    * clause) the target, then aggregate the merged truth. The oracle
+    * recomputes the post-merge state relationally (left joins) over the
+    * raw parquet — so the group-based COW rewrite, runtime group
+    * filtering, and the REPLACE commit all sit under the hash check.
+    * GraftRowLevelSpec pins what the aggregate can't see (group
+    * pruning: untouched files carry by manifest line). */
+  def qManifestMergeSql(s: SparkSession, d: String): DataFrame = {
+    val wh = s"${graft.ops.Sources.ioDir(s, d)}/sql_catalog"
+    val cat = catalogFor(s, wh)
+    s.sql(s"DROP TABLE IF EXISTS $cat.default.orders_merge")
+    orders(s, d)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        dec2(col("o_totalprice")).as("price"))
+      .createOrReplaceTempView("orders_merge_src")
+    s.sql(s"""CREATE TABLE $cat.default.orders_merge
+            |  (o_orderkey BIGINT, o_orderstatus STRING,
+            |   price DECIMAL(18,2))""".stripMargin)
+    s.sql(s"""INSERT INTO $cat.default.orders_merge
+            |SELECT * FROM orders_merge_src
+            |WHERE o_orderkey % 4 = 0""".stripMargin)
+    s.sql(s"""MERGE INTO $cat.default.orders_merge AS t
+            |USING (SELECT * FROM orders_merge_src
+            |       WHERE o_orderkey % 8 = 0 OR o_orderkey % 4 = 1) AS s
+            |ON t.o_orderkey = s.o_orderkey
+            |WHEN MATCHED AND t.o_orderstatus = 'F' THEN DELETE
+            |WHEN MATCHED THEN UPDATE SET price = s.price * 2
+            |WHEN NOT MATCHED THEN INSERT (o_orderkey, o_orderstatus, price)
+            |  VALUES (s.o_orderkey, s.o_orderstatus, s.price)
+            |""".stripMargin)
+    s.sql(s"""SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+            |  CAST(SUM(price) AS DOUBLE) AS sum_price
+            |FROM $cat.default.orders_merge
+            |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_manifest_sql" -> qManifestSql _)
+    "q_manifest_sql" -> qManifestSql _,
+    "q_manifest_merge_sql" -> qManifestMergeSql _)
 
   val oracleSql: Map[String, String] = Map(
-    "q_manifest_sql" -> graft.ops.Sources.oracleSql("q_table_roundtrip"))
+    "q_manifest_sql" -> graft.ops.Sources.oracleSql("q_table_roundtrip"),
+    "q_manifest_merge_sql" ->
+      """WITH t AS (SELECT o_orderkey, o_orderstatus,
+        |             CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        |           FROM orders WHERE o_orderkey % 4 = 0),
+        |     s AS (SELECT o_orderkey, o_orderstatus,
+        |             CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        |           FROM orders
+        |           WHERE o_orderkey % 8 = 0 OR o_orderkey % 4 = 1),
+        |     kept AS (
+        |       SELECT t.o_orderkey, t.o_orderstatus,
+        |         CASE WHEN s.o_orderkey IS NULL THEN t.price
+        |              ELSE CAST(t.price * 2 AS DECIMAL(18,2)) END AS price
+        |       FROM t LEFT JOIN s ON t.o_orderkey = s.o_orderkey
+        |       WHERE s.o_orderkey IS NULL OR t.o_orderstatus <> 'F'),
+        |     ins AS (
+        |       SELECT s.o_orderkey, s.o_orderstatus, s.price
+        |       FROM s LEFT JOIN t ON s.o_orderkey = t.o_orderkey
+        |       WHERE t.o_orderkey IS NULL),
+        |     merged AS (SELECT * FROM kept UNION ALL SELECT * FROM ins)
+        |SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(price) AS DOUBLE) AS sum_price
+        |FROM merged GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin)
 }

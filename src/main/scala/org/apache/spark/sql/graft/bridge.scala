@@ -118,6 +118,86 @@ object ColumnBridge {
       new CaseInsensitiveStringMap(options))
   }
 
+  // -- row-level (COW) per-file read/write primitives ------------------
+  // The group-based SQL rewrite (MERGE INTO / UPDATE via
+  // SupportsRowLevelOperations) needs a scan that knows which FILE each
+  // row came from and a V2 batch write (ReplaceDataExec has no V1
+  // fallback). Both ride Spark's own parquet machinery; only the
+  // `private[sql]` constructors live here.
+
+  /** Serializable per-file parquet reader — the same
+    * `FileFormat.buildReaderWithPartitionValues` closure the v1
+    * FileSourceScanExec ships to executors (it broadcasts the hadoop
+    * conf internally). `OPTION_RETURNING_BATCH=false` pins the row-based
+    * return contract: the COW scan appends a per-file column to each
+    * row, which a ColumnarBatch return would break. */
+  def parquetReaderFunc(spark: SparkSession,
+      dataSchema: org.apache.spark.sql.types.StructType,
+      requiredSchema: org.apache.spark.sql.types.StructType,
+      filters: Seq[org.apache.spark.sql.sources.Filter],
+      options: Map[String, String])
+      : org.apache.spark.sql.execution.datasources.PartitionedFile =>
+        Iterator[org.apache.spark.sql.catalyst.InternalRow] = {
+    import org.apache.spark.sql.execution.datasources.FileFormat
+    import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+    val cs = spark.asInstanceOf[classic.SparkSession]
+    val opts = options + (FileFormat.OPTION_RETURNING_BATCH -> "false")
+    new ParquetFileFormat().buildReaderWithPartitionValues(
+      cs, dataSchema, new org.apache.spark.sql.types.StructType(),
+      requiredSchema, filters, opts, cs.sessionState.newHadoopConf())
+  }
+
+  /** Executor-side [[PartitionedFile]] for a whole single file (the COW
+    * scan plans one partition per file — file identity IS the group). */
+  def partitionedFile(path: String, length: Long)
+      : org.apache.spark.sql.execution.datasources.PartitionedFile =
+    org.apache.spark.sql.execution.datasources.PartitionedFile(
+      org.apache.spark.sql.catalyst.InternalRow.empty,
+      org.apache.spark.paths.SparkPath.fromPathString(path),
+      0L, length, Array.empty, 0L, length)
+
+  /** Driver-side: a serializable parquet [[OutputWriterFactory]] (+ the
+    * job conf it needs), via `ParquetFileFormat.prepareWrite` — the
+    * exact factory Spark's own InsertIntoHadoopFsRelation uses, so
+    * compression/encoding config applies identically. */
+  def parquetWriterFactory(spark: SparkSession,
+      schema: org.apache.spark.sql.types.StructType,
+      options: Map[String, String])
+      : (org.apache.spark.sql.execution.datasources.OutputWriterFactory,
+         org.apache.spark.util.SerializableConfiguration) = {
+    import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+    val cs = spark.asInstanceOf[classic.SparkSession]
+    val job = org.apache.hadoop.mapreduce.Job.getInstance(
+      cs.sessionState.newHadoopConf())
+    val factory = new ParquetFileFormat().prepareWrite(
+      cs, job, options, schema)
+    (factory, new org.apache.spark.util.SerializableConfiguration(
+      job.getConfiguration))
+  }
+
+  /** Executor-side: open an [[OutputWriter]] at
+    * `dir/baseName<ext>` with a fabricated TaskAttemptContext (conf is
+    * COPIED per writer — local-mode tasks share the JVM and hadoop
+    * Configuration is not thread-safe under mutation). The caller reads
+    * the concrete path back via `writer.path()`. */
+  def newOutputWriter(
+      factory: org.apache.spark.sql.execution.datasources.OutputWriterFactory,
+      conf: org.apache.spark.util.SerializableConfiguration,
+      dir: String, baseName: String,
+      schema: org.apache.spark.sql.types.StructType,
+      partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.execution.datasources.OutputWriter = {
+    import org.apache.hadoop.mapreduce.{JobID, TaskAttemptID, TaskID, TaskType}
+    import org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl
+    val attempt = new TaskAttemptID(
+      new TaskID(new JobID("graft-rowlevel", 0), TaskType.MAP, partitionId),
+      (taskId % Int.MaxValue).toInt)
+    val ctx = new TaskAttemptContextImpl(
+      new org.apache.hadoop.conf.Configuration(conf.value), attempt)
+    factory.newInstance(s"$dir/$baseName${factory.getFileExtension(ctx)}",
+      schema, ctx)
+  }
+
   /** Drain the async listener bus (`private[spark]` API): the bench's
     * per-key executor-CPU attribution reads an accumulating
     * SparkListener, and without a drain between keys the task-end
@@ -125,4 +205,79 @@ object ColumnBridge {
     * CPU bleeding across keys. */
   def drainListenerBus(spark: SparkSession): Unit =
     spark.sparkContext.listenerBus.waitUntilEmpty()
+}
+
+/** Snapshot scan builder serving BOTH read shapes of a graft-manifest
+  * table: the VECTORIZED parquet path (Spark's own ParquetScanBuilder —
+  * filter pushdown, aggregate pushdown, columnar read) for plain reads,
+  * switching to a caller-supplied row-based per-file scan ONLY when the
+  * plan requires the `_file` metadata column — which exactly one plan
+  * shape does: the row-level group-filter subquery, which scans the
+  * ORIGINAL table relation asking "which files hold matching rows".
+  * Lives in the bridge package because delegation needs the
+  * `private[sql]` catalyst-filter pushdown trait FileScanBuilder uses.
+  *
+  * Filters referencing `_file` stay residual (never reach parquet,
+  * which cannot serve the column); everything else delegates, so the
+  * fast path's pushdown is EXACTLY what the direct builder did. */
+class SnapshotScanBuilder(
+    spark: SparkSession,
+    files: Seq[String],
+    schema: org.apache.spark.sql.types.StructType,
+    options: java.util.Map[String, String],
+    fileScanFor: (org.apache.spark.sql.types.StructType,
+      Array[org.apache.spark.sql.sources.Filter]) =>
+        org.apache.spark.sql.connector.read.Scan)
+  extends org.apache.spark.sql.connector.read.ScanBuilder
+  with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
+  with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
+  with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
+
+  import org.apache.spark.sql.execution.datasources.v2.FileScanBuilder
+
+  private val inner: FileScanBuilder =
+    ColumnBridge.parquetScanBuilder(spark, files, schema, options)
+      .asInstanceOf[FileScanBuilder]
+  private def innerAgg =
+    inner.asInstanceOf[
+      org.apache.spark.sql.connector.read.SupportsPushDownAggregates]
+
+  private val FileCol = "_file"
+  private var wantsFile = false
+  private var required: org.apache.spark.sql.types.StructType = schema
+
+  override def pushFilters(
+      filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = {
+    val (onFile, onData) =
+      filters.partition(_.references.exists(_.name == FileCol))
+    onFile ++ inner.pushFilters(onData)
+  }
+
+  override def pushedFilters
+      : Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
+    inner.pushedFilters
+
+  override def pruneColumns(
+      requiredSchema: org.apache.spark.sql.types.StructType): Unit = {
+    wantsFile = requiredSchema.fieldNames.contains(FileCol)
+    required = requiredSchema
+    inner.pruneColumns(org.apache.spark.sql.types.StructType(
+      requiredSchema.filterNot(_.name == FileCol)))
+  }
+
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = innerAgg.supportCompletePushDown(agg)
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = !wantsFile && innerAgg.pushAggregation(agg)
+
+  override def build(): org.apache.spark.sql.connector.read.Scan =
+    if (wantsFile)
+      fileScanFor(required,
+        org.apache.spark.sql.internal.connector.PredicateUtils
+          .toV1(inner.pushedFilters))
+    else inner.build()
 }
