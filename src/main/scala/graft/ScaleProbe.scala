@@ -195,6 +195,11 @@ object ScaleProbe {
     // group filtering prunes the rest), so the key should track data
     // volume like the insert path it extends
     "q_manifest_merge_sql",
+    // round-15: CALL maintenance procedures — compact tracks rewritten
+    // bytes, rollback/expire are O(manifest) metadata verbs, so the
+    // key's ratio should sit near the insert volume like the other
+    // lifecycle keys
+    "q_manifest_maintenance_sql",
     // the CNPJ vertical (reference envelope ">20 GB", readme.md:108):
     // synthetic flagship over the replica's 10× orders/customer —
     // r15 splits load (z-cluster + commit, data-volume-bound) from

@@ -241,7 +241,9 @@ object Layout {
   // Delta requires a LogStore with a conditional-put/locking service
   // and Iceberg a catalog (Hive/Glue/REST) to arbitrate commits.
   // Deploying THIS protocol against an object store likewise REQUIRES
-  // an external commit arbiter (or S3 conditional PUT); the
+  // an external commit arbiter: set `graft.commit.lockfile=true`
+  // (Hadoop conf) to serialize commits through a create-exclusive
+  // `manifests/_commit.lock` — see [[acquireCommitLock]]; the
   // manifest-read/direct-open READ path needs no such help and is
   // where the object-store win actually lives.
   // ---------------------------------------------------------------------
@@ -612,6 +614,74 @@ object Layout {
     } else if (fs.rename(tmp, dst)) true
     else { fs.delete(tmp, false); false }
 
+  // --- optional lockfile commit arbiter --------------------------------
+  // The opt-in answer for filesystems whose rename OVERWRITES and that
+  // offer no exclusive publish primitive (raw object stores: S3A rename
+  // is a non-atomic copy+delete). With `graft.commit.lockfile=true` in
+  // the Hadoop configuration, every CAS attempt acquires
+  // `manifests/_commit.lock` via create-fail-if-exists BEFORE reading
+  // the head, and releases it after the publish+verify — commits are
+  // serialized, so the residual UUID-verify window (A publishes and
+  // verifies, then B's copy replaces the object) cannot open. The
+  // primitive this leans on is the store's conditional CREATE —
+  // `create(path, overwrite = false)` maps to an If-None-Match PUT on
+  // S3 with Hadoop's conditional-write support, and to plain exclusive
+  // create on HDFS/local — which object stores DO offer even though
+  // their rename is not exclusive. A crashed writer's lock is broken
+  // once its mtime is older than `graft.commit.lockfile.stale.ms`
+  // (default 60 s — MUST exceed the slowest commit's publish+verify
+  // span, the standard lease caveat); acquisition gives up after
+  // `graft.commit.lockfile.timeout.ms` (default 120 s). Lock-breaker
+  // races are safe: breaking only deletes, and the create-exclusive
+  // retry re-arbitrates who owns the fresh lock. CommitLockSpec
+  // simulates the copy+delete overwrite race and pins that the lock
+  // closes it — and found empirically that the conditional-create
+  // precondition is REAL: Hadoop RawLocalFileSystem's no-overwrite
+  // create is a java-level exists-check-then-open, and under it the
+  // lock measurably lost commits until the spec's stand-in store made
+  // its create atomic (O_EXCL), as S3 conditional PUT / HDFS create
+  // are. Do not enable this option against a store whose conditional
+  // create is advisory.
+
+  private val LockName = "_commit.lock"
+
+  private def lockfileEnabled(fs: FileSystem): Boolean =
+    fs.getConf.getBoolean("graft.commit.lockfile", false)
+
+  private[graft] def acquireCommitLock(fs: FileSystem, mdir: Path): Path = {
+    val conf = fs.getConf
+    val staleMs = conf.getLong("graft.commit.lockfile.stale.ms", 60000L)
+    val timeoutMs =
+      conf.getLong("graft.commit.lockfile.timeout.ms", 120000L)
+    val lock = new Path(mdir, LockName)
+    val deadline = System.nanoTime() + timeoutMs * 1000000L
+    while (System.nanoTime() < deadline) {
+      try {
+        val out = fs.create(lock, /* overwrite = */ false)
+        try out.write(java.util.UUID.randomUUID().toString.getBytes(
+          java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        return lock
+      } catch {
+        case _: java.io.IOException =>
+          // held by another writer: break it if stale (crashed holder),
+          // otherwise wait for a release
+          try {
+            val st = fs.getFileStatus(lock)
+            if (System.currentTimeMillis() - st.getModificationTime >
+                staleMs) fs.delete(lock, false)
+            else Thread.sleep(25)
+          } catch {
+            case _: java.io.FileNotFoundException => () // released — retry
+          }
+      }
+    }
+    throw new java.io.IOException(
+      s"commit-lock acquisition timed out after $timeoutMs ms on $lock — " +
+        "a holder is live, or a crashed holder's lock is younger than " +
+        "graft.commit.lockfile.stale.ms")
+  }
+
   /** The one manifest CAS loop, shared by every commit verb (APPEND,
     * REPLACE/compact, DELETE, rollback): `listFor(head)` computes the
     * new version's file list against the head CURRENT AT EACH ATTEMPT —
@@ -624,8 +694,10 @@ object Layout {
     * race and the verify is a free invariant check; on filesystems
     * with no exclusive primitive (object-store rename = copy+delete)
     * the verify is the only guard and leaves a residual window (see
-    * the protocol comment above): such deployments need an external
-    * arbiter. */
+    * the protocol comment above): such deployments set
+    * `graft.commit.lockfile=true` and each attempt then runs under the
+    * create-exclusive lock from [[acquireCommitLock]], head-read
+    * through verify, which closes the window. */
   private def casCommit(fs: FileSystem, root: Path, op: String,
                         listFor: Int => Seq[String],
                         schemaFor: Int => Option[types.StructType] =
@@ -634,37 +706,44 @@ object Layout {
                           (h: Int) => Map.empty): Int = {
     val mdir = new Path(root, "manifests")
     fs.mkdirs(mdir)
+    val locked = lockfileEnabled(fs)
     var attempts = 0
     while (attempts < 10) {
-      val head = currentVersion(fs, root)
-      val all = listFor(head)
-      // headers are computed per attempt too: a racing commit may have
-      // evolved the schema or advanced a txn marker, and this commit
-      // must rebase onto whatever actually landed, like the line rebase.
-      // Txn markers CARRY by default (every verb preserves them);
-      // `txnFor` supplies this commit's updates on top.
-      val txns = txnsOf(fs, root, head) ++ txnFor(head)
-      val attemptId = java.util.UUID.randomUUID().toString
-      val header = (CommitHeader + attemptId) +:
-        (schemaFor(head).map(s => SchemaHeader + s.json).toSeq ++
-          txns.toSeq.sorted.map { case (app, b) => s"$TxnHeader$app\t$b" })
-      val tmp = new Path(mdir,
-        s".v${head + 1}.tmp-" + attemptId)
-      val out = fs.create(tmp, /* overwrite = */ false)
-      try out.write((header ++ all).mkString("\n").getBytes(
-        java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
-      val dst = new Path(mdir, s"v${head + 1}.manifest")
-      if (publishNoReplace(fs, tmp, dst)) {
-        // won only if OUR bytes are what the destination now holds; a
-        // mismatch means another writer's commit occupies (or
-        // overwrote) this version — treat as a lost race and retry.
-        // The destination is the other writer's live manifest: never
-        // delete it. On local/HDFS the exclusive publish already
-        // decided the race, so this read is an invariant check; on
-        // overwrite-capable stores it is the (residual-window) guard.
-        if (commitIdOf(fs, dst).contains(attemptId)) return head + 1
-      }
+      // lock-enabled deployments read the head INSIDE the lock — a
+      // commit that landed before our acquisition is visible to the
+      // rebase, and none can land until we release
+      val lock = if (locked) Some(acquireCommitLock(fs, mdir)) else None
+      try {
+        val head = currentVersion(fs, root)
+        val all = listFor(head)
+        // headers are computed per attempt too: a racing commit may have
+        // evolved the schema or advanced a txn marker, and this commit
+        // must rebase onto whatever actually landed, like the line rebase.
+        // Txn markers CARRY by default (every verb preserves them);
+        // `txnFor` supplies this commit's updates on top.
+        val txns = txnsOf(fs, root, head) ++ txnFor(head)
+        val attemptId = java.util.UUID.randomUUID().toString
+        val header = (CommitHeader + attemptId) +:
+          (schemaFor(head).map(s => SchemaHeader + s.json).toSeq ++
+            txns.toSeq.sorted.map { case (app, b) => s"$TxnHeader$app\t$b" })
+        val tmp = new Path(mdir,
+          s".v${head + 1}.tmp-" + attemptId)
+        val out = fs.create(tmp, /* overwrite = */ false)
+        try out.write((header ++ all).mkString("\n").getBytes(
+          java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        val dst = new Path(mdir, s"v${head + 1}.manifest")
+        if (publishNoReplace(fs, tmp, dst)) {
+          // won only if OUR bytes are what the destination now holds; a
+          // mismatch means another writer's commit occupies (or
+          // overwrote) this version — treat as a lost race and retry.
+          // The destination is the other writer's live manifest: never
+          // delete it. On local/HDFS the exclusive publish already
+          // decided the race, so this read is an invariant check; on
+          // overwrite-capable stores it is the (residual-window) guard.
+          if (commitIdOf(fs, dst).contains(attemptId)) return head + 1
+        }
+      } finally lock.foreach(l => fs.delete(l, false))
       attempts += 1
     }
     throw new java.io.IOException(

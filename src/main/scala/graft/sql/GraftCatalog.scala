@@ -58,7 +58,8 @@ import graft.ops.Layout
   * rewrite (SupportsRowLevelOperations → [[GraftRowLevelOperation]]):
   * a `_file`-group COW scan with runtime group filtering, committed as
   * one REPLACE CAS — see [[graft.sql.GraftRowLevel]]. */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with ProcedureCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -76,6 +77,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   private def dirOf(ident: Identifier): String =
     (warehouse +: (ident.namespace() :+ ident.name())).mkString("/")
+
+  /** The identifier→path mapping, for the `system` procedures that take
+    * a table name argument and must resolve it exactly as the catalog
+    * itself would. */
+  private[sql] def tableDirOf(ident: Identifier): String = dirOf(ident)
+
+  // --- SQL `CALL` maintenance procedures (see [[GraftProcedures]]) ----
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    GraftProcedures.load(this, ident)
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty || namespace.sameElements(Array("system")))
+      GraftProcedures.names
+        .map(n => Identifier.of(Array("system"), n)).toArray
+    else Array.empty
 
   private def dirOf(ns: Array[String]): String =
     (warehouse +: ns).mkString("/")
@@ -479,12 +496,59 @@ object GraftSql {
             |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
   }
 
+  /** The maintenance-procedure surface as a bench key: CREATE + two
+    * INSERT commits, then the full SQL-text maintenance life — `CALL
+    * system.compact` (REPLACE repack), `CALL system.rollback` back to
+    * the pre-compact version, `CALL system.expire_snapshots` (keep_last
+    * omitted → DefaultValue path) — and an aggregate over the surviving
+    * head. The oracle recomputes the rollback target's state (the two
+    * inserts' union) relationally, so the procedures' commit plumbing
+    * sits under the hash check; GraftProcedureSpec pins what the
+    * aggregate can't see (result rows, manifest deletion, history). */
+  def qManifestMaintenanceSql(s: SparkSession, d: String): DataFrame = {
+    val wh = s"${graft.ops.Sources.ioDir(s, d)}/sql_catalog"
+    val cat = catalogFor(s, wh)
+    s.sql(s"DROP TABLE IF EXISTS $cat.default.orders_maint")
+    orders(s, d)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        dec2(col("o_totalprice")).as("price"))
+      .createOrReplaceTempView("orders_maint_src")
+    s.sql(s"""CREATE TABLE $cat.default.orders_maint
+            |  (o_orderkey BIGINT, o_orderstatus STRING,
+            |   price DECIMAL(18,2))""".stripMargin)
+    s.sql(s"""INSERT INTO $cat.default.orders_maint
+            |SELECT * FROM orders_maint_src
+            |WHERE o_orderkey % 4 = 0""".stripMargin)
+    s.sql(s"""INSERT INTO $cat.default.orders_maint
+            |SELECT * FROM orders_maint_src
+            |WHERE o_orderkey % 4 = 1""".stripMargin)
+    // CREATE committed v1 (empty), the inserts v2/v3, compact v4 —
+    // rollback to v3 = both inserts' union, the state the oracle checks
+    s.sql(s"CALL $cat.system.compact('default.orders_maint')")
+    s.sql(s"CALL $cat.system.rollback('default.orders_maint', 3)")
+    s.sql(s"CALL $cat.system.expire_snapshots('default.orders_maint')")
+    s.sql(s"""SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+            |  CAST(SUM(price) AS DOUBLE) AS sum_price
+            |FROM $cat.default.orders_maint
+            |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_manifest_sql" -> qManifestSql _,
-    "q_manifest_merge_sql" -> qManifestMergeSql _)
+    "q_manifest_merge_sql" -> qManifestMergeSql _,
+    "q_manifest_maintenance_sql" -> qManifestMaintenanceSql _)
 
   val oracleSql: Map[String, String] = Map(
     "q_manifest_sql" -> graft.ops.Sources.oracleSql("q_table_roundtrip"),
+    // rollback(2) makes the head ≡ the two inserts' union — compact and
+    // expire must be state-preserving, which is exactly what the hash
+    // check proves
+    "q_manifest_maintenance_sql" ->
+      """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_price
+        |FROM orders WHERE o_orderkey % 4 IN (0, 1)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q_manifest_merge_sql" ->
       """WITH t AS (SELECT o_orderkey, o_orderstatus,
         |             CAST(o_totalprice AS DECIMAL(18,2)) AS price

@@ -1,0 +1,154 @@
+package graft.sql
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types.{DataTypes, StructType}
+
+import graft.ops.Layout
+
+/** Maintenance verbs as SQL `CALL` procedures — the last lifecycle
+  * surface the SQL front door was missing. Spark 4's DataSourceV2
+  * procedure machinery (`ProcedureCatalog` → analyzer `CALL` binding)
+  * drives them, so a SQL-only user can now run the FULL table life:
+  *
+  * {{{
+  *   CALL graft_x.system.compact('default.t')
+  *   CALL graft_x.system.rollback('default.t', 2)
+  *   CALL graft_x.system.expire_snapshots('default.t', keep_last => 3)
+  * }}}
+  *
+  * (the Iceberg convention: maintenance lives under a `system`
+  * namespace, tables are named by a string argument resolved against
+  * the calling catalog's warehouse). Each procedure delegates to the
+  * corresponding [[Layout]] verb — the SAME commit CAS (and optional
+  * lockfile arbiter) every programmatic and SQL writer serializes
+  * through — and returns its outcome as a one-row result relation
+  * (a [[LocalScan]]: the row is driver-known metadata, there is
+  * nothing to distribute). Scale posture: all three verbs are
+  * O(manifest) in metadata plus, for compact, the rewritten-byte data
+  * cost — table size never enters a procedure's own bookkeeping. */
+object GraftProcedures {
+
+  /** `'t'` or `'ns.t'` (or `'a.b.t'`) against the calling catalog —
+    * bare names land in `default`, mirroring the catalog's namespace
+    * rules. */
+  private def tableDir(cat: GraftCatalog, arg: String): String = {
+    val parts = arg.split('.')
+    val ident =
+      if (parts.length == 1) Identifier.of(Array("default"), parts.head)
+      else Identifier.of(parts.init, parts.last)
+    cat.tableDirOf(ident)
+  }
+
+  private def spark: SparkSession = SparkSession.active
+
+  /** One-row result relation. Varargs `Any*` on purpose: a `Seq(...)`
+    * literal mixing Int and Long fields would weak-lub to `Seq[Long]`
+    * and silently WIDEN the Ints — the boxed Longs then explode in the
+    * row projection against the IntegerType schema fields (found the
+    * hard way). Typing each element independently as `Any` keeps the
+    * runtime boxes aligned with the declared schema. */
+  private def one(schema: StructType)(values: Any*)
+      : java.util.Iterator[Scan] = {
+    require(values.length == schema.length)
+    val r: InternalRow = new GenericInternalRow(values.toArray)
+    val scan: Scan = new LocalScan {
+      override def readSchema(): StructType = schema
+      override def rows(): Array[InternalRow] = Array(r)
+    }
+    java.util.Collections.singletonList(scan).iterator()
+  }
+
+  private abstract class GraftProcedure(procName: String)
+      extends UnboundProcedure with BoundProcedure {
+    override def name(): String = procName
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+  }
+
+  private def rollback(cat: GraftCatalog): UnboundProcedure =
+    new GraftProcedure("rollback") {
+      override def parameters(): Array[ProcedureParameter] = Array(
+        ProcedureParameter.in("table", DataTypes.StringType).build(),
+        ProcedureParameter.in("version", DataTypes.IntegerType).build())
+      private val out = StructType(Seq(
+        org.apache.spark.sql.types.StructField(
+          "rolled_back_to", DataTypes.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField(
+          "new_version", DataTypes.IntegerType, nullable = false)))
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val table = tableDir(cat, input.getUTF8String(0).toString)
+        val target = input.getInt(1)
+        val v = Layout.rollbackTo(spark, table, target)
+        one(out)(target, v)
+      }
+    }
+
+  private def expireSnapshots(cat: GraftCatalog): UnboundProcedure =
+    new GraftProcedure("expire_snapshots") {
+      override def parameters(): Array[ProcedureParameter] = Array(
+        ProcedureParameter.in("table", DataTypes.StringType).build(),
+        ProcedureParameter.in("keep_last", DataTypes.IntegerType)
+          .defaultValue("2").build(),
+        ProcedureParameter.in("orphan_older_than_ms", DataTypes.LongType)
+          .defaultValue(s"${30L * 60 * 1000}").build())
+      private val out = StructType(Seq(
+        org.apache.spark.sql.types.StructField(
+          "expired_manifests", DataTypes.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField(
+          "deleted_files", DataTypes.IntegerType, nullable = false)))
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val table = tableDir(cat, input.getUTF8String(0).toString)
+        val (manifests, files) = Layout.expireSnapshots(spark, table,
+          keepLast = input.getInt(1),
+          orphanOlderThanMs = input.getLong(2))
+        one(out)(manifests, files)
+      }
+    }
+
+  private def compact(cat: GraftCatalog): UnboundProcedure =
+    new GraftProcedure("compact") {
+      override def parameters(): Array[ProcedureParameter] = Array(
+        ProcedureParameter.in("table", DataTypes.StringType).build(),
+        ProcedureParameter.in("target_file_bytes", DataTypes.LongType)
+          .defaultValue(s"${128L << 20}").build())
+      private val out = StructType(Seq(
+        org.apache.spark.sql.types.StructField(
+          "version", DataTypes.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField(
+          "files_before", DataTypes.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField(
+          "files_after", DataTypes.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField(
+          "bytes_rewritten", DataTypes.LongType, nullable = false)))
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val table = tableDir(cat, input.getUTF8String(0).toString)
+        val (v, stats) = Layout.compactSnapshot(spark, table,
+          targetFileBytes = input.getLong(1))
+        one(out)(v, stats.filesBefore, stats.filesAfter,
+          stats.bytesBefore)
+      }
+    }
+
+  /** The `system` namespace's procedure registry for one catalog
+    * instance. */
+  def load(cat: GraftCatalog, ident: Identifier): UnboundProcedure = {
+    require(ident.namespace().sameElements(Array("system")),
+      s"procedures live under the `system` namespace, got " +
+        ident.namespace().mkString("."))
+    ident.name() match {
+      case "rollback"         => rollback(cat)
+      case "expire_snapshots" => expireSnapshots(cat)
+      case "compact"          => compact(cat)
+      case other => throw new IllegalArgumentException(
+        s"unknown procedure system.$other — known: rollback, " +
+          "expire_snapshots, compact")
+    }
+  }
+
+  val names: Seq[String] = Seq("rollback", "expire_snapshots", "compact")
+}

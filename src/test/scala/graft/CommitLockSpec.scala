@@ -1,0 +1,228 @@
+package graft
+
+import java.net.URI
+
+import org.apache.hadoop.fs.{FileSystem, Path, RawLocalFileSystem}
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** An object-store stand-in: local files under a NON-`file` scheme, so
+  * [[ops.Layout.publishNoReplace]] takes the rename branch — and
+  * RawLocalFileSystem's rename is POSIX rename(2), which silently
+  * REPLACES an existing destination. That is exactly the copy+delete
+  * overwrite semantics of S3A rename, reproduced deterministically on
+  * local disk. */
+class ObjstFileSystem extends RawLocalFileSystem {
+  override def getUri: URI = URI.create("objst:///")
+  override def getScheme: String = "objst"
+
+  /** Conditional create must be ATOMIC, like an object store's
+    * If-None-Match PUT (the primitive the lockfile arbiter leans on).
+    * RawLocalFileSystem's no-overwrite create is a non-atomic
+    * exists-check-then-open — a java-level artifact, not a property of
+    * either POSIX (O_CREAT|O_EXCL is atomic) or S3 conditional writes —
+    * so reproduce the store semantics with a CREATE_NEW open. */
+  private def atomicCreate(f: org.apache.hadoop.fs.Path)
+      : org.apache.hadoop.fs.FSDataOutputStream = {
+    val file = pathToFile(f)
+    val parent = file.getParentFile
+    if (parent != null) parent.mkdirs()
+    val ch = java.nio.channels.FileChannel.open(file.toPath,
+      java.nio.file.StandardOpenOption.CREATE_NEW,
+      java.nio.file.StandardOpenOption.WRITE)
+    new org.apache.hadoop.fs.FSDataOutputStream(
+      java.nio.channels.Channels.newOutputStream(ch), null)
+  }
+
+  // both concrete overloads RawLocalFileSystem exposes — FileSystem's
+  // convenience create(path, overwrite) chains into the non-permission
+  // one, so overriding only the permission variant misses that path
+  override def create(f: org.apache.hadoop.fs.Path,
+      permission: org.apache.hadoop.fs.permission.FsPermission,
+      overwrite: Boolean, bufferSize: Int, replication: Short,
+      blockSize: Long,
+      progress: org.apache.hadoop.util.Progressable)
+      : org.apache.hadoop.fs.FSDataOutputStream =
+    if (overwrite)
+      super.create(f, permission, overwrite, bufferSize, replication,
+        blockSize, progress)
+    else atomicCreate(f)
+
+  override def create(f: org.apache.hadoop.fs.Path, overwrite: Boolean,
+      bufferSize: Int, replication: Short, blockSize: Long,
+      progress: org.apache.hadoop.util.Progressable)
+      : org.apache.hadoop.fs.FSDataOutputStream =
+    if (overwrite)
+      super.create(f, overwrite, bufferSize, replication, blockSize,
+        progress)
+    else atomicCreate(f)
+}
+
+/** Pins the `graft.commit.lockfile` arbiter (Layout.acquireCommitLock):
+  * (1) the residual window it exists to close — on an overwriting-rename
+  * store, a second publish to an occupied destination "succeeds" and
+  * silently replaces the first writer's manifest; (2) with the lock on,
+  * racing commits through the real verbs serialize and no update is
+  * lost; (3) crashed-holder locks break by staleness; (4) live locks
+  * block acquisition until release; (5) acquisition fails loudly on
+  * timeout rather than spinning forever. */
+class CommitLockSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def hconf = spark.sparkContext.hadoopConfiguration
+
+  // fresh FS instance per lookup so per-test conf (lock on/off, stale,
+  // timeout) is honored instead of the first-get cached instance
+  private def enableObjst(): Unit = {
+    hconf.set("fs.objst.impl", classOf[ObjstFileSystem].getName)
+    hconf.set("fs.objst.impl.disable.cache", "true")
+  }
+
+  private def freshTable(name: String): String = {
+    enableObjst()
+    val local = new java.io.File(s"target/graft_io/spec/$name")
+    org.apache.commons.io.FileUtils.deleteQuietly(local)
+    "objst:" + local.getAbsolutePath
+  }
+
+  private def readManifest(fs: FileSystem, p: Path): String = {
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+  }
+
+  test("overwriting rename opens the residual window the lock closes") {
+    val table = freshTable("lock_window")
+    val root = new Path(table)
+    val fs = root.getFileSystem(hconf)
+    val mdir = new Path(root, "manifests")
+    fs.mkdirs(mdir)
+    def stage(name: String, body: String): Path = {
+      val p = new Path(mdir, name)
+      val out = fs.create(p, false)
+      try out.write(body.getBytes("UTF-8")) finally out.close()
+      p
+    }
+    val dst = new Path(mdir, "v1.manifest")
+    // writer A publishes v1 and verifies its own bytes — it believes
+    // (correctly, for now) that it committed
+    assert(ops.Layout.publishNoReplace(fs, stage(".tmpA", "#commit\tA"), dst))
+    assert(readManifest(fs, dst) == "#commit\tA")
+    // writer B, racing from the same head, publishes the same version:
+    // on an overwriting-rename store this ALSO returns true and A's
+    // manifest is silently replaced — the lost-update window. (On
+    // `file:` the link(2) arbiter returns false here; on HDFS the
+    // rename refuses. This store has neither primitive.)
+    assert(ops.Layout.publishNoReplace(fs, stage(".tmpB", "#commit\tB"), dst),
+      "expected the overwriting store to accept the second publish — " +
+        "if this fails the stand-in no longer reproduces object-store " +
+        "rename semantics and the spec needs a new one")
+    assert(readManifest(fs, dst) == "#commit\tB",
+      "writer A's committed manifest should have been silently replaced")
+  }
+
+  test("lockfile serializes racing commits on the overwriting store") {
+    val table = freshTable("lock_race")
+    hconf.set("graft.commit.lockfile", "true")
+    try {
+      import spark.implicits._
+      val writers = 4
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+      val threads = (0 until writers).map { i =>
+        new Thread(() => {
+          try {
+            val df = Seq((i.toLong, s"writer$i")).toDF("id", "tag")
+            ops.Layout.commitSnapshot(spark, table, df)
+          } catch { case t: Throwable => errs.add(t) }
+        })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      assert(errs.isEmpty, s"commit failed: ${errs.peek()}")
+      val root = new Path(table)
+      val fs = root.getFileSystem(hconf)
+      // every commit landed its own version — nothing overwrote anything
+      assert(ops.Layout.currentVersion(fs, root) == writers)
+      assert(ops.Layout.readSnapshot(spark, table).count() == writers,
+        "a racing commit was lost despite the lockfile arbiter")
+      // the lock never outlives a commit
+      assert(!fs.exists(new Path(root, "manifests/_commit.lock")))
+    } finally hconf.unset("graft.commit.lockfile")
+  }
+
+  test("a crashed writer's stale lock is broken, not waited out") {
+    val table = freshTable("lock_stale")
+    hconf.set("graft.commit.lockfile", "true")
+    hconf.set("graft.commit.lockfile.stale.ms", "100")
+    try {
+      import spark.implicits._
+      val root = new Path(table)
+      val fs = root.getFileSystem(hconf)
+      val mdir = new Path(root, "manifests")
+      fs.mkdirs(mdir)
+      val lock = new Path(mdir, "_commit.lock")
+      val out = fs.create(lock, false)
+      try out.write("crashed-writer".getBytes("UTF-8")) finally out.close()
+      fs.setTimes(lock, System.currentTimeMillis() - 600000L, -1)
+      val df = Seq((1L, "x")).toDF("id", "tag")
+      assert(ops.Layout.commitSnapshot(spark, table, df) == 1,
+        "the stale lock should have been broken and the commit made")
+    } finally {
+      hconf.unset("graft.commit.lockfile")
+      hconf.unset("graft.commit.lockfile.stale.ms")
+    }
+  }
+
+  test("a live lock blocks acquisition until its holder releases") {
+    val table = freshTable("lock_live")
+    hconf.set("graft.commit.lockfile", "true")
+    try {
+      import spark.implicits._
+      val root = new Path(table)
+      val fs = root.getFileSystem(hconf)
+      val mdir = new Path(root, "manifests")
+      fs.mkdirs(mdir)
+      val lock = new Path(mdir, "_commit.lock")
+      val out = fs.create(lock, false)
+      try out.write("live-holder".getBytes("UTF-8")) finally out.close()
+      val releaser = new Thread(() => {
+        Thread.sleep(400); fs.delete(lock, false)
+      })
+      releaser.start()
+      val t0 = System.nanoTime()
+      val df = Seq((1L, "x")).toDF("id", "tag")
+      assert(ops.Layout.commitSnapshot(spark, table, df) == 1)
+      releaser.join()
+      assert((System.nanoTime() - t0) / 1e6 >= 300,
+        "the commit should have waited for the live lock's release")
+    } finally hconf.unset("graft.commit.lockfile")
+  }
+
+  test("acquisition times out loudly when a fresh lock never releases") {
+    val table = freshTable("lock_timeout")
+    hconf.set("graft.commit.lockfile", "true")
+    hconf.set("graft.commit.lockfile.timeout.ms", "300")
+    try {
+      import spark.implicits._
+      val root = new Path(table)
+      val fs = root.getFileSystem(hconf)
+      val mdir = new Path(root, "manifests")
+      fs.mkdirs(mdir)
+      val out = fs.create(new Path(mdir, "_commit.lock"), false)
+      try out.write("immortal".getBytes("UTF-8")) finally out.close()
+      val df = Seq((1L, "x")).toDF("id", "tag")
+      val e = intercept[java.io.IOException] {
+        ops.Layout.commitSnapshot(spark, table, df)
+      }
+      assert(e.getMessage.contains("commit-lock acquisition timed out"))
+    } finally {
+      hconf.unset("graft.commit.lockfile")
+      hconf.unset("graft.commit.lockfile.timeout.ms")
+    }
+  }
+}

@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the SQL `CALL` maintenance procedures (GraftProcedures) beyond
+  * the q_manifest_maintenance_sql oracle: result relations, manifest
+  * deletion, named/default arguments, and error surfaces. */
+class GraftProcedureSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val wh = "target/graft_io/spec/proc_catalog"
+  private def cat = sql.GraftSql.catalogFor(spark, wh)
+
+  private def freshTable(name: String): String = {
+    val c = cat
+    spark.sql(s"DROP TABLE IF EXISTS $c.default.$name")
+    spark.sql(s"CREATE TABLE $c.default.$name (k BIGINT, v STRING)")
+    name
+  }
+
+  test("compact returns stats and preserves state under fewer files") {
+    val c = cat
+    val t = freshTable("proc_compact") // CREATE TABLE commits v1 (empty)
+    (1 to 4).foreach(i => spark.sql(
+      s"INSERT INTO $c.default.$t VALUES ($i, 'row$i')")) // v2..v5
+    val before = ops.Layout.readSnapshot(spark, s"$wh/default/$t")
+    val beforeRows = before.orderBy("k").collect().toSeq
+    val beforeFiles = before.inputFiles.length
+    val res = spark.sql(s"CALL $c.system.compact('default.$t')").head()
+    assert(res.getInt(0) == 6, "compact should commit version 6")
+    assert(res.getInt(1) == beforeFiles, "files_before mismatch")
+    assert(res.getInt(2) < beforeFiles,
+      s"compact should shrink the file count (${res.getInt(1)} -> " +
+        s"${res.getInt(2)})")
+    val after = ops.Layout.readSnapshot(spark, s"$wh/default/$t")
+    assert(after.orderBy("k").collect().toSeq == beforeRows,
+      "compact changed table contents")
+  }
+
+  test("rollback moves the head back and reports both versions") {
+    val c = cat
+    val t = freshTable("proc_rollback") // CREATE commits v1 (empty)
+    spark.sql(s"INSERT INTO $c.default.$t VALUES (1, 'a')") // v2
+    spark.sql(s"INSERT INTO $c.default.$t VALUES (2, 'b')") // v3
+    val res = spark.sql(s"CALL $c.system.rollback('default.$t', 2)").head()
+    assert(res.getInt(0) == 2 && res.getInt(1) == 4,
+      s"expected (rolled_back_to=2, new_version=4), got $res")
+    assert(spark.sql(s"SELECT count(*) FROM $c.default.$t").head().getLong(0)
+      == 1, "head should answer like v2 after the rollback")
+    // the rolled-past version stays readable for forensics until expired
+    assert(spark.sql(
+      s"SELECT count(*) FROM $c.default.$t VERSION AS OF 3")
+      .head().getLong(0) == 2)
+  }
+
+  test("expire_snapshots deletes old manifests; named + default args bind") {
+    val c = cat
+    val t = freshTable("proc_expire") // CREATE commits v1 (empty)
+    spark.sql(s"INSERT INTO $c.default.$t VALUES (1, 'a')") // v2
+    spark.sql(s"INSERT INTO $c.default.$t VALUES (2, 'b')") // v3
+    spark.sql(s"INSERT INTO $c.default.$t VALUES (3, 'c')") // v4
+    // named argument binding, keep only the head
+    val res = spark.sql(
+      s"CALL $c.system.expire_snapshots('default.$t', keep_last => 1)")
+      .head()
+    assert(res.getInt(0) == 3, s"expected 3 expired manifests, got $res")
+    // expired versions are gone; the head still answers
+    intercept[Exception] {
+      spark.sql(s"SELECT * FROM $c.default.$t VERSION AS OF 1").collect()
+    }
+    assert(spark.sql(s"SELECT count(*) FROM $c.default.$t").head().getLong(0)
+      == 3)
+    // all-defaults invocation binds (keep_last=2 keeps everything left)
+    val res2 = spark.sql(
+      s"CALL $c.system.expire_snapshots('default.$t')").head()
+    assert(res2.getInt(0) == 0)
+  }
+
+  test("unknown procedures and namespaces fail with a named error") {
+    val c = cat
+    val e = intercept[Exception] {
+      spark.sql(s"CALL $c.system.vacuum('default.x')")
+    }
+    // Spark wraps loadProcedure failures in FAILED_TO_LOAD_ROUTINE; the
+    // named message rides the cause chain
+    val msgs = Iterator.iterate[Throwable](e)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+      .mkString(" | ")
+    assert(msgs.contains("unknown procedure"), msgs)
+  }
+}

@@ -35,6 +35,43 @@ class LedgerSpec extends AnyFunSuite {
         s"stale documented: ${documented -- rowsOnly}")
   }
 
+  test("README probe paragraph matches BENCH_sf1.json (it rotted two rounds running)") {
+    val art = new String(
+      java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("BENCH_sf1.json")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val failedField = """"failed_keys":\[([^\]]*)\]""".r
+      .findFirstMatchIn(art)
+    assert(failedField.isDefined,
+      "BENCH_sf1.json lacks the failed_keys field — regenerate with the " +
+        "current ScaleProbe (a -1 ratio must never ship silently)")
+    val failedKeys = failedField.get.group(1).split(",")
+      .map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty)
+    val entryRe =
+      """"(q_\w+)":\{"sf01_sec":[^}]*"ratio":(-?\d+(?:\.\d+)?)\}""".r
+    val entries = entryRe.findAllMatchIn(art)
+      .map(m => m.group(1) -> m.group(2).toDouble).toSeq
+    val sentinel = entries.collect {
+      case (k, r) if r < 0 && !failedKeys.contains(k) => k
+    }
+    assert(sentinel.isEmpty,
+      s"probe ratios shipped as -1 sentinels without a failed_keys " +
+        s"entry: ${sentinel.mkString(",")}")
+    val worst = entries.collect { case (k, r)
+      if !failedKeys.contains(k) => r }.max
+    val readme = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get("README.md")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    // the README paragraph must quote EXACTLY the artifact's headline
+    // numbers — these three strings are the generated surface
+    assert(readme.contains(s"${entries.size} keys probed"),
+      s"README probe key count stale: artifact has ${entries.size} keys")
+    assert(readme.contains(f"worst ratio $worst%.2fx"),
+      f"README worst-ratio stale: artifact says $worst%.2fx")
+    assert(readme.contains(s"${failedKeys.length} failed probe keys"),
+      s"README failed-key count stale: artifact has ${failedKeys.length}")
+  }
+
   test("README front-page counts match the code (they rotted for 3 rounds)") {
     val readme = new String(
       java.nio.file.Files.readAllBytes(java.nio.file.Paths.get("README.md")),
