@@ -200,6 +200,10 @@ object ScaleProbe {
     // key's ratio should sit near the insert volume like the other
     // lifecycle keys
     "q_manifest_maintenance_sql",
+    // round-15: SQL-path manifest skipping — insert volume dominates;
+    // the pruned read's cost tracks the SELECTED quartile's bytes, with
+    // the pruning fraction constant at 10×
+    "q_manifest_skipping_sql",
     // the CNPJ vertical (reference envelope ">20 GB", readme.md:108):
     // synthetic flagship over the replica's 10× orders/customer —
     // r15 splits load (z-cluster + commit, data-volume-bound) from

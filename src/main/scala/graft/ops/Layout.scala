@@ -396,6 +396,53 @@ object Layout {
           .asInstanceOf[types.StructType]
     }
 
+  private val PropHeader = "#prop\t"
+
+  /** Table properties recorded in `version`'s manifest header
+    * (`#prop\t<key>\t<value>`, URL-encoded) — carried forward by every
+    * commit verb like txn markers, initially written by the commit that
+    * sets them (CREATE TABLE TBLPROPERTIES through the SQL catalog, or
+    * [[commitSnapshot]]'s `props` argument). The one property the
+    * engine itself interprets is `graft.stats.columns`: a
+    * comma-separated column list every subsequent APPEND/REPLACE
+    * records per-file bounds for — which is what lets a pure-SQL table
+    * get manifest-level file skipping without any Scala in the loop. */
+  def tableProps(spark: SparkSession, table: String,
+      version: Option[Int] = None): Map[String, String] = {
+    val root = new Path(table)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v = version.getOrElse(currentVersion(fs, root))
+    if (v == 0) Map.empty else propsOf(fs, root, v)
+  }
+
+  /** The `graft.stats.columns` property of `table`'s head, parsed —
+    * what the SQL write bridge passes as statsColumns on every INSERT.
+    * Columns absent from the written frame are skipped (bounds are an
+    * optimization; a narrower insert must not fail on them). */
+  private[graft] def statsColumnsProp(spark: SparkSession,
+      table: String): Seq[String] =
+    tableProps(spark, table).get(StatsColumnsProp)
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Nil)
+
+  val StatsColumnsProp = "graft.stats.columns"
+
+  private def propsOf(fs: FileSystem, root: Path, v: Int)
+      : Map[String, String] =
+    if (v == 0) Map.empty
+    else rawManifestLines(fs, root, v).collect {
+      case l if l.startsWith(PropHeader) =>
+        l.substring(PropHeader.length).split('\t') match {
+          case Array(k, value) => dec(k) -> dec(value)
+          case _ => throw new IllegalStateException(s"bad prop header: $l")
+        }
+    }.toMap
+
+  private def enc(s: String): String =
+    java.net.URLEncoder.encode(s, "UTF-8")
+  private def dec(s: String): String =
+    java.net.URLDecoder.decode(s, "UTF-8")
+
   private val TxnHeader = "#txn\t"
 
   /** Writer-transaction markers of `version`: appId → highest batch id
@@ -567,7 +614,7 @@ object Layout {
   /** The commit UUID recorded in a manifest, read UNCACHED — the
     * post-rename winner check must see the file's actual current bytes,
     * never a cache entry keyed on (mtime, length). */
-  private def commitIdOf(fs: FileSystem, mf: Path): Option[String] = {
+  private[graft] def commitIdOf(fs: FileSystem, mf: Path): Option[String] = {
     val in = fs.open(mf)
     try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
       .find(_.startsWith(CommitHeader))
@@ -703,6 +750,8 @@ object Layout {
                         schemaFor: Int => Option[types.StructType] =
                           _ => None,
                         txnFor: Int => Map[String, Long] =
+                          (h: Int) => Map.empty,
+                        propsFor: Int => Map[String, String] =
                           (h: Int) => Map.empty): Int = {
     val mdir = new Path(root, "manifests")
     fs.mkdirs(mdir)
@@ -719,12 +768,16 @@ object Layout {
         // headers are computed per attempt too: a racing commit may have
         // evolved the schema or advanced a txn marker, and this commit
         // must rebase onto whatever actually landed, like the line rebase.
-        // Txn markers CARRY by default (every verb preserves them);
-        // `txnFor` supplies this commit's updates on top.
+        // Txn markers and table props CARRY by default (every verb
+        // preserves them); `txnFor`/`propsFor` supply this commit's
+        // updates on top.
         val txns = txnsOf(fs, root, head) ++ txnFor(head)
+        val props = propsOf(fs, root, head) ++ propsFor(head)
         val attemptId = java.util.UUID.randomUUID().toString
         val header = (CommitHeader + attemptId) +:
           (schemaFor(head).map(s => SchemaHeader + s.json).toSeq ++
+            props.toSeq.sorted.map { case (k, v2) =>
+              s"$PropHeader${enc(k)}\t${enc(v2)}" } ++
             txns.toSeq.sorted.map { case (app, b) => s"$TxnHeader$app\t$b" })
         val tmp = new Path(mdir,
           s".v${head + 1}.tmp-" + attemptId)
@@ -813,7 +866,8 @@ object Layout {
 
   def commitSnapshot(spark: SparkSession, table: String,
                      df: DataFrame,
-                     statsColumns: Seq[String] = Nil): Int = {
+                     statsColumns: Seq[String] = Nil,
+                     props: Map[String, String] = Map.empty): Int = {
     validateStatsColumns(statsColumns)
     val root = new Path(table)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -822,7 +876,8 @@ object Layout {
     casCommit(fs, root, "commitSnapshot", head =>
       (if (head == 0) Seq.empty else manifestFiles(fs, root, head)) ++
         entries,
-      appendSchemaFor(fs, root, df))
+      appendSchemaFor(fs, root, df),
+      propsFor = _ => props)
   }
 
   /** The APPEND verb's schema record: new columns MERGE onto the prior
@@ -1153,6 +1208,19 @@ object Layout {
       skips.forall(s => survives(b, s))
     }
     (kept, lines.size)
+  }
+
+  /** [[fileSelection]] resolved to absolute file paths — the SQL
+    * catalog's manifest-pruning hook (SnapshotScanBuilder): SQL `WHERE`
+    * conjuncts that translate to [[Skip]]s drop whole files from the
+    * DSv2 scan before any parquet footer opens, the same decision
+    * [[readSnapshotWhere]] makes for the Scala verbs. Returns (kept
+    * absolute paths, total files in the version). */
+  private[graft] def prunedFilePaths(spark: SparkSession, table: String,
+      skips: Seq[Skip], version: Option[Int]): (Seq[String], Int) = {
+    val (kept, total) = fileSelection(spark, table, skips, version)
+    val root = new Path(table)
+    (kept.map(l => new Path(root, entryPath(l)).toString), total)
   }
 
   private[graft] def rangeFileSelection(spark: SparkSession, table: String,
@@ -1612,6 +1680,32 @@ object Layout {
     * spared — they may be a live commit between staging and publish
     * (pass 0 to force, tests only). Returns (#manifests, #files)
     * removed. */
+  /** Per-version commit summary — the DESCRIBE HISTORY analogue:
+    * (version, committed-at epoch-ms from the manifest's mtime, file
+    * count, recorded bytes, commit UUID), ascending by version. Expired
+    * versions are absent by design. O(surviving versions) manifest
+    * reads, zero data-file access — table size never enters. Surfaced
+    * as SQL via `CALL <cat>.system.history('t')`
+    * ([[graft.sql.GraftProcedures]]). */
+  def history(spark: SparkSession, table: String)
+      : Seq[(Int, Long, Int, Long, String)] = {
+    val root = new Path(table)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mdir = new Path(root, "manifests")
+    if (!fs.exists(mdir)) return Nil
+    fs.listStatus(mdir).toSeq.flatMap { st =>
+      st.getPath.getName match {
+        case ManifestRe(n) =>
+          val v = n.toInt
+          val entries = versionFileEntries(fs, root, v)
+          Some((v, st.getModificationTime, entries.size,
+            entries.flatMap(_._2).sum,
+            commitIdOf(fs, st.getPath).getOrElse("")))
+        case _ => None
+      }
+    }.sortBy(_._1)
+  }
+
   def expireSnapshots(spark: SparkSession, table: String,
                       keepLast: Int = 2,
                       orphanOlderThanMs: Long = 30L * 60 * 1000)

@@ -162,10 +162,25 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         "manifest skipping) instead of hive partitioning")
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
     val dir = dirOf(ident)
+    // `graft.stats.columns` TBLPROPERTY: recorded in the CREATE commit's
+    // manifest header and carried by every later commit, so every SQL
+    // INSERT records per-file bounds for these columns and every SQL
+    // WHERE gets manifest-level file skipping — the whole secondary-
+    // index loop in SQL text. Validated HERE so a typo fails the DDL,
+    // not some later read.
+    val statsCols = Option(properties.get(Layout.StatsColumnsProp))
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Nil)
+    statsCols.foreach(c => require(schema.fieldNames.contains(c),
+      s"${Layout.StatsColumnsProp} names unknown column '$c' " +
+        s"(table columns: ${schema.fieldNames.mkString(", ")})"))
+    val graftProps =
+      if (statsCols.isEmpty) Map.empty[String, String]
+      else Map(Layout.StatsColumnsProp -> statsCols.mkString(","))
     val empty = spark.createDataFrame(
       new util.ArrayList[org.apache.spark.sql.Row](), schema)
       .repartition(1)
-    Layout.commitSnapshot(spark, dir, empty)
+    Layout.commitSnapshot(spark, dir, empty, props = graftProps)
     new GraftTable(dir, None)
   }
 
@@ -286,8 +301,10 @@ class GraftTable(path: String, version: Option[Int])
   }
 
   override def properties(): util.Map[String, String] =
-    Map(TableCatalog.PROP_LOCATION -> path,
-      TableCatalog.PROP_PROVIDER -> "graft-manifest").asJava
+    (Layout.tableProps(spark, path,
+        Some(pinnedVersion).filter(_ > 0)) ++
+      Map(TableCatalog.PROP_LOCATION -> path,
+        TableCatalog.PROP_PROVIDER -> "graft-manifest")).asJava
 
   // BATCH_WRITE is the ROW-LEVEL path's capability (ReplaceData's V2
   // write); plain INSERT still rides V1_BATCH_WRITE because
@@ -332,7 +349,12 @@ class GraftTable(path: String, version: Option[Int])
       (required, pushedData) => new GraftCowScan(
         Layout.rowLevelEntries(spark, path, pinnedVersion),
         ColumnBridge.nullableSchema(schema()), required, pushedData,
-        s"$path@v$pinnedVersion"))
+        s"$path@v$pinnedVersion"),
+      // manifest-level file skipping for SQL WHERE clauses: bounds
+      // predicates evaluate against THIS pinned version's recorded
+      // per-file stats, dropping whole files before any footer opens
+      skips => Layout.prunedFilePaths(spark, path, skips,
+        Some(pinnedVersion)))
   }
 
   /** INSERT INTO → APPEND commit; INSERT OVERWRITE (truncate) →
@@ -347,10 +369,18 @@ class GraftTable(path: String, version: Option[Int])
       override def build(): V1Write = new V1Write {
         override def toInsertableRelation: InsertableRelation =
           new InsertableRelation {
-            override def insert(data: DataFrame, ignored: Boolean): Unit =
+            override def insert(data: DataFrame, ignored: Boolean): Unit = {
+              // per-file bounds for the table's recorded stats columns
+              // ride every SQL INSERT (columns a narrower frame lacks
+              // are skipped — stats are optional, never load-bearing)
+              val stats = Layout
+                .statsColumnsProp(data.sparkSession, path)
+                .filter(data.columns.contains)
               if (overwrite) Layout.replaceSnapshot(data.sparkSession,
-                path, data)
-              else Layout.commitSnapshot(data.sparkSession, path, data)
+                path, data, statsColumns = stats)
+              else Layout.commitSnapshot(data.sparkSession, path, data,
+                statsColumns = stats)
+            }
           }
       }
     }
@@ -533,10 +563,48 @@ object GraftSql {
             |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
   }
 
+  /** Manifest-level data skipping, SQL-only loop: CREATE TABLE with the
+    * `graft.stats.columns` property, range-disjoint INSERTs (each
+    * records per-file o_orderkey bounds), then a SELECT whose WHERE
+    * translates to a bounds predicate and drops the other ranges'
+    * files before any footer opens (GraftSkippingSqlSpec pins the
+    * pruned counts; this key puts the loop under the oracle). The
+    * quartile threshold is computed from the data so the key is
+    * scale-independent; the oracle recomputes it with DuckDB's
+    * integer division. */
+  def qManifestSkippingSql(s: SparkSession, d: String): DataFrame = {
+    val wh = s"${graft.ops.Sources.ioDir(s, d)}/sql_catalog"
+    val cat = catalogFor(s, wh)
+    s.sql(s"DROP TABLE IF EXISTS $cat.default.orders_skip")
+    orders(s, d)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        dec2(col("o_totalprice")).as("price"))
+      .createOrReplaceTempView("orders_skip_src")
+    s.sql(s"""CREATE TABLE $cat.default.orders_skip
+            |  (o_orderkey BIGINT, o_orderstatus STRING,
+            |   price DECIMAL(18,2))
+            |TBLPROPERTIES ('graft.stats.columns' = 'o_orderkey')"""
+      .stripMargin)
+    val mx = orders(s, d).agg(max(col("o_orderkey"))).head().getLong(0)
+    val step = mx / 4 + 1
+    (0 until 4).foreach { i =>
+      s.sql(s"""INSERT INTO $cat.default.orders_skip
+              |SELECT * FROM orders_skip_src
+              |WHERE o_orderkey >= ${i * step}
+              |  AND o_orderkey < ${(i + 1) * step}""".stripMargin)
+    }
+    s.sql(s"""SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+            |  CAST(SUM(price) AS DOUBLE) AS sum_price
+            |FROM $cat.default.orders_skip
+            |WHERE o_orderkey <= ${mx / 4}
+            |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_manifest_sql" -> qManifestSql _,
     "q_manifest_merge_sql" -> qManifestMergeSql _,
-    "q_manifest_maintenance_sql" -> qManifestMaintenanceSql _)
+    "q_manifest_maintenance_sql" -> qManifestMaintenanceSql _,
+    "q_manifest_skipping_sql" -> qManifestSkippingSql _)
 
   val oracleSql: Map[String, String] = Map(
     "q_manifest_sql" -> graft.ops.Sources.oracleSql("q_table_roundtrip"),
@@ -548,6 +616,14 @@ object GraftSql {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
         |    AS sum_price
         |FROM orders WHERE o_orderkey % 4 IN (0, 1)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // DuckDB `//` = integer division, matching the Spark side's Long /
+    "q_manifest_skipping_sql" ->
+      """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_price
+        |FROM orders
+        |WHERE o_orderkey <= (SELECT MAX(o_orderkey) // 4 FROM orders)
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q_manifest_merge_sql" ->
       """WITH t AS (SELECT o_orderkey, o_orderstatus,

@@ -63,6 +63,17 @@ object GraftProcedures {
     java.util.Collections.singletonList(scan).iterator()
   }
 
+  /** Multi-row result relation (same boxing discipline as [[one]]). */
+  private def rowsResult(schema: StructType, rs: Seq[Array[Any]])
+      : java.util.Iterator[Scan] = {
+    val arr = rs.map(a => new GenericInternalRow(a): InternalRow).toArray
+    val scan: Scan = new LocalScan {
+      override def readSchema(): StructType = schema
+      override def rows(): Array[InternalRow] = arr
+    }
+    java.util.Collections.singletonList(scan).iterator()
+  }
+
   private abstract class GraftProcedure(procName: String)
       extends UnboundProcedure with BoundProcedure {
     override def name(): String = procName
@@ -134,6 +145,32 @@ object GraftProcedures {
       }
     }
 
+  private def history(cat: GraftCatalog): UnboundProcedure =
+    new GraftProcedure("history") {
+      override def parameters(): Array[ProcedureParameter] = Array(
+        ProcedureParameter.in("table", DataTypes.StringType).build())
+      override def isDeterministic: Boolean = false // reads live state
+      private val out = StructType(Seq(
+        org.apache.spark.sql.types.StructField(
+          "version", DataTypes.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField(
+          "committed_at_ms", DataTypes.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField(
+          "files", DataTypes.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField(
+          "bytes", DataTypes.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField(
+          "commit_id", DataTypes.StringType, nullable = false)))
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val table = tableDir(cat, input.getUTF8String(0).toString)
+        rowsResult(out, Layout.history(spark, table).map {
+          case (v, at, files, bytes, id) =>
+            Array[Any](v, at, files, bytes,
+              org.apache.spark.unsafe.types.UTF8String.fromString(id))
+        })
+      }
+    }
+
   /** The `system` namespace's procedure registry for one catalog
     * instance. */
   def load(cat: GraftCatalog, ident: Identifier): UnboundProcedure = {
@@ -144,11 +181,13 @@ object GraftProcedures {
       case "rollback"         => rollback(cat)
       case "expire_snapshots" => expireSnapshots(cat)
       case "compact"          => compact(cat)
+      case "history"          => history(cat)
       case other => throw new IllegalArgumentException(
         s"unknown procedure system.$other — known: rollback, " +
-          "expire_snapshots, compact")
+          "expire_snapshots, compact, history")
     }
   }
 
-  val names: Seq[String] = Seq("rollback", "expire_snapshots", "compact")
+  val names: Seq[String] =
+    Seq("rollback", "expire_snapshots", "compact", "history")
 }

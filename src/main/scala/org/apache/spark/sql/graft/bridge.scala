@@ -227,7 +227,8 @@ class SnapshotScanBuilder(
     options: java.util.Map[String, String],
     fileScanFor: (org.apache.spark.sql.types.StructType,
       Array[org.apache.spark.sql.sources.Filter]) =>
-        org.apache.spark.sql.connector.read.Scan)
+        org.apache.spark.sql.connector.read.Scan,
+    prune: Seq[graft.ops.Layout.Skip] => (Seq[String], Int) = null)
   extends org.apache.spark.sql.connector.read.ScanBuilder
   with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
   with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
@@ -235,7 +236,10 @@ class SnapshotScanBuilder(
 
   import org.apache.spark.sql.execution.datasources.v2.FileScanBuilder
 
-  private val inner: FileScanBuilder =
+  // var, not val: pushFilters may REBUILD the parquet builder over the
+  // manifest-pruned file list (see below) — safe because Spark's
+  // pushdown order is filters → aggregates → column pruning → build
+  private var inner: FileScanBuilder =
     ColumnBridge.parquetScanBuilder(spark, files, schema, options)
       .asInstanceOf[FileScanBuilder]
   private def innerAgg =
@@ -251,6 +255,26 @@ class SnapshotScanBuilder(
       : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = {
     val (onFile, onData) =
       filters.partition(_.references.exists(_.name == FileCol))
+    // MANIFEST-level file skipping for SQL reads: WHERE conjuncts that
+    // translate to bounds predicates (SnapshotScanBuilder.skipOf) drop
+    // whole files from the scan BEFORE any parquet footer opens — the
+    // same decision Layout.readSnapshotWhere makes for the Scala verbs,
+    // now made for `SELECT ... WHERE` text. Sound because a Skip is a
+    // NECESSARY condition of its conjunct (bounds only ever prove
+    // absence), and the exact predicates still evaluate on surviving
+    // rows through the normal parquet pushdown below. The builder is
+    // rebuilt over the kept list; pushed-filter/column state is empty
+    // at this point (filters are pushed first).
+    if (prune != null) {
+      val skips = onData.flatMap(SnapshotScanBuilder.skipOf)
+      if (skips.nonEmpty) {
+        val (kept, total) = prune(skips)
+        SnapshotScanBuilder.lastPrune = Some((kept.size, total))
+        if (kept.size < total)
+          inner = ColumnBridge.parquetScanBuilder(spark, kept, schema,
+            options).asInstanceOf[FileScanBuilder]
+      } else SnapshotScanBuilder.lastPrune = None
+    }
     onFile ++ inner.pushFilters(onData)
   }
 
@@ -280,4 +304,87 @@ class SnapshotScanBuilder(
         org.apache.spark.sql.internal.connector.PredicateUtils
           .toV1(inner.pushedFilters))
     else inner.build()
+}
+
+object SnapshotScanBuilder {
+  import org.apache.spark.sql.catalyst.expressions._
+  import org.apache.spark.sql.types._
+  import graft.ops.Layout.{Skip, SkipEquals, SkipIn, SkipRange}
+
+  /** Spec/plan-audit observability: (kept, total) file counts of the
+    * most recent manifest prune attempted by a SQL read. */
+  @volatile var lastPrune: Option[(Int, Int)] = None
+
+  private def integral(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case _ => false
+  }
+
+  private def asLong(v: Any): Long = v match {
+    case b: Byte  => b.toLong
+    case s: Short => s.toLong
+    case i: Int   => i.toLong
+    case l: Long  => l
+  }
+
+  /** The bounds predicate a WHERE conjunct IMPLIES, when one exists.
+    * Deliberately conservative: integral attribute-vs-literal
+    * comparisons and string equality only — exactly the shapes the
+    * manifest records bounds for (LongBounds/NumBounds/StrBounds).
+    * Anything else (doubles, casts, dates, null-valued literals,
+    * boundary-overflowing strict inequalities) returns None and simply
+    * forgoes pruning; stats are an optimization, never a correctness
+    * input. */
+  private[graft] def skipOf(e: Expression): Option[Skip] = e match {
+    case EqualTo(a: AttributeReference, Literal(v, dt)) => eqSkip(a, v, dt)
+    case EqualTo(Literal(v, dt), a: AttributeReference) => eqSkip(a, v, dt)
+    case In(a: AttributeReference, ls)
+        if integral(a.dataType) && ls.nonEmpty && ls.forall {
+          case Literal(v, _) => v != null
+          case _             => false
+        } =>
+      Some(SkipIn(a.name, ls.map { case Literal(v, _) => asLong(v) }))
+    case InSet(a: AttributeReference, vs)
+        if integral(a.dataType) && vs.nonEmpty && !vs.contains(null) =>
+      Some(SkipIn(a.name, vs.toSeq.map(asLong)))
+    case GreaterThan(a: AttributeReference, Literal(v, _))
+        if integral(a.dataType) && v != null &&
+          asLong(v) != Long.MaxValue =>
+      Some(SkipRange(a.name, asLong(v) + 1, Long.MaxValue))
+    case GreaterThanOrEqual(a: AttributeReference, Literal(v, _))
+        if integral(a.dataType) && v != null =>
+      Some(SkipRange(a.name, asLong(v), Long.MaxValue))
+    case LessThan(a: AttributeReference, Literal(v, _))
+        if integral(a.dataType) && v != null &&
+          asLong(v) != Long.MinValue =>
+      Some(SkipRange(a.name, Long.MinValue, asLong(v) - 1))
+    case LessThanOrEqual(a: AttributeReference, Literal(v, _))
+        if integral(a.dataType) && v != null =>
+      Some(SkipRange(a.name, Long.MinValue, asLong(v)))
+    // literal-on-left mirror images: `5 < a` ≡ `a > 5`
+    case GreaterThan(Literal(v, _), a: AttributeReference)
+        if integral(a.dataType) && v != null &&
+          asLong(v) != Long.MinValue =>
+      Some(SkipRange(a.name, Long.MinValue, asLong(v) - 1))
+    case GreaterThanOrEqual(Literal(v, _), a: AttributeReference)
+        if integral(a.dataType) && v != null =>
+      Some(SkipRange(a.name, Long.MinValue, asLong(v)))
+    case LessThan(Literal(v, _), a: AttributeReference)
+        if integral(a.dataType) && v != null &&
+          asLong(v) != Long.MaxValue =>
+      Some(SkipRange(a.name, asLong(v) + 1, Long.MaxValue))
+    case LessThanOrEqual(Literal(v, _), a: AttributeReference)
+        if integral(a.dataType) && v != null =>
+      Some(SkipRange(a.name, asLong(v), Long.MaxValue))
+    case _ => None
+  }
+
+  private def eqSkip(a: AttributeReference, v: Any,
+      dt: DataType): Option[Skip] =
+    if (v == null) None
+    else if (integral(dt)) Some(SkipRange(a.name, asLong(v), asLong(v)))
+    else dt match {
+      case StringType => Some(SkipEquals(a.name, v.toString))
+      case _          => None
+    }
 }

@@ -83,6 +83,26 @@ class GraftProcedureSpec extends AnyFunSuite {
     assert(res2.getInt(0) == 0)
   }
 
+  test("history reports one row per surviving version, then shrinks with expire") {
+    val c = cat
+    val t = freshTable("proc_history") // v1 (empty CREATE commit)
+    spark.sql(s"INSERT INTO $c.default.$t VALUES (1, 'a')") // v2
+    spark.sql(s"INSERT INTO $c.default.$t VALUES (2, 'b')") // v3
+    val compacted =
+      spark.sql(s"CALL $c.system.compact('default.$t')").head() // v4
+    val h = spark.sql(s"CALL $c.system.history('default.$t')").collect()
+    assert(h.map(_.getInt(0)).toSeq == Seq(1, 2, 3, 4))
+    assert(h.forall(_.getLong(1) > 0), "committed_at_ms must be real")
+    assert(h.forall(_.getString(4).length == 36), "commit UUID per row")
+    assert(h.last.getInt(2) == compacted.getInt(2),
+      "head file count must equal compact's files_after")
+    assert(h.last.getLong(3) > 0, "recorded bytes ride the manifest")
+    spark.sql(s"CALL $c.system.expire_snapshots('default.$t', keep_last => 1)")
+    val h2 = spark.sql(s"CALL $c.system.history('default.$t')").collect()
+    assert(h2.map(_.getInt(0)).toSeq == Seq(4),
+      "expired versions must leave the history")
+  }
+
   test("unknown procedures and namespaces fail with a named error") {
     val c = cat
     val e = intercept[Exception] {

@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.graft.SnapshotScanBuilder
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins manifest-level file skipping on the SQL read path: a table
+  * created with `TBLPROPERTIES ('graft.stats.columns' = ...)` records
+  * per-file bounds on every SQL INSERT, and `SELECT ... WHERE` conjuncts
+  * that translate to bounds predicates drop whole files from the DSv2
+  * scan before any parquet footer opens — the Scala
+  * `readSnapshotWhere` decision, made for SQL text
+  * (SnapshotScanBuilder.skipOf + Layout.prunedFilePaths). */
+class GraftSkippingSqlSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val wh = "target/graft_io/spec/skip_sql_catalog"
+  private def cat = sql.GraftSql.catalogFor(spark, wh)
+
+  /** 4 disjoint-range inserts: batch i holds k in [i*100, i*100+9]. */
+  private def buildTable(name: String): String = {
+    val c = cat
+    spark.sql(s"DROP TABLE IF EXISTS $c.default.$name")
+    spark.sql(s"""CREATE TABLE $c.default.$name (k BIGINT, tag STRING)
+                |TBLPROPERTIES ('graft.stats.columns' = 'k,tag')""".stripMargin)
+    (0 until 4).foreach { i =>
+      val rows = (0 until 10)
+        .map(j => s"(${i * 100 + j}, 'b$i')").mkString(", ")
+      spark.sql(s"INSERT INTO $c.default.$name VALUES $rows")
+    }
+    name
+  }
+
+  private def pruned(q: String): (Long, Option[(Int, Int)]) = {
+    SnapshotScanBuilder.lastPrune = None
+    val n = spark.sql(q).collect().length.toLong
+    (n, SnapshotScanBuilder.lastPrune)
+  }
+
+  test("range WHERE prunes files by manifest bounds, results exact") {
+    val c = cat
+    val t = buildTable("skip_range")
+    val (n, prune) = pruned(
+      s"SELECT k FROM $c.default.$t WHERE k >= 100 AND k <= 109")
+    assert(n == 10, "pruning must not change results")
+    assert(prune.isDefined, "a bounds-translatable WHERE must attempt pruning")
+    val (kept, total) = prune.get
+    assert(total >= 5, s"expected >=5 files (4 inserts + empty create), got $total")
+    assert(kept < total,
+      s"range query should prune non-matching files ($kept/$total)")
+  }
+
+  test("IN-list WHERE prunes like the flagship's filters") {
+    val c = cat
+    val t = buildTable("skip_in")
+    val (n, prune) = pruned(
+      s"SELECT k FROM $c.default.$t WHERE k IN (305, 306, 2000)")
+    assert(n == 2)
+    val (kept, total) = prune.get
+    assert(kept < total, s"IN query should prune ($kept/$total)")
+  }
+
+  test("string equality prunes on lexicographic bounds") {
+    val c = cat
+    val t = buildTable("skip_str")
+    val (n, prune) = pruned(
+      s"SELECT k FROM $c.default.$t WHERE tag = 'b2'")
+    assert(n == 10)
+    val (kept, total) = prune.get
+    assert(kept < total, s"tag equality should prune ($kept/$total)")
+  }
+
+  test("unprunable predicates forgo pruning and stay correct") {
+    val c = cat
+    val t = buildTable("skip_none")
+    // k % 1000 = 105 keeps arithmetic on the attribute (k + 0 got
+    // constant-folded to bare k and pruned — the optimizer runs first):
+    // no Skip translates, the scan reads everything, the answer is
+    // still right
+    val (n, prune) = pruned(
+      s"SELECT k FROM $c.default.$t WHERE k % 1000 = 105")
+    assert(n == 1)
+    assert(prune.isEmpty,
+      "no bounds-translatable conjunct means no prune attempt")
+  }
+
+  test("stats property survives compaction and keeps pruning after") {
+    val c = cat
+    val t = buildTable("skip_compact")
+    spark.sql(s"CALL $c.system.compact('default.$t', 2048)")
+    // property still recorded (SHOW TBLPROPERTIES reads the manifest)
+    val props = spark.sql(s"SHOW TBLPROPERTIES $c.default.$t").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("graft.stats.columns").contains("k,tag"))
+    // compaction re-records bounds (statsColumnsOf carries them), so a
+    // post-compact insert + range read still prunes
+    spark.sql(s"INSERT INTO $c.default.$t VALUES (9999, 'b9')")
+    val (n, prune) = pruned(
+      s"SELECT k FROM $c.default.$t WHERE k >= 9000")
+    assert(n == 1)
+    val (kept, total) = prune.get
+    assert(kept < total, s"post-compact read should prune ($kept/$total)")
+  }
+
+  test("DDL refuses a stats property naming an unknown column") {
+    val c = cat
+    spark.sql(s"DROP TABLE IF EXISTS $c.default.skip_bad")
+    val e = intercept[Exception] {
+      spark.sql(s"""CREATE TABLE $c.default.skip_bad (k BIGINT)
+                   |TBLPROPERTIES ('graft.stats.columns' = 'nope')"""
+        .stripMargin)
+    }
+    assert(e.getMessage.contains("unknown column"))
+  }
+}
