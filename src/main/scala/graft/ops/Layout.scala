@@ -751,8 +751,8 @@ object Layout {
                           _ => None,
                         txnFor: Int => Map[String, Long] =
                           (h: Int) => Map.empty,
-                        propsFor: Int => Map[String, String] =
-                          (h: Int) => Map.empty): Int = {
+                        propsXform: Map[String, String] =>
+                          Map[String, String] = identity): Int = {
     val mdir = new Path(root, "manifests")
     fs.mkdirs(mdir)
     val locked = lockfileEnabled(fs)
@@ -769,10 +769,11 @@ object Layout {
         // evolved the schema or advanced a txn marker, and this commit
         // must rebase onto whatever actually landed, like the line rebase.
         // Txn markers and table props CARRY by default (every verb
-        // preserves them); `txnFor`/`propsFor` supply this commit's
-        // updates on top.
+        // preserves them); `txnFor` supplies this commit's updates on
+        // top, `propsXform` rewrites the carried props (set AND unset —
+        // ALTER TABLE needs removal, which a merge cannot express).
         val txns = txnsOf(fs, root, head) ++ txnFor(head)
-        val props = propsOf(fs, root, head) ++ propsFor(head)
+        val props = propsXform(propsOf(fs, root, head))
         val attemptId = java.util.UUID.randomUUID().toString
         val header = (CommitHeader + attemptId) +:
           (schemaFor(head).map(s => SchemaHeader + s.json).toSeq ++
@@ -877,7 +878,34 @@ object Layout {
       (if (head == 0) Seq.empty else manifestFiles(fs, root, head)) ++
         entries,
       appendSchemaFor(fs, root, df),
-      propsFor = _ => props)
+      propsXform = _ ++ props)
+  }
+
+  /** Props-only commit — `ALTER TABLE ... SET/UNSET TBLPROPERTIES`:
+    * the head's file list and schema carry unchanged, only the header
+    * rewrites. Setting `graft.stats.columns` validates against the
+    * recorded schema HERE (the DDL fails, not some later INSERT); note
+    * that enabling stats affects FUTURE commits only — existing files
+    * keep whatever bounds they have (none, if the property is new), so
+    * pruning ramps in as data arrives or after one compaction
+    * re-records bounds. */
+  def setTableProps(spark: SparkSession, table: String,
+      set: Map[String, String], unset: Seq[String]): Int = {
+    val root = new Path(table)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    set.get(StatsColumnsProp).foreach { v =>
+      val cols = v.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+      validateStatsColumns(cols)
+      schemaOf(fs, root, currentVersion(fs, root)).foreach { sch =>
+        cols.foreach(c => require(sch.fieldNames.contains(c),
+          s"$StatsColumnsProp names unknown column '$c' " +
+            s"(table columns: ${sch.fieldNames.mkString(", ")})"))
+      }
+    }
+    casCommit(fs, root, "setTableProps",
+      head => manifestFiles(fs, root, head),
+      head => schemaOf(fs, root, head),
+      propsXform = p => p ++ set -- unset)
   }
 
   /** The APPEND verb's schema record: new columns MERGE onto the prior
@@ -1332,6 +1360,38 @@ object Layout {
         .where(lit(false)) // empty delta, stable schema
     else readVersionFiles(spark, fs, root, toVersion,
       added.map(l => new Path(root, entryPath(l)).toString))
+  }
+
+  /** [[readChanges]]' file-set core, for consumers that plan their own
+    * scan (the SQL `CALL system.changes` procedure): (added absolute
+    * paths, toVersion's schema — recorded, or inferred from the delta's
+    * own footers for legacy tables). Same APPEND-only contract and loud
+    * REPLACE rejection. */
+  private[graft] def changedFilesWithSchema(spark: SparkSession,
+      table: String, fromVersion: Int, toVersion: Int)
+      : (Seq[String], types.StructType) = {
+    require(fromVersion <= toVersion,
+      s"changes: fromVersion $fromVersion > toVersion $toVersion")
+    val root = new Path(table)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val from =
+      if (fromVersion == 0) Set.empty[String]
+      else manifestFiles(fs, root, fromVersion).toSet
+    val to = manifestFiles(fs, root, toVersion)
+    require(from.subsetOf(to.toSet),
+      s"changes: a REPLACE commit landed in ($fromVersion, $toVersion] " +
+        "— line-set diff is not a row-level change log across rewrites")
+    def abs(ls: Seq[String]) =
+      ls.map(l => new Path(root, entryPath(l)).toString)
+    val added = abs(to.filterNot(from))
+    val sch = schemaOf(fs, root, toVersion).getOrElse {
+      val basis = if (added.nonEmpty) added else abs(to)
+      require(basis.nonEmpty,
+        s"changes: $table has no recorded schema and no files to infer " +
+          "one from")
+      spark.read.parquet(basis: _*).schema
+    }
+    (added, sch)
   }
 
   /** Roll the table back to `version` by RE-COMMITTING its file list as

@@ -184,11 +184,29 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     new GraftTable(dir, None)
   }
 
+  /** `ALTER TABLE ... SET/UNSET TBLPROPERTIES` commits a props-only
+    * manifest rewrite (file list and schema carry) — the way a user
+    * turns `graft.stats.columns` on for an existing table. Schema
+    * changes stay refused: evolution happens at commit time
+    * (add-column + widening on append), not through DDL. */
   override def alterTable(ident: Identifier,
-      changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "ALTER TABLE is not supported; schema evolution happens at " +
-        "commit time (add-column + widening on append)")
+      changes: TableChange*): Table = {
+    val unsupported = changes.filterNot(c =>
+      c.isInstanceOf[TableChange.SetProperty] ||
+        c.isInstanceOf[TableChange.RemoveProperty])
+    if (unsupported.nonEmpty) throw new UnsupportedOperationException(
+      "ALTER TABLE supports only SET/UNSET TBLPROPERTIES; schema " +
+        "evolution happens at commit time (add-column + widening on " +
+        s"append). Refused: ${unsupported.mkString(", ")}")
+    val set = changes.collect {
+      case s: TableChange.SetProperty => s.property -> s.value
+    }.toMap
+    val unset = changes.collect {
+      case r: TableChange.RemoveProperty => r.property
+    }
+    Layout.setTableProps(spark, dirOf(ident), set, unset)
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean =
     if (!tableExists(ident)) false

@@ -171,6 +171,16 @@ object GraftProcedures {
       }
     }
 
+  // A `system.changes` procedure returning the CDC delta was built and
+  // deliberately REMOVED: Spark 4.1's CALL machinery accepts only
+  // LocalScan procedure output (InvokeProcedures.toRelation: "Only
+  // local scans are temporarily supported"), which would force a
+  // driver-side collect of the delta — wrong at any real table size.
+  // CDC-as-SQL rides the batch veneer instead, as a genuinely
+  // distributed scan: CREATE TEMPORARY VIEW d USING `graft-manifest`
+  // OPTIONS (path ..., changesFrom 2[, changesTo 4]) — see
+  // ManifestStreamProvider.createRelation.
+
   /** The `system` namespace's procedure registry for one catalog
     * instance. */
   def load(cat: GraftCatalog, ident: Identifier): UnboundProcedure = {

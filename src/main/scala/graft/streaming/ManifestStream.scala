@@ -82,6 +82,25 @@ class ManifestStreamProvider extends StreamSourceProvider
     val p = lowered(parameters)
     val spark = sqlContext.sparkSession.asInstanceOf[SparkSession]
     val table = tableOf(p)
+    // CDC delta read: `.option("changesFrom", v)` (+ optional
+    // `changesTo`, default head) — the rows APPENDED in (from, to],
+    // [[Layout.readChanges]]' contract (REPLACE in range refuses
+    // loudly), served as the same distributed file relation as a
+    // snapshot read. This, not a CALL procedure, is the SQL door to
+    // CDC: `CREATE TEMPORARY VIEW d USING \`graft-manifest\` OPTIONS
+    // (path ..., changesFrom 2)` — Spark 4.1 procedures can only
+    // return driver-local relations, and a delta is executor-sized.
+    p.get("changesfrom").foreach { fromS =>
+      require(!p.contains("versionasof") && !p.contains("timestampasof"),
+        "changesFrom is mutually exclusive with versionAsOf/timestampAsOf")
+      val root = new org.apache.hadoop.fs.Path(table)
+      val to = p.get("changesto").map(_.toInt).getOrElse(
+        Layout.currentVersion(root.getFileSystem(
+          spark.sparkContext.hadoopConfiguration), root))
+      val (added, schema) = Layout.changedFilesWithSchema(
+        spark, table, fromS.toInt, to)
+      return ColumnBridge.fileRelation(spark, "parquet", added, Some(schema))
+    }
     val version: Option[Int] = (p.get("versionasof"),
         p.get("timestampasof")) match {
       case (Some(_), Some(_)) => throw new IllegalArgumentException(

@@ -103,6 +103,49 @@ class GraftProcedureSpec extends AnyFunSuite {
       "expired versions must leave the history")
   }
 
+  test("CDC delta reads as SQL text through the veneer's changesFrom") {
+    // NOT a CALL procedure on purpose: Spark 4.1 procedures only return
+    // driver-local relations, and a delta is executor-sized — the SQL
+    // door is CREATE TEMPORARY VIEW ... USING with changesFrom/-To,
+    // a genuinely distributed scan (GraftProcedures has the rationale)
+    val c = cat
+    val t = freshTable("proc_changes") // v1 (empty CREATE commit)
+    spark.sql(s"INSERT INTO $c.default.$t VALUES (1, 'a')") // v2
+    spark.sql(s"INSERT INTO $c.default.$t VALUES (2, 'b')") // v3
+    spark.sql(s"INSERT INTO $c.default.$t VALUES (3, 'c')") // v4
+    val dir = s"$wh/default/$t"
+    spark.sql(s"""CREATE OR REPLACE TEMPORARY VIEW proc_changes_delta
+                 |USING `graft-manifest`
+                 |OPTIONS (path '$dir', changesFrom '2')""".stripMargin)
+    val delta = spark.table("proc_changes_delta")
+    assert(delta.columns.toSeq == Seq("k", "v"),
+      "the delta reads under the table schema")
+    assert(delta.collect().map(_.getLong(0)).toSet == Set(2L, 3L))
+    // bounded range since genesis = the whole table
+    spark.sql(s"""CREATE OR REPLACE TEMPORARY VIEW proc_changes_all
+                 |USING `graft-manifest`
+                 |OPTIONS (path '$dir', changesFrom '0', changesTo '4')"""
+      .stripMargin)
+    assert(spark.table("proc_changes_all").count() == 3)
+    // empty delta: zero rows, schema intact
+    spark.sql(s"""CREATE OR REPLACE TEMPORARY VIEW proc_changes_empty
+                 |USING `graft-manifest`
+                 |OPTIONS (path '$dir', changesFrom '4', changesTo '4')"""
+      .stripMargin)
+    val empty = spark.table("proc_changes_empty")
+    assert(empty.count() == 0 && empty.columns.toSeq == Seq("k", "v"))
+    // a REPLACE (compact) inside the range breaks line-set diff
+    // semantics — must refuse loudly, not answer wrong
+    spark.sql(s"CALL $c.system.compact('default.$t')") // v5
+    val e = intercept[Exception] {
+      spark.sql(s"""CREATE OR REPLACE TEMPORARY VIEW proc_changes_bad
+                   |USING `graft-manifest`
+                   |OPTIONS (path '$dir', changesFrom '2')""".stripMargin)
+      spark.table("proc_changes_bad").collect()
+    }
+    assert(e.getMessage.contains("REPLACE commit landed"), e.getMessage)
+  }
+
   test("unknown procedures and namespaces fail with a named error") {
     val c = cat
     val e = intercept[Exception] {

@@ -108,6 +108,49 @@ class GraftSkippingSqlSpec extends AnyFunSuite {
     assert(kept < total, s"post-compact read should prune ($kept/$total)")
   }
 
+  test("ALTER TABLE SET TBLPROPERTIES turns stats on for an existing table") {
+    val c = cat
+    val t = "skip_alter"
+    spark.sql(s"DROP TABLE IF EXISTS $c.default.$t")
+    spark.sql(s"CREATE TABLE $c.default.$t (k BIGINT, tag STRING)")
+    spark.sql(s"INSERT INTO $c.default.$t VALUES (1, 'old'), (2, 'old')")
+    // no property yet: a range read keeps every file (no bounds recorded)
+    val (n0, p0) = pruned(s"SELECT k FROM $c.default.$t WHERE k >= 1000")
+    assert(n0 == 0)
+    assert(p0.exists { case (kept, total) => kept == total },
+      s"without bounds nothing can prune, got $p0")
+    spark.sql(s"""ALTER TABLE $c.default.$t
+                 |SET TBLPROPERTIES ('graft.stats.columns' = 'k')"""
+      .stripMargin)
+    // post-ALTER inserts record bounds; pre-ALTER files keep none and
+    // always survive — pruning ramps in with new data
+    spark.sql(s"INSERT INTO $c.default.$t VALUES (1000, 'new')")
+    spark.sql(s"INSERT INTO $c.default.$t VALUES (2000, 'new')")
+    val (n1, p1) = pruned(s"SELECT k FROM $c.default.$t WHERE k >= 1500")
+    assert(n1 == 1)
+    val (kept, total) = p1.get
+    assert(kept < total,
+      s"the out-of-range post-ALTER file should prune ($kept/$total)")
+    // UNSET removes the property (future inserts stop recording)
+    spark.sql(s"""ALTER TABLE $c.default.$t
+                 |UNSET TBLPROPERTIES ('graft.stats.columns')""".stripMargin)
+    val props = spark.sql(s"SHOW TBLPROPERTIES $c.default.$t").collect()
+      .map(_.getString(0)).toSet
+    assert(!props.contains("graft.stats.columns"))
+    // schema DDL stays refused, with a named reason
+    val e = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $c.default.$t ADD COLUMNS (x INT)")
+    }
+    assert(e.getMessage.contains("SET/UNSET TBLPROPERTIES"))
+    // and the ALTER validates stats columns against the recorded schema
+    val e2 = intercept[Exception] {
+      spark.sql(s"""ALTER TABLE $c.default.$t
+                   |SET TBLPROPERTIES ('graft.stats.columns' = 'nope')"""
+        .stripMargin)
+    }
+    assert(e2.getMessage.contains("unknown column"))
+  }
+
   test("DDL refuses a stats property naming an unknown column") {
     val c = cat
     spark.sql(s"DROP TABLE IF EXISTS $c.default.skip_bad")
