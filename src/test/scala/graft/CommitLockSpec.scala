@@ -155,6 +155,46 @@ class CommitLockSpec extends AnyFunSuite {
     } finally hconf.unset("graft.commit.lockfile")
   }
 
+  test("mixed append+compact race under the lock loses nothing") {
+    val table = freshTable("lock_mixed")
+    hconf.set("graft.commit.lockfile", "true")
+    try {
+      import spark.implicits._
+      // seed two small files so the compactor has inputs
+      ops.Layout.commitSnapshot(spark, table,
+        Seq((100L, "seed0")).toDF("id", "tag"))
+      ops.Layout.commitSnapshot(spark, table,
+        Seq((101L, "seed1")).toDF("id", "tag"))
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+      val appenders = (0 until 3).map { i =>
+        new Thread(() => {
+          try ops.Layout.commitSnapshot(spark, table,
+            Seq((i.toLong, s"app$i")).toDF("id", "tag"))
+          catch { case t: Throwable => errs.add(t) }
+        })
+      }
+      val compactor = new Thread(() => {
+        // appends never swap the compactor's input lines out, so the
+        // REPLACE rebases across them — a conflict abort here would be
+        // a bug, not an acceptable outcome
+        try ops.Layout.compactSnapshot(spark, table)
+        catch { case t: Throwable => errs.add(t) }
+      })
+      (appenders :+ compactor).foreach(_.start())
+      (appenders :+ compactor).foreach(_.join())
+      assert(errs.isEmpty, s"racing verb failed: ${errs.peek()}")
+      val rows = ops.Layout.readSnapshot(spark, table)
+        .orderBy("id").collect().map(_.getLong(0)).toSeq
+      assert(rows == Seq(0L, 1L, 2L, 100L, 101L),
+        s"lost rows across the append+compact race: $rows")
+      val root = new Path(table)
+      val fs = root.getFileSystem(hconf)
+      assert(ops.Layout.currentVersion(fs, root) == 6,
+        "2 seeds + 3 appends + 1 compact = 6 versions")
+      assert(!fs.exists(new Path(root, "manifests/_commit.lock")))
+    } finally hconf.unset("graft.commit.lockfile")
+  }
+
   test("a crashed writer's stale lock is broken, not waited out") {
     val table = freshTable("lock_stale")
     hconf.set("graft.commit.lockfile", "true")

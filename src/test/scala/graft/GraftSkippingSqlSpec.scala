@@ -151,6 +151,24 @@ class GraftSkippingSqlSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("unknown column"))
   }
 
+  test("CTAS with the stats property records bounds on its own write") {
+    val c = cat
+    spark.sql(s"DROP TABLE IF EXISTS $c.default.skip_ctas")
+    spark.range(0, 40).selectExpr("id AS k", "concat('t', id) AS tag")
+      .createOrReplaceTempView("skip_ctas_src")
+    spark.sql(s"""CREATE TABLE $c.default.skip_ctas
+                 |TBLPROPERTIES ('graft.stats.columns' = 'k')
+                 |AS SELECT * FROM skip_ctas_src""".stripMargin)
+    // a second, range-disjoint insert makes pruning observable
+    spark.sql(s"INSERT INTO $c.default.skip_ctas VALUES (5000, 'far')")
+    val (n, prune) = pruned(
+      s"SELECT k FROM $c.default.skip_ctas WHERE k >= 4000")
+    assert(n == 1)
+    val (kept, total) = prune.get
+    assert(kept < total,
+      s"CTAS write should have recorded bounds ($kept/$total)")
+  }
+
   test("DDL refuses a stats property naming an unknown column") {
     val c = cat
     spark.sql(s"DROP TABLE IF EXISTS $c.default.skip_bad")

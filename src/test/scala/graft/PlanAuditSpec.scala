@@ -659,6 +659,39 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("SQL catalog read keeps pushdown + pruning + columnar scan " +
+      "through the manifest prune") {
+    // the manifest-prune path REBUILDS the parquet scan builder over the
+    // kept file list inside pushFilters — this pins that nothing is lost
+    // in the swap: data filters still reach the parquet scan, the read
+    // schema is still pruned to the projection, and the scan is still
+    // the vectorized DSv2 batch path
+    val wh = "target/graft_io/spec/plan_audit_catalog"
+    val c = sql.GraftSql.catalogFor(spark, wh)
+    spark.sql(s"DROP TABLE IF EXISTS $c.default.audit_t")
+    spark.sql(s"""CREATE TABLE $c.default.audit_t (k BIGINT, v STRING)
+                 |TBLPROPERTIES ('graft.stats.columns' = 'k')"""
+      .stripMargin)
+    spark.sql(s"INSERT INTO $c.default.audit_t VALUES (1,'a'), (2,'b')")
+    spark.sql(
+      s"INSERT INTO $c.default.audit_t VALUES (100,'c'), (200,'d')")
+    org.apache.spark.sql.graft.SnapshotScanBuilder.lastPrune = None
+    val df = spark.sql(s"SELECT k FROM $c.default.audit_t WHERE k >= 100")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters"), p.take(800))
+    assert(p.contains("GreaterThanOrEqual(k,100)"),
+      "data filter lost in the pruned-builder swap:\n" + p.take(800))
+    val rs = p.linesIterator.find(_.contains("ReadSchema"))
+      .getOrElse(fail(s"no ReadSchema in:\n$p"))
+    assert(rs.contains("k:bigint") && !rs.contains("v:string"), rs)
+    assert(p.contains("ColumnarToRow") || p.contains("Columnar"),
+      "vectorized batch path lost:\n" + p.take(800))
+    assert(df.collect().map(_.getLong(0)).toSet == Set(100L, 200L))
+    val prune = org.apache.spark.sql.graft.SnapshotScanBuilder.lastPrune
+    assert(prune.exists { case (kept, total) => kept < total },
+      s"manifest prune did not engage: $prune")
+  }
+
   test("prefix-join prefixes are frequency-ordered and length-filtered") {
     val arr = ops.Text.shingleSets(spark, sf)
     val p = ops.Text.dedupNearPrefixJoin(arr)
