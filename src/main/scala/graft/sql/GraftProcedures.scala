@@ -121,12 +121,22 @@ object GraftProcedures {
       }
     }
 
+  /** OPTIMIZE as SQL: plain bin-pack by default; `sort_by` range-
+    * clusters one/more columns, `zorder_by` ('a,b') interleave-clusters
+    * two — the repack that gives a skipping table disjoint per-file
+    * bounds, so SQL reads prune afterwards (GraftProcedureSpec pins
+    * scattered→clustered pruning). Recorded stats columns carry —
+    * compactSnapshot re-records bounds from the table's own property. */
   private def compact(cat: GraftCatalog): UnboundProcedure =
     new GraftProcedure("compact") {
       override def parameters(): Array[ProcedureParameter] = Array(
         ProcedureParameter.in("table", DataTypes.StringType).build(),
         ProcedureParameter.in("target_file_bytes", DataTypes.LongType)
-          .defaultValue(s"${128L << 20}").build())
+          .defaultValue(s"${128L << 20}").build(),
+        ProcedureParameter.in("sort_by", DataTypes.StringType)
+          .defaultValue("''").build(),
+        ProcedureParameter.in("zorder_by", DataTypes.StringType)
+          .defaultValue("''").build())
       private val out = StructType(Seq(
         org.apache.spark.sql.types.StructField(
           "version", DataTypes.IntegerType, nullable = false),
@@ -136,10 +146,19 @@ object GraftProcedures {
           "files_after", DataTypes.IntegerType, nullable = false),
         org.apache.spark.sql.types.StructField(
           "bytes_rewritten", DataTypes.LongType, nullable = false)))
+      private def cols(s: String): Seq[String] =
+        s.split(',').map(_.trim).filter(_.nonEmpty).toSeq
       override def call(input: InternalRow): java.util.Iterator[Scan] = {
         val table = tableDir(cat, input.getUTF8String(0).toString)
+        val sortBy = cols(input.getUTF8String(2).toString)
+        val z = cols(input.getUTF8String(3).toString)
+        require(z.isEmpty || z.length == 2,
+          s"zorder_by takes exactly two comma-separated columns, got " +
+            s"'${z.mkString(",")}'")
         val (v, stats) = Layout.compactSnapshot(spark, table,
-          targetFileBytes = input.getLong(1))
+          targetFileBytes = input.getLong(1),
+          sortBy = sortBy,
+          zorderBy = if (z.isEmpty) None else Some((z.head, z(1))))
         one(out)(v, stats.filesBefore, stats.filesAfter,
           stats.bytesBefore)
       }

@@ -146,6 +146,51 @@ class GraftProcedureSpec extends AnyFunSuite {
     assert(e.getMessage.contains("REPLACE commit landed"), e.getMessage)
   }
 
+  test("compact sort_by turns a scattered table into a pruning one") {
+    import org.apache.spark.sql.graft.SnapshotScanBuilder
+    val c = cat
+    val t = "proc_sorted_compact"
+    spark.sql(s"DROP TABLE IF EXISTS $c.default.$t")
+    spark.sql(s"""CREATE TABLE $c.default.$t (k BIGINT, v STRING)
+                 |TBLPROPERTIES ('graft.stats.columns' = 'k')"""
+      .stripMargin)
+    // hash-scattered inserts: each file's k-bounds span ~the full range
+    // (a VALUES list splits into ORDERED chunks whose bounds are tight
+    // subranges — that layout pruned already and proved nothing), so
+    // bounds exist but prune ~nothing
+    (0 until 3).foreach { i =>
+      spark.sql(s"""INSERT INTO $c.default.$t
+                   |SELECT CAST(id * 3 + $i AS BIGINT) AS k, 'x' AS v
+                   |FROM range(0, 100) DISTRIBUTE BY hash(id)"""
+        .stripMargin)
+    }
+    def keptOf(q: String): (Long, Int, Int) = {
+      SnapshotScanBuilder.lastPrune = None
+      val n = spark.sql(q).count()
+      val (kept, total) = SnapshotScanBuilder.lastPrune.get
+      (n, kept, total)
+    }
+    val q = s"SELECT k FROM $c.default.$t WHERE k < 30"
+    val (n0, kept0, total0) = keptOf(q)
+    assert(n0 == 30)
+    assert(kept0 > total0 / 2,
+      s"scattered files should mostly survive the prune ($kept0/$total0)")
+    // OPTIMIZE with range clustering: small target bytes force several
+    // output files, each now covering a DISJOINT k range
+    spark.sql(s"CALL $c.system.compact('default.$t', 512, sort_by => 'k')")
+    val (n1, kept1, total1) = keptOf(q)
+    assert(n1 == 30, "compaction must not change results")
+    assert(total1 > 1 && kept1 < kept0 && kept1 <= total1 / 2,
+      s"range-clustered files should prune ($kept1/$total1, was " +
+        s"$kept0/$total0)")
+    // zorder_by arity is validated loudly
+    val e = intercept[Exception] {
+      spark.sql(s"CALL $c.system.compact('default.$t', 512, " +
+        "zorder_by => 'k')")
+    }
+    assert(e.getMessage.contains("exactly two"), e.getMessage)
+  }
+
   test("unknown procedures and namespaces fail with a named error") {
     val c = cat
     val e = intercept[Exception] {
