@@ -169,6 +169,39 @@ class GraftSkippingSqlSpec extends AnyFunSuite {
       s"CTAS write should have recorded bounds ($kept/$total)")
   }
 
+  test("a fully-pruned read (zero surviving files) returns empty, not error") {
+    val c = cat
+    val t = buildTable("skip_all")
+    // compact away the boundless empty CREATE file so every remaining
+    // file carries bounds — then an out-of-range predicate prunes ALL
+    spark.sql(s"CALL $c.system.compact('default.$t')")
+    val (n, prune) = pruned(
+      s"SELECT k FROM $c.default.$t WHERE k >= 1000000")
+    assert(n == 0, "fully-pruned read must answer empty")
+    val (kept, total) = prune.get
+    assert(kept == 0 && total >= 1,
+      s"expected a zero-file scan ($kept/$total)")
+  }
+
+  test("time-traveled reads prune against the pinned version's bounds") {
+    val c = cat
+    val t = buildTable("skip_tt") // v1 create + v2..v5 inserts
+    // at v3 only batches 0 and 1 exist; a batch-1-range query over the
+    // PINNED snapshot must prune batch 0's files using v3's manifest,
+    // not the head's
+    val (n, prune) = pruned(
+      s"""SELECT k FROM $c.default.$t VERSION AS OF 3
+         |WHERE k >= 100 AND k <= 109""".stripMargin)
+    assert(n == 10)
+    val (kept, total) = prune.get
+    assert(kept < total, s"pinned-version prune should engage ($kept/$total)")
+    // and batch 3's range does not exist yet at v3
+    val (n2, _) = pruned(
+      s"""SELECT k FROM $c.default.$t VERSION AS OF 3
+         |WHERE k >= 300""".stripMargin)
+    assert(n2 == 0)
+  }
+
   test("DDL refuses a stats property naming an unknown column") {
     val c = cat
     spark.sql(s"DROP TABLE IF EXISTS $c.default.skip_bad")
