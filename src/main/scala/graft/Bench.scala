@@ -71,7 +71,17 @@ object Bench {
     val cpuBefore = processCpuSec()
     val wallBefore = System.nanoTime()
     var rerunCount = 0
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (n, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).zipWithIndex.map {
+      case ((n, fn), seq) =>
+      // Run-sequence forensics (r15 verdict task 2): two rounds running,
+      // a single key blew up ONLY inside the official loop (r14
+      // q_image_dedup_cluster, r15 q_corpus_clean_lsh) and bisecting
+      // required re-runs because the artifact carried no per-key
+      // environment. Sampling the 1-minute loadavg at each key's start
+      // makes such anomalies self-describing: a key with wall≫cpu and a
+      // spiked load-at-key is contention; flat load with high CPU is a
+      // real plan problem.
+      val loadAtKey = loadAvg1m()
       val cpu0 = cpu.snapshot(spark)
       var runs = 2
       val a = timeOnce(fn)
@@ -98,7 +108,7 @@ object Bench {
       // mean executor-CPU per run: totals would penalize triple-measured
       // keys; the mean is comparable across keys and across rounds
       val cpuPerRun = (cpu.snapshot(spark) - cpu0) / runs
-      (n, t, cpuPerRun)
+      (n, t, cpuPerRun, seq, loadAtKey)
     }
     val wallSec = (System.nanoTime() - wallBefore) / 1e9
     val cpuAfter = processCpuSec()
@@ -112,16 +122,21 @@ object Bench {
     // per-query seconds rounded to ms: sub-ms digits are pure noise and
     // ~40% of the artifact line's length
     def r3(v: Double): Double = math.rint(v * 1000) / 1000
-    val qs = results.map { case (k, v, _) =>
+    val qs = results.map { case (k, v, _, _, _) =>
       "\"" + k + "\":" + (if (v < 0) -1.0 else r3(v))
     }.mkString("{", ",", "}")
     // per-key mean executor-CPU ns per timed run (see protocol note)
-    val cpuQs = results.map { case (k, _, c) =>
+    val cpuQs = results.map { case (k, _, c, _, _) =>
       "\"" + k + "\":" + c
+    }.mkString("{", ",", "}")
+    // per-key run order + 1-min loadavg at key start (protocol r16.seq):
+    // lets a reader bisect in-loop-only anomalies from the artifact
+    val seqQs = results.map { case (k, _, _, i, la) =>
+      "\"" + k + "\":[" + i + "," + r3(la) + "]"
     }.mkString("{", ",", "}")
     // -1 marks a failed query; only successful times enter the total so a
     // failure can't make the benchmark look FASTER
-    val ok = results.map(_._2).filter(_ >= 0)
+    val ok = results.map(_._2).filter(_ >= 0.0)
     val total = ok.sum
     val failed = results.size - ok.size
     val env =
@@ -130,7 +145,7 @@ object Bench {
         s""""cpu_wall_ratio":${r3(cpuWallRatio)},"wall_sec":${r3(wallSec)},""" +
         s""""triple_measured":$rerunCount"""
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,$env,"queries":$qs,"cpu_ns":$cpuQs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,$env,"queries":$qs,"cpu_ns":$cpuQs,"run_seq":$seqQs,"sf":"$sfDir"}"""
     println(fullLine)
     // The artifact of record keeps only a bounded TAIL of stdout; with 85+
     // keys the full contract line above overflows it and the headline

@@ -26,8 +26,11 @@ object BenchProtocol {
     * have declared it). History: r11.honest = per-run cache clearing +
     * min-of-3 on 80 keys; r12.cpu adds per-key executor CPU-ns so
     * box-load drift (wall up, cpu flat) is separable from real plan
-    * regressions without an idle-box rerun. */
-  val ProtocolVersion = "r12.cpu"
+    * regressions without an idle-box rerun; r16.seq adds a per-key
+    * `run_seq` map of [run-order index, 1-min loadavg at key start] so
+    * in-loop-only anomalies (r14 image key, r15 corpus key) are
+    * bisectable from the artifact alone. */
+  val ProtocolVersion = "r16.seq"
 
   /** Accumulating executor-CPU listener: sums
     * TaskMetrics.executorCpuTime (ns) across every task end. Executor

@@ -204,6 +204,11 @@ object ScaleProbe {
     // the pruned read's cost tracks the SELECTED quartile's bytes, with
     // the pruning fraction constant at 10×
     "q_manifest_skipping_sql",
+    // round-16: DDL evolution — ADD COLUMN is an O(manifest) schema-only
+    // commit; the two inserts dominate and track volume (supplier isn't
+    // scaled in the replica, so absolute ratio mostly measures fixed
+    // commit overhead — the pin is "no superlinear surprise")
+    "q_manifest_evolution_sql",
     // the CNPJ vertical (reference envelope ">20 GB", readme.md:108):
     // synthetic flagship over the replica's 10× orders/customer —
     // r15 splits load (z-cluster + commit, data-volume-bound) from

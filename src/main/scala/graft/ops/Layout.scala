@@ -427,12 +427,69 @@ object Layout {
 
   val StatsColumnsProp = "graft.stats.columns"
 
+  /** Declarative clustering TBLPROPERTIES (r15 verdict task 4): a table
+    * CREATEd with one of these gets its INSERTs range-clustered
+    * (`sort_by`, one or more columns) or z-order-clustered (`zorder_by`,
+    * exactly two columns) at write time — the pruning layout from birth,
+    * no post-hoc `CALL system.compact` needed. Properties carry through
+    * every commit verb like any other prop, so the declared layout
+    * survives compaction/rollback and later writers keep honoring it. */
+  val ClusterSortProp   = "graft.cluster.sort_by"
+  val ClusterZorderProp = "graft.cluster.zorder_by"
+
+  private[graft] def splitCols(v: String): Seq[String] =
+    v.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+
+  /** Validate clustering properties against a schema (CREATE TABLE /
+    * SET TBLPROPERTIES time — a typo must fail the DDL, not a later
+    * INSERT). */
+  private[graft] def validateClusterProps(props: Map[String, String],
+      schema: Option[types.StructType]): Unit = {
+    require(!(props.contains(ClusterSortProp) &&
+        props.contains(ClusterZorderProp)),
+      s"$ClusterSortProp and $ClusterZorderProp are mutually exclusive")
+    props.get(ClusterZorderProp).foreach { v =>
+      require(splitCols(v).size == 2,
+        s"$ClusterZorderProp takes exactly two comma-separated " +
+          s"columns, got '$v'")
+    }
+    schema.foreach { sch =>
+      Seq(ClusterSortProp, ClusterZorderProp).foreach(p =>
+        props.get(p).foreach(v => splitCols(v).foreach(c =>
+          require(sch.fieldNames.contains(c),
+            s"$p names unknown column '$c' " +
+              s"(table columns: ${sch.fieldNames.mkString(", ")})"))))
+    }
+  }
+
+  /** Arrange `df` per the table's declared clustering properties —
+    * applied by the SQL INSERT bridge before the commit verb so a
+    * DDL-declared layout holds for every write. One range shuffle
+    * (sort_by) or one z-shuffle (zorder_by); file count rides the
+    * session's shuffle-partition sizing, with AQE free to coalesce. */
+  private[graft] def clusterArrange(df: DataFrame,
+      props: Map[String, String]): DataFrame = {
+    val n = df.sparkSession.sessionState.conf.numShufflePartitions
+    props.get(ClusterZorderProp).map(splitCols) match {
+      case Some(Seq(a, b)) => zArranged(df, a, b, n, 1024)
+      case _ =>
+        val so = props.get(ClusterSortProp).map(splitCols).getOrElse(Nil)
+        if (so.isEmpty) df
+        else df.repartitionByRange(n, so.map(col): _*)
+          .sortWithinPartitions(so.map(col): _*)
+    }
+  }
+
   private def propsOf(fs: FileSystem, root: Path, v: Int)
       : Map[String, String] =
     if (v == 0) Map.empty
     else rawManifestLines(fs, root, v).collect {
       case l if l.startsWith(PropHeader) =>
-        l.substring(PropHeader.length).split('\t') match {
+        // limit -1 keeps trailing empty strings: TBLPROPERTIES('k'='')
+        // is legal SQL and writes "#prop\tk\t" — the default limit-0
+        // split dropped the empty value and every later read of the
+        // table threw "bad prop header", write-bricking it (r15 advice).
+        l.substring(PropHeader.length).split("\t", -1) match {
           case Array(k, value) => dec(k) -> dec(value)
           case _ => throw new IllegalStateException(s"bad prop header: $l")
         }
@@ -675,12 +732,17 @@ object Layout {
   // S3 with Hadoop's conditional-write support, and to plain exclusive
   // create on HDFS/local — which object stores DO offer even though
   // their rename is not exclusive. A crashed writer's lock is broken
-  // once its mtime is older than `graft.commit.lockfile.stale.ms`
-  // (default 60 s — MUST exceed the slowest commit's publish+verify
-  // span, the standard lease caveat); acquisition gives up after
-  // `graft.commit.lockfile.timeout.ms` (default 120 s). Lock-breaker
-  // races are safe: breaking only deletes, and the create-exclusive
-  // retry re-arbitrates who owns the fresh lock. CommitLockSpec
+  // once the SAME lock identity (the UUID in the file) has been
+  // watched unchanged for `graft.commit.lockfile.stale.ms` on the
+  // waiter's own monotonic clock (default 60 s — MUST exceed the
+  // slowest commit's publish+verify span, the standard lease caveat;
+  // own-clock watching avoids trusting store mtime vs client clock);
+  // acquisition gives up after `graft.commit.lockfile.timeout.ms`
+  // (default 120 s). Lock breaking is identity-conditional (re-read,
+  // delete only if the UUID still matches the one observed stale) and
+  // acquisition re-verifies ownership after create — see
+  // acquireCommitLock for why the old unconditional stat-then-delete
+  // re-opened the two-holder window. CommitLockSpec
   // simulates the copy+delete overwrite race and pins that the lock
   // closes it — and found empirically that the conditional-create
   // precondition is REAL: Hadoop RawLocalFileSystem's no-overwrite
@@ -695,6 +757,32 @@ object Layout {
   private def lockfileEnabled(fs: FileSystem): Boolean =
     fs.getConf.getBoolean("graft.commit.lockfile", false)
 
+  private def readLockUuid(fs: FileSystem, lock: Path): Option[String] =
+    try {
+      val in = fs.open(lock)
+      try {
+        val buf = new Array[Byte](64)
+        val n = in.read(buf)
+        Some(new String(buf, 0, math.max(n, 0),
+          java.nio.charset.StandardCharsets.UTF_8))
+      } finally in.close()
+    } catch { case _: java.io.IOException => None }
+
+  /** Acquire `manifests/_commit.lock` by exclusive create, breaking a
+    * crashed holder's lock only after watching the SAME lock identity
+    * (the UUID written into the file) sit unchanged for `stale.ms` on
+    * THIS process's monotonic clock. The r15 advice showed why the old
+    * unconditional stat-then-delete was unsound: two waiters could both
+    * observe holder X stale; waiter B deletes and create-acquires a
+    * FRESH lock, then waiter A's delayed delete removes B's live lock —
+    * two holders, the exact lost-update window the lockfile exists to
+    * close. Conditioning the delete on identity (re-read, delete only if
+    * the UUID still equals the one observed stale) means A's delete
+    * no-ops once B's lock (new UUID) is in place; timing staleness on
+    * our own clock instead of store mtime removes the client/store
+    * clock-skew assumption. A residual read→delete window remains on
+    * stores with no delete-if-match — post-acquisition ownership
+    * re-verification below shrinks the harm to a retry. */
   private[graft] def acquireCommitLock(fs: FileSystem, mdir: Path): Path = {
     val conf = fs.getConf
     val staleMs = conf.getLong("graft.commit.lockfile.stale.ms", 60000L)
@@ -702,24 +790,39 @@ object Layout {
       conf.getLong("graft.commit.lockfile.timeout.ms", 120000L)
     val lock = new Path(mdir, LockName)
     val deadline = System.nanoTime() + timeoutMs * 1000000L
+    var watchedUuid: Option[String] = None
+    var watchedSince = 0L // nanoTime when watchedUuid was first observed
     while (System.nanoTime() < deadline) {
       try {
+        val myUuid = java.util.UUID.randomUUID().toString
         val out = fs.create(lock, /* overwrite = */ false)
-        try out.write(java.util.UUID.randomUUID().toString.getBytes(
+        try out.write(myUuid.getBytes(
           java.nio.charset.StandardCharsets.UTF_8))
         finally out.close()
-        return lock
+        // re-verify ownership: a racing breaker with a stale view could
+        // have deleted OUR fresh lock between create and here (and a
+        // third writer re-created it). If the file no longer carries our
+        // UUID we do NOT hold the lock — clean up only our own and retry.
+        if (readLockUuid(fs, lock).contains(myUuid)) return lock
       } catch {
         case _: java.io.IOException =>
-          // held by another writer: break it if stale (crashed holder),
-          // otherwise wait for a release
-          try {
-            val st = fs.getFileStatus(lock)
-            if (System.currentTimeMillis() - st.getModificationTime >
-                staleMs) fs.delete(lock, false)
-            else Thread.sleep(25)
-          } catch {
-            case _: java.io.FileNotFoundException => () // released — retry
+          // held by another writer: watch its identity; break only after
+          // the SAME identity has been stale-aged on our own clock
+          readLockUuid(fs, lock) match {
+            case None => () // vanished — retry create
+            case cur @ Some(_) =>
+              if (cur != watchedUuid) {
+                watchedUuid = cur
+                watchedSince = System.nanoTime()
+                Thread.sleep(25)
+              } else if (System.nanoTime() - watchedSince >
+                  staleMs * 1000000L) {
+                // delete-if-match (best effort): re-read immediately
+                // before the delete so a just-acquired fresh lock (new
+                // UUID) is never the victim
+                if (readLockUuid(fs, lock) == cur) fs.delete(lock, false)
+                watchedUuid = None
+              } else Thread.sleep(25)
           }
       }
     }
@@ -893,6 +996,12 @@ object Layout {
       set: Map[String, String], unset: Seq[String]): Int = {
     val root = new Path(table)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // empty VALUES are legal ('k'='' clears a setting) and now parse
+    // round-trip (propsOf splits with limit -1); empty KEYS are never
+    // meaningful and would be unaddressable by UNSET — refuse here, at
+    // DDL time, not at some later read
+    require(!set.keys.exists(_.isEmpty) && !unset.contains(""),
+      "empty property key")
     set.get(StatsColumnsProp).foreach { v =>
       val cols = v.split(',').map(_.trim).filter(_.nonEmpty).toSeq
       validateStatsColumns(cols)
@@ -902,10 +1011,40 @@ object Layout {
             s"(table columns: ${sch.fieldNames.mkString(", ")})"))
       }
     }
+    validateClusterProps(set,
+      schemaOf(fs, root, currentVersion(fs, root)))
     casCommit(fs, root, "setTableProps",
       head => manifestFiles(fs, root, head),
       head => schemaOf(fs, root, head),
       propsXform = p => p ++ set -- unset)
+  }
+
+  /** `ALTER TABLE ... ADD COLUMN` as a schema-only commit (r15 verdict
+    * task 3): the head's file list, props and txn markers carry; only
+    * the recorded schema rewrites, appending the new fields NULLABLE so
+    * every pre-evolution file null-fills on read — the exact semantics
+    * the APPEND verb's add-column merge already proves
+    * (q_snapshot_evolution), now reachable as DDL without having to
+    * write a row. Duplicate names refuse (case-insensitively, matching
+    * Spark's resolution default). */
+  def addColumns(spark: SparkSession, table: String,
+      cols: Seq[types.StructField]): Int = {
+    require(cols.nonEmpty, "addColumns: no columns given")
+    val root = new Path(table)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    casCommit(fs, root, "addColumns",
+      head => manifestFiles(fs, root, head),
+      head => {
+        val prior = schemaOf(fs, root, head).getOrElse(
+          throw new IllegalStateException(
+            s"addColumns: $table has no recorded schema to evolve " +
+              "(legacy pre-schema-tracking table — rewrite it first)"))
+        cols.foreach(c => require(
+          !prior.fieldNames.exists(_.equalsIgnoreCase(c.name)),
+          s"addColumns: column '${c.name}' already exists"))
+        Some(types.StructType(
+          prior.fields ++ cols.map(_.copy(nullable = true))))
+      })
   }
 
   /** The APPEND verb's schema record: new columns MERGE onto the prior
@@ -1197,6 +1336,12 @@ object Layout {
   /** column ∈ values — the IN-list shape (the flagship's three filters) */
   final case class SkipIn(column: String, values: Seq[Long]) extends Skip
 
+  /** a ≤ b under UTF8String (binary UTF-8) order — the collation Spark's
+    * min/max used when the bounds were recorded. */
+  private def utf8Leq(a: String, b: String): Boolean =
+    org.apache.spark.unsafe.types.UTF8String.fromString(a)
+      .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b)) <= 0
+
   private def survives(bounds: Map[String, ColBounds], s: Skip): Boolean =
     bounds.get(s.column) match {
       case None => true
@@ -1207,7 +1352,15 @@ object Layout {
           mx >= lo && mn <= hi
         case (SkipRange(_, lo, hi), NumBounds(mn, mx)) =>
           mx >= lo && mn <= hi
-        case (SkipEquals(_, v), StrBounds(mn, mx)) => mn <= v && v <= mx
+        // string bounds were recorded by Spark min/max, i.e. UTF8String
+        // order (binary UTF-8 bytes); membership must compare in the
+        // SAME collation. Java String <= is UTF-16 code-unit order,
+        // which disagrees above the BMP (supplementary characters sort
+        // below U+E000..U+FFFF in UTF-16 but above them in UTF-8), so
+        // a file whose rows DO match could be wrongly pruned (r15
+        // advice). utf8Leq compares as Spark recorded.
+        case (SkipEquals(_, v), StrBounds(mn, mx)) =>
+          utf8Leq(mn, v) && utf8Leq(v, mx)
         case (SkipIn(_, vs), LongBounds(mn, mx)) =>
           vs.exists(v => mn <= v && v <= mx)
         case (SkipIn(_, vs), NumBounds(mn, mx)) =>

@@ -521,5 +521,85 @@ object Multimodal {
         |  w - w % 2 AS new_width,
         |  md5(resized) AS resized_md5
         |FROM r ORDER BY doc_id""".stripMargin,
+    // r16 (verdict task 7): the three formerly rows-only image keys are
+    // in fact oracle-expressible — the corpus payloads carry no image
+    // magic numbers, so every row takes the byteDHash path, whose 9×8
+    // byte-sample difference rule is pure integer arithmetic over ASCII
+    // bytes (== codepoints, proven by q_multimodal_decode's green
+    // oracle). The banded pair generator is EXACT for Hamming ≤ 3
+    // (Manku 3-of-6 pigeonhole, recall 1.0, plus the explicit bit_count
+    // cut), so a DuckDB all-pairs recompute must hash-match it — the
+    // oracle now proves the banding loses nothing, per-row.
+    "q_image_phash" ->
+      s"""WITH $dhashCte
+         |SELECT doc_id, lower(lpad(to_hex(bits), 16, '0')) AS phash,
+         |  'bytes' AS decoded_as
+         |FROM h ORDER BY doc_id""".stripMargin,
+    "q_image_near_dup" ->
+      s"""WITH $dhashCte,
+         |pairs AS (
+         |  SELECT x.doc_id AS da, y.doc_id AS db,
+         |    CAST(bit_count(xor(x.bits, y.bits)) AS BIGINT) AS hamming
+         |  FROM h x JOIN h y ON x.doc_id < y.doc_id
+         |  WHERE bit_count(xor(x.bits, y.bits)) <= 3),
+         |sided AS (SELECT da AS doc_id, hamming FROM pairs
+         |          UNION ALL SELECT db AS doc_id, hamming FROM pairs),
+         |agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_partners,
+         |               CAST(MIN(hamming) AS BIGINT) AS mh
+         |        FROM sided GROUP BY doc_id)
+         |SELECT h.doc_id, lower(lpad(to_hex(bits), 16, '0')) AS phash,
+         |  COALESCE(n_partners, CAST(0 AS BIGINT)) AS n_near_dups,
+         |  COALESCE(mh, CAST(-1 AS BIGINT)) AS min_hamming
+         |FROM h LEFT JOIN agg ON h.doc_id = agg.doc_id
+         |ORDER BY h.doc_id""".stripMargin,
+    // connected components via the same recursive-CTE min-label closure
+    // as Sketches.clusterSql; label propagation's 20 rounds converge on
+    // these Hamming-ball components (diameter ≪ 20)
+    "q_image_dedup_cluster" ->
+      s"""WITH RECURSIVE $dhashCte,
+         |pairs AS (
+         |  SELECT x.doc_id AS da, y.doc_id AS db
+         |  FROM h x JOIN h y ON x.doc_id < y.doc_id
+         |  WHERE bit_count(xor(x.bits, y.bits)) <= 3),
+         |edges AS (SELECT da AS src, db AS dst FROM pairs
+         |          UNION SELECT db, da FROM pairs),
+         |reach(id, r) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.dst, r.r FROM reach r JOIN edges e ON e.src = r.id),
+         |lbl AS (SELECT id, MIN(r) AS rep FROM reach GROUP BY id),
+         |asg AS (SELECT h.doc_id, COALESCE(l.rep, h.doc_id) AS cluster_rep
+         |        FROM h LEFT JOIN lbl l ON h.doc_id = l.id)
+         |SELECT doc_id, cluster_rep,
+         |  CAST(COUNT(*) OVER (PARTITION BY cluster_rep) AS BIGINT)
+         |    AS cluster_size
+         |FROM asg ORDER BY doc_id""".stripMargin,
   )
+
+  /** [[byteDHash]]'s 64 bit terms rendered as DuckDB SQL. Bit 63 is the
+    * BIGINT sign bit, so its term adds Long.MinValue instead of 2^63 —
+    * the sum then reproduces the Scala Long bit-for-bit and
+    * `to_hex`/`lpad` renders the same 16 hex digits as `f"$h%%016x"`. */
+  private lazy val dhashBitsSql: String =
+    (for { r <- 0 until 8; c <- 0 until 8 } yield {
+      val k = r * 8 + c
+      val a = r * 9 + c
+      val coef =
+        if (k == 63) "-9223372036854775808" else (1L << k).toString
+      s"(CASE WHEN a[${a + 1}] > a[${a + 2}] THEN CAST($coef AS BIGINT)" +
+        s" ELSE CAST(0 AS BIGINT) END)"
+    }).mkString(" + ")
+
+  /** Shared CTE prefix: per-doc 72-byte sample (byteDHash's evenly-
+    * spaced index rule, `(n-1)·i/71` in integer math) → signature bits. */
+  private lazy val dhashCte: String =
+    s"""p AS (SELECT doc_id, text, strlen(text) AS n FROM documents),
+       |b AS (SELECT doc_id,
+       |  list_transform(range(0, 72),
+       |    i -> CASE WHEN n = 0 THEN 0
+       |         ELSE ord(substr(text,
+       |                CAST((n - 1) * i // 71 AS INTEGER) + 1, 1)) END)
+       |    AS a
+       |  FROM p),
+       |h AS (SELECT doc_id, $dhashBitsSql AS bits FROM b)""".stripMargin
 }

@@ -58,7 +58,14 @@ object Sketches {
       : DataFrame = {
     import graft.functions.SketchKernels.minHashSketch
     import graft.functions.SortedIntersectCount.sortedIntersectCount
-    val arr = Text.shingleSets(s, d).where(size(col("hs")) > 0)
+    // Persisted memo: this plan reads the shingle sets THREE times
+    // (sketch build + both verification joins). Unpersisted, each read
+    // re-ran the scan+kernel, and the r15 official bench showed the
+    // in-loop failure mode that invites: 2.9 s → 67.5 s wall (11× CPU)
+    // for this key only, while the idle-box twin held steady. The memo
+    // is registered with Text.clearCaches so bench keys stay
+    // order-independent.
+    val arr = Text.shingleSetsCached(s, d)
     val mh = arr.select(col("doc_id"),
       minHashSketch(col("hs"), NumHashes).as("mh"))
 

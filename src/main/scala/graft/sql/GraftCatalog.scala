@@ -174,9 +174,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     statsCols.foreach(c => require(schema.fieldNames.contains(c),
       s"${Layout.StatsColumnsProp} names unknown column '$c' " +
         s"(table columns: ${schema.fieldNames.mkString(", ")})"))
-    val graftProps =
-      if (statsCols.isEmpty) Map.empty[String, String]
-      else Map(Layout.StatsColumnsProp -> statsCols.mkString(","))
+    // ALL non-reserved user properties persist into the CREATE commit's
+    // manifest header (the r15 advice: dropping them silently while
+    // ALTER recorded them was lossy and inconsistent). Spark-reserved
+    // keys (location/provider/owner/external — catalog bookkeeping, not
+    // table content) are filtered; everything else round-trips through
+    // SHOW TBLPROPERTIES. Clustering properties are validated here so a
+    // typo'd column fails the DDL, not the first INSERT.
+    val reserved = Set(TableCatalog.PROP_LOCATION,
+      TableCatalog.PROP_PROVIDER, TableCatalog.PROP_OWNER,
+      TableCatalog.PROP_EXTERNAL, TableCatalog.PROP_IS_MANAGED_LOCATION,
+      "option.path", "path")
+    val graftProps = properties.asScala.toMap -- reserved
+    Layout.validateClusterProps(graftProps, Some(schema))
     val empty = spark.createDataFrame(
       new util.ArrayList[org.apache.spark.sql.Row](), schema)
       .repartition(1)
@@ -186,25 +196,45 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   /** `ALTER TABLE ... SET/UNSET TBLPROPERTIES` commits a props-only
     * manifest rewrite (file list and schema carry) — the way a user
-    * turns `graft.stats.columns` on for an existing table. Schema
-    * changes stay refused: evolution happens at commit time
-    * (add-column + widening on append), not through DDL. */
+    * turns `graft.stats.columns` on for an existing table. `ALTER TABLE
+    * ... ADD COLUMN(S)` commits a schema-only rewrite through
+    * [[Layout.addColumns]]: new top-level columns append NULLABLE, so
+    * pre-evolution files null-fill on read — the same contract the
+    * append-time evolution merge proves (q_snapshot_evolution), now as
+    * DDL. Everything else (renames, drops, type changes beyond the
+    * append-time widening) stays refused. */
   override def alterTable(ident: Identifier,
       changes: TableChange*): Table = {
     val unsupported = changes.filterNot(c =>
       c.isInstanceOf[TableChange.SetProperty] ||
-        c.isInstanceOf[TableChange.RemoveProperty])
+        c.isInstanceOf[TableChange.RemoveProperty] ||
+        c.isInstanceOf[TableChange.AddColumn])
     if (unsupported.nonEmpty) throw new UnsupportedOperationException(
-      "ALTER TABLE supports only SET/UNSET TBLPROPERTIES; schema " +
-        "evolution happens at commit time (add-column + widening on " +
-        s"append). Refused: ${unsupported.mkString(", ")}")
+      "ALTER TABLE supports SET/UNSET TBLPROPERTIES and ADD COLUMN; " +
+        "type widening happens at commit time (append merge). " +
+        s"Refused: ${unsupported.mkString(", ")}")
+    val adds = changes.collect { case a: TableChange.AddColumn => a }
+    if (adds.nonEmpty) {
+      val fields = adds.map { a =>
+        require(a.fieldNames.length == 1,
+          "ADD COLUMN supports top-level columns only; got " +
+            a.fieldNames.mkString("."))
+        require(a.position == null,
+          "ADD COLUMN FIRST/AFTER is not supported — new columns " +
+            "append (pre-evolution files null-fill in record order)")
+        org.apache.spark.sql.types.StructField(
+          a.fieldNames()(0), a.dataType, nullable = true)
+      }
+      Layout.addColumns(spark, dirOf(ident), fields)
+    }
     val set = changes.collect {
       case s: TableChange.SetProperty => s.property -> s.value
     }.toMap
     val unset = changes.collect {
       case r: TableChange.RemoveProperty => r.property
     }
-    Layout.setTableProps(spark, dirOf(ident), set, unset)
+    if (set.nonEmpty || unset.nonEmpty)
+      Layout.setTableProps(spark, dirOf(ident), set, unset)
     loadTable(ident)
   }
 
@@ -388,16 +418,22 @@ class GraftTable(path: String, version: Option[Int])
         override def toInsertableRelation: InsertableRelation =
           new InsertableRelation {
             override def insert(data: DataFrame, ignored: Boolean): Unit = {
+              val props = Layout.tableProps(data.sparkSession, path)
               // per-file bounds for the table's recorded stats columns
               // ride every SQL INSERT (columns a narrower frame lacks
               // are skipped — stats are optional, never load-bearing)
-              val stats = Layout
-                .statsColumnsProp(data.sparkSession, path)
+              val stats = props.get(Layout.StatsColumnsProp)
+                .map(Layout.splitCols).getOrElse(Nil)
                 .filter(data.columns.contains)
+              // DDL-declared clustering (graft.cluster.sort_by /
+              // zorder_by TBLPROPERTIES): arrange the batch so the
+              // written files are value-contiguous — manifest skipping
+              // prunes from the FIRST insert, no post-hoc CALL compact
+              val arranged = Layout.clusterArrange(data, props)
               if (overwrite) Layout.replaceSnapshot(data.sparkSession,
-                path, data, statsColumns = stats)
-              else Layout.commitSnapshot(data.sparkSession, path, data,
-                statsColumns = stats)
+                path, arranged, statsColumns = stats)
+              else Layout.commitSnapshot(data.sparkSession, path,
+                arranged, statsColumns = stats)
             }
           }
       }
@@ -618,14 +654,52 @@ object GraftSql {
             |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
   }
 
+  /** Schema evolution as pure SQL text (r15 verdict task 3): CREATE the
+    * narrow table, INSERT generation 1, `ALTER TABLE ... ADD COLUMN bal`
+    * (the [[GraftCatalog.alterTable]] AddColumn path → schema-only
+    * commit), INSERT generation 2 WITH bal, aggregate the head. Gen-1
+    * files null-fill `bal` under the evolved read schema — the oracle is
+    * SHARED with q_snapshot_evolution / q_schema_evolution (explicit
+    * NULL-union recompute), so DuckDB proves the DDL path lands the
+    * identical evolved state the append-merge path does. */
+  def qManifestEvolutionSql(s: SparkSession, d: String): DataFrame = {
+    val wh = s"${graft.ops.Sources.ioDir(s, d)}/sql_catalog"
+    val cat = catalogFor(s, wh)
+    s.sql(s"DROP TABLE IF EXISTS $cat.default.supplier_evo")
+    supplier(s, d)
+      .select(col("s_suppkey"), col("s_nationkey"),
+        dec2(col("s_acctbal")).as("bal"))
+      .createOrReplaceTempView("supplier_evo_src")
+    s.sql(s"""CREATE TABLE $cat.default.supplier_evo
+            |  (s_suppkey BIGINT, s_nationkey BIGINT)""".stripMargin)
+    s.sql(s"""INSERT INTO $cat.default.supplier_evo
+            |SELECT s_suppkey, s_nationkey FROM supplier_evo_src"""
+      .stripMargin)
+    s.sql(s"""ALTER TABLE $cat.default.supplier_evo
+            |ADD COLUMN bal DECIMAL(18,2)""".stripMargin)
+    s.sql(s"""INSERT INTO $cat.default.supplier_evo
+            |SELECT s_suppkey, s_nationkey, bal FROM supplier_evo_src"""
+      .stripMargin)
+    s.sql(s"""SELECT s_nationkey, CAST(COUNT(*) AS BIGINT) AS n,
+            |  CAST(COUNT(bal) AS BIGINT) AS n_bal,
+            |  CAST(SUM(bal) AS DOUBLE) AS sum_bal
+            |FROM $cat.default.supplier_evo
+            |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_manifest_sql" -> qManifestSql _,
     "q_manifest_merge_sql" -> qManifestMergeSql _,
     "q_manifest_maintenance_sql" -> qManifestMaintenanceSql _,
-    "q_manifest_skipping_sql" -> qManifestSkippingSql _)
+    "q_manifest_skipping_sql" -> qManifestSkippingSql _,
+    "q_manifest_evolution_sql" -> qManifestEvolutionSql _)
 
   val oracleSql: Map[String, String] = Map(
     "q_manifest_sql" -> graft.ops.Sources.oracleSql("q_table_roundtrip"),
+    // shared-string convention: the DDL evolution path must land exactly
+    // the append-merge path's evolved state
+    "q_manifest_evolution_sql" ->
+      graft.ops.Sources.oracleSql("q_schema_evolution"),
     // rollback(2) makes the head ≡ the two inserts' union — compact and
     // expire must be state-preserving, which is exactly what the hash
     // check proves

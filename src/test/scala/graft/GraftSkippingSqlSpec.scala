@@ -137,11 +137,12 @@ class GraftSkippingSqlSpec extends AnyFunSuite {
     val props = spark.sql(s"SHOW TBLPROPERTIES $c.default.$t").collect()
       .map(_.getString(0)).toSet
     assert(!props.contains("graft.stats.columns"))
-    // schema DDL stays refused, with a named reason
+    // destructive schema DDL stays refused, with a named reason
+    // (ADD COLUMN is supported since r16 — see GraftCatalogSpec)
     val e = intercept[Exception] {
-      spark.sql(s"ALTER TABLE $c.default.$t ADD COLUMNS (x INT)")
+      spark.sql(s"ALTER TABLE $c.default.$t RENAME COLUMN tag TO label")
     }
-    assert(e.getMessage.contains("SET/UNSET TBLPROPERTIES"))
+    assert(e.getMessage.contains("Refused"))
     // and the ALTER validates stats columns against the recorded schema
     val e2 = intercept[Exception] {
       spark.sql(s"""ALTER TABLE $c.default.$t
@@ -149,6 +150,71 @@ class GraftSkippingSqlSpec extends AnyFunSuite {
         .stripMargin)
     }
     assert(e2.getMessage.contains("unknown column"))
+  }
+
+  test("DDL-declared sort_by clustering prunes from the first INSERT") {
+    val c = cat
+    val t = "skip_cluster_ddl"
+    spark.sql(s"DROP TABLE IF EXISTS $c.default.$t")
+    spark.sql(s"""CREATE TABLE $c.default.$t (k BIGINT, tag STRING)
+                |TBLPROPERTIES ('graft.stats.columns' = 'k',
+                |               'graft.cluster.sort_by' = 'k')"""
+      .stripMargin)
+    // ONE value-scattered insert: without the declared clustering every
+    // written file would span the whole range and a range WHERE could
+    // prune nothing; sort_by range-clusters the batch at write time so
+    // files are value-contiguous and prune from birth — no CALL compact
+    val rows = (0 until 400).map(j => s"($j, 'x')").mkString(", ")
+    spark.sql(s"INSERT INTO $c.default.$t VALUES $rows")
+    val (n, prune) = pruned(s"SELECT k FROM $c.default.$t WHERE k < 100")
+    assert(n == 100)
+    val (kept, total) = prune.get
+    assert(total >= 3, s"clustered insert should write several files, " +
+      s"got $total")
+    assert(kept < total,
+      s"DDL-clustered first insert should prune ($kept/$total)")
+    // the property is an ordinary carried prop: it survives compaction
+    // and keeps clustering later writers
+    spark.sql(s"CALL $c.system.compact('default.$t', 2048)")
+    val props = spark.sql(s"SHOW TBLPROPERTIES $c.default.$t").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("graft.cluster.sort_by").contains("k"))
+    // validation: unknown column or sort+zorder together fail the DDL
+    intercept[Exception] {
+      spark.sql(s"""CREATE TABLE $c.default.bad_cluster (k BIGINT)
+                  |TBLPROPERTIES ('graft.cluster.sort_by' = 'nope')"""
+        .stripMargin)
+    }
+    intercept[Exception] {
+      spark.sql(s"""CREATE TABLE $c.default.bad_cluster2 (k BIGINT, v BIGINT)
+                  |TBLPROPERTIES ('graft.cluster.sort_by' = 'k',
+                  |               'graft.cluster.zorder_by' = 'k,v')"""
+        .stripMargin)
+    }
+  }
+
+  test("DDL-declared zorder_by clusters both columns' bounds") {
+    val c = cat
+    val t = "skip_zorder_ddl"
+    spark.sql(s"DROP TABLE IF EXISTS $c.default.$t")
+    spark.sql(s"""CREATE TABLE $c.default.$t (k BIGINT, v BIGINT)
+                |TBLPROPERTIES ('graft.stats.columns' = 'k,v',
+                |               'graft.cluster.zorder_by' = 'k,v')"""
+      .stripMargin)
+    // anti-correlated scatter: a k-sort would leave v scattered and
+    // vice versa; the z-arrangement keeps BOTH columns' per-file ranges
+    // narrow, so each column prunes independently
+    spark.range(0, 400).selectExpr("id AS k", "(399 - id) AS v")
+      .createOrReplaceTempView("zsrc")
+    spark.sql(s"INSERT INTO $c.default.$t SELECT k, v FROM zsrc")
+    val (nk, pk) = pruned(s"SELECT k FROM $c.default.$t WHERE k < 50")
+    assert(nk == 50)
+    assert(pk.exists { case (kept, total) => kept < total },
+      s"z-clustered insert should prune on k, got $pk")
+    val (nv, pv) = pruned(s"SELECT v FROM $c.default.$t WHERE v < 50")
+    assert(nv == 50)
+    assert(pv.exists { case (kept, total) => kept < total },
+      s"z-clustered insert should prune on v too, got $pv")
   }
 
   test("CTAS with the stats property records bounds on its own write") {

@@ -24,12 +24,14 @@ class LedgerSpec extends AnyFunSuite {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     // every rows-only key must be one of the documented sketch/report keys
     // q_minhash_lsh graduated to oracle in round 11 (shares
-    // q_dedup_near's SQL — the verify step makes LSH pairs ≡ exact)
+    // q_dedup_near's SQL — the verify step makes LSH pairs ≡ exact);
+    // the three q_image_* keys graduated in round 16 (byteDHash's
+    // integer byte rule rendered as DuckDB SQL, banding exact for
+    // Hamming ≤ 3 by pigeonhole)
     val documented = Set("q_approx_distinct", "q_kmv_distinct", "q_winnow_fp",
       "q_simhash", "q_quantiles_approx",
       "q_compress_ratio", "q_bpe_learn", "q_bpe_encode", "q_bpe_tokenize",
-      "q_sketch_rollup", "q_image_phash", "q_image_near_dup",
-      "q_image_dedup_cluster")
+      "q_sketch_rollup")
     assert(rowsOnly == documented,
       s"undocumented rows-only keys: ${rowsOnly -- documented}; " +
         s"stale documented: ${documented -- rowsOnly}")

@@ -706,4 +706,36 @@ class PlanAuditSpec extends AnyFunSuite {
       "length filter missing from candidate join:\n" + p.take(1500))
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("LSH pair generation: hash joins only, shingle memo persisted") {
+    // r15's official bench blew this key up 23× in-loop; the pin is that
+    // the banded candidate self-join on (band, bkey) and both exact
+    // verification joins plan as HASH joins (broadcast or shuffled or
+    // sort-merge — anything with equi-keys), NEVER a nested loop or
+    // cartesian, and that the thrice-read shingle-set input comes from
+    // the persisted memo instead of three scan+kernel re-runs.
+    ops.Text.clearCaches()
+    try {
+      val p = ops.Sketches.minhashVerifiedPairs(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastNestedLoopJoin") &&
+        !p.contains("CartesianProduct"),
+        "LSH join degenerated to a nested loop:\n" + p.take(1500))
+      assert("HashJoin|SortMergeJoin".r.findAllIn(p).size >= 3,
+        "expected candidate + 2 verification equi-joins:\n" + p.take(1500))
+      // every read of the shingle sets (banded self-join ×2 +
+      // verification ×2) must come through the persisted memo: each
+      // InMemoryTableScan prints its InMemoryRelation, whose cached
+      // subtree carries the ONLY parquet scans in the plan — a bare
+      // parquet scan outside a cached relation would mean a re-run
+      val memoScans = "InMemoryTableScan".r.findAllIn(p).size
+      val pqScans = "Scan parquet".r.findAllIn(p).size
+      assert(memoScans >= 4,
+        s"expected 4 memoized shingle reads, got $memoScans:\n" +
+          p.take(1500))
+      assert(pqScans <= memoScans,
+        s"$pqScans parquet scans vs $memoScans memo reads — some read " +
+          "bypasses the persisted memo:\n" + p.take(1500))
+    } finally ops.Text.clearCaches()
+  }
 }
