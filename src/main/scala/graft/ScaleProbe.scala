@@ -204,6 +204,12 @@ object ScaleProbe {
     // the pruned read's cost tracks the SELECTED quartile's bytes, with
     // the pruning fraction constant at 10×
     "q_manifest_skipping_sql",
+    // round-16: bloom skipping — insert volume dominates; the probed
+    // read's cost is bloom-bounded at sf0.1 (files pruned) and
+    // saturation-bounded at 10× (524288 bits vs 375k rows/file → blooms
+    // saturate, nothing prunes, the scan is paid — the documented
+    // sizing contract: bits must track rows/file)
+    "q_manifest_skipping_bloom",
     // round-16: DDL evolution — ADD COLUMN is an O(manifest) schema-only
     // commit; the two inserts dominate and track volume (supplier isn't
     // scaled in the replica, so absolute ratio mostly measures fixed

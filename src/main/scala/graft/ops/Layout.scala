@@ -427,6 +427,20 @@ object Layout {
 
   val StatsColumnsProp = "graft.stats.columns"
 
+  /** Per-file Bloom-filter TBLPROPERTIES (r16) — the point-lookup
+    * secondary-index tier: `graft.stats.bloom` names integral/string
+    * columns whose per-file blooms every commit records in the manifest
+    * line; equality / IN probes then drop files whose bloom PROVES the
+    * value absent, even when the column's [min,max] spans the whole
+    * domain (scattered high-cardinality keys — exactly where range
+    * bounds prune nothing). `graft.stats.bloom.bits` sizes the filter
+    * (default 8192; choose ≈ 10× the expected distinct values per file
+    * for ~1% false-positive rate — a false positive only wastes a scan,
+    * never changes an answer). */
+  val BloomColumnsProp = "graft.stats.bloom"
+  val BloomBitsProp    = "graft.stats.bloom.bits"
+  private val BloomBitsDefault = 8192
+
   /** Declarative clustering TBLPROPERTIES (r15 verdict task 4): a table
     * CREATEd with one of these gets its INSERTs range-clustered
     * (`sort_by`, one or more columns) or z-order-clustered (`zorder_by`,
@@ -459,6 +473,42 @@ object Layout {
           require(sch.fieldNames.contains(c),
             s"$p names unknown column '$c' " +
               s"(table columns: ${sch.fieldNames.mkString(", ")})"))))
+    }
+  }
+
+  /** Validate bloom properties at DDL time — unknown columns,
+    * un-probe-able types, and bad bit counts must fail the statement,
+    * not some later INSERT. */
+  private[graft] def validateBloomProps(props: Map[String, String],
+      schema: Option[types.StructType]): Unit = {
+    props.get(BloomBitsProp).foreach { v =>
+      val n =
+        try v.toInt
+        catch { case _: NumberFormatException =>
+          throw new IllegalArgumentException(
+            s"$BloomBitsProp must be an integer, got '$v'") }
+      require(n >= 64 && n % 64 == 0,
+        s"$BloomBitsProp must be a positive multiple of 64, got $n")
+    }
+    props.get(BloomColumnsProp).foreach { v =>
+      val cols = splitCols(v)
+      require(cols.nonEmpty, s"$BloomColumnsProp names no columns")
+      schema.foreach { sch =>
+        cols.foreach { c =>
+          val f = sch.fields.find(_.name == c).getOrElse(
+            throw new IllegalArgumentException(
+              s"$BloomColumnsProp names unknown column '$c' " +
+                s"(table columns: ${sch.fieldNames.mkString(", ")})"))
+          f.dataType match {
+            case types.ByteType | types.ShortType | types.IntegerType |
+                 types.LongType | types.StringType => ()
+            case dt => throw new IllegalArgumentException(
+              s"$BloomColumnsProp column '$c' has unsupported type " +
+                s"${dt.sql} — blooms probe equality, so integral or " +
+                "string only")
+          }
+        }
+      }
     }
   }
 
@@ -615,6 +665,10 @@ object Layout {
   // mistakes them for doubles nor vice versa
   private val StrPfx = "S:"
   private val LongPfx = "L:"
+  // bloom groups: (col, "B:<L|S>:<base64 bitset>", "B:") — the bound
+  // slots carry a prefix no bounds decoder accepts, so entryBounds
+  // skips them and pre-bloom readers keep parsing mixed lines
+  private val BloomPfx = "B:"
   private def encBound(s: String): String =
     StrPfx + java.net.URLEncoder.encode(s, "UTF-8")
 
@@ -642,6 +696,28 @@ object Layout {
     val b = Map.newBuilder[String, ColBounds]
     while (i + 3 <= f.length) {
       decodePair(f(i + 1), f(i + 2)).foreach(v => b += f(i) -> v)
+      i += 3
+    }
+    b.result()
+  }
+
+  /** All per-file Bloom filters recorded on `line`:
+    * column → (type tag 'L'|'S', bitset bytes). */
+  private[graft] def entryBlooms(line: String)
+      : Map[String, (Char, Array[Byte])] = {
+    val f = line.split('\t')
+    var i = 1
+    if (i < f.length && f(i).startsWith("@")) i += 1
+    val b = Map.newBuilder[String, (Char, Array[Byte])]
+    while (i + 3 <= f.length) {
+      val mid = f(i + 1)
+      if (mid.startsWith(BloomPfx) && mid.length > 4 && mid(3) == ':') {
+        val t = mid(2)
+        if (t == 'L' || t == 'S')
+          scala.util.Try(java.util.Base64.getDecoder
+              .decode(mid.substring(4)))
+            .toOption.foreach(bytes => b += f(i) -> (t, bytes))
+      }
       i += 3
     }
     b.result()
@@ -1011,8 +1087,9 @@ object Layout {
             s"(table columns: ${sch.fieldNames.mkString(", ")})"))
       }
     }
-    validateClusterProps(set,
-      schemaOf(fs, root, currentVersion(fs, root)))
+    val headSchema = schemaOf(fs, root, currentVersion(fs, root))
+    validateClusterProps(set, headSchema)
+    validateBloomProps(set, headSchema)
     casCommit(fs, root, "setTableProps",
       head => manifestFiles(fs, root, head),
       head => schemaOf(fs, root, head),
@@ -1044,6 +1121,49 @@ object Layout {
           s"addColumns: column '${c.name}' already exists"))
         Some(types.StructType(
           prior.fields ++ cols.map(_.copy(nullable = true))))
+      })
+  }
+
+  /** `ALTER TABLE ... DROP COLUMN` as a schema-only commit: the data
+    * files keep their bytes (time travel to a pre-drop version still
+    * reads the column), only the recorded schema loses the field — the
+    * head read then projects it away, the same lazy-drop semantics
+    * Delta/Iceberg use (physical removal happens at the next rewrite of
+    * each file, e.g. compaction). Refuses when the column is referenced
+    * by a skipping/clustering property: silently orphaning
+    * `graft.stats.columns = 'gone_col'` would make every later commit's
+    * validation throw. */
+  def dropColumns(spark: SparkSession, table: String,
+      names: Seq[String]): Int = {
+    require(names.nonEmpty, "dropColumns: no columns given")
+    val root = new Path(table)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    casCommit(fs, root, "dropColumns",
+      head => manifestFiles(fs, root, head),
+      head => {
+        val prior = schemaOf(fs, root, head).getOrElse(
+          throw new IllegalStateException(
+            s"dropColumns: $table has no recorded schema to evolve " +
+              "(legacy pre-schema-tracking table — rewrite it first)"))
+        names.foreach { n =>
+          require(prior.fieldNames.exists(_.equalsIgnoreCase(n)),
+            s"dropColumns: no such column '$n' " +
+              s"(table columns: ${prior.fieldNames.mkString(", ")})")
+        }
+        val props = propsOf(fs, root, head)
+        Seq(StatsColumnsProp, BloomColumnsProp, ClusterSortProp,
+            ClusterZorderProp).foreach { p =>
+          props.get(p).map(splitCols).getOrElse(Nil).foreach { c =>
+            require(!names.exists(_.equalsIgnoreCase(c)),
+              s"dropColumns: column '$c' is referenced by $p — UNSET " +
+                "the property first")
+          }
+        }
+        val remaining = prior.fields.filterNot(f =>
+          names.exists(_.equalsIgnoreCase(f.name)))
+        require(remaining.nonEmpty,
+          "dropColumns: cannot drop every column of the table")
+        Some(types.StructType(remaining))
       })
   }
 
@@ -1231,23 +1351,41 @@ object Layout {
       : Seq[String] = {
     validateStatsColumns(statsColumns) // backstop; verbs validate first
     def bare = staged.map { case (rel, len) => s"$rel\t@$len" }
-    if (statsColumns.isEmpty || staged.isEmpty) return bare
+    if (staged.isEmpty) return bare
+    // bloom columns come from the TABLE's head props, not a per-verb
+    // argument: once `graft.stats.bloom` is set, every commit verb
+    // (append, replace, compact, delete-rewrite) records blooms without
+    // each call site having to know — the same carry discipline as the
+    // props themselves
+    val headProps = propsOf(fs, root, currentVersion(fs, root))
+    val bloomBits = headProps.get(BloomBitsProp).map(_.toInt)
+      .getOrElse(BloomBitsDefault)
+    if (statsColumns.isEmpty && !headProps.contains(BloomColumnsProp))
+      return bare
     val df = spark.read.parquet(
       staged.map { case (rel, _) => new Path(root, rel).toString }: _*)
-    val present = statsColumns.filter(df.columns.contains)
-    if (present.isEmpty) return bare
     def isIntegral(dt: types.DataType) = dt match {
       case types.ByteType | types.ShortType | types.IntegerType |
            types.LongType => true
       case _ => false
     }
+    // blooms only for probe-able types; others were refused at DDL time
+    val bloomCols = headProps.get(BloomColumnsProp).map(splitCols)
+      .getOrElse(Nil)
+      .filter(df.columns.contains)
+      .filter(c => isIntegral(df.schema(c).dataType) ||
+        df.schema(c).dataType == types.StringType)
+    val present = statsColumns.filter(df.columns.contains)
+    if (present.isEmpty && bloomCols.isEmpty) return bare
     def keyed(c: String): Column = df.schema(c).dataType match {
       case types.StringType           => col(c)
       case dt if isIntegral(dt)       => col(c).cast("long")
       case _                          => col(c).cast("double")
     }
     val aggs = present.flatMap(c =>
-      Seq(min(keyed(c)).as(s"__mn_$c"), max(keyed(c)).as(s"__mx_$c")))
+      Seq(min(keyed(c)).as(s"__mn_$c"), max(keyed(c)).as(s"__mx_$c"))) ++
+      bloomCols.map(c => graft.functions.FileBloom
+        .fileBloom(keyed(c), bloomBits).as(s"__bl_$c"))
     val rows = df.groupBy(input_file_name().as("__f"))
       .agg(aggs.head, aggs.tail: _*).collect()
     val rendered: Map[String, String] = rows.map { r =>
@@ -1271,6 +1409,19 @@ object Layout {
                 else Some((mn.toString, mx.toString))
             }
           pair.foreach { case (mn, mx) => groups ++= s"\t$c\t$mn\t$mx" }
+        }
+      }
+      // bloom groups ride the same triple grammar with the "B:" prefix
+      // in the bound slots — bounds readers (entryBounds/decodePair)
+      // skip them by construction, so old tables and mixed lines parse
+      bloomCols.zipWithIndex.foreach { case (c, j) =>
+        val idx = 1 + 2 * present.size + j
+        if (!r.isNullAt(idx)) {
+          val t =
+            if (df.schema(c).dataType == types.StringType) "S" else "L"
+          val b64 = java.util.Base64.getEncoder
+            .encodeToString(r.getAs[Array[Byte]](idx))
+          groups ++= s"\t$c\t$BloomPfx$t:$b64\t$BloomPfx"
         }
       }
       fsPathOf(r.getString(0)) -> groups.result()
@@ -1369,6 +1520,30 @@ object Layout {
       }
     }
 
+  /** Bloom-filter membership leg of file skipping: a file survives an
+    * equality / IN probe unless its recorded bloom PROVES every probed
+    * value absent. Range predicates only consult the bloom when they
+    * are a point (lo == hi — the shape integral equality translates
+    * to); a true range cannot be bloom-probed. Missing blooms, foreign
+    * type tags, or non-point shapes always survive — optimization,
+    * never correctness. */
+  private def survivesBloom(
+      blooms: Map[String, (Char, Array[Byte])], s: Skip): Boolean =
+    blooms.get(s.column) match {
+      case None => true
+      case Some((t, bloom)) =>
+        import graft.functions.FileBloom
+        s match {
+          case SkipEquals(_, v) if t == 'S' =>
+            FileBloom.mightContainString(bloom, v)
+          case SkipRange(_, lo, hi) if t == 'L' && lo == hi =>
+            FileBloom.mightContainLong(bloom, lo)
+          case SkipIn(_, vs) if t == 'L' =>
+            vs.exists(FileBloom.mightContainLong(bloom, _))
+          case _ => true
+        }
+    }
+
   /** The file-skipping decision over ANY conjunction of predicates,
     * factored out so SnapshotIsolationSpec can assert the pruned set
     * directly: (surviving lines, total lines). A file is dropped when
@@ -1386,7 +1561,8 @@ object Layout {
     val lines = manifestFiles(fs, root, v)
     val kept = lines.filter { line =>
       val b = entryBounds(line)
-      skips.forall(s => survives(b, s))
+      lazy val bl = entryBlooms(line)
+      skips.forall(s => survives(b, s) && (bl.isEmpty || survivesBloom(bl, s)))
     }
     (kept, lines.size)
   }

@@ -187,6 +187,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       "option.path", "path")
     val graftProps = properties.asScala.toMap -- reserved
     Layout.validateClusterProps(graftProps, Some(schema))
+    Layout.validateBloomProps(graftProps, Some(schema))
     val empty = spark.createDataFrame(
       new util.ArrayList[org.apache.spark.sql.Row](), schema)
       .repartition(1)
@@ -208,11 +209,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val unsupported = changes.filterNot(c =>
       c.isInstanceOf[TableChange.SetProperty] ||
         c.isInstanceOf[TableChange.RemoveProperty] ||
-        c.isInstanceOf[TableChange.AddColumn])
+        c.isInstanceOf[TableChange.AddColumn] ||
+        c.isInstanceOf[TableChange.DeleteColumn])
     if (unsupported.nonEmpty) throw new UnsupportedOperationException(
-      "ALTER TABLE supports SET/UNSET TBLPROPERTIES and ADD COLUMN; " +
-        "type widening happens at commit time (append merge). " +
-        s"Refused: ${unsupported.mkString(", ")}")
+      "ALTER TABLE supports SET/UNSET TBLPROPERTIES, ADD COLUMN and " +
+        "DROP COLUMN; type widening happens at commit time (append " +
+        s"merge). Refused: ${unsupported.mkString(", ")}")
     val adds = changes.collect { case a: TableChange.AddColumn => a }
     if (adds.nonEmpty) {
       val fields = adds.map { a =>
@@ -226,6 +228,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           a.fieldNames()(0), a.dataType, nullable = true)
       }
       Layout.addColumns(spark, dirOf(ident), fields)
+    }
+    val drops = changes.collect { case d: TableChange.DeleteColumn => d }
+    if (drops.nonEmpty) {
+      val names = drops.map { d =>
+        require(d.fieldNames.length == 1,
+          "DROP COLUMN supports top-level columns only; got " +
+            d.fieldNames.mkString("."))
+        d.fieldNames()(0)
+      }
+      Layout.dropColumns(spark, dirOf(ident), names)
     }
     val set = changes.collect {
       case s: TableChange.SetProperty => s.property -> s.value
@@ -654,6 +666,50 @@ object GraftSql {
             |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
   }
 
+  /** Bloom-filter manifest skipping, SQL-only loop (r16): CREATE TABLE
+    * with `graft.stats.bloom` on a HIGH-CARDINALITY SCATTERED key —
+    * each of the four inserts takes one `o_orderkey % 4` residue class,
+    * so every file's [min, max] spans nearly the whole key domain and
+    * range bounds can prune NOTHING — then probe two concrete keys with
+    * an IN list. The per-file blooms prove the probed keys absent from
+    * the other residue classes' files and drop them before any footer
+    * opens (GraftSkippingSqlSpec pins the pruned counts; this key puts
+    * the loop under the oracle). Probe keys derive from the data (max
+    * key of each residue class) so the key is scale-independent. */
+  def qManifestSkippingBloom(s: SparkSession, d: String): DataFrame = {
+    val wh = s"${graft.ops.Sources.ioDir(s, d)}/sql_catalog"
+    val cat = catalogFor(s, wh)
+    s.sql(s"DROP TABLE IF EXISTS $cat.default.orders_bloom")
+    orders(s, d)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        dec2(col("o_totalprice")).as("price"))
+      .createOrReplaceTempView("orders_bloom_src")
+    s.sql(s"""CREATE TABLE $cat.default.orders_bloom
+            |  (o_orderkey BIGINT, o_orderstatus STRING,
+            |   price DECIMAL(18,2))
+            |TBLPROPERTIES ('graft.stats.bloom' = 'o_orderkey',
+            |               'graft.stats.bloom.bits' = '524288')"""
+      .stripMargin)
+    (0 until 4).foreach { i =>
+      s.sql(s"""INSERT INTO $cat.default.orders_bloom
+              |SELECT * FROM orders_bloom_src
+              |WHERE o_orderkey % 4 = $i""".stripMargin)
+    }
+    // two concrete probe keys, one from residue class 2, one from 1 —
+    // 1-row control aggregates, the same driver-side decision posture
+    // as the skipping key's quartile threshold
+    val o = orders(s, d)
+    val p1 = o.where(col("o_orderkey") % 4 === 2)
+      .agg(max(col("o_orderkey"))).head().getLong(0)
+    val p2 = o.where(col("o_orderkey") % 4 === 1)
+      .agg(max(col("o_orderkey"))).head().getLong(0)
+    s.sql(s"""SELECT o_orderkey, o_orderstatus,
+            |  CAST(price AS DOUBLE) AS price
+            |FROM $cat.default.orders_bloom
+            |WHERE o_orderkey IN ($p1, $p2)
+            |ORDER BY o_orderkey, o_orderstatus, price""".stripMargin)
+  }
+
   /** Schema evolution as pure SQL text (r15 verdict task 3): CREATE the
     * narrow table, INSERT generation 1, `ALTER TABLE ... ADD COLUMN bal`
     * (the [[GraftCatalog.alterTable]] AddColumn path → schema-only
@@ -692,6 +748,7 @@ object GraftSql {
     "q_manifest_merge_sql" -> qManifestMergeSql _,
     "q_manifest_maintenance_sql" -> qManifestMaintenanceSql _,
     "q_manifest_skipping_sql" -> qManifestSkippingSql _,
+    "q_manifest_skipping_bloom" -> qManifestSkippingBloom _,
     "q_manifest_evolution_sql" -> qManifestEvolutionSql _)
 
   val oracleSql: Map[String, String] = Map(
@@ -709,6 +766,16 @@ object GraftSql {
         |    AS sum_price
         |FROM orders WHERE o_orderkey % 4 IN (0, 1)
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // the bloom probes are recomputable relationally: max key of each
+    // residue class — pruning changes the read set, never the answer
+    "q_manifest_skipping_bloom" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
+        |FROM orders
+        |WHERE o_orderkey IN (
+        |  (SELECT MAX(o_orderkey) FROM orders WHERE o_orderkey % 4 = 2),
+        |  (SELECT MAX(o_orderkey) FROM orders WHERE o_orderkey % 4 = 1))
+        |ORDER BY o_orderkey, o_orderstatus, price""".stripMargin,
     // DuckDB `//` = integer division, matching the Spark side's Long /
     "q_manifest_skipping_sql" ->
       """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,

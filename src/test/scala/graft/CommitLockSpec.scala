@@ -243,6 +243,76 @@ class CommitLockSpec extends AnyFunSuite {
     } finally hconf.unset("graft.commit.lockfile")
   }
 
+  test("a refreshed lock identity resets the stale clock — fresh locks are never broken") {
+    // The r15 advice race: waiter A observes holder X stale; waiter B
+    // breaks X and create-acquires a FRESH lock; A's delayed delete then
+    // removed B's live lock — two holders. The fix keys breaking on lock
+    // IDENTITY (the UUID in the file) aged on the waiter's own clock:
+    // swapping in a new identity mid-wait must restart the stale timer,
+    // and a backdated mtime (the old trigger) must be ignored entirely.
+    val table = freshTable("lock_identity")
+    hconf.set("graft.commit.lockfile", "true")
+    try {
+      val root = new Path(table)
+      val fs = root.getFileSystem(hconf)
+      val mdir = new Path(root, "manifests")
+      fs.mkdirs(mdir)
+      val lock = new Path(mdir, "_commit.lock")
+      def writeLock(uuid: String): Unit = {
+        val out = fs.create(lock, true)
+        try out.write(uuid.getBytes("UTF-8")) finally out.close()
+        // backdate far past stale.ms: the OLD mtime-keyed breaker would
+        // delete this instantly; the identity watcher must not care
+        fs.setTimes(lock, System.currentTimeMillis() - 600000L, -1)
+      }
+      // Phase 1 — mtime is no longer a break trigger: a lock whose
+      // mtime says "ancient" but whose identity hasn't been WATCHED for
+      // stale.ms cannot be broken; with timeout < stale the acquisition
+      // must time out (the old code succeeded in ~25 ms here).
+      hconf.set("graft.commit.lockfile.stale.ms", "5000")
+      hconf.set("graft.commit.lockfile.timeout.ms", "300")
+      writeLock("holder-A")
+      val e = intercept[java.io.IOException] {
+        ops.Layout.acquireCommitLock(fs, mdir)
+      }
+      assert(e.getMessage.contains("timed out"),
+        s"expected a timeout, got: ${e.getMessage}")
+      // Phase 2 — swapping in a NEW identity mid-wait restarts the stale
+      // clock: A would age out at ~500 ms, but B replaces it at ~150 ms,
+      // so acquisition can only succeed after B ages (~150+500 ms). The
+      // old code would have acquired immediately off A's ancient mtime.
+      hconf.set("graft.commit.lockfile.stale.ms", "500")
+      hconf.set("graft.commit.lockfile.timeout.ms", "5000")
+      writeLock("holder-A")
+      val t0 = System.nanoTime()
+      @volatile var swapMs = -1.0
+      val swapper = new Thread(() => {
+        Thread.sleep(150)
+        writeLock("holder-B")
+        swapMs = (System.nanoTime() - t0) / 1e6
+      })
+      swapper.start()
+      val acquired = ops.Layout.acquireCommitLock(fs, mdir)
+      val elapsedMs = (System.nanoTime() - t0) / 1e6
+      swapper.join()
+      assert(acquired == lock)
+      assert(elapsedMs >= 500,
+        f"a never-watched identity was broken after only $elapsedMs%.0f " +
+          "ms — breaking is keyed on something other than watched age")
+      // when the swap landed mid-wait (the normal schedule), the fresh
+      // identity must have been aged from ITS arrival, not A's
+      if (swapMs > 0 && swapMs < elapsedMs)
+        assert(elapsedMs >= swapMs + 400,
+          f"B arrived at $swapMs%.0f ms but the lock broke at " +
+            f"$elapsedMs%.0f ms — the swap did not restart the clock")
+      fs.delete(lock, false)
+    } finally {
+      hconf.unset("graft.commit.lockfile")
+      hconf.unset("graft.commit.lockfile.stale.ms")
+      hconf.unset("graft.commit.lockfile.timeout.ms")
+    }
+  }
+
   test("acquisition times out loudly when a fresh lock never releases") {
     val table = freshTable("lock_timeout")
     hconf.set("graft.commit.lockfile", "true")

@@ -184,12 +184,29 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(spark.sql(
       "SELECT * FROM graft.default.evo_sql VERSION AS OF 2")
       .columns.toSeq == Seq("k", "tag"))
-    // duplicate add refuses; rename/drop stay refused
+    // duplicate add refuses; renames stay refused
     intercept[Exception] {
       spark.sql("ALTER TABLE graft.default.evo_sql ADD COLUMN bal STRING")
     }
     intercept[Exception] {
-      spark.sql("ALTER TABLE graft.default.evo_sql DROP COLUMN bal")
+      spark.sql("ALTER TABLE graft.default.evo_sql RENAME COLUMN bal TO b2")
+    }
+    // DROP COLUMN: schema-only lazy drop — the head read projects the
+    // column away, old versions still carry it (time travel unharmed)
+    spark.sql("ALTER TABLE graft.default.evo_sql DROP COLUMN tag")
+    val afterDrop = spark.sql("SELECT * FROM graft.default.evo_sql")
+    assert(afterDrop.columns.toSeq == Seq("k", "bal"))
+    assert(afterDrop.count() == 3)
+    assert(spark.sql(
+      "SELECT * FROM graft.default.evo_sql VERSION AS OF 4")
+      .columns.contains("tag"),
+      "pre-drop versions must keep the dropped column readable")
+    // an insert after the drop writes the narrow schema
+    spark.sql(
+      "INSERT INTO graft.default.evo_sql VALUES (4, CAST(1.25 AS DECIMAL(18,2)))")
+    assert(spark.sql("SELECT * FROM graft.default.evo_sql").count() == 4)
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graft.default.evo_sql DROP COLUMN ghost")
     }
   }
 

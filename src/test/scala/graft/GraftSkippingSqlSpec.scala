@@ -217,6 +217,91 @@ class GraftSkippingSqlSpec extends AnyFunSuite {
       s"z-clustered insert should prune on v too, got $pv")
   }
 
+  test("bloom property prunes scattered keys that bounds cannot") {
+    val c = cat
+    val t = "skip_bloom"
+    spark.sql(s"DROP TABLE IF EXISTS $c.default.$t")
+    // NO stats.columns: any pruning observed here is the bloom's alone
+    spark.sql(s"""CREATE TABLE $c.default.$t (k BIGINT, tag STRING)
+                |TBLPROPERTIES ('graft.stats.bloom' = 'k')""".stripMargin)
+    // scattered inserts: batch i holds keys ≡ i (mod 4), so every
+    // file's [min, max] spans ~the whole domain — range bounds would
+    // keep everything; only per-file membership can prune
+    (0 until 4).foreach { i =>
+      val rows = (0 until 10)
+        .map(j => s"(${j * 4 + i}, 'b$i')").mkString(", ")
+      spark.sql(s"INSERT INTO $c.default.$t VALUES $rows")
+    }
+    // probe a key in class 2: the other three classes' files must drop
+    val (n, prune) = pruned(s"SELECT k FROM $c.default.$t WHERE k = 22")
+    assert(n == 1)
+    val (kept, total) = prune.get
+    assert(total >= 5, s"expected 4 data files + create, got $total")
+    assert(kept < total, s"bloom should prune absent classes ($kept/$total)")
+    // IN across two classes: both holders survive, probe stays exact
+    val (n2, prune2) = pruned(
+      s"SELECT k FROM $c.default.$t WHERE k IN (22, 13)")
+    assert(n2 == 2, "bloom pruning must never lose a matching row")
+    assert(prune2.exists { case (kp, tt) => kp < tt })
+    // a key present nowhere: every DATA file's bloom proves absence —
+    // only the CREATE commit's empty (stat-less, bloom-less) file may
+    // survive, because a file without a bloom always does
+    val (n3, prune3) = pruned(
+      s"SELECT k FROM $c.default.$t WHERE k = 1000001")
+    assert(n3 == 0)
+    assert(prune3.exists { case (kp, _) => kp <= 1 },
+      s"an absent key should prune every data file, got $prune3")
+    // the property validates at DDL: unknown column / bad type / bad bits
+    intercept[Exception] {
+      spark.sql(s"""CREATE TABLE $c.default.bad_bloom (k BIGINT)
+                  |TBLPROPERTIES ('graft.stats.bloom' = 'nope')"""
+        .stripMargin)
+    }
+    intercept[Exception] {
+      spark.sql(s"""CREATE TABLE $c.default.bad_bloom2 (k DOUBLE)
+                  |TBLPROPERTIES ('graft.stats.bloom' = 'k')""".stripMargin)
+    }
+    intercept[Exception] {
+      spark.sql(s"""CREATE TABLE $c.default.bad_bloom3 (k BIGINT)
+                  |TBLPROPERTIES ('graft.stats.bloom' = 'k',
+                  |               'graft.stats.bloom.bits' = '100')"""
+        .stripMargin)
+    }
+    // a column referenced by the bloom property cannot be dropped out
+    // from under it — UNSET first, says the error
+    val eDrop = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $c.default.$t DROP COLUMN k")
+    }
+    assert(eDrop.getMessage.contains("UNSET"), eDrop.getMessage)
+    // blooms survive compaction (withStats re-records them from props)
+    spark.sql(s"CALL $c.system.compact('default.$t', 400)")
+    val (n4, prune4) = pruned(s"SELECT k FROM $c.default.$t WHERE k = 1000001")
+    assert(n4 == 0)
+    // the repack folded the empty file away and re-recorded blooms on
+    // every surviving file, so the absent key now prunes EVERYTHING
+    assert(prune4.exists { case (kp, _) => kp == 0 },
+      s"post-compact files lost their blooms, got $prune4")
+  }
+
+  test("string bloom prunes on tag equality without string bounds") {
+    val c = cat
+    val t = "skip_bloom_str"
+    spark.sql(s"DROP TABLE IF EXISTS $c.default.$t")
+    spark.sql(s"""CREATE TABLE $c.default.$t (k BIGINT, tag STRING)
+                |TBLPROPERTIES ('graft.stats.bloom' = 'tag')""".stripMargin)
+    // interleave tag prefixes so lexicographic bounds overlap heavily
+    (0 until 3).foreach { i =>
+      val rows = (0 until 8)
+        .map(j => s"(${i * 8 + j}, 'u${j}_g$i')").mkString(", ")
+      spark.sql(s"INSERT INTO $c.default.$t VALUES $rows")
+    }
+    val (n, prune) = pruned(
+      s"SELECT k FROM $c.default.$t WHERE tag = 'u3_g1'")
+    assert(n == 1)
+    assert(prune.exists { case (kp, tt) => kp < tt },
+      s"string bloom should prune non-holding files, got $prune")
+  }
+
   test("CTAS with the stats property records bounds on its own write") {
     val c = cat
     spark.sql(s"DROP TABLE IF EXISTS $c.default.skip_ctas")

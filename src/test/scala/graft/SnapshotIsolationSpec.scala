@@ -614,6 +614,36 @@ class SnapshotIsolationSpec extends AnyFunSuite {
       "rows lost or mistyped through the widening")
   }
 
+  test("string-bounds pruning compares in UTF8 order — supplementary chars never lose rows") {
+    import ops.Layout._
+    import spark.implicits._
+    val table = "target/graft_io/spec/utf8_collation"
+    val root = new Path(table)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(root, true)
+    // one file whose tag bounds straddle the UTF-16/UTF-8 disagreement:
+    // Spark records min/max in UTF8String (binary UTF-8) order, where
+    // U+FFFD (EF BF BD) < U+1F600 (F0 9F 98 80); Java String order puts
+    // U+FFFD (0xFFFD) ABOVE the surrogate pair (0xD83D...), so a
+    // Java-collated membership test concludes v > max and wrongly
+    // prunes the file that CONTAINS the row (the r15 advice).
+    val smiley = new String(Character.toChars(0x1F600))
+    val rows = Seq((1L, "\uFFFD"), (2L, smiley)).toDF("id", "tag")
+      .repartition(1)
+    commitSnapshot(spark, table, rows, statsColumns = Seq("tag"))
+    val got = readSnapshotWhere(spark, table,
+      Seq(SkipEquals("tag", "\uFFFD")))
+      .where(col("tag") === "\uFFFD").count()
+    assert(got == 1,
+      "file containing the match was pruned — bounds membership is " +
+        "comparing in a different collation than the recorded bounds")
+    // and pruning still WORKS above the max in both collations
+    val (kept, total) = fileSelection(spark, table,
+      Seq(SkipEquals("tag", smiley + "z")))
+    assert(kept.isEmpty && total >= 1,
+      s"out-of-range probe should prune everything ($kept/$total)")
+  }
+
   test("publishNoReplace never overwrites: an occupied version survives byte-identical") {
     import ops.Layout._
     val dir = new Path("target/graft_io/spec/publish_arbiter/manifests")
