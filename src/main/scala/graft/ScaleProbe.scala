@@ -210,6 +210,10 @@ object ScaleProbe {
     // saturate, nothing prunes, the scan is paid — the documented
     // sizing contract: bits must track rows/file)
     "q_manifest_skipping_bloom",
+    // round-16: REPLACE WHERE — the full insert dominates; the backfill
+    // rewrites only files holding upper-range keys (COW), so the key
+    // should track insert volume like the other lifecycle verbs
+    "q_manifest_replace_where",
     // round-16: DDL evolution — ADD COLUMN is an O(manifest) schema-only
     // commit; the two inserts dominate and track volume (supplier isn't
     // scaled in the replica, so absolute ratio mostly measures fixed

@@ -1891,6 +1891,60 @@ object Layout {
     (v, affected.size, untouched.size)
   }
 
+  /** `INSERT INTO t REPLACE WHERE pred SELECT ...` — Delta's
+    * replaceWhere, the idempotent-backfill verb: ONE atomic commit that
+    * drops the predicate's existing rows (copy-on-write, only files
+    * that can hold matching rows are rewritten) and lands `data` in
+    * their place. Re-running the same backfill converges instead of
+    * duplicating — the property nightly partition rebuilds need.
+    *
+    * Contract (same as Delta's default): every incoming row must
+    * satisfy the predicate — otherwise the statement would silently
+    * write rows OUTSIDE the range it claimed to replace, and a re-run
+    * would duplicate them. Checked BEFORE any staging; costs one extra
+    * evaluation of `data`'s query.
+    *
+    * Returns (newVersion, filesRewritten). */
+  def replaceWhere(spark: SparkSession, table: String, data: DataFrame,
+      predicate: Column, statsColumns: Seq[String] = Nil): (Int, Int) = {
+    val root = new Path(table)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v0 = currentVersion(fs, root)
+    require(v0 > 0, s"replaceWhere: no committed version in $table")
+    val offenders = data.where(!coalesce(predicate, lit(false))).limit(1)
+      .collect()
+    require(offenders.isEmpty,
+      "replaceWhere: incoming data contains rows that do NOT satisfy " +
+        s"the replace predicate (e.g. ${offenders.headOption.getOrElse("")})" +
+        " — widen the predicate or filter the source")
+    val files = manifestFiles(fs, root, v0)
+    val abs = files.map(l => l -> new Path(root, entryPath(l)).toString)
+    val affectedAbs = readVersionFiles(spark, fs, root, v0, abs.map(_._2))
+      .where(predicate)
+      .select(input_file_name().as("f")).distinct()
+      .collect().map(r => fsPathOf(r.getString(0))).toSet
+    val (affected, untouched) = abs.partition { case (_, a) =>
+      affectedAbs.contains(fsPathOf(fs.makeQualified(new Path(a)).toString))
+    }
+    // survivors of the affected files (predicate-false/null rows carry)
+    // and the incoming data stage as ONE transaction — the swap is a
+    // single REPLACE commit, never an observable delete-then-insert gap
+    val carried =
+      if (affected.isEmpty) None
+      else Some(readVersionFiles(spark, fs, root, v0, affected.map(_._2))
+        .where(!coalesce(predicate, lit(false))))
+    val incoming = carried.fold(data)(c => c.unionByName(data,
+      allowMissingColumns = true))
+    val stats =
+      if (statsColumns.nonEmpty) statsColumns
+      else statsColumnsOf(fs, root, v0)
+    val added = withStats(spark, fs, root,
+      stageTxn(spark, fs, root, incoming), stats)
+    val v = replaceCommit(fs, root, "replaceWhere",
+      affected.map(_._1).toSet, added)
+    (v, affected.size)
+  }
+
   /** Copy-on-write MERGE (upsert) — SQL `MERGE INTO t USING s ON
     * t.key = s.key WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN
     * INSERT *`, the late-fact-correction verb that pairs with
@@ -2076,6 +2130,22 @@ object Layout {
     * reads, zero data-file access — table size never enters. Surfaced
     * as SQL via `CALL <cat>.system.history('t')`
     * ([[graft.sql.GraftProcedures]]). */
+  /** One-row table summary for `CALL system.detail` — head version,
+    * live file count, recorded data bytes, schema DDL, and the table
+    * properties: the DESCRIBE DETAIL analogue. O(manifest) metadata
+    * reads, zero data-file IO at any table size. */
+  def tableDetail(spark: SparkSession, table: String)
+      : (Int, Int, Long, String, Map[String, String]) = {
+    val root = new Path(table)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v = currentVersion(fs, root)
+    require(v > 0, s"tableDetail: no committed version in $table")
+    val entries = versionFileEntries(fs, root, v)
+    (v, entries.size, entries.flatMap(_._2).sum,
+      schemaOf(fs, root, v).map(_.toDDL).getOrElse(""),
+      propsOf(fs, root, v))
+  }
+
   def history(spark: SparkSession, table: String)
       : Seq[(Int, Long, Int, Long, String)] = {
     val root = new Path(table)

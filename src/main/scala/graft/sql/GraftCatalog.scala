@@ -373,7 +373,8 @@ class GraftTable(path: String, version: Option[Int])
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE,
-      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.OVERWRITE_BY_FILTER)
 
   /** `_file` (which data file holds the row) — the row-level planner's
     * group id; see [[GraftRowLevel.FileColumn]]. */
@@ -418,14 +419,30 @@ class GraftTable(path: String, version: Option[Int])
   }
 
   /** INSERT INTO → APPEND commit; INSERT OVERWRITE (truncate) →
-    * full-table REPLACE. Rides the V1 write bridge: the commit itself
-    * is the manifest CAS, shared with every programmatic verb. */
+    * full-table REPLACE; `INSERT INTO t REPLACE WHERE pred` →
+    * [[Layout.replaceWhere]], the Delta-style idempotent backfill: one
+    * atomic commit swaps the predicate's rows for the incoming batch
+    * (SupportsOverwrite; untranslatable predicates refuse loudly rather
+    * than overwrite the wrong rows). Rides the V1 write bridge: the
+    * commit itself is the manifest CAS, shared with every programmatic
+    * verb. */
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(version.isEmpty,
       s"cannot write to $path pinned at VERSION AS OF ${version.get}")
-    new WriteBuilder with SupportsTruncate {
+    new WriteBuilder with org.apache.spark.sql.connector.write.SupportsOverwrite {
       private var overwrite = false
+      private var replacePred: Option[Column] = None
       override def truncate(): WriteBuilder = { overwrite = true; this }
+      override def overwrite(filters: Array[Filter]): WriteBuilder = {
+        if (filters.forall(_.isInstanceOf[sources.AlwaysTrue])) overwrite = true
+        else {
+          val cols = filters.map(f => filterToColumn(f).getOrElse(
+            throw new UnsupportedOperationException(
+              s"REPLACE WHERE predicate not translatable: $f")))
+          replacePred = cols.reduceOption(_ && _)
+        }
+        this
+      }
       override def build(): V1Write = new V1Write {
         override def toInsertableRelation: InsertableRelation =
           new InsertableRelation {
@@ -442,10 +459,14 @@ class GraftTable(path: String, version: Option[Int])
               // written files are value-contiguous — manifest skipping
               // prunes from the FIRST insert, no post-hoc CALL compact
               val arranged = Layout.clusterArrange(data, props)
-              if (overwrite) Layout.replaceSnapshot(data.sparkSession,
-                path, arranged, statsColumns = stats)
-              else Layout.commitSnapshot(data.sparkSession, path,
-                arranged, statsColumns = stats)
+              replacePred match {
+                case Some(pred) => Layout.replaceWhere(data.sparkSession,
+                  path, arranged, pred, statsColumns = stats)
+                case None if overwrite => Layout.replaceSnapshot(
+                  data.sparkSession, path, arranged, statsColumns = stats)
+                case None => Layout.commitSnapshot(data.sparkSession,
+                  path, arranged, statsColumns = stats)
+              }
             }
           }
       }
@@ -666,6 +687,42 @@ object GraftSql {
             |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
   }
 
+  /** REPLACE WHERE as pure SQL (r16): CREATE + full INSERT, then
+    * `INSERT INTO ... REPLACE WHERE o_orderkey % 4 = 2` swaps exactly
+    * that residue class for a recomputed batch (price doubled) in ONE
+    * atomic commit — the idempotent-backfill verb (running the backfill
+    * twice converges; the spec pins that, plus the out-of-predicate
+    * refusal and the copy-on-write file accounting). The oracle
+    * recomputes the post-backfill state relationally. */
+  def qManifestReplaceWhere(s: SparkSession, d: String): DataFrame = {
+    val wh = s"${graft.ops.Sources.ioDir(s, d)}/sql_catalog"
+    val cat = catalogFor(s, wh)
+    s.sql(s"DROP TABLE IF EXISTS $cat.default.orders_rw")
+    orders(s, d)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        dec2(col("o_totalprice")).as("price"))
+      .createOrReplaceTempView("orders_rw_src")
+    s.sql(s"""CREATE TABLE $cat.default.orders_rw
+            |  (o_orderkey BIGINT, o_orderstatus STRING,
+            |   price DECIMAL(18,2))""".stripMargin)
+    s.sql(s"""INSERT INTO $cat.default.orders_rw
+            |SELECT * FROM orders_rw_src""".stripMargin)
+    // the canonical backfill shape: replace the upper KEY RANGE with a
+    // recomputed batch (REPLACE WHERE predicates must be v1-Filter
+    // translatable — range/equality/IN — which is exactly the
+    // partition-shaped predicate real backfills use)
+    val cut = orders(s, d).agg(max(col("o_orderkey"))).head().getLong(0) / 2
+    s.sql(s"""INSERT INTO $cat.default.orders_rw
+            |REPLACE WHERE o_orderkey >= $cut
+            |SELECT o_orderkey, o_orderstatus,
+            |  CAST(price * 2 AS DECIMAL(18,2)) AS price
+            |FROM orders_rw_src WHERE o_orderkey >= $cut""".stripMargin)
+    s.sql(s"""SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+            |  CAST(SUM(price) AS DOUBLE) AS sum_price
+            |FROM $cat.default.orders_rw
+            |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+  }
+
   /** Bloom-filter manifest skipping, SQL-only loop (r16): CREATE TABLE
     * with `graft.stats.bloom` on a HIGH-CARDINALITY SCATTERED key —
     * each of the four inserts takes one `o_orderkey % 4` residue class,
@@ -749,6 +806,7 @@ object GraftSql {
     "q_manifest_maintenance_sql" -> qManifestMaintenanceSql _,
     "q_manifest_skipping_sql" -> qManifestSkippingSql _,
     "q_manifest_skipping_bloom" -> qManifestSkippingBloom _,
+    "q_manifest_replace_where" -> qManifestReplaceWhere _,
     "q_manifest_evolution_sql" -> qManifestEvolutionSql _)
 
   val oracleSql: Map[String, String] = Map(
@@ -765,6 +823,19 @@ object GraftSql {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
         |    AS sum_price
         |FROM orders WHERE o_orderkey % 4 IN (0, 1)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // post-backfill truth: the upper key range doubled, everything else
+    // as inserted — proves the swap was atomic-complete (no row lost,
+    // none duplicated, none doubled twice)
+    "q_manifest_replace_where" ->
+      """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CASE WHEN o_orderkey >=
+        |         (SELECT MAX(o_orderkey) // 2 FROM orders)
+        |       THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 2
+        |            AS DECIMAL(18,2))
+        |       ELSE CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE)
+        |    AS sum_price
+        |FROM orders
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     // the bloom probes are recomputable relationally: max key of each
     // residue class — pruning changes the read set, never the answer

@@ -190,6 +190,39 @@ object GraftProcedures {
       }
     }
 
+  /** `CALL system.detail('tbl')` — DESCRIBE DETAIL analogue: one row of
+    * head-version metadata (version, live files, recorded bytes, schema
+    * DDL, properties rendered `k=v; ...`). O(manifest), no data IO —
+    * the operational "what is this table" question answered from
+    * metadata alone, which is the only acceptable cost at 100 TB. */
+  private def detail(cat: GraftCatalog): UnboundProcedure =
+    new GraftProcedure("detail") {
+      override def parameters(): Array[ProcedureParameter] = Array(
+        ProcedureParameter.in("table", DataTypes.StringType).build())
+      override def isDeterministic: Boolean = false // reads live state
+      private val out = StructType(Seq(
+        org.apache.spark.sql.types.StructField(
+          "version", DataTypes.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField(
+          "files", DataTypes.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField(
+          "bytes", DataTypes.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField(
+          "schema", DataTypes.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField(
+          "properties", DataTypes.StringType, nullable = false)))
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val table = tableDir(cat, input.getUTF8String(0).toString)
+        val (v, files, bytes, ddl, props) =
+          Layout.tableDetail(spark, table)
+        val propStr = props.toSeq.sorted
+          .map { case (k, value) => s"$k=$value" }.mkString("; ")
+        rowsResult(out, Seq(Array[Any](v, files, bytes,
+          org.apache.spark.unsafe.types.UTF8String.fromString(ddl),
+          org.apache.spark.unsafe.types.UTF8String.fromString(propStr))))
+      }
+    }
+
   // A `system.changes` procedure returning the CDC delta was built and
   // deliberately REMOVED: Spark 4.1's CALL machinery accepts only
   // LocalScan procedure output (InvokeProcedures.toRelation: "Only
@@ -211,12 +244,13 @@ object GraftProcedures {
       case "expire_snapshots" => expireSnapshots(cat)
       case "compact"          => compact(cat)
       case "history"          => history(cat)
+      case "detail"           => detail(cat)
       case other => throw new IllegalArgumentException(
         s"unknown procedure system.$other — known: rollback, " +
-          "expire_snapshots, compact, history")
+          "expire_snapshots, compact, history, detail")
     }
   }
 
   val names: Seq[String] =
-    Seq("rollback", "expire_snapshots", "compact", "history")
+    Seq("rollback", "expire_snapshots", "compact", "history", "detail")
 }

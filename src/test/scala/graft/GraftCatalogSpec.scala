@@ -232,6 +232,43 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(spark.sql("SELECT * FROM graft.default.props_sql").count() == 1)
   }
 
+  test("REPLACE WHERE swaps exactly the predicate's rows, idempotently") {
+    spark.sql("DROP TABLE IF EXISTS graft.default.rw_sql")
+    spark.sql("CREATE TABLE graft.default.rw_sql (k BIGINT, v BIGINT)")
+    spark.range(0, 40).selectExpr("id AS k", "id AS v")
+      .createOrReplaceTempView("rw_src")
+    spark.sql("INSERT INTO graft.default.rw_sql SELECT * FROM rw_src")
+    def backfill(): Unit = spark.sql(
+      """INSERT INTO graft.default.rw_sql REPLACE WHERE k >= 30
+        |SELECT k, v * 100 AS v FROM rw_src WHERE k >= 30""".stripMargin)
+    backfill()
+    def state(): Seq[(Long, Long)] =
+      spark.sql("SELECT k, v FROM graft.default.rw_sql ORDER BY k")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val once = state()
+    assert(once.size == 40)
+    assert(once.filter(_._1 >= 30).forall { case (k, v) => v == k * 100 })
+    assert(once.filter(_._1 < 30).forall { case (k, v) => v == k })
+    // the backfill verb's defining property: re-running CONVERGES —
+    // no duplicate rows, no double application
+    backfill()
+    assert(state() == once, "REPLACE WHERE re-run must be a no-op state")
+    // rows outside the claimed predicate refuse BEFORE any commit
+    val e = intercept[Exception] {
+      spark.sql(
+        """INSERT INTO graft.default.rw_sql REPLACE WHERE k >= 30
+          |SELECT k, v FROM rw_src WHERE k >= 20""".stripMargin)
+    }
+    assert(e.getMessage.contains("do NOT satisfy") ||
+      Option(e.getCause).exists(_.getMessage.contains("do NOT satisfy")),
+      s"expected the out-of-predicate refusal, got: ${e.getMessage}")
+    assert(state() == once, "a refused REPLACE WHERE must change nothing")
+    // plain INSERT OVERWRITE still truncate-replaces the whole table
+    spark.sql(
+      "INSERT OVERWRITE graft.default.rw_sql SELECT * FROM rw_src WHERE k < 5")
+    assert(spark.sql("SELECT * FROM graft.default.rw_sql").count() == 5)
+  }
+
   override def withFixture(test: NoArgTest) = {
     // region_src is used by the CTAS test; register lazily once
     if (spark.catalog.tableExists("region_src") == false)

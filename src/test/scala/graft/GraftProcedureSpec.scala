@@ -103,6 +103,24 @@ class GraftProcedureSpec extends AnyFunSuite {
       "expired versions must leave the history")
   }
 
+  test("detail reports head version, files, bytes, schema and props from metadata") {
+    val c = cat
+    val t = "proc_detail"
+    spark.sql(s"DROP TABLE IF EXISTS $c.default.$t")
+    spark.sql(s"""CREATE TABLE $c.default.$t (k BIGINT, v STRING)
+                |TBLPROPERTIES ('graft.stats.columns' = 'k')""".stripMargin)
+    spark.sql(s"INSERT INTO $c.default.$t VALUES (1, 'a')") // v2
+    spark.sql(s"INSERT INTO $c.default.$t VALUES (2, 'b')") // v3
+    val d = spark.sql(s"CALL $c.system.detail('default.$t')").head()
+    assert(d.getInt(0) == 3, "head version")
+    assert(d.getInt(1) == 3, "empty CREATE file + two insert files")
+    assert(d.getLong(2) > 0, "recorded bytes")
+    assert(d.getString(3).contains("k BIGINT") &&
+      d.getString(3).contains("v STRING"), d.getString(3))
+    assert(d.getString(4).contains("graft.stats.columns=k"),
+      d.getString(4))
+  }
+
   test("CDC delta reads as SQL text through the veneer's changesFrom") {
     // NOT a CALL procedure on purpose: Spark 4.1 procedures only return
     // driver-local relations, and a delta is executor-sized — the SQL

@@ -166,4 +166,30 @@ class PropertySpec extends AnyFunSuite {
         back.compareTo(dec) == 0
     }, n = 10)
   }
+
+  test("FileBloom never false-negatives: agg-built bloom contains every inserted value") {
+    import graft.functions.FileBloom
+    // the one property that makes bloom skipping SAFE: a value that was
+    // aggregated into the bloom must always test present (false
+    // negatives would silently drop matching files — missing rows).
+    // Built through the REAL aggregate (groupBy → FileBloomAgg), probed
+    // through the REAL membership check Layout.survivesBloom uses.
+    check("bloom long containment", Prop.forAll(
+      Gen.nonEmptyListOf(Gen.chooseNum(Long.MinValue, Long.MaxValue))) {
+      vs: List[Long] =>
+        import spark.implicits._
+        val bloom = vs.toDF("v")
+          .agg(FileBloom.fileBloom(col("v"), 1024).as("b"))
+          .collect().head.getAs[Array[Byte]](0)
+        vs.forall(FileBloom.mightContainLong(bloom, _))
+    }, n = 10)
+    check("bloom string containment", Prop.forAll(
+      Gen.nonEmptyListOf(Gen.asciiPrintableStr)) { vs: List[String] =>
+        import spark.implicits._
+        val bloom = vs.toDF("v")
+          .agg(FileBloom.fileBloom(col("v"), 1024).as("b"))
+          .collect().head.getAs[Array[Byte]](0)
+        vs.forall(FileBloom.mightContainString(bloom, _))
+    }, n = 10)
+  }
 }
