@@ -139,10 +139,11 @@ case class FileBloomAgg(
   require(bits >= 64 && bits % 64 == 0,
     s"bloom bits must be a positive multiple of 64, got $bits")
 
-  // def, not val: the constructor also runs on UNRESOLVED children
+  // lazy val, not val: the constructor also runs on UNRESOLVED children
   // (analyzer tree rewrites call copy() before resolution), where
-  // dataType throws
-  private def isString = child.dataType == StringType
+  // dataType throws; lazy defers to first update() — post-resolution —
+  // and then pays the type dispatch once instead of per input row
+  private lazy val isString = child.dataType == StringType
 
   override def createAggregationBuffer(): Array[Long] =
     new Array[Long](bits / 64)

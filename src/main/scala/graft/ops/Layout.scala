@@ -837,9 +837,20 @@ object Layout {
     try {
       val in = fs.open(lock)
       try {
+        // loop to EOF: a single read() may legally return short (object-
+        // store streams do), and a truncated UUID would make the stale
+        // watcher see a "new identity" on every poll of the SAME crashed
+        // lock — the timer would never elapse and writers would block
+        // until timeout forever (r16 review finding)
         val buf = new Array[Byte](64)
-        val n = in.read(buf)
-        Some(new String(buf, 0, math.max(n, 0),
+        var off = 0
+        var n = in.read(buf, off, buf.length - off)
+        while (n > 0 && off + n < buf.length) {
+          off += n
+          n = in.read(buf, off, buf.length - off)
+        }
+        if (n > 0) off += n
+        Some(new String(buf, 0, off,
           java.nio.charset.StandardCharsets.UTF_8))
       } finally in.close()
     } catch { case _: java.io.IOException => None }
@@ -879,7 +890,19 @@ object Layout {
         // have deleted OUR fresh lock between create and here (and a
         // third writer re-created it). If the file no longer carries our
         // UUID we do NOT hold the lock — clean up only our own and retry.
-        if (readLockUuid(fs, lock).contains(myUuid)) return lock
+        // The verify read retries once: a transient read failure must
+        // not abandon OUR OWN lock file on disk (we would then
+        // stale-watch ourselves for stale.ms, stalling every writer).
+        val seen = readLockUuid(fs, lock)
+          .orElse { Thread.sleep(10); readLockUuid(fs, lock) }
+        if (seen.contains(myUuid)) return lock
+        // verifiably not ours (someone re-created it) → keep waiting;
+        // unverifiable (read kept failing) → best-effort remove what is
+        // most likely our own orphaned file, then retry create
+        if (seen.isEmpty) {
+          try fs.delete(lock, false)
+          catch { case _: java.io.IOException => () }
+        }
       } catch {
         case _: java.io.IOException =>
           // held by another writer: watch its identity; break only after
@@ -1093,7 +1116,17 @@ object Layout {
     casCommit(fs, root, "setTableProps",
       head => manifestFiles(fs, root, head),
       head => schemaOf(fs, root, head),
-      propsXform = p => p ++ set -- unset)
+      propsXform = p => {
+        val merged = p ++ set -- unset
+        // validate the MERGED result, not just the delta: a table
+        // CREATEd with sort_by and later ALTERed with zorder_by would
+        // otherwise end up carrying both "mutually exclusive"
+        // properties (r16 review finding) — the invariant must hold on
+        // what actually commits, re-checked per CAS attempt against
+        // whatever props landed concurrently
+        validateClusterProps(merged, headSchema)
+        merged
+      })
   }
 
   /** `ALTER TABLE ... ADD COLUMN` as a schema-only commit (r15 verdict
@@ -1356,7 +1389,10 @@ object Layout {
     // argument: once `graft.stats.bloom` is set, every commit verb
     // (append, replace, compact, delete-rewrite) records blooms without
     // each call site having to know — the same carry discipline as the
-    // props themselves
+    // props themselves. Cost on the no-stats hot path: one head-pointer
+    // read + a manifest-line fetch that hits the rawManifestLines memo
+    // (the committing verb reads the same head lines moments later
+    // anyway) — no extra data IO.
     val headProps = propsOf(fs, root, currentVersion(fs, root))
     val bloomBits = headProps.get(BloomBitsProp).map(_.toInt)
       .getOrElse(BloomBitsDefault)
@@ -1911,12 +1947,27 @@ object Layout {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val v0 = currentVersion(fs, root)
     require(v0 > 0, s"replaceWhere: no committed version in $table")
-    val offenders = data.where(!coalesce(predicate, lit(false))).limit(1)
-      .collect()
-    require(offenders.isEmpty,
-      "replaceWhere: incoming data contains rows that do NOT satisfy " +
-        s"the replace predicate (e.g. ${offenders.headOption.getOrElse("")})" +
-        " — widen the predicate or filter the source")
+    // Stage the incoming batch FIRST and validate the STAGED BYTES: the
+    // offender check and the commit must see the same evaluation of
+    // `data` — checking one evaluation and committing another would let
+    // a non-deterministic (or concurrently-changing) source sneak
+    // out-of-predicate rows past the check. A refused backfill deletes
+    // its txn dir, leaving nothing for vacuum.
+    val dataStaged = stageTxn(spark, fs, root, data)
+    val stagedPaths = dataStaged.map { case (rel, _) =>
+      new Path(root, rel).toString }
+    val offenders =
+      if (stagedPaths.isEmpty) Array.empty[org.apache.spark.sql.Row]
+      else spark.read.parquet(stagedPaths: _*)
+        .where(!coalesce(predicate, lit(false))).limit(1).collect()
+    if (offenders.nonEmpty) {
+      dataStaged.headOption.foreach { case (rel, _) =>
+        fs.delete(new Path(root, rel).getParent, true) }
+      throw new IllegalArgumentException(
+        "replaceWhere: incoming data contains rows that do NOT satisfy " +
+          s"the replace predicate (e.g. ${offenders.head}) — widen the " +
+          "predicate or filter the source")
+    }
     val files = manifestFiles(fs, root, v0)
     val abs = files.map(l => l -> new Path(root, entryPath(l)).toString)
     val affectedAbs = readVersionFiles(spark, fs, root, v0, abs.map(_._2))
@@ -1927,19 +1978,18 @@ object Layout {
       affectedAbs.contains(fsPathOf(fs.makeQualified(new Path(a)).toString))
     }
     // survivors of the affected files (predicate-false/null rows carry)
-    // and the incoming data stage as ONE transaction — the swap is a
-    // single REPLACE commit, never an observable delete-then-insert gap
-    val carried =
-      if (affected.isEmpty) None
-      else Some(readVersionFiles(spark, fs, root, v0, affected.map(_._2))
-        .where(!coalesce(predicate, lit(false))))
-    val incoming = carried.fold(data)(c => c.unionByName(data,
-      allowMissingColumns = true))
+    // stage as a second txn in the SAME commit — the swap is one
+    // REPLACE CAS, never an observable delete-then-insert gap
+    val carriedStaged =
+      if (affected.isEmpty) Seq.empty[(String, Long)]
+      else stageTxn(spark, fs, root,
+        readVersionFiles(spark, fs, root, v0, affected.map(_._2))
+          .where(!coalesce(predicate, lit(false))))
     val stats =
       if (statsColumns.nonEmpty) statsColumns
       else statsColumnsOf(fs, root, v0)
     val added = withStats(spark, fs, root,
-      stageTxn(spark, fs, root, incoming), stats)
+      dataStaged ++ carriedStaged, stats)
     val v = replaceCommit(fs, root, "replaceWhere",
       affected.map(_._1).toSet, added)
     (v, affected.size)

@@ -441,12 +441,25 @@ object Text {
     * bench timings stay order-independent. */
   private val shingleCache =
     scala.collection.concurrent.TrieMap.empty[String, DataFrame]
-  private[graft] def shingleSetsCached(s: SparkSession, d: String): DataFrame =
-    shingleCache.get(d).filter(_.sparkSession eq s).getOrElse {
-      val df = shingleSets(s, d).where(size(col("hs")) > 0).cache()
-      shingleCache.put(d, df)
-      df
+  private[graft] def shingleSetsCached(s: SparkSession, d: String)
+      : DataFrame = shingleCache.synchronized {
+    // check-act under one lock, and UNPERSIST whatever gets displaced:
+    // a racing first call or a stale-session entry replaced without
+    // unpersisting would leak its persisted blocks past clearCaches —
+    // memory pressure in exactly the bench-loop scenario this memo
+    // exists to fix (r16 review finding)
+    shingleCache.get(d) match {
+      case Some(df) if df.sparkSession eq s => df
+      case stale =>
+        stale.foreach { old =>
+          try old.unpersist(blocking = false)
+          catch { case _: Throwable => () }
+        }
+        val df = shingleSets(s, d).where(size(col("hs")) > 0).cache()
+        shingleCache.put(d, df)
+        df
     }
+  }
 
   /** Small-corpus path: broadcast nested-loop over doc pairs, exact
     * Jaccard via the codegen'd two-pointer [[SortedIntersectCount]].

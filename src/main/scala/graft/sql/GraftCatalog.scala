@@ -224,6 +224,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         require(a.position == null,
           "ADD COLUMN FIRST/AFTER is not supported — new columns " +
             "append (pre-evolution files null-fill in record order)")
+        require(a.isNullable,
+          "ADD COLUMN ... NOT NULL is not supported — every " +
+            "pre-evolution row necessarily reads NULL for the new " +
+            "column, so the constraint cannot hold; add it nullable")
         org.apache.spark.sql.types.StructField(
           a.fieldNames()(0), a.dataType, nullable = true)
       }

@@ -185,6 +185,14 @@ class GraftSkippingSqlSpec extends AnyFunSuite {
                   |TBLPROPERTIES ('graft.cluster.sort_by' = 'nope')"""
         .stripMargin)
     }
+    // ...and ALTER can't sneak the zorder twin onto a sort_by table:
+    // the mutual exclusion is validated on the MERGED props, not the
+    // delta (a delta-only check passed this and committed both)
+    intercept[Exception] {
+      spark.sql(s"""ALTER TABLE $c.default.$t
+                  |SET TBLPROPERTIES ('graft.cluster.zorder_by' = 'k,tag')"""
+        .stripMargin)
+    }
     intercept[Exception] {
       spark.sql(s"""CREATE TABLE $c.default.bad_cluster2 (k BIGINT, v BIGINT)
                   |TBLPROPERTIES ('graft.cluster.sort_by' = 'k',
