@@ -214,6 +214,10 @@ object ScaleProbe {
     // rewrites only files holding upper-range keys (COW), so the key
     // should track insert volume like the other lifecycle verbs
     "q_manifest_replace_where",
+    // round-16: CHECK constraints — the gated insert pays one extra
+    // limit(1) pass per constraint over the staged bytes; both the
+    // insert and the gate track volume
+    "q_manifest_constraint_sql",
     // round-16: DDL evolution — ADD COLUMN is an O(manifest) schema-only
     // commit; the two inserts dominate and track volume (supplier isn't
     // scaled in the replica, so absolute ratio mostly measures fixed

@@ -476,6 +476,57 @@ object Layout {
     }
   }
 
+  /** CHECK-constraint TBLPROPERTIES (r16) — Delta-style data-quality
+    * gates: every `graft.constraint.<name>` property carries a SQL
+    * boolean expression that every commit verb validates against the
+    * STAGED BYTES before publishing; a violating batch refuses (txn dir
+    * cleaned), so bad rows can never enter the table. Adding a
+    * constraint to a NON-empty table scans the head snapshot first and
+    * refuses if existing data violates — the invariant then holds for
+    * the whole table, not just future writes. Rows where the expression
+    * is NULL count as violations (a CHECK must PROVE the row valid). */
+  val ConstraintPropPrefix = "graft.constraint."
+
+  private[graft] def constraintsOf(props: Map[String, String])
+      : Seq[(String, String)] =
+    props.toSeq.collect {
+      case (k, v) if k.startsWith(ConstraintPropPrefix) =>
+        (k.substring(ConstraintPropPrefix.length), v)
+    }.sortBy(_._1)
+
+  /** DDL-time validation: the expression must parse and resolve to a
+    * BOOLEAN against the table schema — a typo fails the statement, not
+    * some later INSERT. */
+  private[graft] def validateConstraintProps(spark: SparkSession,
+      props: Map[String, String],
+      schema: Option[types.StructType]): Unit =
+    constraintsOf(props).foreach { case (name, sqlText) =>
+      require(name.nonEmpty, "constraint name must be non-empty " +
+        s"('$ConstraintPropPrefix<name>')")
+      schema.foreach { sch =>
+        // forcing analysis surfaces parse errors, unknown columns AND
+        // non-boolean expressions (where() requires boolean) here
+        try emptyFrame(spark, sch).where(expr(sqlText))
+          .queryExecution.analyzed
+        catch { case e: Exception =>
+          throw new IllegalArgumentException(
+            s"CHECK constraint '$name' does not resolve against the " +
+              s"table schema: $sqlText — ${e.getMessage}") }
+      }
+    }
+
+  /** Refuse a frame that violates any of `constraints`; `what` names the
+    * refusing verb in the error. Returns unit on success. */
+  private def enforceConstraints(df: DataFrame,
+      constraints: Seq[(String, String)], what: String): Unit =
+    constraints.foreach { case (name, sqlText) =>
+      val bad = df.where(!coalesce(expr(sqlText), lit(false)))
+        .limit(1).collect()
+      if (bad.nonEmpty) throw new IllegalArgumentException(
+        s"$what refused: CHECK constraint '$name' ($sqlText) is " +
+          s"violated, e.g. by ${bad.head}")
+    }
+
   /** Validate bloom properties at DDL time — unknown columns,
     * un-probe-able types, and bad bit counts must fail the statement,
     * not some later INSERT. */
@@ -1113,6 +1164,19 @@ object Layout {
     val headSchema = schemaOf(fs, root, currentVersion(fs, root))
     validateClusterProps(set, headSchema)
     validateBloomProps(set, headSchema)
+    validateConstraintProps(spark, set, headSchema)
+    // adding a CHECK constraint to a non-empty table proves it against
+    // the EXISTING data first (Delta's ADD CONSTRAINT semantics): after
+    // this DDL the invariant holds for the whole table, not just future
+    // writes — one scan of the head snapshot, refused loudly on the
+    // first counterexample
+    val newConstraints = constraintsOf(set)
+    if (newConstraints.nonEmpty) {
+      val v = currentVersion(fs, root)
+      if (v > 0 && manifestFiles(fs, root, v).nonEmpty)
+        enforceConstraints(readSnapshot(spark, table, Some(v)),
+          newConstraints, "ALTER TABLE SET TBLPROPERTIES")
+    }
     casCommit(fs, root, "setTableProps",
       head => manifestFiles(fs, root, head),
       head => schemaOf(fs, root, head),
@@ -1196,6 +1260,18 @@ object Layout {
           names.exists(_.equalsIgnoreCase(f.name)))
         require(remaining.nonEmpty,
           "dropColumns: cannot drop every column of the table")
+        // a CHECK constraint referencing a dropped column would turn
+        // every later commit's enforcement into an analysis error —
+        // prove each one still resolves against the post-drop schema
+        constraintsOf(props).foreach { case (cname, sqlText) =>
+          try emptyFrame(spark, types.StructType(remaining))
+            .where(expr(sqlText)).queryExecution.analyzed
+          catch { case _: Exception =>
+            throw new IllegalArgumentException(
+              s"dropColumns: CHECK constraint '$cname' ($sqlText) " +
+                "references a dropped column — UNSET the property first")
+          }
+        }
         Some(types.StructType(remaining))
       })
   }
@@ -1385,21 +1461,44 @@ object Layout {
     validateStatsColumns(statsColumns) // backstop; verbs validate first
     def bare = staged.map { case (rel, len) => s"$rel\t@$len" }
     if (staged.isEmpty) return bare
-    // bloom columns come from the TABLE's head props, not a per-verb
-    // argument: once `graft.stats.bloom` is set, every commit verb
-    // (append, replace, compact, delete-rewrite) records blooms without
+    // bloom columns and CHECK constraints come from the TABLE's head
+    // props, not a per-verb argument: once set, every commit verb
+    // (append, replace, compact, delete-rewrite) honors them without
     // each call site having to know — the same carry discipline as the
     // props themselves. Cost on the no-stats hot path: one head-pointer
     // read + a manifest-line fetch that hits the rawManifestLines memo
     // (the committing verb reads the same head lines moments later
     // anyway) — no extra data IO.
-    val headProps = propsOf(fs, root, currentVersion(fs, root))
+    val headV = currentVersion(fs, root)
+    val headProps = propsOf(fs, root, headV)
     val bloomBits = headProps.get(BloomBitsProp).map(_.toInt)
       .getOrElse(BloomBitsDefault)
+    val stagedPaths =
+      staged.map { case (rel, _) => new Path(root, rel).toString }
+    // CHECK constraints validate the STAGED BYTES (the exact rows that
+    // would land — the same posture as replaceWhere's predicate check);
+    // a violating batch deletes its txn dirs and refuses before any
+    // manifest is touched. Staged files read under the RECORDED schema
+    // so a narrow append's missing columns null-fill — and then fail a
+    // NOT-NULL-style check, which is exactly right.
+    val constraints = constraintsOf(headProps)
+    if (constraints.nonEmpty) {
+      val r = spark.read
+      val cdf = schemaOf(fs, root, headV).fold(r)(s => r.schema(s))
+        .parquet(stagedPaths: _*)
+      try enforceConstraints(cdf, constraints, "commit")
+      catch { case e: IllegalArgumentException =>
+        staged.map { case (rel, _) => new Path(root, rel).getParent }
+          .distinct.foreach { p =>
+            try fs.delete(p, true)
+            catch { case _: java.io.IOException => () }
+          }
+        throw e
+      }
+    }
     if (statsColumns.isEmpty && !headProps.contains(BloomColumnsProp))
       return bare
-    val df = spark.read.parquet(
-      staged.map { case (rel, _) => new Path(root, rel).toString }: _*)
+    val df = spark.read.parquet(stagedPaths: _*)
     def isIntegral(dt: types.DataType) = dt match {
       case types.ByteType | types.ShortType | types.IntegerType |
            types.LongType => true

@@ -188,6 +188,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val graftProps = properties.asScala.toMap -- reserved
     Layout.validateClusterProps(graftProps, Some(schema))
     Layout.validateBloomProps(graftProps, Some(schema))
+    Layout.validateConstraintProps(spark, graftProps, Some(schema))
     val empty = spark.createDataFrame(
       new util.ArrayList[org.apache.spark.sql.Row](), schema)
       .repartition(1)
@@ -691,6 +692,37 @@ object GraftSql {
             |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
   }
 
+  /** CHECK constraints as pure SQL (r16): CREATE TABLE with
+    * `graft.constraint.*` TBLPROPERTIES — data-quality gates every
+    * commit verb enforces against the staged bytes (violating batches
+    * refuse with the constraint named; ALTER-time addition proves
+    * existing data first; see GraftCatalogSpec for the refusal paths) —
+    * then a full conforming INSERT and the aggregate. The oracle is
+    * SHARED with q_manifest_sql / q_table_roundtrip: a gated insert of
+    * conforming data must land exactly the ungated state. */
+  def qManifestConstraintSql(s: SparkSession, d: String): DataFrame = {
+    val wh = s"${graft.ops.Sources.ioDir(s, d)}/sql_catalog"
+    val cat = catalogFor(s, wh)
+    s.sql(s"DROP TABLE IF EXISTS $cat.default.orders_ck")
+    orders(s, d)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        dec2(col("o_totalprice")).as("price"))
+      .createOrReplaceTempView("orders_ck_src")
+    s.sql(s"""CREATE TABLE $cat.default.orders_ck
+            |  (o_orderkey BIGINT, o_orderstatus STRING,
+            |   price DECIMAL(18,2))
+            |TBLPROPERTIES (
+            |  'graft.constraint.key_pos' = 'o_orderkey >= 0',
+            |  'graft.constraint.priced'  = 'price IS NOT NULL AND price > 0')"""
+      .stripMargin)
+    s.sql(s"""INSERT INTO $cat.default.orders_ck
+            |SELECT * FROM orders_ck_src""".stripMargin)
+    s.sql(s"""SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+            |  CAST(SUM(price) AS DOUBLE) AS sum_price
+            |FROM $cat.default.orders_ck
+            |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+  }
+
   /** REPLACE WHERE as pure SQL (r16): CREATE + full INSERT, then
     * `INSERT INTO ... REPLACE WHERE o_orderkey % 4 = 2` swaps exactly
     * that residue class for a recomputed batch (price doubled) in ONE
@@ -811,10 +843,15 @@ object GraftSql {
     "q_manifest_skipping_sql" -> qManifestSkippingSql _,
     "q_manifest_skipping_bloom" -> qManifestSkippingBloom _,
     "q_manifest_replace_where" -> qManifestReplaceWhere _,
+    "q_manifest_constraint_sql" -> qManifestConstraintSql _,
     "q_manifest_evolution_sql" -> qManifestEvolutionSql _)
 
   val oracleSql: Map[String, String] = Map(
     "q_manifest_sql" -> graft.ops.Sources.oracleSql("q_table_roundtrip"),
+    // shared string: a constraint-gated insert of conforming data must
+    // land exactly the ungated table state
+    "q_manifest_constraint_sql" ->
+      graft.ops.Sources.oracleSql("q_table_roundtrip"),
     // shared-string convention: the DDL evolution path must land exactly
     // the append-merge path's evolved state
     "q_manifest_evolution_sql" ->

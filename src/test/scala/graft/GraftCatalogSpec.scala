@@ -269,6 +269,61 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(spark.sql("SELECT * FROM graft.default.rw_sql").count() == 5)
   }
 
+  test("CHECK constraints gate every write; ALTER proves existing data first") {
+    def refused(body: => Any): String = {
+      val e = intercept[Exception](body)
+      Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+        .map(_.getMessage).find(m => m != null &&
+          (m.contains("CHECK constraint") || m.contains("constraint")))
+        .getOrElse(fail(s"no constraint message in: ${e.getMessage}"))
+    }
+    spark.sql("DROP TABLE IF EXISTS graft.default.ck_sql")
+    spark.sql("""CREATE TABLE graft.default.ck_sql (k BIGINT, v BIGINT)
+                |TBLPROPERTIES ('graft.constraint.pos' = 'v >= 0')"""
+      .stripMargin)
+    spark.sql("INSERT INTO graft.default.ck_sql VALUES (1, 5), (2, 0)")
+    def count() =
+      spark.sql("SELECT * FROM graft.default.ck_sql").count()
+    assert(count() == 2)
+    // a violating batch refuses, names the constraint, commits nothing
+    assert(refused(spark.sql(
+      "INSERT INTO graft.default.ck_sql VALUES (3, 7), (4, -1)"))
+      .contains("'pos'"))
+    assert(count() == 2, "a refused batch must commit nothing")
+    // NULL does not PROVE the row valid → violation
+    refused(spark.sql(
+      "INSERT INTO graft.default.ck_sql VALUES (5, NULL)"))
+    assert(count() == 2)
+    // ALTER-time addition proves EXISTING data: (2, 0) violates v >= 1
+    refused(spark.sql(
+      """ALTER TABLE graft.default.ck_sql
+        |SET TBLPROPERTIES ('graft.constraint.big' = 'v >= 1')"""
+        .stripMargin))
+    // a satisfiable addition lands and gates future writes
+    spark.sql(
+      """ALTER TABLE graft.default.ck_sql
+        |SET TBLPROPERTIES ('graft.constraint.keyed' = 'k > 0')"""
+        .stripMargin)
+    refused(spark.sql("INSERT INTO graft.default.ck_sql VALUES (0, 9)"))
+    // UNSET removes the gate
+    spark.sql(
+      """ALTER TABLE graft.default.ck_sql
+        |UNSET TBLPROPERTIES ('graft.constraint.pos')""".stripMargin)
+    spark.sql("INSERT INTO graft.default.ck_sql VALUES (6, -7)")
+    assert(count() == 3)
+    // DDL validation: unresolvable expressions fail the statement
+    intercept[Exception] {
+      spark.sql("""CREATE TABLE graft.default.bad_ck (k BIGINT)
+                  |TBLPROPERTIES ('graft.constraint.x' = 'nope > 0')"""
+        .stripMargin)
+    }
+    // a column referenced by a live constraint cannot be dropped
+    val eDrop = intercept[Exception] {
+      spark.sql("ALTER TABLE graft.default.ck_sql DROP COLUMN k")
+    }
+    assert(eDrop.getMessage.contains("UNSET"), eDrop.getMessage)
+  }
+
   override def withFixture(test: NoArgTest) = {
     // region_src is used by the CTAS test; register lazily once
     if (spark.catalog.tableExists("region_src") == false)
