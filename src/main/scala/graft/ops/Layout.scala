@@ -516,16 +516,80 @@ object Layout {
     }
 
   /** Refuse a frame that violates any of `constraints`; `what` names the
-    * refusing verb in the error. Returns unit on success. */
+    * refusing verb in the error. ONE scan computes every constraint's
+    * violation flag together (a per-constraint limit(1) pass would scan
+    * the whole frame once per constraint when the data is valid — the
+    * common case); only an actual refusal pays a second pass to fetch
+    * the named example row. */
   private def enforceConstraints(df: DataFrame,
-      constraints: Seq[(String, String)], what: String): Unit =
-    constraints.foreach { case (name, sqlText) =>
-      val bad = df.where(!coalesce(expr(sqlText), lit(false)))
-        .limit(1).collect()
-      if (bad.nonEmpty) throw new IllegalArgumentException(
-        s"$what refused: CHECK constraint '$name' ($sqlText) is " +
-          s"violated, e.g. by ${bad.head}")
+      constraints: Seq[(String, String)], what: String): Unit = {
+    if (constraints.isEmpty) return
+    val flags = constraints.map { case (n, s) =>
+      max(when(!coalesce(expr(s), lit(false)), lit(1)).otherwise(lit(0)))
+        .as(s"__viol_$n")
     }
+    val row = df.agg(flags.head, flags.tail: _*).head()
+    constraints.zipWithIndex.foreach { case ((name, sqlText), i) =>
+      if (!row.isNullAt(i) && row.getInt(i) == 1) {
+        val ex = df.where(!coalesce(expr(sqlText), lit(false)))
+          .limit(1).collect().headOption
+        throw new IllegalArgumentException(
+          s"$what refused: CHECK constraint '$name' ($sqlText) is " +
+            s"violated, e.g. by ${ex.getOrElse("<row>")}")
+      }
+    }
+  }
+
+  /** The per-CAS-attempt constraint gate: validates exactly the lines
+    * this commit ADDS (`all` minus the attempt head's lines) against
+    * the constraints of THAT head's props. Enforcing only before the
+    * CAS (as first shipped) left a TOCTOU: a constraint committed
+    * between enforcement and publish would admit the unproven rows on
+    * rebase. Per-attempt enforcement closes it — whatever props the
+    * commit rebases onto are the props its data was proven against.
+    * Memoized on the constraint set so retries against an unchanged
+    * set don't re-scan. On refusal the new txn dirs are deleted before
+    * the throw (nothing orphaned for vacuum). */
+  private final class AttemptConstraintGate(fs: FileSystem, root: Path,
+      op: String) {
+    private var provenFor: Option[Seq[(String, String)]] = None
+    def check(head: Int, all: Seq[String]): Unit = {
+      val constraints = constraintsOf(propsOf(fs, root, head))
+      if (constraints.isEmpty || provenFor.contains(constraints)) return
+      val prior: Set[String] =
+        if (head == 0) Set.empty else manifestFiles(fs, root, head).toSet
+      val newPaths = all.filterNot(prior)
+        .map(l => new Path(root, entryPath(l)).toString)
+      if (newPaths.isEmpty) { provenFor = Some(constraints); return }
+      val spark = SparkSession.active
+      try {
+        // plain (footer-inferred) read first: staged files self-describe,
+        // so a type-WIDENING append reads correctly — the head's
+        // pre-widening schema would crash on the wider parquet types. A
+        // NARROW append missing a constrained column fails analysis and
+        // falls back to the recorded schema, whose null-fill then fails
+        // a NOT-NULL-style check — which is exactly right.
+        def enforce(df: DataFrame): Unit =
+          enforceConstraints(df, constraints, op)
+        try enforce(spark.read.parquet(newPaths: _*))
+        catch {
+          case _: org.apache.spark.sql.AnalysisException =>
+            val r = spark.read
+            enforce(schemaOf(fs, root, head).fold(r)(s => r.schema(s))
+              .parquet(newPaths: _*))
+        }
+        provenFor = Some(constraints)
+      } catch {
+        case e: Throwable =>
+          // a refused (or unevaluable) batch must leave nothing behind
+          newPaths.map(p => new Path(p).getParent).distinct.foreach { d =>
+            try fs.delete(d, true)
+            catch { case _: java.io.IOException => () }
+          }
+          throw e
+      }
+    }
+  }
 
   /** Validate bloom properties at DDL time — unknown columns,
     * un-probe-able types, and bad bit counts must fail the statement,
@@ -947,13 +1011,13 @@ object Layout {
         val seen = readLockUuid(fs, lock)
           .orElse { Thread.sleep(10); readLockUuid(fs, lock) }
         if (seen.contains(myUuid)) return lock
-        // verifiably not ours (someone re-created it) → keep waiting;
-        // unverifiable (read kept failing) → best-effort remove what is
-        // most likely our own orphaned file, then retry create
-        if (seen.isEmpty) {
-          try fs.delete(lock, false)
-          catch { case _: java.io.IOException => () }
-        }
+        // Not verifiably ours: NEVER delete here. An unconditional
+        // delete on an unverifiable read would re-open the two-holder
+        // window (the file might be a THIRD writer's live lock that
+        // replaced our broken one while our reads transiently failed).
+        // If the orphan really is ours, the identity watcher below ages
+        // it out like any crashed holder's — a stale.ms liveness cost,
+        // never a safety one.
       } catch {
         case _: java.io.IOException =>
           // held by another writer: watch its identity; break only after
@@ -1005,10 +1069,12 @@ object Layout {
                         txnFor: Int => Map[String, Long] =
                           (h: Int) => Map.empty,
                         propsXform: Map[String, String] =>
-                          Map[String, String] = identity): Int = {
+                          Map[String, String] = identity,
+                        attemptCheck: Int => Unit = _ => ()): Int = {
     val mdir = new Path(root, "manifests")
     fs.mkdirs(mdir)
     val locked = lockfileEnabled(fs)
+    val gate = new AttemptConstraintGate(fs, root, op)
     var attempts = 0
     while (attempts < 10) {
       // lock-enabled deployments read the head INSIDE the lock — a
@@ -1017,7 +1083,12 @@ object Layout {
       val lock = if (locked) Some(acquireCommitLock(fs, mdir)) else None
       try {
         val head = currentVersion(fs, root)
+        attemptCheck(head)
         val all = listFor(head)
+        // CHECK constraints gate the lines this attempt ADDS, against
+        // THIS head's props — see AttemptConstraintGate for why the
+        // gate lives inside the CAS loop
+        gate.check(head, all)
         // headers are computed per attempt too: a racing commit may have
         // evolved the schema or advanced a txn marker, and this commit
         // must rebase onto whatever actually landed, like the line rebase.
@@ -1165,18 +1236,13 @@ object Layout {
     validateClusterProps(set, headSchema)
     validateBloomProps(set, headSchema)
     validateConstraintProps(spark, set, headSchema)
-    // adding a CHECK constraint to a non-empty table proves it against
-    // the EXISTING data first (Delta's ADD CONSTRAINT semantics): after
-    // this DDL the invariant holds for the whole table, not just future
-    // writes — one scan of the head snapshot, refused loudly on the
-    // first counterexample
     val newConstraints = constraintsOf(set)
-    if (newConstraints.nonEmpty) {
-      val v = currentVersion(fs, root)
-      if (v > 0 && manifestFiles(fs, root, v).nonEmpty)
-        enforceConstraints(readSnapshot(spark, table, Some(v)),
-          newConstraints, "ALTER TABLE SET TBLPROPERTIES")
-    }
+    // a constraint on a table with no recorded schema can't be resolved
+    // at DDL time and would turn every later commit's gate into an
+    // analysis error — refuse here with the way out named
+    require(newConstraints.isEmpty || headSchema.nonEmpty,
+      "CHECK constraints require a recorded schema (legacy " +
+        "pre-schema-tracking table — rewrite it first)")
     casCommit(fs, root, "setTableProps",
       head => manifestFiles(fs, root, head),
       head => schemaOf(fs, root, head),
@@ -1190,7 +1256,18 @@ object Layout {
         // whatever props landed concurrently
         validateClusterProps(merged, headSchema)
         merged
-      })
+      },
+      // adding a CHECK constraint to a non-empty table proves it
+      // against the EXISTING data (Delta's ADD CONSTRAINT semantics) —
+      // PER ATTEMPT, against the exact head this commit rebases onto,
+      // so rows landed by a racing insert are inside the proof, not
+      // past it. After this DDL the invariant holds for the whole
+      // table, not just future writes.
+      attemptCheck = head =>
+        if (newConstraints.nonEmpty && head > 0 &&
+            manifestFiles(fs, root, head).nonEmpty)
+          enforceConstraints(readSnapshot(spark, table, Some(head)),
+            newConstraints, "ALTER TABLE SET TBLPROPERTIES"))
   }
 
   /** `ALTER TABLE ... ADD COLUMN` as a schema-only commit (r15 verdict
@@ -1473,29 +1550,13 @@ object Layout {
     val headProps = propsOf(fs, root, headV)
     val bloomBits = headProps.get(BloomBitsProp).map(_.toInt)
       .getOrElse(BloomBitsDefault)
+    // (CHECK constraints are NOT enforced here: the per-attempt gate
+    // inside casCommit validates the added lines against the props of
+    // the exact head each attempt rebases onto — enforcement out here
+    // would both double the scan and leave the TOCTOU a concurrently
+    // added constraint opens. See AttemptConstraintGate.)
     val stagedPaths =
       staged.map { case (rel, _) => new Path(root, rel).toString }
-    // CHECK constraints validate the STAGED BYTES (the exact rows that
-    // would land — the same posture as replaceWhere's predicate check);
-    // a violating batch deletes its txn dirs and refuses before any
-    // manifest is touched. Staged files read under the RECORDED schema
-    // so a narrow append's missing columns null-fill — and then fail a
-    // NOT-NULL-style check, which is exactly right.
-    val constraints = constraintsOf(headProps)
-    if (constraints.nonEmpty) {
-      val r = spark.read
-      val cdf = schemaOf(fs, root, headV).fold(r)(s => r.schema(s))
-        .parquet(stagedPaths: _*)
-      try enforceConstraints(cdf, constraints, "commit")
-      catch { case e: IllegalArgumentException =>
-        staged.map { case (rel, _) => new Path(root, rel).getParent }
-          .distinct.foreach { p =>
-            try fs.delete(p, true)
-            catch { case _: java.io.IOException => () }
-          }
-        throw e
-      }
-    }
     if (statsColumns.isEmpty && !headProps.contains(BloomColumnsProp))
       return bare
     val df = spark.read.parquet(stagedPaths: _*)
@@ -2036,8 +2097,11 @@ object Layout {
     * Contract (same as Delta's default): every incoming row must
     * satisfy the predicate — otherwise the statement would silently
     * write rows OUTSIDE the range it claimed to replace, and a re-run
-    * would duplicate them. Checked BEFORE any staging; costs one extra
-    * evaluation of `data`'s query.
+    * would duplicate them. The predicate must RESOLVE before anything
+    * stages; the row check then runs against the STAGED BYTES (the
+    * exact rows that will land — a pre-staging check of `data` would
+    * validate a different evaluation of a possibly non-deterministic
+    * query). A refused backfill deletes its txn dir.
     *
     * Returns (newVersion, filesRewritten). */
   def replaceWhere(spark: SparkSession, table: String, data: DataFrame,
@@ -2046,26 +2110,29 @@ object Layout {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val v0 = currentVersion(fs, root)
     require(v0 > 0, s"replaceWhere: no committed version in $table")
-    // Stage the incoming batch FIRST and validate the STAGED BYTES: the
+    // the predicate must RESOLVE before anything stages — an analysis
+    // error after staging would orphan the txn dir until vacuum
+    data.where(!coalesce(predicate, lit(false))).queryExecution.analyzed
+    // Stage the incoming batch, then validate the STAGED BYTES: the
     // offender check and the commit must see the same evaluation of
     // `data` — checking one evaluation and committing another would let
     // a non-deterministic (or concurrently-changing) source sneak
-    // out-of-predicate rows past the check. A refused backfill deletes
-    // its txn dir, leaving nothing for vacuum.
+    // out-of-predicate rows past the check. A refused (or failed)
+    // backfill deletes its txn dir, leaving nothing for vacuum.
     val dataStaged = stageTxn(spark, fs, root, data)
     val stagedPaths = dataStaged.map { case (rel, _) =>
       new Path(root, rel).toString }
-    val offenders =
-      if (stagedPaths.isEmpty) Array.empty[org.apache.spark.sql.Row]
-      else spark.read.parquet(stagedPaths: _*)
-        .where(!coalesce(predicate, lit(false))).limit(1).collect()
-    if (offenders.nonEmpty) {
-      dataStaged.headOption.foreach { case (rel, _) =>
-        fs.delete(new Path(root, rel).getParent, true) }
-      throw new IllegalArgumentException(
+    try {
+      val offenders =
+        if (stagedPaths.isEmpty) Array.empty[org.apache.spark.sql.Row]
+        else spark.read.parquet(stagedPaths: _*)
+          .where(!coalesce(predicate, lit(false))).limit(1).collect()
+      if (offenders.nonEmpty) throw new IllegalArgumentException(
         "replaceWhere: incoming data contains rows that do NOT satisfy " +
           s"the replace predicate (e.g. ${offenders.head}) — widen the " +
           "predicate or filter the source")
+    } catch {
+      case e: Throwable => dropStaged(fs, root, dataStaged); throw e
     }
     val files = manifestFiles(fs, root, v0)
     val abs = files.map(l => l -> new Path(root, entryPath(l)).toString)

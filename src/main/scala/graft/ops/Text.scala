@@ -43,10 +43,16 @@ object Text {
       try df.unpersist(blocking = false) catch { case _: Throwable => () }
     }
     nearDupCache.clear()
-    shingleCache.values.foreach { df =>
-      try df.unpersist(blocking = false) catch { case _: Throwable => () }
+    // under the memo's monitor: an unsynchronized clear racing a
+    // builder inside shingleSetsCached could run BETWEEN its cache()
+    // and its put(), letting the new entry land after the clear with
+    // its persisted blocks unreachable by any later clearCaches
+    shingleCache.synchronized {
+      shingleCache.values.foreach { df =>
+        try df.unpersist(blocking = false) catch { case _: Throwable => () }
+      }
+      shingleCache.clear()
     }
-    shingleCache.clear()
     docCountCache.clear()
     // label propagation retains its final round's cache for the caller;
     // drop it here too so cluster-key timings stay order-independent
