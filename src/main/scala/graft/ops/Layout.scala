@@ -926,7 +926,10 @@ object Layout {
   // once the SAME lock identity (the UUID in the file) has been
   // watched unchanged for `graft.commit.lockfile.stale.ms` on the
   // waiter's own monotonic clock (default 60 s — MUST exceed the
-  // slowest commit's publish+verify span, the standard lease caveat;
+  // slowest commit's full in-lock span: publish+verify PLUS, on
+  // constrained tables, the per-attempt CHECK-constraint scan of the
+  // added files (and the whole-table proof on ALTER ADD CONSTRAINT) —
+  // the standard lease caveat;
   // own-clock watching avoids trusting store mtime vs client clock);
   // acquisition gives up after `graft.commit.lockfile.timeout.ms`
   // (default 120 s). Lock breaking is identity-conditional (re-read,
