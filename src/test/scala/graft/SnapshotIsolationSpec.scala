@@ -614,6 +614,38 @@ class SnapshotIsolationSpec extends AnyFunSuite {
       "rows lost or mistyped through the widening")
   }
 
+  test("constraints gate programmatic commits; widening appends still work") {
+    import ops.Layout._
+    import org.apache.spark.sql.types._
+    val table = "target/graft_io/spec/constrained_widen"
+    val root = new Path(table)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(root, true)
+    val n = Tables.nation(spark, sf)
+      .select(col("n_nationkey").cast("int").as("k"), col("n_name"))
+    commitSnapshot(spark, table, n,
+      props = Map("graft.constraint.keyed" -> "k >= 0"))
+    // the per-attempt gate refuses a violating PROGRAMMATIC commit too
+    // (not just the SQL surface), and leaves no staged orphans behind
+    import spark.implicits._
+    intercept[IllegalArgumentException] {
+      commitSnapshot(spark, table,
+        Seq((-1, "bad")).toDF("k", "n_name"))
+    }
+    assert(currentVersion(fs, root) == 1)
+    val orphans = fs.listStatus(new Path(root, "data"))
+      .count(_.getPath.getName.startsWith("txn-"))
+    assert(orphans == 1, // only v1's own txn dir remains
+      s"a refused constrained commit left staged orphans ($orphans dirs)")
+    // the r16 review regression: a TYPE-WIDENING append on a CONSTRAINED
+    // table must commit (the gate reads staged files footer-inferred,
+    // not under the stale pre-widening schema)
+    commitSnapshot(spark, table,
+      Seq((9999999999L, "wide")).toDF("k", "n_name"))
+    assert(versionSchema(spark, table).get("k").dataType == LongType)
+    assert(readSnapshot(spark, table).count() == n.count() + 1)
+  }
+
   test("string-bounds pruning compares in UTF8 order — supplementary chars never lose rows") {
     import ops.Layout._
     import spark.implicits._
