@@ -540,26 +540,35 @@ object Layout {
     }
   }
 
-  /** The per-CAS-attempt constraint gate: validates exactly the lines
-    * this commit ADDS (`all` minus the attempt head's lines) against
-    * the constraints of THAT head's props. Enforcing only before the
-    * CAS (as first shipped) left a TOCTOU: a constraint committed
-    * between enforcement and publish would admit the unproven rows on
-    * rebase. Per-attempt enforcement closes it — whatever props the
-    * commit rebases onto are the props its data was proven against.
-    * Memoized on the constraint set so retries against an unchanged
-    * set don't re-scan. On refusal the new txn dirs are deleted before
-    * the throw (nothing orphaned for vacuum). */
+  /** The per-CAS-attempt constraint gate: validates exactly the data
+    * files this commit ADDS (`all`'s paths minus the attempt head's
+    * paths) against the constraints of the MERGED props this attempt
+    * will publish — head props through the verb's propsXform. Enforcing
+    * only before the CAS (as first shipped) left a TOCTOU: a constraint
+    * committed between enforcement and publish would admit the unproven
+    * rows on rebase. Per-attempt enforcement closes it; enforcing the
+    * POST-xform props (not the head's, as r16 shipped) closes the
+    * sibling hole the r16 advice named — a create-with-data commit
+    * carrying its own `graft.constraint.*` props now proves its own
+    * rows too, since the constraints it ADDS are inside the enforced
+    * set. Comparison is by file PATH, not whole line: data files are
+    * immutable once committed, so a line whose metadata changed (a
+    * deletion-vector group appended by a MOR delete) carries no new
+    * rows and must not be re-scanned. Memoized on the constraint set so
+    * retries against an unchanged set don't re-scan. On refusal the new
+    * txn dirs are deleted before the throw (nothing orphaned for
+    * vacuum). */
   private final class AttemptConstraintGate(fs: FileSystem, root: Path,
       op: String) {
     private var provenFor: Option[Seq[(String, String)]] = None
-    def check(head: Int, all: Seq[String]): Unit = {
-      val constraints = constraintsOf(propsOf(fs, root, head))
+    def check(head: Int, all: Seq[String],
+        constraints: Seq[(String, String)]): Unit = {
       if (constraints.isEmpty || provenFor.contains(constraints)) return
       val prior: Set[String] =
-        if (head == 0) Set.empty else manifestFiles(fs, root, head).toSet
-      val newPaths = all.filterNot(prior)
-        .map(l => new Path(root, entryPath(l)).toString)
+        if (head == 0) Set.empty
+        else manifestFiles(fs, root, head).map(entryPath).toSet
+      val newPaths = all.map(entryPath).filterNot(prior).distinct
+        .map(rel => new Path(root, rel).toString)
       if (newPaths.isEmpty) { provenFor = Some(constraints); return }
       val spark = SparkSession.active
       try {
@@ -925,12 +934,13 @@ object Layout {
   // their rename is not exclusive. A crashed writer's lock is broken
   // once the SAME lock identity (the UUID in the file) has been
   // watched unchanged for `graft.commit.lockfile.stale.ms` on the
-  // waiter's own monotonic clock (default 60 s — MUST exceed the
-  // slowest commit's full in-lock span: publish+verify PLUS, on
-  // constrained tables, the per-attempt CHECK-constraint scan of the
-  // added files (and the whole-table proof on ALTER ADD CONSTRAINT) —
-  // the standard lease caveat;
-  // own-clock watching avoids trusting store mtime vs client clock);
+  // waiter's own monotonic clock (default 60 s). A LIVE holder renews
+  // its identity every stale.ms/3 on a daemon thread ([[CommitLease]]),
+  // so arbitrarily long in-lock work — the per-attempt CHECK-constraint
+  // scan, the whole-table proof on ALTER ADD CONSTRAINT — never ages
+  // out; only a holder actually STALLED for a full stale.ms (GC pause,
+  // partition) can be broken, the standard lease caveat (own-clock
+  // watching avoids trusting store mtime vs client clock);
   // acquisition gives up after `graft.commit.lockfile.timeout.ms`
   // (default 120 s). Lock breaking is identity-conditional (re-read,
   // delete only if the UUID still matches the one observed stale) and
@@ -973,6 +983,68 @@ object Layout {
       } finally in.close()
     } catch { case _: java.io.IOException => None }
 
+  /** A held commit lock with a background LEASE RENEWER (r16 advice):
+    * the in-lock span of a constrained commit (the per-attempt CHECK
+    * scan, or the whole-table proof on ALTER ADD CONSTRAINT) can far
+    * exceed `stale.ms`, and a holder whose lock identity never changes
+    * would be aged out and broken by a waiter WHILE STILL LIVE —
+    * re-opening the two-holder window on exactly the overwrite-capable
+    * stores the lock exists for. The renewer rewrites the lock file
+    * with a fresh UUID every `stale.ms / 3` on a daemon thread: waiters
+    * key staleness on watched-identity age, so every renewal restarts
+    * their clock and a live holder is never broken no matter how long
+    * the in-lock work runs. Only a holder STALLED for a full stale.ms
+    * (GC pause, network partition) can still be broken — the standard
+    * lease caveat, now scoped to actual stalls instead of any slow
+    * commit. Each renewal read-verifies ownership first and overwrites
+    * only its own identity; a failed verify (we WERE broken during a
+    * stall) stops renewal rather than clobbering the new holder's lock.
+    * Release is identity-conditional for the same reason: delete only
+    * if the file still carries our current UUID. */
+  private[graft] final class CommitLease(fs: FileSystem, val lock: Path,
+      firstUuid: String, renewEveryMs: Long) extends AutoCloseable {
+    private val uuid =
+      new java.util.concurrent.atomic.AtomicReference(firstUuid)
+    private[graft] def currentUuid: String = uuid.get
+    private val renewer = new Thread(() => {
+      try while (true) {
+        Thread.sleep(renewEveryMs)
+        // verify-then-overwrite: never clobber a lock that is no longer
+        // ours (a read→write window remains on stores with no
+        // compare-and-put; it is narrower by orders of magnitude than
+        // the unrenewed-lease window this closes)
+        if (!readLockUuid(fs, lock).contains(uuid.get)) throw Halt
+        val next = java.util.UUID.randomUUID().toString
+        val out = fs.create(lock, /* overwrite = */ true)
+        try out.write(next.getBytes(
+          java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        uuid.set(next)
+      } catch {
+        case _: InterruptedException => ()
+        case Halt => ()
+        case _: java.io.IOException => () // stop renewing; the
+          // pre-lease behavior (identity ages toward stale.ms) resumes
+      }
+    }, s"graft-commit-lease-renewer")
+    private object Halt extends RuntimeException {
+      override def fillInStackTrace(): Throwable = this
+    }
+    renewer.setDaemon(true)
+    if (renewEveryMs > 0) renewer.start()
+    override def close(): Unit = {
+      renewer.interrupt()
+      try renewer.join(2000) catch { case _: InterruptedException => () }
+      // identity-conditional release: if a stalled-and-broken lease was
+      // replaced by a new holder, deleting THEIR live lock here would
+      // re-open the two-holder window the breaker just closed
+      try {
+        if (readLockUuid(fs, lock).contains(uuid.get))
+          fs.delete(lock, false)
+      } catch { case _: java.io.IOException => () }
+    }
+  }
+
   /** Acquire `manifests/_commit.lock` by exclusive create, breaking a
     * crashed holder's lock only after watching the SAME lock identity
     * (the UUID written into the file) sit unchanged for `stale.ms` on
@@ -988,7 +1060,8 @@ object Layout {
     * clock-skew assumption. A residual read→delete window remains on
     * stores with no delete-if-match — post-acquisition ownership
     * re-verification below shrinks the harm to a retry. */
-  private[graft] def acquireCommitLock(fs: FileSystem, mdir: Path): Path = {
+  private[graft] def acquireCommitLock(fs: FileSystem, mdir: Path)
+      : CommitLease = {
     val conf = fs.getConf
     val staleMs = conf.getLong("graft.commit.lockfile.stale.ms", 60000L)
     val timeoutMs =
@@ -1013,7 +1086,9 @@ object Layout {
         // stale-watch ourselves for stale.ms, stalling every writer).
         val seen = readLockUuid(fs, lock)
           .orElse { Thread.sleep(10); readLockUuid(fs, lock) }
-        if (seen.contains(myUuid)) return lock
+        if (seen.contains(myUuid))
+          return new CommitLease(fs, lock, myUuid,
+            math.max(50L, staleMs / 3))
         // Not verifiably ours: NEVER delete here. An unconditional
         // delete on an unverifiable read would re-open the two-holder
         // window (the file might be a THIRD writer's live lock that
@@ -1026,7 +1101,11 @@ object Layout {
           // held by another writer: watch its identity; break only after
           // the SAME identity has been stale-aged on our own clock
           readLockUuid(fs, lock) match {
-            case None => () // vanished — retry create
+            // vanished OR persistently unreadable: retry create, but
+            // never hot — an existing-but-unreadable lock file (create
+            // keeps failing, read keeps failing) would otherwise spin
+            // create/read flat out until the 120 s timeout (r16 advice)
+            case None => Thread.sleep(25)
             case cur @ Some(_) =>
               if (cur != watchedUuid) {
                 watchedUuid = cur
@@ -1083,15 +1162,11 @@ object Layout {
       // lock-enabled deployments read the head INSIDE the lock — a
       // commit that landed before our acquisition is visible to the
       // rebase, and none can land until we release
-      val lock = if (locked) Some(acquireCommitLock(fs, mdir)) else None
+      val lease = if (locked) Some(acquireCommitLock(fs, mdir)) else None
       try {
         val head = currentVersion(fs, root)
         attemptCheck(head)
         val all = listFor(head)
-        // CHECK constraints gate the lines this attempt ADDS, against
-        // THIS head's props — see AttemptConstraintGate for why the
-        // gate lives inside the CAS loop
-        gate.check(head, all)
         // headers are computed per attempt too: a racing commit may have
         // evolved the schema or advanced a txn marker, and this commit
         // must rebase onto whatever actually landed, like the line rebase.
@@ -1101,6 +1176,11 @@ object Layout {
         // ALTER TABLE needs removal, which a merge cannot express).
         val txns = txnsOf(fs, root, head) ++ txnFor(head)
         val props = propsXform(propsOf(fs, root, head))
+        // CHECK constraints gate the files this attempt ADDS, against
+        // the MERGED props this attempt will publish (head props AND
+        // this commit's own additions) — see AttemptConstraintGate for
+        // why the gate lives inside the CAS loop
+        gate.check(head, all, constraintsOf(props))
         val attemptId = java.util.UUID.randomUUID().toString
         val header = (CommitHeader + attemptId) +:
           (schemaFor(head).map(s => SchemaHeader + s.json).toSeq ++
@@ -1124,7 +1204,7 @@ object Layout {
           // overwrite-capable stores it is the (residual-window) guard.
           if (commitIdOf(fs, dst).contains(attemptId)) return head + 1
         }
-      } finally lock.foreach(l => fs.delete(l, false))
+      } finally lease.foreach(_.close())
       attempts += 1
     }
     throw new java.io.IOException(
@@ -1197,6 +1277,21 @@ object Layout {
                      statsColumns: Seq[String] = Nil,
                      props: Map[String, String] = Map.empty): Int = {
     validateStatsColumns(statsColumns)
+    // props carried by a data commit get the SAME DDL-time validation
+    // the SQL CREATE/ALTER paths run (r16 advice: the bare parameter
+    // bypassed all three validators, so an unparseable constraint or a
+    // bad bloom.bits set this way write-bricked every later commit
+    // until UNSET; a commit-with-data carrying its own constraint also
+    // never proved its own rows — the per-attempt gate now enforces
+    // the MERGED props, so it does). Validated against df's schema —
+    // for a create-with-data that IS the table schema; for an append
+    // the names must resolve on the batch anyway.
+    if (props.nonEmpty) {
+      require(!props.keys.exists(_.isEmpty), "empty property key")
+      validateClusterProps(props, Some(df.schema))
+      validateBloomProps(props, Some(df.schema))
+      validateConstraintProps(spark, props, Some(df.schema))
+    }
     val root = new Path(table)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val added = stageTxn(spark, fs, root, df)
@@ -1205,7 +1300,15 @@ object Layout {
       (if (head == 0) Seq.empty else manifestFiles(fs, root, head)) ++
         entries,
       appendSchemaFor(fs, root, df),
-      propsXform = _ ++ props)
+      propsXform = p => {
+        val merged = p ++ props
+        // mutual-exclusivity must hold on what actually COMMITS (head
+        // props may already carry the sibling clustering property) —
+        // schema-less check only: merged may legitimately name table
+        // columns this batch lacks
+        if (props.nonEmpty) validateClusterProps(merged, None)
+        merged
+      })
   }
 
   /** Props-only commit — `ALTER TABLE ... SET/UNSET TBLPROPERTIES`:
@@ -2108,7 +2211,16 @@ object Layout {
     *
     * Returns (newVersion, filesRewritten). */
   def replaceWhere(spark: SparkSession, table: String, data: DataFrame,
-      predicate: Column, statsColumns: Seq[String] = Nil): (Int, Int) = {
+      predicate: Column, statsColumns: Seq[String] = Nil): (Int, Int) =
+    replaceWhereImpl(spark, table, data, predicate, statsColumns,
+      () => ())
+
+  /** [[replaceWhere]] with a test seam: `beforeCommit` runs after the
+    * affected set is computed against v0 and before the CAS — the
+    * window a racing append lands in. Production calls the no-op. */
+  private[graft] def replaceWhereImpl(spark: SparkSession, table: String,
+      data: DataFrame, predicate: Column, statsColumns: Seq[String],
+      beforeCommit: () => Unit): (Int, Int) = {
     val root = new Path(table)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val v0 = currentVersion(fs, root)
@@ -2159,8 +2271,44 @@ object Layout {
       else statsColumnsOf(fs, root, v0)
     val added = withStats(spark, fs, root,
       dataStaged ++ carriedStaged, stats)
-    val v = replaceCommit(fs, root, "replaceWhere",
-      affected.map(_._1).toSet, added)
+    val inputSet = affected.map(_._1).toSet
+    val v0Lines = files.toSet
+    beforeCommit()
+    // Serializable conflict check (r16 advice): replaceCommit's subset
+    // guard only catches a racing REPLACE that swapped our inputs out —
+    // a racing APPEND that landed predicate-MATCHING rows between v0 and
+    // the publish would survive the rebase, leaving the committed state
+    // with rows this statement claimed to replace (write skew). Per CAS
+    // attempt, scan any head lines that are not in the v0 line set (the
+    // racing commits' files — cost ∝ their volume, not the table;
+    // recorded bounds could short-circuit this, but the racing-append
+    // case is rare enough that one pruned limit(1) scan is the simpler
+    // sound check) and abort on the first matching row, exactly like
+    // Delta's Serializable conflict rule for replaceWhere. A failed or
+    // conflicted commit drops both staged txns (nothing orphaned).
+    val v = try casCommit(fs, root, "replaceWhere", { head =>
+      val headLines = manifestFiles(fs, root, head)
+      require(inputSet.subsetOf(headLines.toSet),
+        "replaceWhere: concurrent REPLACE conflict — another commit " +
+          "swapped out input files of this operation; re-run it " +
+          "against the new head")
+      val foreign = headLines.filterNot(v0Lines)
+        .map(l => new Path(root, entryPath(l)).toString)
+        .filterNot(stagedPaths.toSet) // never our own staged batch
+      if (foreign.nonEmpty) {
+        val clash = readVersionFiles(spark, fs, root, head, foreign)
+          .where(predicate).limit(1).collect()
+        require(clash.isEmpty,
+          "replaceWhere: concurrent conflict — another commit landed " +
+            "rows matching the replace predicate after this statement " +
+            "computed its affected set (e.g. " + clash.headOption
+              .getOrElse("") + "); re-run it against the new head")
+      }
+      headLines.filterNot(inputSet) ++ added
+    }, head => schemaOf(fs, root, head))
+    catch { case e: Throwable =>
+      dropStaged(fs, root, dataStaged ++ carriedStaged); throw e
+    }
     (v, affected.size)
   }
 

@@ -295,7 +295,7 @@ class CommitLockSpec extends AnyFunSuite {
       val acquired = ops.Layout.acquireCommitLock(fs, mdir)
       val elapsedMs = (System.nanoTime() - t0) / 1e6
       swapper.join()
-      assert(acquired == lock)
+      assert(acquired.lock == lock)
       assert(elapsedMs >= 500,
         f"a never-watched identity was broken after only $elapsedMs%.0f " +
           "ms — breaking is keyed on something other than watched age")
@@ -305,7 +305,9 @@ class CommitLockSpec extends AnyFunSuite {
         assert(elapsedMs >= swapMs + 400,
           f"B arrived at $swapMs%.0f ms but the lock broke at " +
             f"$elapsedMs%.0f ms — the swap did not restart the clock")
-      fs.delete(lock, false)
+      acquired.close()
+      assert(!fs.exists(lock),
+        "close() must release a still-owned lock")
     } finally {
       hconf.unset("graft.commit.lockfile")
       hconf.unset("graft.commit.lockfile.stale.ms")
@@ -334,5 +336,69 @@ class CommitLockSpec extends AnyFunSuite {
       hconf.unset("graft.commit.lockfile")
       hconf.unset("graft.commit.lockfile.timeout.ms")
     }
+  }
+
+  test("lease renewal keeps a LIVE holder unbroken past stale.ms") {
+    // r16 advice: the in-lock span of a constrained commit can exceed
+    // stale.ms, and an unrenewed identity would be aged out and broken
+    // while the holder is still live. With the lease renewer, a waiter
+    // watching the lock must NEVER see one identity sit unchanged for
+    // stale.ms — so with timeout > stale it still times out rather than
+    // breaking the live holder.
+    val table = freshTable("lock_lease")
+    hconf.set("graft.commit.lockfile", "true")
+    hconf.set("graft.commit.lockfile.stale.ms", "400")
+    hconf.set("graft.commit.lockfile.timeout.ms", "1200")
+    try {
+      val root = new Path(table)
+      val fs = root.getFileSystem(hconf)
+      val mdir = new Path(root, "manifests")
+      fs.mkdirs(mdir)
+      val lease = ops.Layout.acquireCommitLock(fs, mdir)
+      try {
+        // the waiter watches for 1200 ms — 3× stale.ms. Pre-lease it
+        // would break the holder at ~400 ms and acquire; now every
+        // ~133 ms renewal restarts its clock and it must time out.
+        val e = intercept[java.io.IOException] {
+          ops.Layout.acquireCommitLock(fs, mdir)
+        }
+        assert(e.getMessage.contains("timed out"),
+          s"waiter broke a live, renewing holder: ${e.getMessage}")
+      } finally lease.close()
+      assert(!fs.exists(new Path(mdir, "_commit.lock")),
+        "close() must release the renewed lock")
+    } finally {
+      hconf.unset("graft.commit.lockfile")
+      hconf.unset("graft.commit.lockfile.stale.ms")
+      hconf.unset("graft.commit.lockfile.timeout.ms")
+    }
+  }
+
+  test("release and renewal are identity-conditional after a break") {
+    // If a stalled holder WAS broken and a new holder's lock is in
+    // place, the old lease's close() must not delete it, and its
+    // renewer must not overwrite it.
+    val table = freshTable("lock_lease_cond")
+    hconf.set("graft.commit.lockfile", "true")
+    // stale.ms default (60 s) → renewal every 20 s: no renewal fires
+    // during this test, we exercise only the close() path
+    try {
+      val root = new Path(table)
+      val fs = root.getFileSystem(hconf)
+      val mdir = new Path(root, "manifests")
+      fs.mkdirs(mdir)
+      val lock = new Path(mdir, "_commit.lock")
+      val lease = ops.Layout.acquireCommitLock(fs, mdir)
+      // simulate: a waiter deemed us stalled, broke the lock, and a new
+      // holder acquired — the file now carries a foreign identity
+      val out = fs.create(lock, true)
+      try out.write("new-holder".getBytes("UTF-8")) finally out.close()
+      lease.close()
+      val in = fs.open(lock)
+      val left = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      assert(left == "new-holder",
+        "close() deleted or clobbered another holder's live lock")
+    } finally hconf.unset("graft.commit.lockfile")
   }
 }

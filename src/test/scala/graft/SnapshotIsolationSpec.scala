@@ -646,6 +646,92 @@ class SnapshotIsolationSpec extends AnyFunSuite {
     assert(readSnapshot(spark, table).count() == n.count() + 1)
   }
 
+  test("a create-with-data commit proves its OWN constraint props (r16 advice)") {
+    import ops.Layout._
+    import spark.implicits._
+    val table = "target/graft_io/spec/constrained_create"
+    val root = new Path(table)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(root, true)
+    // the r16 hole: the gate read constraints from the PRE-commit head
+    // (none at v0), so a commit CARRYING its own graft.constraint.*
+    // landed violating rows despite the 'bad rows never enter' invariant
+    intercept[IllegalArgumentException] {
+      commitSnapshot(spark, table, Seq((-1L, "bad")).toDF("k", "tag"),
+        props = Map("graft.constraint.pos" -> "k >= 0"))
+    }
+    assert(currentVersion(fs, root) == 0,
+      "a violating create-with-data commit published anyway")
+    // nothing orphaned: the refused batch's txn dir is gone
+    val dataDir = new Path(root, "data")
+    val orphans = if (!fs.exists(dataDir)) 0
+      else fs.listStatus(dataDir).count(_.getPath.getName.startsWith("txn-"))
+    assert(orphans == 0, s"refused create left $orphans staged txn dirs")
+    // and an UNPARSEABLE constraint (or bad bloom bits) through the
+    // props parameter fails THIS statement instead of write-bricking
+    // every later commit (validation now runs on the programmatic path)
+    intercept[IllegalArgumentException] {
+      commitSnapshot(spark, table, Seq((1L, "ok")).toDF("k", "tag"),
+        props = Map("graft.constraint.broken" -> "k >=== 0"))
+    }
+    intercept[IllegalArgumentException] {
+      commitSnapshot(spark, table, Seq((1L, "ok")).toDF("k", "tag"),
+        props = Map("graft.stats.bloom.bits" -> "not-a-number"))
+    }
+    assert(currentVersion(fs, root) == 0)
+    // the valid create-with-constraint commits, and the constraint is
+    // live for the next batch
+    commitSnapshot(spark, table, Seq((5L, "ok")).toDF("k", "tag"),
+      props = Map("graft.constraint.pos" -> "k >= 0"))
+    intercept[IllegalArgumentException] {
+      commitSnapshot(spark, table, Seq((-2L, "bad2")).toDF("k", "tag"))
+    }
+    assert(readSnapshot(spark, table).count() == 1)
+  }
+
+  test("replaceWhere aborts when a racing append lands predicate-matching rows") {
+    import ops.Layout._
+    import spark.implicits._
+    val table = "target/graft_io/spec/replace_where_skew"
+    val root = new Path(table)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(root, true)
+    commitSnapshot(spark, table,
+      Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("id", "part", "v"))
+    // the r16 advice's write skew: the affected set is computed against
+    // v0; a commit landing part='a' rows between v0 and the publish
+    // would survive the rebase — the statement then "replaced" part='a'
+    // while matching rows it never saw remain. The conflict check must
+    // abort instead (Delta's Serializable rule for replaceWhere).
+    val incoming = Seq((3L, "a", 30.0)).toDF("id", "part", "v")
+    intercept[IllegalArgumentException] {
+      replaceWhereImpl(spark, table, incoming, col("part") === "a", Nil,
+        () => { // the racing append, landed inside the window
+          commitSnapshot(spark, table,
+            Seq((9L, "a", 90.0)).toDF("id", "part", "v"))
+        })
+    }
+    // the racing append's rows are intact; the aborted replace staged
+    // nothing visible
+    val rows = readSnapshot(spark, table).orderBy("id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(rows == Seq(1L, 2L, 9L), s"post-abort state: $rows")
+    // a racing append that does NOT match the predicate must not abort
+    val (v, _) = replaceWhereImpl(spark, table, incoming,
+      col("part") === "a", Nil,
+      () => {
+        commitSnapshot(spark, table,
+          Seq((10L, "c", 99.0)).toDF("id", "part", "v"))
+      })
+    assert(v > 0)
+    val after = readSnapshot(spark, table).orderBy("id")
+      .select("id", "part").as[(Long, String)].collect().toSeq
+    // rows 1 and 9 (part='a' at entry) swapped for the incoming batch;
+    // the non-matching racing append (10,'c') survives the rebase
+    assert(after == Seq((2L, "b"), (3L, "a"), (10L, "c")),
+      s"post-replace state: $after")
+  }
+
   test("string-bounds pruning compares in UTF8 order — supplementary chars never lose rows") {
     import ops.Layout._
     import spark.implicits._
