@@ -450,6 +450,13 @@ object Layout {
     * survives compaction/rollback and later writers keep honoring it. */
   val ClusterSortProp   = "graft.cluster.sort_by"
   val ClusterZorderProp = "graft.cluster.zorder_by"
+  /** Marker recorded by SQL `CREATE TABLE … PARTITIONED BY (…)`: the
+    * declared partition columns (identity transforms), surfaced back
+    * through `Table.partitioning()`/DESCRIBE. Physically the clause IS
+    * `graft.cluster.sort_by` + `graft.stats.columns` on those columns —
+    * value-clustered files with manifest bounds, pruned like partition
+    * directories without the listing pathology. */
+  val PartitionedByProp = "graft.partitioned.by"
 
   private[graft] def splitCols(v: String): Seq[String] =
     v.split(',').map(_.trim).filter(_.nonEmpty).toSeq
@@ -793,6 +800,21 @@ object Layout {
   // slots carry a prefix no bounds decoder accepts, so entryBounds
   // skips them and pre-bloom readers keep parsing mixed lines
   private val BloomPfx = "B:"
+  // deletion-vector groups: ("@dv", "D:<url-encoded sidecar rel path>",
+  // "D:") — the merge-on-read pointer (r16 verdict task 1). The
+  // "column" slot is `@dv`, a name validateStatsColumns REFUSES for
+  // real columns (starts with @), so a dv group can never collide with
+  // a bounds/bloom group; the bound slots carry the `D:` prefix no
+  // bounds decoder accepts, so entryBounds/entryBlooms skip dv groups
+  // and pre-dv readers keep parsing mixed lines. The sidecar is a
+  // position-delete parquet (Iceberg v2's shape): rows (grp, pos)
+  // where `grp` is the data file's last two path segments
+  // ("txn-<uuid>/part-….parquet" — table-wide unique, relocation-proof)
+  // and `pos` its 0-based row ordinal. A line may carry SEVERAL dv
+  // groups (one per MOR delete that touched the file); a reader
+  // anti-joins the union, so overlap is harmless.
+  private val DvCol = "@dv"
+  private val DvPfx = "D:"
   private def encBound(s: String): String =
     StrPfx + java.net.URLEncoder.encode(s, "UTF-8")
 
@@ -846,6 +868,53 @@ object Layout {
     }
     b.result()
   }
+
+  /** All deletion-vector sidecar rel paths recorded on `line` (possibly
+    * none) — one per MOR delete that touched the file; a reader applies
+    * their UNION. */
+  private[graft] def entryDvs(line: String): Seq[String] = {
+    val f = line.split('\t')
+    var i = 1
+    if (i < f.length && f(i).startsWith("@")) i += 1
+    val b = Seq.newBuilder[String]
+    while (i + 3 <= f.length) {
+      if (f(i) == DvCol && f(i + 1).startsWith(DvPfx))
+        b += java.net.URLDecoder.decode(
+          f(i + 1).substring(DvPfx.length), "UTF-8")
+      i += 3
+    }
+    b.result()
+  }
+
+  /** `line` with a deletion-vector group for `sidecarRel` appended. */
+  private def withDvGroup(line: String, sidecarRel: String): String =
+    line + "\t" + DvCol + "\t" + DvPfx +
+      java.net.URLEncoder.encode(sidecarRel, "UTF-8") + "\t" + DvPfx
+
+  /** The (table-wide unique) position-delete group key of a data file:
+    * its last two path segments — txn dir name + file name, both
+    * uuid'd. Relocation-proof (no table root) and cheap to derive on
+    * the scan side from `_metadata.file_path`. */
+  private def grpOfRel(rel: String): String = {
+    val parts = rel.split('/')
+    if (parts.length >= 2) parts(parts.length - 2) + "/" + parts.last
+    else rel
+  }
+
+  /** `graft.rowlevel.mode` — `cow` (default): row-level verbs rewrite
+    * affected files; `mor`: [[deleteWhere]]/[[mergeInto]] record
+    * position-delete sidecars instead and scans anti-apply them
+    * ([[compactSnapshot]] materializes). */
+  val RowLevelModeProp = "graft.rowlevel.mode"
+
+  private def morEnabled(props: Map[String, String]): Boolean =
+    props.get(RowLevelModeProp).exists(_.equalsIgnoreCase("mor"))
+
+  private[graft] def validateRowLevelProps(
+      props: Map[String, String]): Unit =
+    props.get(RowLevelModeProp).foreach(v =>
+      require(v.equalsIgnoreCase("cow") || v.equalsIgnoreCase("mor"),
+        s"$RowLevelModeProp must be 'cow' or 'mor', got '$v'"))
 
   /** The data file's recorded byte length, if the committing writer
     * recorded one (every commit since the size token landed does;
@@ -1291,6 +1360,7 @@ object Layout {
       validateClusterProps(props, Some(df.schema))
       validateBloomProps(props, Some(df.schema))
       validateConstraintProps(spark, props, Some(df.schema))
+      validateRowLevelProps(props)
     }
     val root = new Path(table)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1342,6 +1412,7 @@ object Layout {
     validateClusterProps(set, headSchema)
     validateBloomProps(set, headSchema)
     validateConstraintProps(spark, set, headSchema)
+    validateRowLevelProps(set)
     val newConstraints = constraintsOf(set)
     // a constraint on a table with no recorded schema can't be resolved
     // at DDL time and would turn every later commit's gate into an
@@ -1487,6 +1558,57 @@ object Layout {
     * error: failing the append beats committing a schema the read path
     * cannot honor and failing some later merge instead. Nested structs
     * keep the parquet-merge add-field rules (no widening inside). */
+  /** `ALTER TABLE … ALTER COLUMN x TYPE t` as a schema-only commit
+    * (r16 verdict task 4): the file list, props and txn markers carry;
+    * only the recorded schema rewrites with the column WIDENED. Old
+    * files scan-promote on read (the vectorized parquet reader upcasts
+    * INT32 under a BIGINT read schema — the exact mechanism the
+    * append-time widening merge already proves via
+    * q_snapshot_widening); no byte is rewritten. Narrowing refuses with
+    * the named error — existing values could be unrepresentable — and
+    * the way out (rewrite) is spelled out. */
+  def updateColumnType(spark: SparkSession, table: String, name: String,
+      to: types.DataType): Int = {
+    val root = new Path(table)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def rank(t: types.DataType): Option[Int] = t match {
+      case types.ByteType    => Some(1)
+      case types.ShortType   => Some(2)
+      case types.IntegerType => Some(3)
+      case types.LongType    => Some(4)
+      case _                 => None
+    }
+    casCommit(fs, root, "updateColumnType",
+      head => manifestFiles(fs, root, head),
+      head => {
+        val prior = schemaOf(fs, root, head).getOrElse(
+          throw new IllegalStateException(
+            s"updateColumnType: $table has no recorded schema to evolve " +
+              "(legacy pre-schema-tracking table — rewrite it first)"))
+        val f = prior.fields.find(_.name.equalsIgnoreCase(name))
+          .getOrElse(throw new IllegalArgumentException(
+            s"updateColumnType: no such column '$name' " +
+              s"(table columns: ${prior.fieldNames.mkString(", ")})"))
+        val widens = (f.dataType, to) match {
+          case (a, b) if a == b => true
+          case (types.FloatType, types.DoubleType) => true
+          case (a, b) => (rank(a), rank(b)) match {
+            case (Some(ra), Some(rb)) => rb >= ra
+            case _ => false
+          }
+        }
+        if (!widens) throw new IllegalArgumentException(
+          s"updateColumnType: ${f.dataType.sql} -> ${to.sql} on column " +
+            s"`$name` is not a widening (supported: integral -> wider " +
+            "integral, FLOAT -> DOUBLE). Narrowing would make existing " +
+            "values unrepresentable — rewrite the table " +
+            "(replaceSnapshot) instead")
+        Some(types.StructType(prior.fields.map(pf =>
+          if (pf.name.equalsIgnoreCase(name)) pf.copy(dataType = to)
+          else pf)))
+      })
+  }
+
   private[graft] def mergeWiden(prior: types.StructType,
       incoming: types.StructType): types.StructType = {
     def refuse(colName: String, a: types.DataType, b: types.DataType) =
@@ -1749,6 +1871,41 @@ object Layout {
      schemaOf(fs, root, v))
   }
 
+  /** `version`'s live deletion vectors resolved to the SQL scan's
+    * currency: qualified absolute data-file path → SORTED deleted row
+    * ordinals. Empty for tables no MOR delete ever touched (the common
+    * case — the SQL scan then takes the vectorized path untouched).
+    * Driver-side materialization is deliberate: the positions must
+    * reach every reader task anyway (Delta ships its deletion vectors
+    * the same way), the volume is ∝ LIVE deleted rows — bounded by
+    * compaction cadence, not table size — and one sidecar read here
+    * spares a per-task sidecar fetch. */
+  private[graft] def versionDvs(spark: SparkSession, table: String,
+      version: Int): Map[String, Array[Long]] = {
+    val root = new Path(table)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lines = manifestFiles(fs, root, version)
+    val dvLines = lines.filter(l => entryDvs(l).nonEmpty)
+    if (dvLines.isEmpty) return Map.empty
+    val absByGrp = dvLines.map { l =>
+      val rel = entryPath(l)
+      grpOfRel(rel) -> fs.makeQualified(new Path(root, rel)).toString
+    }.toMap
+    val dvPaths = dvLines.flatMap(entryDvs).distinct
+      .map(r => new Path(root, r).toString)
+    spark.read.parquet(dvPaths: _*)
+      .groupBy("grp")
+      .agg(sort_array(collect_set(col("pos"))).as("ps"))
+      .collect()
+      .flatMap { r =>
+        // a sidecar may carry groups whose lines were since compacted
+        // away in a later version — this version's map keys only what
+        // its own lines reference
+        absByGrp.get(r.getString(0)).map(abs =>
+          abs -> r.getSeq[Long](1).toArray)
+      }.toMap
+  }
+
   /** Open manifest-listed files under `version`'s RECORDED schema when
     * present: files older than an added column null-fill it, files newer
     * than a rollback target project it away — either way the reader sees
@@ -1761,18 +1918,59 @@ object Layout {
     schemaOf(fs, root, v).fold(r)(s => r.schema(s)).parquet(paths: _*)
   }
 
+  /** Read a set of manifest LINES under `v`'s recorded schema with
+    * merge-on-read deletion vectors ANTI-APPLIED — the one read core
+    * every snapshot consumer (readSnapshot, the skipping reads, the
+    * rewrite verbs, compaction) goes through, so a position-deleted row
+    * is invisible everywhere at once. Mechanics: lines WITHOUT dv
+    * groups read on the plain vectorized path, untouched; lines WITH
+    * dv groups read with `_metadata` (file grp + row ordinal) and
+    * anti-join the union of their position-delete sidecars on
+    * (grp, pos) — cost ∝ live deleted rows, and Catalyst broadcasts
+    * the delete side while it is small (the normal case between
+    * compactions; `CALL system.compact` re-materializes to zero).
+    * The ordinal currency is `_metadata.row_index`, which Spark keeps
+    * correct under row-group skipping — the same contract Delta's
+    * deletion vectors rely on. */
+  private[graft] def readManifestLines(spark: SparkSession,
+      fs: FileSystem, root: Path, v: Int,
+      lines: Seq[String]): DataFrame = {
+    val (dvLines, plainLines) = lines.partition(l => entryDvs(l).nonEmpty)
+    def absOf(ls: Seq[String]) =
+      ls.map(l => new Path(root, entryPath(l)).toString)
+    if (dvLines.isEmpty) {
+      if (plainLines.isEmpty) {
+        val sch = schemaOf(fs, root, v).getOrElse(types.StructType(Nil))
+        return emptyFrame(spark, sch)
+      }
+      return readVersionFiles(spark, fs, root, v, absOf(plainLines))
+    }
+    val dvPaths = dvLines.flatMap(entryDvs).distinct
+      .map(r => new Path(root, r).toString)
+    val del = spark.read.parquet(dvPaths: _*)
+      .select(col("grp").as("__grp"), col("pos").as("__pos"))
+    val masked = readVersionFiles(spark, fs, root, v, absOf(dvLines))
+      .withColumn("__grp",
+        substring_index(col("_metadata.file_path"), "/", -2))
+      .withColumn("__pos", col("_metadata.row_index"))
+      .join(del, Seq("__grp", "__pos"), "left_anti")
+      .drop("__grp", "__pos")
+    if (plainLines.isEmpty) masked
+    else masked.unionByName(
+      readVersionFiles(spark, fs, root, v, absOf(plainLines)))
+  }
+
   /** Read `table` as of `version` (default: newest) — manifest-listed
     * files only, never a directory listing; schema = the version's
-    * recorded schema (see [[versionSchema]]). */
+    * recorded schema (see [[versionSchema]]); merge-on-read deletion
+    * vectors applied. */
   def readSnapshot(spark: SparkSession, table: String,
                    version: Option[Int] = None): DataFrame = {
     val root = new Path(table)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val v = version.getOrElse(currentVersion(fs, root))
     require(v > 0, s"readSnapshot: no committed version in $table")
-    val files = manifestFiles(fs, root, v)
-      .map(line => new Path(root, entryPath(line)).toString)
-    readVersionFiles(spark, fs, root, v, files)
+    readManifestLines(spark, fs, root, v, manifestFiles(fs, root, v))
   }
 
   /** File-skipping predicates evaluable against recorded per-file
@@ -1925,8 +2123,7 @@ object Layout {
     val (kept, _) = fileSelection(spark, table, skips, Some(v))
     val base =
       if (kept.nonEmpty)
-        readVersionFiles(spark, fs, root, v,
-          kept.map(l => new Path(root, entryPath(l)).toString))
+        readManifestLines(spark, fs, root, v, kept)
       else schemaOf(fs, root, v) match {
         case Some(s) => emptyFrame(spark, s)
         case None => throw new IllegalArgumentException(
@@ -2085,8 +2282,11 @@ object Layout {
       fs.getFileStatus(new Path(root, entryPath(l))).getLen)).sum
     val nOut = math.max(1L,
       (bytesBefore + targetFileBytes - 1) / targetFileBytes).toInt
-    val df = readVersionFiles(spark, fs, root, v0,
-      inputs.map(l => new Path(root, entryPath(l)).toString))
+    // dv-aware read: compaction MATERIALIZES merge-on-read deletion
+    // vectors — the rewritten files carry only live rows and the new
+    // lines carry no dv groups, resetting scan-side anti-join cost to
+    // zero (the OPTIMIZE half of the MOR bargain)
+    val df = readManifestLines(spark, fs, root, v0, inputs)
     // zorderBy = re-cluster on BOTH columns (the OPTIMIZE a
     // two-column-skipping table needs: coalesce would merge disjoint
     // rectangles and a single-column sort would scatter the other
@@ -2156,11 +2356,16 @@ object Layout {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val v0 = currentVersion(fs, root)
     require(v0 > 0, s"deleteWhere: no committed version in $table")
+    if (morEnabled(propsOf(fs, root, v0)))
+      return deleteWhereMor(spark, fs, root, table, v0, predicate)
     val files = manifestFiles(fs, root, v0)
     val abs = files.map(l => l -> new Path(root, entryPath(l)).toString)
     // read under the recorded schema: a predicate on an evolved column
     // must see null (and keep the row) on pre-evolution files, not fail
-    // to resolve
+    // to resolve. The detection scan is PLAIN (input_file_name() is
+    // single-source-only, and a file whose only matching rows are
+    // already position-deleted merely gets an unnecessary — dv-applied,
+    // so harmless — rewrite)
     val affectedAbs = readVersionFiles(spark, fs, root, v0, abs.map(_._2))
       .where(predicate)
       .select(input_file_name().as("f")).distinct()
@@ -2175,8 +2380,9 @@ object Layout {
     // SQL DELETE semantics: remove rows where the predicate is TRUE —
     // rows where it evaluates NULL are KEPT (a bare !predicate would
     // drop them, silently deleting every row with a null in a predicate
-    // column)
-    val kept = readVersionFiles(spark, fs, root, v0, affected.map(_._2))
+    // column). Dv-aware read: rows a prior MOR delete removed must not
+    // resurrect through this rewrite (the new line carries no dv group).
+    val kept = readManifestLines(spark, fs, root, v0, affected.map(_._1))
       .where(!coalesce(predicate, lit(false)))
     // rewritten files re-record the table's stats columns (if any):
     // without this, every delete would silently strip a skipping
@@ -2190,6 +2396,97 @@ object Layout {
         statsColumnsOf(fs, root, v0))
     val v = replaceCommit(fs, root, "deleteWhere",
       affected.map(_._1).toSet, added)
+    (v, affected.size, untouched.size)
+  }
+
+  /** `lines` read dv-applied with the position currency retained:
+    * data columns + `__grp` (the file's position-delete group key) +
+    * `__pos` (its 0-based row ordinal) — what a MOR write needs to
+    * record the matched positions. */
+  private def readLinesPos(spark: SparkSession, fs: FileSystem,
+      root: Path, v: Int, lines: Seq[String]): DataFrame = {
+    val base = readVersionFiles(spark, fs, root, v,
+        lines.map(l => new Path(root, entryPath(l)).toString))
+      .withColumn("__grp",
+        substring_index(col("_metadata.file_path"), "/", -2))
+      .withColumn("__pos", col("_metadata.row_index"))
+    val dvPaths = lines.flatMap(entryDvs).distinct
+      .map(r => new Path(root, r).toString)
+    if (dvPaths.isEmpty) base
+    else base.join(spark.read.parquet(dvPaths: _*)
+        .select(col("grp").as("__grp"), col("pos").as("__pos")),
+      Seq("__grp", "__pos"), "left_anti")
+  }
+
+  /** Stage a (grp, pos) frame as position-delete sidecar parquet and
+    * resolve which sidecar file holds which group's deletes. Returns
+    * (staged pairs, grp → sidecar rel paths); empty map = no matches
+    * (the staged dir, if any empty files were written, is dropped by
+    * the caller). The write is fully distributed — clustered by grp so
+    * one data file's positions land in few sidecars — and costs
+    * ∝ matched rows, never table size: THE merge-on-read bargain. */
+  private def stageDv(spark: SparkSession, fs: FileSystem, root: Path,
+      positions: DataFrame)
+      : (Seq[(String, Long)], Map[String, Seq[String]]) = {
+    val staged = stageTxn(spark, fs, root,
+      positions.repartition(col("grp")))
+    if (staged.isEmpty) return (staged, Map.empty)
+    // one metadata-light pass over the just-staged sidecars maps each
+    // group to the sidecar file(s) carrying its positions — the
+    // manifest line needs the pointer, and reading back the staged
+    // bytes (not re-evaluating `positions`) keeps check and commit on
+    // the same evaluation
+    val relByNorm = staged.map { case (rel, _) =>
+      fsPathOf(fs.makeQualified(new Path(root, rel)).toString) -> rel
+    }.toMap
+    val mapping = spark.read
+      .parquet(staged.map { case (rel, _) =>
+        new Path(root, rel).toString }: _*)
+      .select(col("grp"), input_file_name().as("f")).distinct()
+      .collect()
+      .groupBy(_.getString(0))
+      .map { case (g, rows) =>
+        g -> rows.map(r => relByNorm(fsPathOf(r.getString(1))))
+          .toSeq.distinct.sorted
+      }
+    (staged, mapping)
+  }
+
+  /** Merge-on-read DELETE (`graft.rowlevel.mode = 'mor'`, r16 verdict
+    * task 1): instead of rewriting every file group containing a
+    * matched row (copy-on-write — at 100 TB a trickle of GDPR /
+    * dedup-driven point deletes makes that the dominant write cost),
+    * record the matched (file, ordinal) pairs in a position-delete
+    * sidecar parquet and swap the affected manifest lines for the same
+    * lines with a dv pointer group appended. Data files are NEVER
+    * opened for write; delete cost ∝ matched rows. Every snapshot read
+    * anti-applies the sidecars ([[readManifestLines]]);
+    * [[compactSnapshot]] materializes them away; pinned readers of
+    * pre-delete versions see pre-delete lines (no dv group) and are
+    * untouched — the same isolation story as every REPLACE commit.
+    * Returns (newVersion, filesAnnotated, filesUntouched). */
+  private def deleteWhereMor(spark: SparkSession, fs: FileSystem,
+      root: Path, table: String, v0: Int, predicate: Column)
+      : (Int, Int, Int) = {
+    val files = manifestFiles(fs, root, v0)
+    // matched LIVE positions (dv-applied: re-deleting an already
+    // position-deleted row is a no-op, not a double entry)
+    val matched = readLinesPos(spark, fs, root, v0, files)
+      .where(predicate)
+      .select(col("__grp").as("grp"), col("__pos").as("pos"))
+    val (staged, grpToSidecars) = stageDv(spark, fs, root, matched)
+    if (grpToSidecars.isEmpty) {
+      dropStaged(fs, root, staged)
+      return (v0, 0, files.size)
+    }
+    val (affected, untouched) = files.partition(l =>
+      grpToSidecars.contains(grpOfRel(entryPath(l))))
+    val annotated = affected.map { l =>
+      grpToSidecars(grpOfRel(entryPath(l))).foldLeft(l)(withDvGroup)
+    }
+    val v = try replaceCommit(fs, root, "deleteWhereMor",
+      affected.toSet, annotated)
+    catch { case e: Throwable => dropStaged(fs, root, staged); throw e }
     (v, affected.size, untouched.size)
   }
 
@@ -2264,7 +2561,7 @@ object Layout {
     val carriedStaged =
       if (affected.isEmpty) Seq.empty[(String, Long)]
       else stageTxn(spark, fs, root,
-        readVersionFiles(spark, fs, root, v0, affected.map(_._2))
+        readManifestLines(spark, fs, root, v0, affected.map(_._1))
           .where(!coalesce(predicate, lit(false))))
     val stats =
       if (statsColumns.nonEmpty) statsColumns
@@ -2399,43 +2696,86 @@ object Layout {
       // not-matched non-delete source rows insert regardless of whether
       // any file matched; matched-file rows are rewritten with updates
       // applied. The insert set is both counted and written — persist
-      // it so the source⋈snapshot anti-join runs once per consumer
+      // it so the source⋈snapshot anti-join runs once per consumer.
+      // The anti-join runs against the LIVE key set (dv-applied): a key
+      // whose only target rows were position-deleted must INSERT, not
+      // silently vanish.
+      val snapLive = readManifestLines(spark, fs, root, v0, files)
       val inserts = upSrc.select(tcols.map(col): _*)
-        .join(snap.select(col(key)), Seq(key), "left_anti")
+        .join(snapLive.select(col(key)), Seq(key), "left_anti")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         val nInserted = inserts.count() // materializes the cache
-        val staged =
-          if (affected.isEmpty) inserts
-          else {
-            val old =
-              readVersionFiles(spark, fs, root, v0, affected.map(_._2))
-            // ALL matched rows (update AND delete keys) leave the
-            // rewrite; only update-matched re-enter with the source row
-            // applied — what stays out is exactly the deleted set
-            val carried =
-              old.join(src.select(col(key)), Seq(key), "left_anti")
-            // SQL MERGE updates EACH matched target row: a target
-            // holding N rows for a key yields N updated rows, so join
-            // the (non-distinct) old keys against the source — a
-            // semi-join of source against distinct old keys would
-            // collapse duplicates to one row
-            val updated = old.select(col(key))
-              .join(upSrc, Seq(key), "inner")
-              .select(tcols.map(col): _*)
-            carried.unionByName(updated).unionByName(inserts)
+        val affLines = affected.map(_._1)
+        if (morEnabled(propsOf(fs, root, v0))) {
+          // merge-on-read MERGE: matched target rows (update AND delete
+          // keys) are position-deleted via a dv sidecar; updated rows
+          // and inserts append as new data files — ONE commit, write
+          // cost ∝ matched + inserted rows, affected data files never
+          // open for write (r16 verdict task 1)
+          val (dvStaged, grpToSidecars) =
+            if (affLines.isEmpty)
+              (Seq.empty[(String, Long)], Map.empty[String, Seq[String]])
+            else stageDv(spark, fs, root,
+              readLinesPos(spark, fs, root, v0, affLines)
+                .join(src.select(col(key)), Seq(key), "left_semi")
+                .select(col("__grp").as("grp"), col("__pos").as("pos")))
+          try {
+            val annotated = affLines.map { l =>
+              grpToSidecars.getOrElse(grpOfRel(entryPath(l)), Nil)
+                .foldLeft(l)(withDvGroup)
+            }
+            val updated =
+              if (affLines.isEmpty) inserts.where(lit(false))
+              else readManifestLines(spark, fs, root, v0, affLines)
+                .select(col(key))
+                .join(upSrc, Seq(key), "inner")
+                .select(tcols.map(col): _*)
+            val newData = updated.unionByName(inserts)
+            val dataStaged = stageTxn(spark, fs, root, newData)
+            val added = annotated ++ withStats(spark, fs, root,
+              dataStaged, statsColumnsOf(fs, root, v0))
+            val v = replaceCommit(fs, root, "mergeIntoMor",
+              affLines.toSet, added)
+            (v, affected.size, nInserted)
+          } catch { case e: Throwable =>
+            dropStaged(fs, root, dvStaged); throw e
           }
-        // rewritten + inserted files keep the table's recorded bounds,
-        // as in deleteWhere; a rewrite keeping ZERO rows (every row of
-        // the affected files deleted) stages nothing and the affected
-        // entries simply leave the manifest
-        val added =
-          if (staged.isEmpty) Seq.empty[String]
-          else withStats(spark, fs, root,
-            stageTxn(spark, fs, root, staged), statsColumnsOf(fs, root, v0))
-        val v = replaceCommit(fs, root, "mergeInto",
-          affected.map(_._1).toSet, added)
-        (v, affected.size, nInserted)
+        } else {
+          val staged =
+            if (affected.isEmpty) inserts
+            else {
+              // dv-aware: rows a prior MOR delete removed must not
+              // resurrect through this rewrite
+              val old = readManifestLines(spark, fs, root, v0, affLines)
+              // ALL matched rows (update AND delete keys) leave the
+              // rewrite; only update-matched re-enter with the source
+              // row applied — what stays out is exactly the deleted set
+              val carried =
+                old.join(src.select(col(key)), Seq(key), "left_anti")
+              // SQL MERGE updates EACH matched target row: a target
+              // holding N rows for a key yields N updated rows, so join
+              // the (non-distinct) old keys against the source — a
+              // semi-join of source against distinct old keys would
+              // collapse duplicates to one row
+              val updated = old.select(col(key))
+                .join(upSrc, Seq(key), "inner")
+                .select(tcols.map(col): _*)
+              carried.unionByName(updated).unionByName(inserts)
+            }
+          // rewritten + inserted files keep the table's recorded
+          // bounds, as in deleteWhere; a rewrite keeping ZERO rows
+          // (every row of the affected files deleted) stages nothing
+          // and the affected entries simply leave the manifest
+          val added =
+            if (staged.isEmpty) Seq.empty[String]
+            else withStats(spark, fs, root,
+              stageTxn(spark, fs, root, staged),
+              statsColumnsOf(fs, root, v0))
+          val v = replaceCommit(fs, root, "mergeInto",
+            affLines.toSet, added)
+          (v, affected.size, nInserted)
+        }
       } finally inserts.unpersist()
     } finally src.unpersist()
   }
@@ -2543,9 +2883,13 @@ object Layout {
     val cutoff = head - keepLast + 1
     val expired = (1 until cutoff)
       .filter(v => fs.exists(new Path(root, s"manifests/v$v.manifest")))
+    // retained = every data file AND every dv sidecar a surviving
+    // manifest references — a position-delete sidecar is as load-bearing
+    // as the data file it masks
     val retainedFiles = (math.max(1, cutoff) to head)
       .filter(v => fs.exists(new Path(root, s"manifests/v$v.manifest")))
-      .flatMap(v => manifestFiles(fs, root, v)).map(entryPath).toSet
+      .flatMap(v => manifestFiles(fs, root, v))
+      .flatMap(l => entryPath(l) +: entryDvs(l)).toSet
     expired.foreach(v =>
       fs.delete(new Path(root, s"manifests/v$v.manifest"), false))
     // Re-check the head before the DESTRUCTIVE half: retainedFiles was
@@ -2662,6 +3006,44 @@ object Layout {
       .orderBy("o_orderstatus")
   }
 
+  /** Merge-on-read DELETE, end to end (r16 verdict task 1): the same
+    * table and predicate as [[qSnapshotDelete]], but the table carries
+    * `graft.rowlevel.mode = 'mor'` — so the delete writes a
+    * position-delete sidecar and annotates manifest lines instead of
+    * rewriting any data file (pinned by SnapshotIsolationSpec: the
+    * line PATHS are unchanged, only dv groups appear, and delete cost
+    * scales with matched rows). The shared oracle proves MOR state ≡
+    * COW state: the dv-applying read must answer exactly like the
+    * rewriting delete. A [[compactSnapshot]] then MATERIALIZES the
+    * vectors and the re-read must still match — both states hash the
+    * same oracle. */
+  def qSnapshotDeleteMor(s: SparkSession, d: String): DataFrame = {
+    import graft.Tables._
+    val table = s"${Sources.ioDir(s, d)}/orders_mor_delete"
+    dropTable(s, table) // deterministic re-run: fresh table history
+    val o = orders(s, d)
+    commitSnapshot(s, table,
+      o.where(pmod(col("o_orderkey"), lit(2)) === 0),
+      props = Map(RowLevelModeProp -> "mor"))
+    commitSnapshot(s, table, o.where(pmod(col("o_orderkey"), lit(2)) === 1))
+    deleteWhere(s, table,
+      pmod(col("o_orderkey"), lit(2)) === 1 && col("o_orderstatus") === "F")
+    def agg() = readSnapshot(s, table)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum(dec2(col("o_totalprice"))).cast("double").as("sum_price"))
+      .orderBy("o_orderstatus")
+    // materialize the dvs and answer from the compacted state — the
+    // dv-applied and materialized reads must agree (same oracle hash);
+    // a drift between them would be a dv-application bug
+    val before = agg().collect()
+    compactSnapshot(s, table, sortBy = Seq("o_orderkey"))
+    val after = agg()
+    require(after.collect().sameElements(before),
+      "MOR dv-applied read and post-compaction materialized read disagree")
+    after
+  }
+
   /** Copy-on-write MERGE, end to end: the table (narrow orders
     * projection) lands as two parity transactions, then one
     * [[mergeInto]] applies a delta carrying ALL THREE verbs — updates
@@ -2681,6 +3063,41 @@ object Layout {
     val o = orders(s, d).select(col("o_orderkey"), col("o_orderstatus"),
       dec2(col("o_totalprice")).as("price"))
     commitSnapshot(s, table, o.where(pmod(col("o_orderkey"), lit(2)) === 0))
+    commitSnapshot(s, table, o.where(pmod(col("o_orderkey"), lit(2)) === 1))
+    val mx = o.agg(max(col("o_orderkey"))).head.getLong(0)
+    val updates = o.where(pmod(col("o_orderkey"), lit(10)) === 3)
+      .withColumn("price", (col("price") * 2).cast("decimal(18,2)"))
+      .withColumn("is_retract", lit(false))
+    val inserts = o.where(pmod(col("o_orderkey"), lit(10)) === 7)
+      .withColumn("o_orderkey", col("o_orderkey") + lit(2L * mx))
+      .withColumn("is_retract", lit(false))
+    val retracts = o.where(pmod(col("o_orderkey"), lit(10)) === 1)
+      .withColumn("is_retract", lit(true))
+    mergeInto(s, table,
+      updates.unionByName(inserts).unionByName(retracts),
+      "o_orderkey", deleteWhen = Some(col("is_retract")))
+    readSnapshot(s, table)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum(col("price")).cast("double").as("sum_price"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** Merge-on-read MERGE, end to end: the same three-verb delta as
+    * [[qSnapshotMerge]] (updates, inserts, retractions) against a
+    * `graft.rowlevel.mode = 'mor'` table — matched rows position-delete
+    * via a dv sidecar, updated+inserted rows append as new files, no
+    * affected data file is rewritten. The shared oracle proves the MOR
+    * merge's visible state ≡ the COW merge's. */
+  def qSnapshotMergeMor(s: SparkSession, d: String): DataFrame = {
+    import graft.Tables._
+    val table = s"${Sources.ioDir(s, d)}/orders_merge_mor"
+    dropTable(s, table) // deterministic re-run: fresh table history
+    val o = orders(s, d).select(col("o_orderkey"), col("o_orderstatus"),
+      dec2(col("o_totalprice")).as("price"))
+    commitSnapshot(s, table,
+      o.where(pmod(col("o_orderkey"), lit(2)) === 0),
+      props = Map(RowLevelModeProp -> "mor"))
     commitSnapshot(s, table, o.where(pmod(col("o_orderkey"), lit(2)) === 1))
     val mx = o.agg(max(col("o_orderkey"))).head.getLong(0)
     val updates = o.where(pmod(col("o_orderkey"), lit(10)) === 3)
@@ -2965,7 +3382,9 @@ object Layout {
     "q_manifest_snapshot" -> qManifestSnapshot _,
     "q_compact_snapshot"  -> qCompactSnapshot _,
     "q_snapshot_delete"   -> qSnapshotDelete _,
+    "q_snapshot_delete_mor" -> qSnapshotDeleteMor _,
     "q_snapshot_merge"    -> qSnapshotMerge _,
+    "q_snapshot_merge_mor" -> qSnapshotMergeMor _,
     "q_manifest_skipping" -> qManifestSkipping _,
     "q_snapshot_changes"  -> qSnapshotChanges _,
     "q_manifest_stream"   -> qManifestStream _,
@@ -2976,6 +3395,33 @@ object Layout {
     "q_manifest_skipping_multi" -> qManifestSkippingMulti _,
     "q_snapshot_widening" -> qSnapshotWidening _,
   )
+
+  // one oracle string per (COW, MOR) verb pair — sharing the literal
+  // means the DuckDB gate PROVES the two execution strategies land the
+  // identical visible state, and the strings cannot drift apart
+  private val oracleSqlDelete =
+    """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS sum_price
+      |FROM orders
+      |WHERE NOT (o_orderkey % 2 = 1 AND o_orderstatus = 'F')
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  private val oracleSqlMerge =
+    """WITH mx AS (SELECT MAX(o_orderkey) AS m FROM orders),
+      |base AS (
+      |  SELECT o_orderstatus,
+      |    CASE WHEN o_orderkey % 10 = 3
+      |      THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 2
+      |        AS DECIMAL(18,2))
+      |      ELSE CAST(o_totalprice AS DECIMAL(18,2)) END AS price
+      |  FROM orders WHERE o_orderkey % 10 <> 1
+      |  UNION ALL
+      |  SELECT o_orderstatus, CAST(o_totalprice AS DECIMAL(18,2))
+      |  FROM orders, mx WHERE o_orderkey % 10 = 7)
+      |SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(price) AS DOUBLE) AS sum_price
+      |FROM base GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     // SHARED with q_table_roundtrip (same output shape, same semantics):
@@ -2999,32 +3445,17 @@ object Layout {
         |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
         |FROM documents WHERE lang = 'en'
         |GROUP BY lang ORDER BY lang""".stripMargin,
+    // SHARED with q_snapshot_delete / q_snapshot_merge: merge-on-read
+    // and copy-on-write must land the IDENTICAL visible state — the
+    // oracle hash proves the dv-applying read equals the rewriting verb
+    "q_snapshot_delete_mor" -> oracleSqlDelete,
+    "q_snapshot_merge_mor"  -> oracleSqlMerge,
     // post-delete state recomputed from source with the negated predicate
-    "q_snapshot_delete" ->
-      """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
-        |    AS sum_price
-        |FROM orders
-        |WHERE NOT (o_orderkey % 2 = 1 AND o_orderstatus = 'F')
-        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q_snapshot_delete" -> oracleSqlDelete,
     // post-merge state recomputed from source: update-in-place for the
     // %10=3 slice, retraction (WHEN MATCHED DELETE) of the %10=1 slice,
     // re-keyed inserts for the %10=7 slice
-    "q_snapshot_merge" ->
-      """WITH mx AS (SELECT MAX(o_orderkey) AS m FROM orders),
-        |base AS (
-        |  SELECT o_orderstatus,
-        |    CASE WHEN o_orderkey % 10 = 3
-        |      THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 2
-        |        AS DECIMAL(18,2))
-        |      ELSE CAST(o_totalprice AS DECIMAL(18,2)) END AS price
-        |  FROM orders WHERE o_orderkey % 10 <> 1
-        |  UNION ALL
-        |  SELECT o_orderstatus, CAST(o_totalprice AS DECIMAL(18,2))
-        |  FROM orders, mx WHERE o_orderkey % 10 = 7)
-        |SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
-        |  CAST(SUM(price) AS DOUBLE) AS sum_price
-        |FROM base GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q_snapshot_merge" -> oracleSqlMerge,
     // same range recomputed from source — pruning must change the read
     // set, never the answer
     "q_manifest_skipping" ->

@@ -156,10 +156,28 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
-    require(partitions.isEmpty,
-      "graft-manifest tables do not take PARTITIONED BY — use the " +
-        "layout verbs (z-order / clustered compaction + statsColumns " +
-        "manifest skipping) instead of hive partitioning")
+    // `PARTITIONED BY (c1, c2)` (r16 verdict task 2): identity
+    // transforms map onto the clustering + manifest-skipping machinery
+    // instead of hive directories — every INSERT range-clusters the
+    // batch on the partition columns and records their per-file bounds,
+    // so a partition-predicate query prunes whole files from the
+    // manifest exactly like directory pruning would, without the
+    // small-files/listing pathology hive layouts hit at 100 TB.
+    // Non-identity transforms (bucket, days, …) refuse with the
+    // property-based alternatives named.
+    val partCols: Seq[String] = partitions.toSeq.map { t =>
+      val id = t.name() == "identity" &&
+        t.references().length == 1 &&
+        t.references()(0).fieldNames().length == 1
+      if (!id) throw new UnsupportedOperationException(
+        s"PARTITIONED BY supports identity transforms only, got '$t' — " +
+          "for bucketing/temporal layouts use graft.cluster.sort_by / " +
+          "graft.cluster.zorder_by TBLPROPERTIES on a derived column")
+      t.references()(0).fieldNames()(0)
+    }
+    partCols.foreach(c => require(schema.fieldNames.contains(c),
+      s"PARTITIONED BY names unknown column '$c' " +
+        s"(table columns: ${schema.fieldNames.mkString(", ")})"))
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
     val dir = dirOf(ident)
     // `graft.stats.columns` TBLPROPERTY: recorded in the CREATE commit's
@@ -185,10 +203,27 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       TableCatalog.PROP_PROVIDER, TableCatalog.PROP_OWNER,
       TableCatalog.PROP_EXTERNAL, TableCatalog.PROP_IS_MANAGED_LOCATION,
       "option.path", "path")
-    val graftProps = properties.asScala.toMap -- reserved
+    val userProps = properties.asScala.toMap -- reserved
+    val graftProps =
+      if (partCols.isEmpty) userProps
+      else {
+        require(!userProps.contains(Layout.ClusterSortProp) &&
+            !userProps.contains(Layout.ClusterZorderProp),
+          "PARTITIONED BY and graft.cluster.* TBLPROPERTIES are " +
+            "mutually exclusive — the partition columns BECOME the " +
+            "table's clustering")
+        val stats = userProps.get(Layout.StatsColumnsProp)
+          .map(Layout.splitCols).getOrElse(Nil)
+        userProps +
+          (Layout.ClusterSortProp -> partCols.mkString(",")) +
+          (Layout.StatsColumnsProp ->
+            (stats ++ partCols.filterNot(stats.contains)).mkString(",")) +
+          (Layout.PartitionedByProp -> partCols.mkString(","))
+      }
     Layout.validateClusterProps(graftProps, Some(schema))
     Layout.validateBloomProps(graftProps, Some(schema))
     Layout.validateConstraintProps(spark, graftProps, Some(schema))
+    Layout.validateRowLevelProps(graftProps)
     val empty = spark.createDataFrame(
       new util.ArrayList[org.apache.spark.sql.Row](), schema)
       .repartition(1)
@@ -211,11 +246,23 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       c.isInstanceOf[TableChange.SetProperty] ||
         c.isInstanceOf[TableChange.RemoveProperty] ||
         c.isInstanceOf[TableChange.AddColumn] ||
-        c.isInstanceOf[TableChange.DeleteColumn])
+        c.isInstanceOf[TableChange.DeleteColumn] ||
+        c.isInstanceOf[TableChange.UpdateColumnType])
     if (unsupported.nonEmpty) throw new UnsupportedOperationException(
-      "ALTER TABLE supports SET/UNSET TBLPROPERTIES, ADD COLUMN and " +
-        "DROP COLUMN; type widening happens at commit time (append " +
-        s"merge). Refused: ${unsupported.mkString(", ")}")
+      "ALTER TABLE supports SET/UNSET TBLPROPERTIES, ADD COLUMN, " +
+        "DROP COLUMN and ALTER COLUMN ... TYPE (widening only). " +
+        "RENAME COLUMN is not supported — add the new column and " +
+        "backfill it instead (old files null-fill, history stays " +
+        s"readable). Refused: ${unsupported.mkString(", ")}")
+    val widens = changes.collect {
+      case u: TableChange.UpdateColumnType => u }
+    widens.foreach { u =>
+      require(u.fieldNames.length == 1,
+        "ALTER COLUMN TYPE supports top-level columns only; got " +
+          u.fieldNames.mkString("."))
+      Layout.updateColumnType(spark, dirOf(ident),
+        u.fieldNames()(0), u.newDataType())
+    }
     val adds = changes.collect { case a: TableChange.AddColumn => a }
     if (adds.nonEmpty) {
       val fields = adds.map { a =>
@@ -371,6 +418,18 @@ class GraftTable(path: String, version: Option[Int])
       Map(TableCatalog.PROP_LOCATION -> path,
         TableCatalog.PROP_PROVIDER -> "graft-manifest")).asJava
 
+  /** Declared `PARTITIONED BY` columns surface as identity transforms
+    * (DESCRIBE / SHOW CREATE fidelity); the physical layout behind them
+    * is clustering + manifest skipping, not directories. */
+  override def partitioning()
+      : Array[org.apache.spark.sql.connector.expressions.Transform] =
+    Layout.tableProps(spark, path, Some(pinnedVersion).filter(_ > 0))
+      .get(Layout.PartitionedByProp)
+      .map(Layout.splitCols(_).map(c =>
+        org.apache.spark.sql.connector.expressions.Expressions
+          .identity(c)).toArray)
+      .getOrElse(Array.empty)
+
   // BATCH_WRITE is the ROW-LEVEL path's capability (ReplaceData's V2
   // write); plain INSERT still rides V1_BATCH_WRITE because
   // newWriteBuilder returns a V1Write — the physical planner dispatches
@@ -407,20 +466,39 @@ class GraftTable(path: String, version: Option[Int])
     * `_file` metadata column — only the row-level group-filter subquery
     * does — the builder switches to the row-based COW scan, which
     * synthesizes `_file` per row. */
+  /** Live deletion vectors of the pinned snapshot. Non-empty ⇒ every
+    * read takes the row-based dv-applying scan (see
+    * [[org.apache.spark.sql.graft.SnapshotScanBuilder.build]]);
+    * empty (any table no MOR delete ever touched — the common case) ⇒
+    * zero overhead, the vectorized path is untouched. */
+  private lazy val pinnedDvs: Map[String, Array[Long]] =
+    Layout.versionDvs(spark, path, pinnedVersion)
+
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : ScanBuilder = {
     val (files, _) = pinnedLayout
     new org.apache.spark.sql.graft.SnapshotScanBuilder(spark, files,
       schema(), options.asCaseSensitiveMap(),
-      (required, pushedData) => new GraftCowScan(
-        Layout.rowLevelEntries(spark, path, pinnedVersion),
-        ColumnBridge.nullableSchema(schema()), required, pushedData,
-        s"$path@v$pinnedVersion"),
+      (required, pushedData, skips) => {
+        // the row-based scan keeps manifest-level skipping: bounds
+        // predicates prune its file-group list exactly as they prune
+        // the vectorized scan's file list
+        val all = Layout.rowLevelEntries(spark, path, pinnedVersion)
+        val entries = if (skips.isEmpty) all else {
+          val kept = Layout.fileSelection(spark, path, skips,
+            Some(pinnedVersion))._1.toSet
+          all.filter { case (l, _, _) => kept.contains(l) }
+        }
+        new GraftCowScan(entries,
+          ColumnBridge.nullableSchema(schema()), required, pushedData,
+          s"$path@v$pinnedVersion", pinnedDvs)
+      },
       // manifest-level file skipping for SQL WHERE clauses: bounds
       // predicates evaluate against THIS pinned version's recorded
       // per-file stats, dropping whole files before any footer opens
       skips => Layout.prunedFilePaths(spark, path, skips,
-        Some(pinnedVersion)))
+        Some(pinnedVersion)),
+      hasDv = pinnedDvs.nonEmpty)
   }
 
   /** INSERT INTO → APPEND commit; INSERT OVERWRITE (truncate) →
@@ -836,7 +914,82 @@ object GraftSql {
             |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin)
   }
 
+  /** `PARTITIONED BY` end to end (r16 verdict task 2): the nightly
+    * partitioned-backfill shape of q_partitioned_backfill, re-expressed
+    * as pure SQL text against the manifest catalog — CREATE TABLE …
+    * PARTITIONED BY (day), one bulk INSERT (the clause clusters the
+    * batch by day and records per-file day bounds), then the idempotent
+    * last-day rebuild via `INSERT … REPLACE WHERE`. The shared oracle
+    * proves the clustered+skipped layout answers exactly like the
+    * hive-directory layout; GraftSkippingSqlSpec pins the pruning side
+    * (a day-predicate SELECT opens only that day's files). */
+  def qPartitionedSql(s: SparkSession, d: String): DataFrame = {
+    val wh = s"${graft.ops.Sources.ioDir(s, d)}/sql_catalog"
+    val cat = catalogFor(s, wh)
+    val t = s"$cat.default.events_part_sql"
+    s.sql(s"DROP TABLE IF EXISTS $t")
+    val dayNs = 86400L * 1000 * 1000 * 1000
+    graft.Events.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        dec2(col("value")).as("v"),
+        expr(s"ts div $dayNs").as("day"))
+      .createOrReplaceTempView("events_part_src")
+    s.sql(s"""CREATE TABLE $t
+            |  (event_id BIGINT, user_id BIGINT, event_type STRING,
+            |   v DECIMAL(18,2), day BIGINT)
+            |PARTITIONED BY (day)""".stripMargin)
+    s.sql(s"INSERT INTO $t SELECT * FROM events_part_src")
+    val lastDay = s.sql("SELECT MAX(day) AS d FROM events_part_src")
+      .head.getLong(0)
+    // the idempotent partition rebuild: re-running converges instead of
+    // duplicating — one atomic commit swaps exactly the day's rows
+    s.sql(s"""INSERT INTO $t REPLACE WHERE day = $lastDay
+            |SELECT * FROM events_part_src WHERE day = $lastDay"""
+      .stripMargin)
+    s.sql(s"""SELECT day, CAST(COUNT(*) AS BIGINT) AS n,
+            |  CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_events,
+            |  CAST(SUM(v) AS DOUBLE) AS sum_value
+            |FROM $t GROUP BY day ORDER BY day""".stripMargin)
+  }
+
+  /** Type widening as DDL (r16 verdict task 4): CREATE with an INT key,
+    * land generation-1, `ALTER TABLE … ALTER COLUMN … TYPE BIGINT`
+    * (schema-only commit — zero bytes rewritten, old files
+    * scan-promote), land generation-2 with 64-bit keys, aggregate
+    * across both generations. Shares q_snapshot_widening's oracle: the
+    * DDL path must land exactly the append-merge widening path's
+    * state. */
+  def qWideningSql(s: SparkSession, d: String): DataFrame = {
+    val wh = s"${graft.ops.Sources.ioDir(s, d)}/sql_catalog"
+    val cat = catalogFor(s, wh)
+    val t = s"$cat.default.supplier_widen_sql"
+    s.sql(s"DROP TABLE IF EXISTS $t")
+    supplier(s, d)
+      .select(col("s_suppkey"), col("s_nationkey"),
+        dec2(col("s_acctbal")).as("bal"))
+      .createOrReplaceTempView("supplier_widen_src")
+    s.sql(s"""CREATE TABLE $t
+            |  (s_suppkey INT, s_nationkey BIGINT,
+            |   bal DECIMAL(18,2))""".stripMargin)
+    s.sql(s"""INSERT INTO $t
+            |SELECT CAST(s_suppkey AS INT), s_nationkey, bal
+            |FROM supplier_widen_src WHERE s_suppkey % 2 = 0"""
+      .stripMargin)
+    s.sql(s"ALTER TABLE $t ALTER COLUMN s_suppkey TYPE BIGINT")
+    s.sql(s"""INSERT INTO $t
+            |SELECT s_suppkey, s_nationkey, bal
+            |FROM supplier_widen_src WHERE s_suppkey % 2 = 1"""
+      .stripMargin)
+    s.sql(s"""SELECT s_nationkey, CAST(COUNT(*) AS BIGINT) AS n,
+            |  CAST(SUM(s_suppkey) AS BIGINT) AS sum_key,
+            |  CAST(SUM(bal) AS DOUBLE) AS sum_bal
+            |FROM $t GROUP BY s_nationkey ORDER BY s_nationkey"""
+      .stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_partitioned_sql" -> qPartitionedSql _,
+    "q_widening_sql" -> qWideningSql _,
     "q_manifest_sql" -> qManifestSql _,
     "q_manifest_merge_sql" -> qManifestMergeSql _,
     "q_manifest_maintenance_sql" -> qManifestMaintenanceSql _,
@@ -847,6 +1000,14 @@ object GraftSql {
     "q_manifest_evolution_sql" -> qManifestEvolutionSql _)
 
   val oracleSql: Map[String, String] = Map(
+    // shared string: PARTITIONED BY (clustering + manifest skipping)
+    // must answer exactly like the hive-directory layout it replaces
+    "q_partitioned_sql" ->
+      graft.ops.Sources.oracleSql("q_partitioned_backfill"),
+    // shared string: the ALTER COLUMN TYPE DDL path must land exactly
+    // the append-merge widening path's state
+    "q_widening_sql" ->
+      graft.ops.Layout.oracleSql("q_snapshot_widening"),
     "q_manifest_sql" -> graft.ops.Sources.oracleSql("q_table_roundtrip"),
     // shared string: a constraint-gated insert of conforming data must
     // land exactly the ungated table state

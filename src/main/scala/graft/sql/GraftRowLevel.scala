@@ -94,6 +94,12 @@ class GraftRowLevelOperation(
   val entries: Seq[(String, String, Long)] =
     Layout.rowLevelEntries(SparkSession.active, tablePath, pinnedVersion)
 
+  /** Live deletion vectors of the pinned snapshot: the COW scan must
+    * not read (and the rewrite must not resurrect) position-deleted
+    * rows of a merge-on-read table. */
+  val dvs: Map[String, Array[Long]] =
+    Layout.versionDvs(SparkSession.active, tablePath, pinnedVersion)
+
   @volatile private var mainScan: GraftCowScan = null
   private[sql] def registerScan(s: GraftCowScan): Unit = synchronized {
     if (mainScan == null) mainScan = s
@@ -153,7 +159,7 @@ class GraftCowScanBuilder(op: GraftRowLevelOperation) extends ScanBuilder
 
   override def build(): Scan = {
     val scan = new GraftCowScan(op.entries, op.tableSchema, required,
-      pushed, s"${op.tablePath}@v${op.pinnedVersion}")
+      pushed, s"${op.tablePath}@v${op.pinnedVersion}", op.dvs)
     op.registerScan(scan)
     scan
   }
@@ -171,7 +177,8 @@ class GraftCowScanBuilder(op: GraftRowLevelOperation) extends ScanBuilder
   * relation (see [[org.apache.spark.sql.graft.SnapshotScanBuilder]]). */
 class GraftCowScan(entries: Seq[(String, String, Long)],
     tableSchema: StructType, required: StructType,
-    pushedFilters: Array[Filter], label: String) extends Scan with Batch
+    pushedFilters: Array[Filter], label: String,
+    dvs: Map[String, Array[Long]] = Map.empty) extends Scan with Batch
     with SupportsRuntimeV2Filtering with SupportsReportStatistics {
 
   /** Survivor groups — starts at the full pinned snapshot, narrowed by
@@ -231,9 +238,20 @@ class GraftCowScan(entries: Seq[(String, String, Long)],
       GraftCowInputPartition(abs, len): InputPartition }.toArray
 
   override def createReaderFactory(): PartitionReaderFactory = {
-    val readFunc = ColumnBridge.parquetReaderFunc(SparkSession.active,
+    val spark = SparkSession.active
+    val readFunc = ColumnBridge.parquetReaderFunc(spark,
       tableSchema, dataRequired, pushedFilters.toSeq, Map.empty)
-    GraftCowReaderFactory(readFunc, wantsFile)
+    // dv'd files read WITHOUT pushed parquet filters: the anti-apply
+    // skips by row ORDINAL, which only equals the iterator index when
+    // the reader returns every row. Correctness is untouched — file-
+    // source pushdown is best-effort and Spark re-evaluates every
+    // filter above the scan; only the dv'd files (bounded by compaction
+    // cadence) pay the unpruned read.
+    val plainFunc =
+      if (dvs.isEmpty) readFunc
+      else ColumnBridge.parquetReaderFunc(spark,
+        tableSchema, dataRequired, Nil, Map.empty)
+    GraftCowReaderFactory(readFunc, plainFunc, wantsFile, dvs)
   }
 
   override def estimateStatistics(): Statistics = new Statistics {
@@ -249,17 +267,52 @@ class GraftCowScan(entries: Seq[(String, String, Long)],
 case class GraftCowInputPartition(path: String, length: Long)
   extends InputPartition
 
-/** Executor-side: parquet-read one file, appending the constant `_file`
-  * column via a reused JoinedRow when the plan asked for it. */
+/** Executor-side: parquet-read one file, anti-applying its deletion
+  * vector (sorted deleted ordinals — one ascending merge walk, O(1)
+  * per row) and appending the constant `_file` column via a reused
+  * JoinedRow when the plan asked for it. A partition is always a WHOLE
+  * file read in order with no pushed filters when a dv applies, so the
+  * iterator index IS the row ordinal the dv recorded. */
 case class GraftCowReaderFactory(
     readFunc: org.apache.spark.sql.execution.datasources.PartitionedFile =>
       Iterator[InternalRow],
-    wantsFile: Boolean) extends PartitionReaderFactory {
+    plainReadFunc:
+      org.apache.spark.sql.execution.datasources.PartitionedFile =>
+        Iterator[InternalRow],
+    wantsFile: Boolean,
+    dvs: Map[String, Array[Long]] = Map.empty)
+  extends PartitionReaderFactory {
 
   override def createReader(p: InputPartition)
       : PartitionReader[InternalRow] = {
     val gp = p.asInstanceOf[GraftCowInputPartition]
-    val base = readFunc(ColumnBridge.partitionedFile(gp.path, gp.length))
+    val pf = ColumnBridge.partitionedFile(gp.path, gp.length)
+    val base = dvs.get(gp.path) match {
+      case None => readFunc(pf)
+      case Some(deleted) =>
+        val rows = plainReadFunc(pf)
+        // lookahead lives in hasNext (the standard filter-iterator
+        // shape): the underlying reader may REUSE its row buffer, so
+        // the next pull must not happen until the consumer is done
+        // with the previously returned row
+        new Iterator[InternalRow] {
+          private var ord = -1L
+          private var di = 0
+          private var pending: InternalRow = null
+          override def hasNext: Boolean = {
+            while (pending == null && rows.hasNext) {
+              val r = rows.next(); ord += 1
+              while (di < deleted.length && deleted(di) < ord) di += 1
+              if (di >= deleted.length || deleted(di) != ord) pending = r
+            }
+            pending != null
+          }
+          override def next(): InternalRow = {
+            if (!hasNext) throw new NoSuchElementException("empty reader")
+            val r = pending; pending = null; r
+          }
+        }
+    }
     val it =
       if (!wantsFile) base
       else {

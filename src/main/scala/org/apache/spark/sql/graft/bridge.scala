@@ -226,9 +226,11 @@ class SnapshotScanBuilder(
     schema: org.apache.spark.sql.types.StructType,
     options: java.util.Map[String, String],
     fileScanFor: (org.apache.spark.sql.types.StructType,
-      Array[org.apache.spark.sql.sources.Filter]) =>
+      Array[org.apache.spark.sql.sources.Filter],
+      Seq[graft.ops.Layout.Skip]) =>
         org.apache.spark.sql.connector.read.Scan,
-    prune: Seq[graft.ops.Layout.Skip] => (Seq[String], Int) = null)
+    prune: Seq[graft.ops.Layout.Skip] => (Seq[String], Int) = null,
+    hasDv: Boolean = false)
   extends org.apache.spark.sql.connector.read.ScanBuilder
   with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
   with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
@@ -249,6 +251,9 @@ class SnapshotScanBuilder(
   private val FileCol = "_file"
   private var wantsFile = false
   private var required: org.apache.spark.sql.types.StructType = schema
+  // bounds predicates derived from pushed filters — forwarded to the
+  // row-based scan so manifest pruning survives the dv-forced path
+  private var lastSkips: Seq[graft.ops.Layout.Skip] = Nil
 
   override def pushFilters(
       filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
@@ -267,6 +272,7 @@ class SnapshotScanBuilder(
     // at this point (filters are pushed first).
     if (prune != null) {
       val skips = onData.flatMap(SnapshotScanBuilder.skipOf)
+      lastSkips = skips
       if (skips.nonEmpty) {
         val (kept, total) = prune(skips)
         SnapshotScanBuilder.lastPrune = Some((kept.size, total))
@@ -290,19 +296,27 @@ class SnapshotScanBuilder(
       requiredSchema.filterNot(_.name == FileCol)))
   }
 
+  // a table with live deletion vectors must never answer from parquet
+  // footers: a pushed-down COUNT(*)/MIN/MAX would include position-
+  // deleted rows
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
-      : Boolean = innerAgg.supportCompletePushDown(agg)
+      : Boolean = !hasDv && innerAgg.supportCompletePushDown(agg)
 
   override def pushAggregation(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
-      : Boolean = !wantsFile && innerAgg.pushAggregation(agg)
+      : Boolean = !wantsFile && !hasDv && innerAgg.pushAggregation(agg)
 
+  /** Plans requesting `_file` take the row-based scan (which
+    * synthesizes it); so does EVERY read of a version with live
+    * deletion vectors — the row-based reader is the one that can
+    * anti-apply position deletes by ordinal. Non-dv tables keep the
+    * vectorized parquet path untouched. */
   override def build(): org.apache.spark.sql.connector.read.Scan =
-    if (wantsFile)
+    if (wantsFile || hasDv)
       fileScanFor(required,
         org.apache.spark.sql.internal.connector.PredicateUtils
-          .toV1(inner.pushedFilters))
+          .toV1(inner.pushedFilters), lastSkips)
     else inner.build()
 }
 

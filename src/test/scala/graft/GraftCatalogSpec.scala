@@ -330,4 +330,140 @@ class GraftCatalogSpec extends AnyFunSuite {
       Tables.region(spark, sf).createOrReplaceTempView("region_src")
     super.withFixture(test)
   }
+
+  test("PARTITIONED BY maps onto clustering + skipping; transforms beyond identity refuse") {
+    spark.sql("DROP TABLE IF EXISTS graft.default.part_sql")
+    spark.sql(
+      """CREATE TABLE graft.default.part_sql
+        |  (id BIGINT, day BIGINT, v DOUBLE)
+        |PARTITIONED BY (day)""".stripMargin)
+    // the clause became clustering + stats + the marker — visible props
+    val props = spark.sql("SHOW TBLPROPERTIES graft.default.part_sql")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("graft.partitioned.by").contains("day"))
+    assert(props.get("graft.cluster.sort_by").contains("day"))
+    assert(props.get("graft.stats.columns").exists(_.contains("day")))
+    spark.sql(
+      """INSERT INTO graft.default.part_sql
+        |SELECT id, id % 8 AS day, id * 0.5 FROM range(0, 4000)"""
+        .stripMargin)
+    // partition-predicate query: correct answer AND file pruning (the
+    // insert range-clustered by day, so day files are disjoint)
+    assert(spark.sql(
+      "SELECT COUNT(*) AS n FROM graft.default.part_sql WHERE day = 3")
+      .head.getLong(0) == 500)
+    val dir = "target/graft_io/spec/sql_catalog_wh/default/part_sql"
+    val (kept, total) = ops.Layout.fileSelection(spark, dir,
+      Seq(ops.Layout.SkipRange("day", 3L, 3L)))
+    assert(total > 1 && kept.size < total,
+      s"partition predicate pruned nothing ($kept of $total)")
+    // DESCRIBE surfaces the declared partitioning
+    val desc = spark.sql("DESCRIBE TABLE graft.default.part_sql")
+      .collect().map(_.getString(0))
+    assert(desc.contains("# Partition Information") ||
+      desc.contains("day"), desc.mkString(","))
+    // non-identity transforms refuse with the alternative named
+    val e = intercept[Exception] {
+      spark.sql(
+        """CREATE TABLE graft.default.part_bad (id BIGINT, day BIGINT)
+          |PARTITIONED BY (bucket(8, id))""".stripMargin)
+    }
+    assert(e.getMessage.contains("identity"), e.getMessage)
+    // PARTITIONED BY + explicit clustering props conflict loudly
+    val e2 = intercept[Exception] {
+      spark.sql(
+        """CREATE TABLE graft.default.part_bad2 (id BIGINT, day BIGINT)
+          |PARTITIONED BY (day)
+          |TBLPROPERTIES ('graft.cluster.sort_by' = 'id')""".stripMargin)
+    }
+    assert(e2.getMessage.contains("mutually exclusive"), e2.getMessage)
+  }
+
+  test("ALTER COLUMN TYPE widens in place; narrowing refuses with the named error") {
+    spark.sql("DROP TABLE IF EXISTS graft.default.widen_sql")
+    spark.sql(
+      "CREATE TABLE graft.default.widen_sql (k INT, v BIGINT)")
+    spark.sql(
+      "INSERT INTO graft.default.widen_sql VALUES (1, 10), (2, 20)")
+    spark.sql(
+      "ALTER TABLE graft.default.widen_sql ALTER COLUMN k TYPE BIGINT")
+    // the old INT files scan-promote under the widened schema
+    assert(spark.sql("SELECT * FROM graft.default.widen_sql").schema("k")
+      .dataType == org.apache.spark.sql.types.LongType)
+    spark.sql(
+      "INSERT INTO graft.default.widen_sql VALUES (9999999999, 30)")
+    assert(spark.sql(
+      "SELECT CAST(SUM(k) AS BIGINT) AS s FROM graft.default.widen_sql")
+      .head.getLong(0) == 3L + 9999999999L)
+    // narrowing refuses and commits nothing — Spark's analyzer blocks
+    // it first (NOT_SUPPORTED_CHANGE_COLUMN, Cast.canUpCast); the
+    // catalog's own guard backstops the programmatic path with the
+    // named error
+    val e = intercept[Exception] {
+      spark.sql(
+        "ALTER TABLE graft.default.widen_sql ALTER COLUMN v TYPE INT")
+    }
+    assert(e.getMessage.contains("NOT_SUPPORTED_CHANGE_COLUMN") ||
+      e.getMessage.contains("not a widening"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      ops.Layout.updateColumnType(spark,
+        "target/graft_io/spec/sql_catalog_wh/default/widen_sql",
+        "v", org.apache.spark.sql.types.IntegerType)
+    }
+    assert(e2.getMessage.contains("not a widening"), e2.getMessage)
+    assert(spark.sql("SELECT * FROM graft.default.widen_sql").schema("v")
+      .dataType == org.apache.spark.sql.types.LongType)
+  }
+
+  test("merge-on-read through SQL: DELETE annotates, every read applies dvs, UPDATE never resurrects") {
+    val dir = "target/graft_io/spec/sql_catalog_wh/default/mor_sql"
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    spark.sql("DROP TABLE IF EXISTS graft.default.mor_sql")
+    spark.sql(
+      """CREATE TABLE graft.default.mor_sql (k BIGINT, v BIGINT)
+        |TBLPROPERTIES ('graft.rowlevel.mode' = 'mor',
+        |               'graft.stats.columns' = 'k')""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft.default.mor_sql
+        |SELECT id, id * 10 FROM range(1, 101)""".stripMargin)
+    val v0 = ops.Layout.currentVersion(fs, root)
+    def paths(v: Int) = ops.Layout.versionFilePaths(fs, root, v).toSet
+    val dataBefore = paths(v0)
+
+    spark.sql("DELETE FROM graft.default.mor_sql WHERE k <= 20")
+    val v1 = ops.Layout.currentVersion(fs, root)
+    assert(paths(v1) == dataBefore,
+      "SQL DELETE on a MOR table rewrote data files")
+    // aggregates can NOT answer from parquet footers on a dv table —
+    // a pushed-down COUNT(*) would count the 20 deleted rows
+    assert(spark.sql("SELECT COUNT(*) AS n FROM graft.default.mor_sql")
+      .head.getLong(0) == 80)
+    assert(spark.sql("SELECT SUM(v) AS s FROM graft.default.mor_sql")
+      .head.getLong(0) == (21L to 100L).map(_ * 10).sum)
+    // WHERE reads (manifest skipping path) apply dvs too
+    assert(spark.sql(
+      "SELECT k FROM graft.default.mor_sql WHERE k <= 25 ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq == (21L to 25L))
+    // row-level UPDATE on the dv'd table: the COW rewrite reads groups
+    // dv-applied, so position-deleted rows must NOT resurrect
+    spark.sql(
+      "UPDATE graft.default.mor_sql SET v = v + 1 WHERE k BETWEEN 1 AND 30")
+    assert(spark.sql("SELECT COUNT(*) AS n FROM graft.default.mor_sql")
+      .head.getLong(0) == 80, "UPDATE resurrected dv-deleted rows")
+    assert(spark.sql(
+      "SELECT v FROM graft.default.mor_sql WHERE k = 25").head.getLong(0)
+      == 251)
+    // time travel: the pre-delete version still answers in full
+    assert(spark.sql(
+      s"SELECT * FROM graft.default.mor_sql VERSION AS OF $v0").count()
+      == 100)
+    // OPTIMIZE materializes the remaining vectors; answers unchanged
+    spark.sql("CALL graft.system.compact('default.mor_sql')")
+    assert(spark.sql("SELECT COUNT(*) AS n FROM graft.default.mor_sql")
+      .head.getLong(0) == 80)
+    assert(spark.sql(
+      "SELECT v FROM graft.default.mor_sql WHERE k = 25").head.getLong(0)
+      == 251)
+  }
 }

@@ -646,6 +646,105 @@ class SnapshotIsolationSpec extends AnyFunSuite {
     assert(readSnapshot(spark, table).count() == n.count() + 1)
   }
 
+  test("MOR delete: no data file rewritten, dv groups on affected lines only, pinned readers untouched") {
+    import ops.Layout._
+    import spark.implicits._
+    val table = "target/graft_io/spec/mor_delete"
+    val root = new Path(table)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(root, true)
+    val rows = (1L to 100L).map(i =>
+      (i, if (i % 2 == 0) "even" else "odd", i * 10.0)).toDF("id", "par", "v")
+    commitSnapshot(spark, table, rows.where(col("par") === "even"),
+      props = Map(RowLevelModeProp -> "mor"))
+    commitSnapshot(spark, table, rows.where(col("par") === "odd"))
+    val v0 = currentVersion(fs, root)
+    def lines(v: Int) = versionFileEntries(fs, root, v).map(_._1)
+    val dataBefore = lines(v0).toSet
+    val mtimesBefore = dataBefore.map(p =>
+      p -> fs.getFileStatus(new Path(root, p)).getModificationTime).toMap
+
+    val (v1, annotated, untouched) = deleteWhere(spark, table,
+      col("par") === "odd" && col("id") <= 20)
+    assert(v1 == v0 + 1 && annotated >= 1 && untouched >= 1,
+      s"($v1, $annotated, $untouched)")
+    // the data-file PATH set is unchanged — no file was rewritten, and
+    // every file's bytes are untouched (the MOR bargain)
+    assert(lines(v1).toSet == dataBefore,
+      "MOR delete changed the data-file set")
+    dataBefore.foreach { p =>
+      assert(fs.getFileStatus(new Path(root, p)).getModificationTime ==
+        mtimesBefore(p), s"MOR delete rewrote $p")
+    }
+    // visible state: the 10 matched rows are gone, nothing else
+    val ids = readSnapshot(spark, table).select("id")
+      .as[Long].collect().toSet
+    assert(ids == (1L to 100L).filterNot(i =>
+      i % 2 == 1 && i <= 20).toSet)
+    // pinned reader at the pre-delete version still sees everything
+    assert(readSnapshot(spark, table, Some(v0)).count() == 100)
+    // second delete on the same table: dv groups UNION
+    deleteWhere(spark, table, col("id") === 99L)
+    assert(readSnapshot(spark, table).count() == 89)
+    // skipping reads apply dvs too
+    assert(readSnapshotRange(spark, table, "id", 1L, 100L).count() == 89)
+    // compaction materializes: no dv group survives, state unchanged
+    compactSnapshot(spark, table, sortBy = Seq("id"))
+    assert(readSnapshot(spark, table).count() == 89)
+    assert(readSnapshot(spark, table).select("id").as[Long]
+      .collect().toSet == ids - 99L)
+    // vacuum: dv sidecars referenced only by expired versions are swept
+    val (_, removed) = expireSnapshots(spark, table, keepLast = 1, 0L)
+    assert(removed > 0, "expected pre-compaction files+sidecars swept")
+    assert(readSnapshot(spark, table).count() == 89)
+  }
+
+  test("MOR merge: matched rows dv-deleted, updates+inserts append, state ≡ COW merge") {
+    import ops.Layout._
+    import spark.implicits._
+    val cow = "target/graft_io/spec/mor_merge_cow"
+    val mor = "target/graft_io/spec/mor_merge_mor"
+    val fs = new Path(cow).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    Seq(cow, mor).foreach(t => fs.delete(new Path(t), true))
+    val base = (1L to 50L).map(i => (i, s"t$i", i * 1.5)).toDF("k", "tag", "v")
+    commitSnapshot(spark, cow, base)
+    commitSnapshot(spark, mor, base,
+      props = Map(RowLevelModeProp -> "mor"))
+    val morRoot = new Path(mor)
+    val v0 = currentVersion(fs, morRoot)
+    val dataBefore = versionFileEntries(fs, morRoot, v0).map(_._1).toSet
+    // delta: update k%5==0, delete k%7==0 (non-deleted), insert k=100..104
+    val delta = ((1L to 50L).filter(_ % 5 == 0).map(k =>
+        (k, s"upd$k", k * 100.0, false)) ++
+      (1L to 50L).filter(k => k % 7 == 0 && k % 5 != 0).map(k =>
+        (k, "x", 0.0, true)) ++
+      (100L to 104L).map(k => (k, s"new$k", k * 1.0, false)))
+      .toDF("k", "tag", "v", "del")
+    mergeInto(spark, cow, delta, "k", deleteWhen = Some(col("del")))
+    val (_, _, nIns) =
+      mergeInto(spark, mor, delta, "k", deleteWhen = Some(col("del")))
+    assert(nIns == 5)
+    // MOR: every pre-merge data file path survives (annotated, never
+    // rewritten); new files appended for updates+inserts
+    val headLines = versionFileEntries(fs, morRoot,
+      currentVersion(fs, morRoot)).map(_._1).toSet
+    assert(dataBefore.subsetOf(headLines),
+      "MOR merge rewrote or dropped a pre-merge data file")
+    assert(headLines.size > dataBefore.size, "no appended merge output")
+    // visible state identical to the COW merge, row for row
+    val a = readSnapshot(spark, cow).orderBy("k", "tag")
+      .as[(Long, String, Double)].collect().toSeq
+    val b = readSnapshot(spark, mor).orderBy("k", "tag")
+      .as[(Long, String, Double)].collect().toSeq
+    assert(a == b, s"MOR and COW merge states differ:\n$a\n$b")
+    // a key whose only rows are dv-deleted re-INSERTS on a later merge
+    val re = Seq((7L, "back", 7.0, false)).toDF("k", "tag", "v", "del")
+    mergeInto(spark, mor, re, "k")
+    assert(readSnapshot(spark, mor).where(col("k") === 7L)
+      .as[(Long, String, Double)].collect().toSeq == Seq((7L, "back", 7.0)))
+  }
+
   test("a create-with-data commit proves its OWN constraint props (r16 advice)") {
     import ops.Layout._
     import spark.implicits._
