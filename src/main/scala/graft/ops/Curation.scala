@@ -88,17 +88,18 @@ object Curation {
     * to [[qDecontaminate]] (false positives are eliminated there), which
     * is why this key shares its DuckDB oracle.
     *
-    * The probe is the library's second deliberate UDF (after the deflate
-    * ratio): Spark's `might_contain` expression is internal-only (it
-    * exists for Catalyst's injected runtime filters), and the probe is a
-    * pure per-row Long→Boolean map outside the aggregation path. */
+    * The probe is a native codegen expression
+    * ([[graft.functions.BloomMightContainLong]], the public rebuild of
+    * Spark's internal `might_contain`): the filter bytes ride the plan
+    * as a binary literal, each task deserializes once, and the
+    * membership test fuses into the scan's WholeStageCodegen span —
+    * no per-row Scala-lambda boxing on the 100 TB side (r16 task 6;
+    * PlanAuditSpec pins the UDF-free plan). */
   def qBloomDecontaminate(s: SparkSession, d: String): DataFrame = {
     val ev = gramSide(s, d, col("doc_id") % 97 === 0, "eval_id")
     val tr = gramSide(s, d, col("doc_id") % 97 =!= 0, "train_id")
     val bf = ev.stat.bloomFilter("gh", 100000L, 0.01)
-    val bfB = s.sparkContext.broadcast(bf)
-    val mightContain = udf((h: Long) => bfB.value.mightContainLong(h))
-    tr.where(mightContain(col("gh")))
+    tr.where(graft.functions.BloomMightContainLong(bf, col("gh")))
       .join(ev, Seq("gh", "gh2"))
       .groupBy("train_id")
       .agg(countDistinct(col("gh"), col("gh2")).as("n_shared_grams"),

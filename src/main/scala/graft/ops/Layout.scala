@@ -44,6 +44,25 @@ object Layout {
   def zValue(a: Column, b: Column): Column =
     spread(a).bitwiseOR(shiftleft(spread(b), 1))
 
+  /** k-ary morton interleave (r16 verdict task 3): bit j of rank i
+    * lands at position j·k + i, so any prefix of the z value is a
+    * near-cube of the k-column bucket space — the 3-4 column clustering
+    * real OPTIMIZE requests routinely ask for. Built as k·bits codegen'd
+    * shift/mask/or steps (k=3, bits=10 → 30 ops — still one
+    * whole-stage-codegen expression); the k=2 case keeps the 5-step
+    * mask-spread fast path in [[zValue]]. */
+  def zValueN(ranks: Seq[Column], bits: Int): Column = {
+    val k = ranks.size
+    require(k >= 2, "zValueN: need at least two columns")
+    require(k * bits <= 63,
+      s"zValueN: $k columns × $bits bits exceeds 63 interleaved bits")
+    ranks.zipWithIndex.map { case (r, i) =>
+      (0 until bits).map { j =>
+        shiftleft(shiftright(r, j).bitwiseAND(lit(1L)), j * k + i)
+      }.reduce(_ bitwiseOR _)
+    }.reduce(_ bitwiseOR _)
+  }
+
   /** Equi-width bucket rank of `c` in [0, buckets) given broadcast
     * min/max columns. */
   private def bucketOf(c: Column, lo: Column, hi: Column,
@@ -54,24 +73,39 @@ object Layout {
           (hi.cast("double") - lo.cast("double") + 1e-9)).cast("long")))
 
   /** The z-clustered arrangement of `df` (shared by [[zorderWrite]] and
-    * the z-order path of [[compact]]): bucket-rank `a` and `b` against
-    * their global min/max (one 1-row broadcast), interleave the ranks,
-    * range-partition into `files` contiguous z chunks and sort within
-    * each — every output file is a near-rectangle of the two-column
-    * value space. */
-  private[graft] def zArranged(df: DataFrame, a: String, b: String,
-                               files: Int, buckets: Int): DataFrame = {
-    val stats = df.agg(
-      min(col(a)).as("__amin"), max(col(a)).as("__amax"),
-      min(col(b)).as("__bmin"), max(col(b)).as("__bmax"))
+    * the z-order paths of [[compact]]/[[compactSnapshot]]/DDL
+    * clustering): bucket-rank each column against its global min/max
+    * (one 1-row broadcast), interleave the ranks, range-partition into
+    * `files` contiguous z chunks and sort within each — every output
+    * file is a near-cube of the k-column value space, so each column's
+    * recorded bounds prune independently. */
+  private[graft] def zArrangedN(df: DataFrame, cols: Seq[String],
+                                files: Int, buckets: Int): DataFrame = {
+    require(cols.size >= 2, "z-order needs at least two columns")
+    val bits = math.max(1,
+      64 - java.lang.Long.numberOfLeadingZeros((buckets - 1).toLong))
+    require(cols.size * bits <= 63,
+      s"z-order: ${cols.size} columns × $bits bucket bits exceeds the " +
+        "63-bit interleave — lower zBuckets or drop a column")
+    val aggs = cols.zipWithIndex.flatMap { case (c, i) =>
+      Seq(min(col(c)).as(s"__zmn$i"), max(col(c)).as(s"__zmx$i")) }
+    val stats = df.agg(aggs.head, aggs.tail: _*)
+    val ranks = cols.zipWithIndex.map { case (c, i) =>
+      bucketOf(col(c), col(s"__zmn$i"), col(s"__zmx$i"), buckets) }
+    val z =
+      if (cols.size == 2) zValue(ranks.head, ranks(1))
+      else zValueN(ranks, bits)
+    val helper = cols.indices.flatMap(i => Seq(s"__zmn$i", s"__zmx$i"))
     df.crossJoin(broadcast(stats))
-      .withColumn("__z", zValue(
-        bucketOf(col(a), col("__amin"), col("__amax"), buckets),
-        bucketOf(col(b), col("__bmin"), col("__bmax"), buckets)))
+      .withColumn("__z", z)
       .repartitionByRange(files, col("__z"))
       .sortWithinPartitions("__z")
-      .drop("__z", "__amin", "__amax", "__bmin", "__bmax")
+      .drop("__z" +: helper: _*)
   }
+
+  private[graft] def zArranged(df: DataFrame, a: String, b: String,
+                               files: Int, buckets: Int): DataFrame =
+    zArrangedN(df, Seq(a, b), files, buckets)
 
   /** Write `df` as parquet clustered on the z-curve of (`a`, `b`). */
   def zorderWrite(df: DataFrame, a: String, b: String, path: String,
@@ -130,7 +164,7 @@ object Layout {
   def compact(spark: SparkSession, dir: String,
               targetFileBytes: Long = 128L << 20,
               sortBy: Seq[String] = Nil,
-              zorderBy: Option[(String, String)] = None,
+              zorderBy: Seq[String] = Nil,
               zBuckets: Int = 1024,
               onlySmallerThan: Option[Long] = None): CompactStats = {
     import org.apache.hadoop.fs.Path
@@ -156,13 +190,12 @@ object Layout {
     val df =
       if (carry.isEmpty) spark.read.parquet(dir)
       else spark.read.parquet(rewrite.map(_.getPath.toString): _*)
-    val arranged = zorderBy match {
-      case Some((a, b)) => zArranged(df, a, b, nOut, zBuckets)
-      case None if sortBy.nonEmpty =>
+    val arranged =
+      if (zorderBy.nonEmpty) zArrangedN(df, zorderBy, nOut, zBuckets)
+      else if (sortBy.nonEmpty)
         df.repartitionByRange(nOut, sortBy.map(col): _*)
           .sortWithinPartitions(sortBy.map(col): _*)
-      case None => df.coalesce(nOut)
-    }
+      else df.coalesce(nOut)
     val tmp = new Path(path.getParent,
       path.getName + ".compact-tmp")
     val bak = new Path(path.getParent,
@@ -470,8 +503,11 @@ object Layout {
         props.contains(ClusterZorderProp)),
       s"$ClusterSortProp and $ClusterZorderProp are mutually exclusive")
     props.get(ClusterZorderProp).foreach { v =>
-      require(splitCols(v).size == 2,
-        s"$ClusterZorderProp takes exactly two comma-separated " +
+      val k = splitCols(v).size
+      // 63 interleave bits / 10 bucket bits (the DDL path's fixed 1024
+      // buckets) = up to six clustering columns
+      require(k >= 2 && k <= 6,
+        s"$ClusterZorderProp takes two to six comma-separated " +
           s"columns, got '$v'")
     }
     schema.foreach { sch =>
@@ -652,7 +688,7 @@ object Layout {
       props: Map[String, String]): DataFrame = {
     val n = df.sparkSession.sessionState.conf.numShufflePartitions
     props.get(ClusterZorderProp).map(splitCols) match {
-      case Some(Seq(a, b)) => zArranged(df, a, b, n, 1024)
+      case Some(cols) if cols.size >= 2 => zArrangedN(df, cols, n, 1024)
       case _ =>
         val so = props.get(ClusterSortProp).map(splitCols).getOrElse(Nil)
         if (so.isEmpty) df
@@ -2265,7 +2301,7 @@ object Layout {
                       targetFileBytes: Long = 128L << 20,
                       sortBy: Seq[String] = Nil,
                       statsColumns: Seq[String] = Nil,
-                      zorderBy: Option[(String, String)] = None,
+                      zorderBy: Seq[String] = Nil,
                       zBuckets: Int = 1024)
       : (Int, CompactStats) = {
     validateStatsColumns(statsColumns)
@@ -2292,13 +2328,12 @@ object Layout {
     // rectangles and a single-column sort would scatter the other
     // column's bounds); sortBy = one-column range clustering; default
     // = shuffle-free coalesce bin-packing, as in [[compact]].
-    val arranged = zorderBy match {
-      case Some((a, b)) => zArranged(df, a, b, nOut, zBuckets)
-      case None if sortBy.nonEmpty =>
+    val arranged =
+      if (zorderBy.nonEmpty) zArrangedN(df, zorderBy, nOut, zBuckets)
+      else if (sortBy.nonEmpty)
         df.repartitionByRange(nOut, sortBy.map(col): _*)
           .sortWithinPartitions(sortBy.map(col): _*)
-      case None => df.coalesce(nOut)
-    }
+      else df.coalesce(nOut)
     // re-record column bounds on the re-packed files (sortBy = the stats
     // column gives disjoint per-file ranges) — without this an OPTIMIZE
     // would silently strip a skipping table's pruning. The caller's

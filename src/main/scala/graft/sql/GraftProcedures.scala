@@ -122,8 +122,8 @@ object GraftProcedures {
     }
 
   /** OPTIMIZE as SQL: plain bin-pack by default; `sort_by` range-
-    * clusters one/more columns, `zorder_by` ('a,b') interleave-clusters
-    * two — the repack that gives a skipping table disjoint per-file
+    * clusters one/more columns, `zorder_by` ('a,b[,c…]', up to six) interleave-clusters
+    * several — the repack that gives a skipping table disjoint per-file
     * bounds, so SQL reads prune afterwards (GraftProcedureSpec pins
     * scattered→clustered pruning). Recorded stats columns carry —
     * compactSnapshot re-records bounds from the table's own property. */
@@ -152,13 +152,13 @@ object GraftProcedures {
         val table = tableDir(cat, input.getUTF8String(0).toString)
         val sortBy = cols(input.getUTF8String(2).toString)
         val z = cols(input.getUTF8String(3).toString)
-        require(z.isEmpty || z.length == 2,
-          s"zorder_by takes exactly two comma-separated columns, got " +
+        require(z.isEmpty || (z.length >= 2 && z.length <= 6),
+          s"zorder_by takes two to six comma-separated columns, got " +
             s"'${z.mkString(",")}'")
         val (v, stats) = Layout.compactSnapshot(spark, table,
           targetFileBytes = input.getLong(1),
           sortBy = sortBy,
-          zorderBy = if (z.isEmpty) None else Some((z.head, z(1))))
+          zorderBy = z)
         one(out)(v, stats.filesBefore, stats.filesAfter,
           stats.bytesBefore)
       }

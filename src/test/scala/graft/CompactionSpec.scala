@@ -129,7 +129,7 @@ class CompactionSpec extends AnyFunSuite {
     val bytes = parquetFiles(dir).map(_.length).sum
     val stats = ops.Layout.compact(spark, dir,
       targetFileBytes = math.max(1L, bytes / 8),
-      zorderBy = Some(("l_orderkey", "l_partkey")))
+      zorderBy = Seq("l_orderkey", "l_partkey"))
     assert(stats.filesAfter < 32, stats.toString)
     assert(spark.read.parquet(dir).count() == src.count())
     // both-column locality: each file's (a, b) bounding rectangle covers

@@ -206,7 +206,7 @@ class GraftProcedureSpec extends AnyFunSuite {
       spark.sql(s"CALL $c.system.compact('default.$t', 512, " +
         "zorder_by => 'k')")
     }
-    assert(e.getMessage.contains("exactly two"), e.getMessage)
+    assert(e.getMessage.contains("two to six"), e.getMessage)
   }
 
   test("unknown procedures and namespaces fail with a named error") {

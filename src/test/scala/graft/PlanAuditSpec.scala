@@ -102,6 +102,42 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Window"), p.take(800))
   }
 
+  test("bloom decontaminate probes via the codegen expression, never a ScalaUDF") {
+    // r16 verdict task 6: the map-side prefilter must fuse into
+    // WholeStageCodegen — a Scala UDF would box every train-side row
+    val p = plan("q_bloom_decontaminate")
+    assert(!p.contains("ScalaUDF"),
+      "bloom probe regressed to a ScalaUDF:\n" + p.take(800))
+    assert(p.contains("graft_bloom_might_contain"),
+      "bloom probe expression missing from the plan:\n" + p.take(800))
+  }
+
+  test("exact near-dup kernel: ONE BNL join with the τ cut inside its condition") {
+    // r16 verdict task 7: the documented shape at ops/Text.scala —
+    // the intersect kernel evaluates ONCE per pair inside the
+    // BroadcastNestedLoopJoin condition; a post-join WHERE would be
+    // pushed back into the condition by Catalyst and re-evaluate the
+    // kernel 2-3x per pair (seen in executed plans before this form).
+    val arr = ops.Text.shingleSets(spark, sf)
+    val df = ops.Text.dedupNearBroadcast(arr)
+    val p = df.queryExecution.executedPlan.toString
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size == 1,
+      "expected exactly one BNL join:\n" + p.take(1200))
+    // the join node's own condition carries the kernel + integer cut —
+    // find the BNL line and check the cut's magic constants sit in it
+    val bnlLine = p.linesIterator
+      .find(_.contains("BroadcastNestedLoopJoin")).get
+    assert(bnlLine.contains("sorted_intersect_count") &&
+      bnlLine.contains("15999995"),
+      "τ cut is not inside the BNL join condition:\n" + bnlLine)
+    // and no separate Filter re-evaluates the kernel after the join
+    val postJoinFilter = p.linesIterator.filter(_.trim.startsWith("+- Filter"))
+      .exists(_.contains("sorted_intersect_count"))
+    assert(!postJoinFilter,
+      "a post-join Filter re-evaluates the intersect kernel:\n" +
+        p.take(1200))
+  }
+
   test("decontaminate broadcasts the eval side over one corpus scan") {
     val p = plan("q_decontaminate")
     assert(p.contains("BroadcastHashJoin"), p.take(800))
@@ -354,10 +390,11 @@ class PlanAuditSpec extends AnyFunSuite {
 
   test("bloom decontaminate probes map-side BEFORE the verify join") {
     val p = plan("q_bloom_decontaminate")
-    // the UDF probe must sit in a Filter below the join, so only bloom
-    // survivors are ever shuffled/joined
+    // the codegen probe must sit in a Filter below the join, so only
+    // bloom survivors are ever shuffled/joined
     val filterLine = p.linesIterator.zipWithIndex
-      .find { case (l, _) => l.contains("Filter") && l.contains("UDF") }
+      .find { case (l, _) => l.contains("Filter") &&
+        l.contains("graft_bloom_might_contain") }
       .getOrElse(fail(s"no bloom-probe filter in:\n${p.take(1200)}"))._2
     val joinLine = p.linesIterator.zipWithIndex
       .find(_._1.contains("Join")).getOrElse(fail("no join"))._2

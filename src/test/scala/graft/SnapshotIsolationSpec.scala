@@ -557,7 +557,7 @@ class SnapshotIsolationSpec extends AnyFunSuite {
     // table's own recorded columns must carry through the re-pack,
     // and the re-cluster must keep BOTH columns' rectangles tight)
     compactSnapshot(spark, table, targetFileBytes = 4 * 1024,
-      zorderBy = Some(("o_custkey", "o_orderkey")))
+      zorderBy = Seq("o_custkey", "o_orderkey"))
     prunes(custLeg, "o_custkey leg after compact")
     prunes(keyLeg, "o_orderkey leg after compact")
     assert(answer() == full())

@@ -45,6 +45,63 @@ class ZOrderSpec extends AnyFunSuite {
     assert(got == Seq(0L, 1L, 2L, 3L, 12L, 1048575L), got.toString)
   }
 
+  test("k-ary morton interleave: bit j of rank i lands at position j*k+i") {
+    import spark.implicits._
+    val rows = Seq((1L, 0L, 0L), (0L, 1L, 0L), (0L, 0L, 1L),
+      (1L, 1L, 1L), (2L, 0L, 0L), (3L, 3L, 3L))
+    val got = rows.toDF("a", "b", "c")
+      .select(ops.Layout.zValueN(
+        Seq(col("a"), col("b"), col("c")), bits = 2).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    // k=3, bits=2: a0→bit0, b0→bit1, c0→bit2, a1→bit3, b1→bit4, c1→bit5
+    assert(got == Seq(1L, 2L, 4L, 7L, 8L, 63L), got.toString)
+  }
+
+  test("THREE-column z-order: each clustering column prunes files independently") {
+    import ops.Layout._
+    import spark.implicits._
+    val table = "target/graft_io/spec/zorder3"
+    val root = new org.apache.hadoop.fs.Path(table)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(root, true)
+    // three mutually-uncorrelated uniform keys: a linear sort on any one
+    // would scatter the other two across every file
+    val df = spark.range(0, 60000).select(
+      (col("id") % 97).as("a"),
+      ((col("id") * 31) % 89).as("b"),
+      ((col("id") * 57) % 83).as("c"))
+    // 64 files over the 9-bit (3 cols × 3 bucket bits) z space: each
+    // file is a ~8-cell z run, i.e. a near-cube spanning ~2 of the 8
+    // buckets per column — so a one-bucket point predicate must rule
+    // out most files on EVERY column
+    commitSnapshot(spark, table,
+      zArrangedN(df, Seq("a", "b", "c"), files = 64, buckets = 8),
+      statsColumns = Seq("a", "b", "c"))
+    assert(readSnapshot(spark, table).count() == 60000)
+    // a point predicate on EACH of the three columns must rule out most
+    // files from its recorded bounds alone — the property a two-column
+    // cap could never give the third column
+    Seq("a", "b", "c").foreach { c =>
+      val (kept, total) = fileSelection(spark, table,
+        Seq(SkipRange(c, 5L, 5L)))
+      assert(total >= 40 && kept.size <= total / 2,
+        s"column $c pruned nothing: ${kept.size} of $total files")
+    }
+    // and pruning never changes answers
+    val got = readSnapshotWhere(spark, table, Seq(SkipRange("b", 5L, 5L)))
+      .count()
+    assert(got == df.where(col("b") === 5).count())
+    // DDL path: zorder_by accepts three columns now (arity was capped
+    // at exactly two through r16)
+    setTableProps(spark, table,
+      Map(ClusterZorderProp -> "a,b,c"), Nil)
+    // …but seven refuse
+    intercept[IllegalArgumentException] {
+      setTableProps(spark, table,
+        Map(ClusterZorderProp -> "a,b,c,a,b,c,a"), Nil)
+    }
+  }
+
   test("z-order layout prunes scans on BOTH dimensions; linear on one") {
     val li = Tables.lineitem(spark, sf)
       .select("l_orderkey", "l_partkey", "l_quantity")
