@@ -223,6 +223,17 @@ object ScaleProbe {
     // scaled in the replica, so absolute ratio mostly measures fixed
     // commit overhead — the pin is "no superlinear surprise")
     "q_manifest_evolution_sql",
+    // round-17: merge-on-read row-level verbs — the r16 verdict's #1
+    // ask. The MOR delete's cost is the matched-position scan + sidecar
+    // write (∝ matched rows, never table size) and the dv-applied
+    // re-read adds one anti-join of the grid; the MOR merge adds the
+    // update/insert append. Both should track data volume with NO
+    // file-rewrite component (the COW twins above carry that)
+    "q_snapshot_delete_mor", "q_snapshot_merge_mor",
+    // round-17: PARTITIONED BY via SQL — the bulk insert (clustered by
+    // the partition column) dominates and tracks volume; the REPLACE
+    // WHERE day rebuild tracks the day's bytes
+    "q_partitioned_sql",
     // the CNPJ vertical (reference envelope ">20 GB", readme.md:108):
     // synthetic flagship over the replica's 10× orders/customer —
     // r15 splits load (z-cluster + commit, data-volume-bound) from

@@ -2876,16 +2876,23 @@ object Layout {
     * live file count, recorded data bytes, schema DDL, and the table
     * properties: the DESCRIBE DETAIL analogue. O(manifest) metadata
     * reads, zero data-file IO at any table size. */
+  /** (head version, live files, recorded bytes, schema DDL, props,
+    * files carrying live deletion vectors, distinct dv sidecars) — the
+    * last two are the MOR-health signal: a growing sidecar count says
+    * "schedule a compaction", still from metadata alone. */
   def tableDetail(spark: SparkSession, table: String)
-      : (Int, Int, Long, String, Map[String, String]) = {
+      : (Int, Int, Long, String, Map[String, String], Int, Int) = {
     val root = new Path(table)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val v = currentVersion(fs, root)
     require(v > 0, s"tableDetail: no committed version in $table")
+    val lines = manifestFiles(fs, root, v)
     val entries = versionFileEntries(fs, root, v)
+    val dvs = lines.map(entryDvs).filter(_.nonEmpty)
     (v, entries.size, entries.flatMap(_._2).sum,
       schemaOf(fs, root, v).map(_.toDDL).getOrElse(""),
-      propsOf(fs, root, v))
+      propsOf(fs, root, v),
+      dvs.size, dvs.flatten.distinct.size)
   }
 
   def history(spark: SparkSession, table: String)

@@ -210,16 +210,23 @@ object GraftProcedures {
         org.apache.spark.sql.types.StructField(
           "schema", DataTypes.StringType, nullable = false),
         org.apache.spark.sql.types.StructField(
-          "properties", DataTypes.StringType, nullable = false)))
+          "properties", DataTypes.StringType, nullable = false),
+        // merge-on-read health: files masked by live deletion vectors
+        // and distinct sidecars — a growing count says "compact"
+        org.apache.spark.sql.types.StructField(
+          "dv_files", DataTypes.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField(
+          "dv_sidecars", DataTypes.IntegerType, nullable = false)))
       override def call(input: InternalRow): java.util.Iterator[Scan] = {
         val table = tableDir(cat, input.getUTF8String(0).toString)
-        val (v, files, bytes, ddl, props) =
+        val (v, files, bytes, ddl, props, dvFiles, dvSidecars) =
           Layout.tableDetail(spark, table)
         val propStr = props.toSeq.sorted
           .map { case (k, value) => s"$k=$value" }.mkString("; ")
         rowsResult(out, Seq(Array[Any](v, files, bytes,
           org.apache.spark.unsafe.types.UTF8String.fromString(ddl),
-          org.apache.spark.unsafe.types.UTF8String.fromString(propStr))))
+          org.apache.spark.unsafe.types.UTF8String.fromString(propStr),
+          dvFiles, dvSidecars)))
       }
     }
 

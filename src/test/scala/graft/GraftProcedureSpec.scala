@@ -119,6 +119,21 @@ class GraftProcedureSpec extends AnyFunSuite {
       d.getString(3).contains("v STRING"), d.getString(3))
     assert(d.getString(4).contains("graft.stats.columns=k"),
       d.getString(4))
+    assert(d.getInt(5) == 0 && d.getInt(6) == 0,
+      "no deletion vectors on a COW table")
+    // a MOR delete surfaces in the dv-health columns; compaction resets
+    spark.sql(s"""ALTER TABLE $c.default.$t
+                 |SET TBLPROPERTIES ('graft.rowlevel.mode' = 'mor')"""
+      .stripMargin)
+    spark.sql(s"DELETE FROM $c.default.$t WHERE k = 1")
+    val d2 = spark.sql(s"CALL $c.system.detail('default.$t')").head()
+    assert(d2.getInt(5) == 1 && d2.getInt(6) == 1,
+      s"expected one dv-masked file and one sidecar, got " +
+        s"(${d2.getInt(5)}, ${d2.getInt(6)})")
+    spark.sql(s"CALL $c.system.compact('default.$t')")
+    val d3 = spark.sql(s"CALL $c.system.detail('default.$t')").head()
+    assert(d3.getInt(5) == 0 && d3.getInt(6) == 0,
+      "compaction must materialize deletion vectors away")
   }
 
   test("CDC delta reads as SQL text through the veneer's changesFrom") {

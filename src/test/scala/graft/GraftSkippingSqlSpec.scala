@@ -225,6 +225,27 @@ class GraftSkippingSqlSpec extends AnyFunSuite {
       s"z-clustered insert should prune on v too, got $pv")
   }
 
+  test("PARTITIONED BY table: a partition-predicate SELECT prunes files (r16 task 2)") {
+    val c = cat
+    spark.sql(s"DROP TABLE IF EXISTS $c.default.skip_part")
+    spark.sql(
+      s"""CREATE TABLE $c.default.skip_part (id BIGINT, day BIGINT)
+         |PARTITIONED BY (day)""".stripMargin)
+    // ONE bulk insert spanning 8 days: the partition clause's implied
+    // clustering must split it into day-disjoint files all by itself —
+    // no per-partition insert discipline required of the user
+    spark.sql(
+      s"""INSERT INTO $c.default.skip_part
+         |SELECT id, id % 8 AS day FROM range(0, 4000)""".stripMargin)
+    val (n, prune) = pruned(
+      s"SELECT id FROM $c.default.skip_part WHERE day = 3")
+    assert(n == 500, "partition predicate changed the answer")
+    assert(prune.isDefined, "partition predicate must attempt pruning")
+    val (kept, total) = prune.get
+    assert(total >= 3 && kept < total,
+      s"partition predicate pruned nothing ($kept/$total)")
+  }
+
   test("bloom property prunes scattered keys that bounds cannot") {
     val c = cat
     val t = "skip_bloom"
