@@ -79,6 +79,7 @@ class ManifestStreamProvider extends StreamSourceProvider
     * parquet directory — the manifest only decides WHICH files exist. */
   override def createRelation(sqlContext: SQLContext,
       parameters: Map[String, String]): BaseRelation = {
+    val sqlContext0 = sqlContext
     val p = lowered(parameters)
     val spark = sqlContext.sparkSession.asInstanceOf[SparkSession]
     val table = tableOf(p)
@@ -109,8 +110,29 @@ class ManifestStreamProvider extends StreamSourceProvider
       case (None, Some(ts)) => Some(Layout.versionAt(spark, table, ts.toLong))
       case (None, None)     => None
     }
-    val (paths, schema) = Layout.snapshotLayout(spark, table, version)
-    ColumnBridge.fileRelation(spark, "parquet", paths, schema)
+    // merge-on-read: a version with live deletion vectors cannot be
+    // served as a raw file relation (it would emit deleted rows); fall
+    // back to a TableScan over the dv-applying snapshot read — correct,
+    // at the price of scan-level pushdown, and only until the next
+    // compaction materializes the vectors. The common (no-dv) case
+    // keeps the vectorized file relation untouched.
+    val rootP = new org.apache.hadoop.fs.Path(table)
+    val v = version.getOrElse(Layout.currentVersion(
+      rootP.getFileSystem(spark.sparkContext.hadoopConfiguration), rootP))
+    if (Layout.versionHasDvs(rootP.getFileSystem(
+        spark.sparkContext.hadoopConfiguration), rootP, v)) {
+      val df = Layout.readSnapshot(spark, table, Some(v))
+      new BaseRelation with org.apache.spark.sql.sources.TableScan {
+        override def sqlContext: SQLContext = sqlContext0
+        override def schema: org.apache.spark.sql.types.StructType =
+          df.schema
+        override def buildScan()
+            : org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = df.rdd
+      }
+    } else {
+      val (paths, schema) = Layout.snapshotLayout(spark, table, version)
+      ColumnBridge.fileRelation(spark, "parquet", paths, schema)
+    }
   }
 
   /** BATCH write: `df.write.format("graft-manifest").mode(...)` maps
@@ -365,6 +387,16 @@ class ManifestStreamSource(spark: SparkSession, table: String,
         s"delete / merge) landed in ($from, $to] — the line-set diff is " +
         "not a row-level change log across rewrites. Restart the stream " +
         "from a startingVersion at or after the rewrite.")
+    // Merge-on-read deletes keep every PATH (only dv groups change), so
+    // the path diff above cannot see them — but the per-batch relation
+    // reads raw files and would emit position-deleted rows. Refuse as
+    // loudly as the REPLACE case; compaction materializes the vectors
+    // and re-opens the stream.
+    require(!Layout.versionHasDvs(fs, root, to),
+      s"graft-manifest stream on $table: version $to carries live " +
+        "merge-on-read deletion vectors — the raw-file batch relation " +
+        "cannot anti-apply them. CALL system.compact (materializes the " +
+        "vectors), then restart from a startingVersion at or after it.")
     val added = toPaths.filterNot(fromPaths)
     if (added.isEmpty)
       ColumnBridge.emptyStreamingDF(spark, pinnedSchema)

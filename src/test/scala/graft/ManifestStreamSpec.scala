@@ -372,6 +372,39 @@ class ManifestStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("a merge-on-read delete fails the stream as loudly as a REPLACE") {
+    import graft.ops.Layout._
+    val table = freshTable("mor_stream")
+    commitSnapshot(spark, table, nation.where(col("n_nationkey") < 12),
+      props = Map(RowLevelModeProp -> "mor"))
+    val name = freshName()
+    val q = startStream(table, name)
+    try {
+      q.processAllAvailable()
+      assert(spark.table(name).count() == 12)
+      // a MOR delete keeps every PATH — the path diff alone would pass
+      // and the raw-file batch would re-expose the deleted row on a
+      // restart; the dv check must refuse instead
+      deleteWhere(spark, table, col("n_nationkey") === 3)
+      val ex = intercept[StreamingQueryException] {
+        commitSnapshot(spark, table,
+          nation.where(col("n_nationkey") === 20))
+        q.processAllAvailable()
+      }
+      assert(ex.getMessage.contains("deletion vector") ||
+        Option(ex.getCause).exists(
+          _.getMessage.contains("deletion vector")),
+        s"wrong failure: ${ex.getMessage}")
+    } finally q.stop()
+    // the batch veneer stays CORRECT on the same table: the dv-applying
+    // TableScan fallback serves the masked snapshot instead of raw files
+    val got = spark.read.format("graft-manifest").load(table)
+      .select("n_nationkey").collect()
+      .map(_.getAs[Number](0).longValue).toSet
+    assert(!got.contains(3L) && got.contains(20L) && got.size == 12,
+      s"batch veneer leaked or lost rows on a MOR table: $got")
+  }
+
   test("maxBytesPerTrigger packs a 100x size-skewed backlog into byte-bounded batches") {
     import graft.ops.Layout._
     import org.apache.spark.sql.streaming.Trigger
