@@ -234,6 +234,10 @@ object ScaleProbe {
     // the partition column) dominates and tracks volume; the REPLACE
     // WHERE day rebuild tracks the day's bytes
     "q_partitioned_sql",
+    // round-17: sharded-HNSW graph ANN — build cost ∝ shard volume
+    // (n·log n inserts each over an in-memory graph), search fan-out =
+    // shards × ef with the query set fixed; should track corpus volume
+    "q_vector_ann_hnsw",
     // the CNPJ vertical (reference envelope ">20 GB", readme.md:108):
     // synthetic flagship over the replica's 10× orders/customer —
     // r15 splits load (z-cluster + commit, data-volume-bound) from

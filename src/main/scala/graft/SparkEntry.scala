@@ -27,6 +27,7 @@ object SparkEntry {
     ops.Text.queries ++
     ops.Vectors.queries ++
     ops.Sketches.queries ++
+    ops.Hnsw.queries ++
     ops.Multimodal.queries ++
     ops.Advanced.queries ++
     ops.Strings.queries ++
@@ -52,6 +53,7 @@ object SparkEntry {
     ops.Text.oracleSql ++
     ops.Vectors.oracleSql ++
     ops.Sketches.oracleSql ++
+    ops.Hnsw.oracleSql ++
     ops.Multimodal.oracleSql ++
     ops.Advanced.oracleSql ++
     ops.Strings.oracleSql ++

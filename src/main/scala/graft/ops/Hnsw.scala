@@ -1,0 +1,243 @@
+package graft.ops
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Graph-based ANN: sharded HNSW (Malkov & Yashunin 2016/2018,
+  * arXiv:1603.09320) — the recall/latency frontier the IVF/PQ family
+  * (ops/Vectors.scala) does not cover, closing the r16 verdict's last
+  * "Missing" item.
+  *
+  * Spark-first shape: ONE global graph would serialize all inserts
+  * through a single structure (HNSW construction is inherently
+  * sequential), so the corpus is hash-sharded and each partition builds
+  * an INDEPENDENT in-memory HNSW over its shard inside `mapPartitions`
+  * — the standard distributed-HNSW deployment (one sub-index per
+  * shard/segment, as Lucene/Elasticsearch segment graphs do). Queries
+  * (a small set) ride the task closure; every shard answers its local
+  * top-k and one global per-query top-k merge (TopKPerKey-style window
+  * cut) finishes the job. At 100 TB this is the honest layout: build
+  * parallelism = shard count, search fan-out = shards × ef, no shuffle
+  * of the corpus beyond the one hash partitioning, and a shard's graph
+  * is rebuildable from its files alone (compaction-friendly).
+  *
+  * Determinism (the repo-wide contract): HNSW's level draw is the only
+  * randomness — here it is a pure function of vec_id (xxhash-style
+  * avalanche → uniform in [0,1) → geometric level), insertion order is
+  * sorted vec_id within each hash shard, and every heap ordering
+  * tie-breaks on node index — so the graph, and therefore the result
+  * set, is identical run to run and partitioning-count-for-count
+  * (HnswSpec pins determinism, recall vs brute force, and the bounded
+  * degree invariant).
+  *
+  * Not SQL-expressible (the graph walk), so the key is rows-only;
+  * HnswSpec's recall bound against the exact q_vector_topk contract is
+  * the accuracy gate. */
+object Hnsw {
+
+  /** One shard's in-memory HNSW. `m` = max out-degree on upper layers
+    * (2m on layer 0 — the paper's Mmax0), `efC` = construction beam.
+    * Vectors are L2-normalized at insert, so distance = 1 − dot
+    * (cosine distance) and the reported score is plain cosine. */
+  private[graft] final class ShardIndex(m: Int, efC: Int) {
+    private val mL = 1.0 / math.log(m.toDouble)
+    private val ids = mutable.ArrayBuffer.empty[Long]
+    private val vecs = mutable.ArrayBuffer.empty[Array[Double]]
+    // links(node)(level) = neighbor node indices
+    private val links =
+      mutable.ArrayBuffer.empty[Array[mutable.ArrayBuffer[Int]]]
+    private var entry = -1
+    private var topLevel = -1
+
+    def size: Int = ids.length
+    private[graft] def degreesAt(level: Int): Seq[Int] =
+      links.toSeq.collect { case l if l.length > level => l(level).size }
+
+    /** Deterministic level: avalanche vec_id to a uniform, draw the
+      * paper's floor(−ln(u)·mL). Splitmix64 finisher — good avalanche,
+      * pure function of the id. */
+    private def levelOf(id: Long): Int = {
+      var z = id + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z = z ^ (z >>> 31)
+      val u = ((z >>> 11).toDouble + 0.5) / (1L << 53).toDouble
+      math.floor(-math.log(u) * mL).toInt
+    }
+
+    private def dist(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      1.0 - s
+    }
+
+    private def normalize(v: Array[Double]): Array[Double] = {
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i) * v(i); i += 1 }
+      val n = math.sqrt(s)
+      if (n == 0.0) v else v.map(_ / n)
+    }
+
+    /** Beam search on one layer — the paper's SEARCH-LAYER: a min-heap
+      * of frontier candidates, a bounded max-heap of the ef best found;
+      * stops when the nearest frontier node is farther than the worst
+      * kept result. Orderings tie-break on node index (determinism). */
+    private def searchLayer(q: Array[Double], eps: Seq[(Double, Int)],
+        ef: Int, level: Int): mutable.ArrayBuffer[(Double, Int)] = {
+      val visited = new java.util.BitSet(size)
+      // frontier: nearest first
+      val cand = mutable.PriorityQueue.empty[(Double, Int)](
+        Ordering.Tuple2[Double, Int].reverse)
+      // kept: farthest first (for O(1) worst-kept checks and eviction)
+      val kept = mutable.PriorityQueue.empty[(Double, Int)](
+        Ordering.Tuple2[Double, Int])
+      eps.foreach { e =>
+        if (!visited.get(e._2)) {
+          visited.set(e._2); cand.enqueue(e); kept.enqueue(e)
+        }
+      }
+      while (kept.size > ef) kept.dequeue()
+      while (cand.nonEmpty) {
+        val (cd, c) = cand.dequeue()
+        if (cd > kept.head._1 && kept.size >= ef) {
+          cand.clear()
+        } else {
+          val nb = links(c)(level)
+          var i = 0
+          while (i < nb.size) {
+            val e = nb(i)
+            if (!visited.get(e)) {
+              visited.set(e)
+              val d = dist(q, vecs(e))
+              if (kept.size < ef || d < kept.head._1 ||
+                  (d == kept.head._1 && e < kept.head._2)) {
+                cand.enqueue((d, e)); kept.enqueue((d, e))
+                if (kept.size > ef) kept.dequeue()
+              }
+            }
+            i += 1
+          }
+        }
+      }
+      val out = mutable.ArrayBuffer.empty[(Double, Int)]
+      out ++= kept
+      out.sortInPlace()
+      out
+    }
+
+    def add(id: Long, raw: Array[Double]): Unit = {
+      val v = normalize(raw)
+      val l = levelOf(id)
+      val idx = size
+      ids += id; vecs += v
+      links += Array.fill(l + 1)(mutable.ArrayBuffer.empty[Int])
+      if (entry < 0) { entry = idx; topLevel = l; return }
+      var ep = (dist(v, vecs(entry)), entry)
+      // greedy descent through layers above the node's own top
+      var lvl = topLevel
+      while (lvl > l) {
+        ep = searchLayer(v, Seq(ep), 1, lvl).head
+        lvl -= 1
+      }
+      // connect on each shared layer
+      lvl = math.min(l, topLevel)
+      while (lvl >= 0) {
+        val w = searchLayer(v, Seq(ep), efC, lvl)
+        val mmax = if (lvl == 0) 2 * m else m
+        val chosen = w.take(m)
+        chosen.foreach { case (_, n) =>
+          links(idx)(lvl) += n
+          val back = links(n)(lvl)
+          back += idx
+          if (back.size > mmax) {
+            // shrink to the mmax closest (simple selection — the
+            // paper's Algorithm 3; deterministic (dist, idx) order)
+            val pruned = back.map(b => (dist(vecs(n), vecs(b)), b))
+              .sortInPlace().take(mmax).map(_._2)
+            back.clear(); back ++= pruned
+          }
+        }
+        ep = w.head
+        lvl -= 1
+      }
+      if (l > topLevel) { entry = idx; topLevel = l }
+    }
+
+    /** Top-k by cosine (descending) with search beam `ef`. */
+    def search(raw: Array[Double], k: Int, ef: Int)
+        : Seq[(Long, Double)] = {
+      if (entry < 0) return Nil
+      val q = normalize(raw)
+      var ep = (dist(q, vecs(entry)), entry)
+      var lvl = topLevel
+      while (lvl > 0) {
+        ep = searchLayer(q, Seq(ep), 1, lvl).head
+        lvl -= 1
+      }
+      searchLayer(q, Seq(ep), math.max(ef, k), 0)
+        .take(k).map { case (d, n) => (ids(n), 1.0 - d) }.toSeq
+    }
+  }
+
+  /** Sharded ANN over `(vec_id, emb)`: hash-partition the corpus into
+    * `shards`, build one [[ShardIndex]] per partition (insertion order
+    * sorted by vec_id — deterministic), answer every query's local
+    * top-k per shard, then one global per-query top-k cut. `queries`
+    * ride the closure: the query set is small by contract (the same
+    * assumption every centroid/probe broadcast in ops/Vectors makes). */
+  private[graft] def annSharded(e: DataFrame,
+      queries: Seq[(Long, Array[Double])], k: Int,
+      shards: Int, m: Int = 8, efC: Int = 64, efS: Int = 64)
+      : DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val local = e.select(col("vec_id").cast("long"),
+        col("emb").cast("array<double>"))
+      .as[(Long, Seq[Double])]
+      .repartition(shards, col("vec_id"))
+      .mapPartitions { it =>
+        val rows = it.toArray.sortBy(_._1)
+        if (rows.isEmpty) Iterator.empty
+        else {
+          val idx = new ShardIndex(m, efC)
+          rows.foreach { case (id, v) => idx.add(id, v.toArray) }
+          queries.iterator.flatMap { case (qid, qv) =>
+            idx.search(qv, k, efS).map { case (cid, cos) =>
+              (qid, cid, cos) }
+          }
+        }
+      }
+      .toDF("query_id", "cand_id", "cosine")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("cand_id"))
+    local.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select(col("query_id"), col("cand_id"), col("rnk"),
+        round(col("cosine"), 6).as("cosine"))
+      .orderBy("query_id", "rnk")
+  }
+
+  /** X3 graph-ANN key: same query/candidate split and output shape as
+    * the exact [[Vectors.qVectorTopk]] (queries = vec_id < 5,
+    * candidates = the rest, top-10 by cosine) so HnswSpec can measure
+    * recall against the exact contract directly. Rows-only: the graph
+    * walk is not SQL-expressible; determinism + recall are spec-pinned. */
+  def qVectorAnnHnsw(s: SparkSession, d: String): DataFrame = {
+    val e = graft.Tables.embeddings(s, d).select(col("vec_id"),
+      col("embedding").cast("array<double>").as("emb"))
+    val queries = e.where(col("vec_id") < 5)
+      .collect().map(r => (r.getLong(0),
+        r.getSeq[Double](1).toArray)).toSeq.sortBy(_._1)
+    val cands = e.where(col("vec_id") >= 5)
+    val shards = s.sparkContext.defaultParallelism
+    annSharded(cands, queries, k = 10, shards = shards)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_vector_ann_hnsw" -> qVectorAnnHnsw _)
+
+  val oracleSql: Map[String, String] = Map.empty
+}

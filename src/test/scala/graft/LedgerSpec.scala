@@ -31,7 +31,10 @@ class LedgerSpec extends AnyFunSuite {
     val documented = Set("q_approx_distinct", "q_kmv_distinct", "q_winnow_fp",
       "q_simhash", "q_quantiles_approx",
       "q_compress_ratio", "q_bpe_learn", "q_bpe_encode", "q_bpe_tokenize",
-      "q_sketch_rollup")
+      "q_sketch_rollup",
+      // r17: graph-ANN — the HNSW walk is not SQL-expressible; HnswSpec
+      // pins recall vs the exact q_vector_topk contract + determinism
+      "q_vector_ann_hnsw")
     assert(rowsOnly == documented,
       s"undocumented rows-only keys: ${rowsOnly -- documented}; " +
         s"stale documented: ${documented -- rowsOnly}")
