@@ -229,7 +229,7 @@ object ScaleProbe {
     // re-read adds one anti-join of the grid; the MOR merge adds the
     // update/insert append. Both should track data volume with NO
     // file-rewrite component (the COW twins above carry that)
-    "q_snapshot_delete_mor", "q_snapshot_merge_mor",
+    "q_snapshot_delete_mor", "q_snapshot_merge_mor", "q_merge_sql_mor",
     // round-17: PARTITIONED BY via SQL — the bulk insert (clustered by
     // the partition column) dominates and tracks volume; the REPLACE
     // WHERE day rebuild tracks the day's bytes

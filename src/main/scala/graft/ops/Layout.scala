@@ -2869,6 +2869,43 @@ object Layout {
     replaceCommit(fs, root, op, affectedLines, added)
   }
 
+  /** Commit a DELTA row-level write (the merge-on-read half of the SQL
+    * row-level surface, [[graft.sql.GraftDeltaOperation]]): the tasks
+    * staged `dataStaged` (insert/update-new rows) and position-delete
+    * sidecars; `grpToSidecars` says which sidecar(s) carry each data
+    * file's deleted ordinals. ONE REPLACE CAS swaps the affected lines
+    * for the same lines with dv groups appended and adds the new data
+    * files — no pre-existing data file is ever rewritten, so a SQL
+    * UPDATE/MERGE costs the matched+inserted rows, not the matched-file
+    * bytes. Grps whose file was concurrently compacted away surface as
+    * the standard REPLACE conflict (the annotated line is no longer in
+    * the head). */
+  private[graft] def commitDelta(spark: SparkSession, table: String,
+      version: Int, grpToSidecars: Map[String, Seq[String]],
+      dataStaged: Seq[(String, Long)], op: String): Int = {
+    val root = new Path(table)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val affected = manifestFiles(fs, root, version)
+      .filter(l => grpToSidecars.contains(grpOfRel(entryPath(l))))
+    require(affected.map(l => grpOfRel(entryPath(l))).toSet ==
+      grpToSidecars.keySet,
+      s"$op: delete positions reference files absent from the pinned " +
+        s"version (${grpToSidecars.keySet -- affected.map(l =>
+          grpOfRel(entryPath(l)))})")
+    val annotated = affected.map { l =>
+      grpToSidecars(grpOfRel(entryPath(l))).sorted.foldLeft(l)(withDvGroup)
+    }
+    val added = annotated ++ (
+      if (dataStaged.isEmpty) Seq.empty[String]
+      else withStats(spark, fs, root, dataStaged,
+        statsColumnsOf(fs, root, version)))
+    replaceCommit(fs, root, op, affected.toSet, added)
+  }
+
+  /** [[grpOfRel]] for the SQL layer (qualified-absolute or relative —
+    * only the last two segments matter). */
+  private[graft] def grpOfPath(p: String): String = grpOfRel(p)
+
   /** Snapshot GC (VACUUM): drop manifests older than the newest
     * `keepLast`, then delete every data file + empty txn directory no
     * retained manifest references — this is what finally reclaims

@@ -440,23 +440,32 @@ class GraftTable(path: String, version: Option[Int])
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
       TableCapability.OVERWRITE_BY_FILTER)
 
-  /** `_file` (which data file holds the row) — the row-level planner's
-    * group id; see [[GraftRowLevel.FileColumn]]. */
+  /** `_file` (which data file holds the row — the COW planner's group
+    * id) and `_pos` (the row's file ordinal — with `_file`, the delta
+    * planner's row id); see [[GraftRowLevel.FileColumn]]/[[GraftRowLevel.PosColumn]]. */
   override def metadataColumns(): Array[MetadataColumn] =
-    Array(GraftRowLevel.FileColumn)
+    Array(GraftRowLevel.FileColumn, GraftRowLevel.PosColumn)
 
-  /** `MERGE INTO` / `UPDATE` / rewrite-path `DELETE`: hand Spark's
-    * group-based rewrite a pinned-snapshot COW operation (see
-    * [[GraftRowLevelOperation]]). Time-travel handles refuse — mutating
-    * the past is not a thing. */
+  /** `MERGE INTO` / `UPDATE` / rewrite-path `DELETE`: on a
+    * copy-on-write table (default), Spark's group-based rewrite drives
+    * a pinned-snapshot COW operation ([[GraftRowLevelOperation]]); on
+    * `graft.rowlevel.mode = 'mor'`, the delta rewrite drives
+    * [[GraftDeltaOperation]] — position deletes + appends, no file
+    * rewrites. Time-travel handles refuse — mutating the past is not a
+    * thing. */
   override def newRowLevelOperationBuilder(info: RowLevelOperationInfo)
       : RowLevelOperationBuilder = {
     require(version.isEmpty,
       s"cannot ${info.command()} $path pinned at VERSION AS OF " +
         version.getOrElse(""))
+    val mor = Layout.tableProps(spark, path,
+        Some(pinnedVersion).filter(_ > 0))
+      .get(Layout.RowLevelModeProp).exists(_.equalsIgnoreCase("mor"))
     new RowLevelOperationBuilder {
       override def build(): RowLevelOperation =
-        new GraftRowLevelOperation(path, pinnedVersion,
+        if (mor) new GraftDeltaOperation(path, pinnedVersion,
+          ColumnBridge.nullableSchema(schema()), info.command())
+        else new GraftRowLevelOperation(path, pinnedVersion,
           ColumnBridge.nullableSchema(schema()), info.command())
     }
   }
@@ -987,9 +996,49 @@ object GraftSql {
       .stripMargin)
   }
 
+  /** The delta (merge-on-read) SQL MERGE, end to end: the exact
+    * statement of [[qManifestMergeSql]] against a
+    * `graft.rowlevel.mode='mor'` table — Spark's delta rewrite drives
+    * [[GraftDeltaOperation]], matched rows position-delete via
+    * (_file,_pos) row ids into a dv sidecar, updated+inserted rows
+    * append, and NO pre-existing data file is rewritten
+    * (GraftRowLevelSpec pins the untouched-paths side). The shared
+    * oracle proves delta-MERGE state ≡ COW-MERGE state. */
+  def qMergeSqlMor(s: SparkSession, d: String): DataFrame = {
+    val wh = s"${graft.ops.Sources.ioDir(s, d)}/sql_catalog"
+    val cat = catalogFor(s, wh)
+    val t = s"$cat.default.orders_merge_mor_sql"
+    s.sql(s"DROP TABLE IF EXISTS $t")
+    orders(s, d)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        dec2(col("o_totalprice")).as("price"))
+      .createOrReplaceTempView("orders_merge_mor_src")
+    s.sql(s"""CREATE TABLE $t
+            |  (o_orderkey BIGINT, o_orderstatus STRING,
+            |   price DECIMAL(18,2))
+            |TBLPROPERTIES ('graft.rowlevel.mode' = 'mor')""".stripMargin)
+    s.sql(s"""INSERT INTO $t
+            |SELECT * FROM orders_merge_mor_src
+            |WHERE o_orderkey % 4 = 0""".stripMargin)
+    s.sql(s"""MERGE INTO $t AS t
+            |USING (SELECT * FROM orders_merge_mor_src
+            |       WHERE o_orderkey % 8 = 0 OR o_orderkey % 4 = 1) AS s
+            |ON t.o_orderkey = s.o_orderkey
+            |WHEN MATCHED AND t.o_orderstatus = 'F' THEN DELETE
+            |WHEN MATCHED THEN UPDATE SET price = s.price * 2
+            |WHEN NOT MATCHED THEN INSERT (o_orderkey, o_orderstatus, price)
+            |  VALUES (s.o_orderkey, s.o_orderstatus, s.price)
+            |""".stripMargin)
+    s.sql(s"""SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+            |  CAST(SUM(price) AS DOUBLE) AS sum_price
+            |FROM $t
+            |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_partitioned_sql" -> qPartitionedSql _,
     "q_widening_sql" -> qWideningSql _,
+    "q_merge_sql_mor" -> qMergeSqlMor _,
     "q_manifest_sql" -> qManifestSql _,
     "q_manifest_merge_sql" -> qManifestMergeSql _,
     "q_manifest_maintenance_sql" -> qManifestMaintenanceSql _,
@@ -998,6 +1047,33 @@ object GraftSql {
     "q_manifest_replace_where" -> qManifestReplaceWhere _,
     "q_manifest_constraint_sql" -> qManifestConstraintSql _,
     "q_manifest_evolution_sql" -> qManifestEvolutionSql _)
+
+  // post-merge truth recomputed relationally over raw parquet: matched
+  // non-'F' rows doubled, matched 'F' rows deleted, unmatched source
+  // rows inserted — shared by the COW and MOR MERGE keys
+  private val mergeSqlOracle =
+      """WITH t AS (SELECT o_orderkey, o_orderstatus,
+        |             CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        |           FROM orders WHERE o_orderkey % 4 = 0),
+        |     s AS (SELECT o_orderkey, o_orderstatus,
+        |             CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        |           FROM orders
+        |           WHERE o_orderkey % 8 = 0 OR o_orderkey % 4 = 1),
+        |     kept AS (
+        |       SELECT t.o_orderkey, t.o_orderstatus,
+        |         CASE WHEN s.o_orderkey IS NULL THEN t.price
+        |              ELSE CAST(t.price * 2 AS DECIMAL(18,2)) END AS price
+        |       FROM t LEFT JOIN s ON t.o_orderkey = s.o_orderkey
+        |       WHERE s.o_orderkey IS NULL OR t.o_orderstatus <> 'F'),
+        |     ins AS (
+        |       SELECT s.o_orderkey, s.o_orderstatus, s.price
+        |       FROM s LEFT JOIN t ON s.o_orderkey = t.o_orderkey
+        |       WHERE t.o_orderkey IS NULL),
+        |     merged AS (SELECT * FROM kept UNION ALL SELECT * FROM ins)
+        |SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(price) AS DOUBLE) AS sum_price
+        |FROM merged GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     // shared string: PARTITIONED BY (clustering + manifest skipping)
@@ -1057,27 +1133,9 @@ object GraftSql {
         |FROM orders
         |WHERE o_orderkey <= (SELECT MAX(o_orderkey) // 4 FROM orders)
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
-    "q_manifest_merge_sql" ->
-      """WITH t AS (SELECT o_orderkey, o_orderstatus,
-        |             CAST(o_totalprice AS DECIMAL(18,2)) AS price
-        |           FROM orders WHERE o_orderkey % 4 = 0),
-        |     s AS (SELECT o_orderkey, o_orderstatus,
-        |             CAST(o_totalprice AS DECIMAL(18,2)) AS price
-        |           FROM orders
-        |           WHERE o_orderkey % 8 = 0 OR o_orderkey % 4 = 1),
-        |     kept AS (
-        |       SELECT t.o_orderkey, t.o_orderstatus,
-        |         CASE WHEN s.o_orderkey IS NULL THEN t.price
-        |              ELSE CAST(t.price * 2 AS DECIMAL(18,2)) END AS price
-        |       FROM t LEFT JOIN s ON t.o_orderkey = s.o_orderkey
-        |       WHERE s.o_orderkey IS NULL OR t.o_orderstatus <> 'F'),
-        |     ins AS (
-        |       SELECT s.o_orderkey, s.o_orderstatus, s.price
-        |       FROM s LEFT JOIN t ON s.o_orderkey = t.o_orderkey
-        |       WHERE t.o_orderkey IS NULL),
-        |     merged AS (SELECT * FROM kept UNION ALL SELECT * FROM ins)
-        |SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
-        |  CAST(SUM(price) AS DOUBLE) AS sum_price
-        |FROM merged GROUP BY o_orderstatus
-        |ORDER BY o_orderstatus""".stripMargin)
+    "q_manifest_merge_sql" -> mergeSqlOracle,
+    // shared string: the delta (merge-on-read) MERGE must land the
+    // IDENTICAL visible state as the group-based COW MERGE — one oracle
+    // hash proves the two execution strategies equivalent
+    "q_merge_sql_mor" -> mergeSqlOracle)
 }

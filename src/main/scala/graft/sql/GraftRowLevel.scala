@@ -52,6 +52,16 @@ import graft.ops.Layout
   * ColumnarBatches), a deliberate trade: row-level commands are
   * write-dominated, and the scan feeds a join anyway.
   *
+  * On a `graft.rowlevel.mode = 'mor'` table the SAME commands take the
+  * DELTA rewrite instead ([[GraftDeltaOperation]], `SupportsDelta`):
+  * the scan additionally serves the `_pos` row ordinal, the writer
+  * receives per-row delete/update/insert verbs keyed by the
+  * (_file, _pos) row id, deletes land as position-delete sidecar
+  * entries, updates as delete + re-insert — and NO pre-existing data
+  * file is rewritten, so a point UPDATE costs its matched rows, not
+  * its matched files' bytes (see the classes at the bottom of this
+  * file).
+  *
   * Reference anchor: the nightly re-load upsert the reference runs as
   * DROP + bulk re-insert (`ETLCNPJFinalEmpresaEstabelecimentos.py:
   * 167-182`) — here a user writes `MERGE INTO` SQL text instead and
@@ -71,7 +81,22 @@ object GraftRowLevel {
       "data file holding the row (row-level operation group id)"
   }
 
+  /** `_pos` (0-based row ordinal within its data file) — with `_file`
+    * it forms the ROW ID of the delta-based (merge-on-read) row-level
+    * path: a position-delete sidecar entry is exactly one
+    * (grpOf(_file), _pos) pair. Served by the row-based scan counting
+    * ordinals over an unfiltered read (pushdown would desynchronize
+    * the count), dv-deleted rows excluded but still counted. */
+  object PosColumn extends MetadataColumn {
+    override def name: String = "_pos"
+    override def dataType: DataType = org.apache.spark.sql.types.LongType
+    override def isNullable: Boolean = false
+    override def comment: String =
+      "row ordinal within its data file (merge-on-read row id)"
+  }
+
   private[sql] val FileColumnName = "_file"
+  private[sql] val PosColumnName = "_pos"
 }
 
 /** One SQL command's worth of row-level state: pins the snapshot version
@@ -134,12 +159,19 @@ class GraftRowLevelOperation(
     s"graft-cow[$cmd $tablePath@v$pinnedVersion]"
 }
 
-/** Standard v1-filter pushdown + column pruning; `_file` is synthesized
-  * by the reader, everything else flows to the parquet machinery. */
-class GraftCowScanBuilder(op: GraftRowLevelOperation) extends ScanBuilder
+/** Standard v1-filter pushdown + column pruning; `_file`/`_pos` are
+  * synthesized by the reader, everything else flows to the parquet
+  * machinery. Shared by the COW and the delta (merge-on-read) row-level
+  * operations — `register` lets the COW op capture its commit scan. */
+class GraftCowScanBuilder(entries: Seq[(String, String, Long)],
+    tableSchema: StructType, dvs: Map[String, Array[Long]],
+    label: String, register: GraftCowScan => Unit) extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
 
-  private var required: StructType = op.tableSchema
+  def this(op: GraftRowLevelOperation) = this(op.entries, op.tableSchema,
+    op.dvs, s"${op.tablePath}@v${op.pinnedVersion}", op.registerScan)
+
+  private var required: StructType = tableSchema
   private var pushed: Array[Filter] = Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit =
@@ -150,17 +182,17 @@ class GraftCowScanBuilder(op: GraftRowLevelOperation) extends ScanBuilder
     * re-evaluates — the parquet push is best-effort, the double
     * evaluation is the standard file-source contract. */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    pushed = filters.filter(
-      _.references.forall(_ != GraftRowLevel.FileColumnName))
+    pushed = filters.filter(_.references.forall(r =>
+      r != GraftRowLevel.FileColumnName && r != GraftRowLevel.PosColumnName))
     filters
   }
 
   override def pushedFilters(): Array[Filter] = pushed
 
   override def build(): Scan = {
-    val scan = new GraftCowScan(op.entries, op.tableSchema, required,
-      pushed, s"${op.tablePath}@v${op.pinnedVersion}", op.dvs)
-    op.registerScan(scan)
+    val scan = new GraftCowScan(entries, tableSchema, required,
+      pushed, label, dvs)
+    register(scan)
     scan
   }
 }
@@ -187,17 +219,26 @@ class GraftCowScan(entries: Seq[(String, String, Long)],
 
   private val wantsFile =
     required.fieldNames.contains(GraftRowLevel.FileColumnName)
-  /** Data columns in requested order; `_file` (if requested) goes LAST —
-    * Spark projects the scan output into the expected order anyway. */
+  private val wantsPos =
+    required.fieldNames.contains(GraftRowLevel.PosColumnName)
+  /** Data columns in requested order; `_file`/`_pos` (if requested) go
+    * LAST in that order — Spark projects the scan output into the
+    * expected order anyway. */
   private val dataRequired = StructType(
-    required.filterNot(_.name == GraftRowLevel.FileColumnName))
+    required.filterNot(f => f.name == GraftRowLevel.FileColumnName ||
+      f.name == GraftRowLevel.PosColumnName))
 
-  override def readSchema(): StructType =
-    if (wantsFile)
-      StructType(dataRequired.fields :+
-        org.apache.spark.sql.types.StructField(
-          GraftRowLevel.FileColumnName, StringType, nullable = false))
-    else dataRequired
+  override def readSchema(): StructType = {
+    var fields = dataRequired.fields
+    if (wantsFile) fields = fields :+
+      org.apache.spark.sql.types.StructField(
+        GraftRowLevel.FileColumnName, StringType, nullable = false)
+    if (wantsPos) fields = fields :+
+      org.apache.spark.sql.types.StructField(
+        GraftRowLevel.PosColumnName,
+        org.apache.spark.sql.types.LongType, nullable = false)
+    StructType(fields)
+  }
 
   override def toBatch: Batch = this
 
@@ -241,17 +282,19 @@ class GraftCowScan(entries: Seq[(String, String, Long)],
     val spark = SparkSession.active
     val readFunc = ColumnBridge.parquetReaderFunc(spark,
       tableSchema, dataRequired, pushedFilters.toSeq, Map.empty)
-    // dv'd files read WITHOUT pushed parquet filters: the anti-apply
-    // skips by row ORDINAL, which only equals the iterator index when
-    // the reader returns every row. Correctness is untouched — file-
-    // source pushdown is best-effort and Spark re-evaluates every
-    // filter above the scan; only the dv'd files (bounded by compaction
-    // cadence) pay the unpruned read.
+    // dv'd files — and EVERY file when `_pos` is requested — read
+    // WITHOUT pushed parquet filters: both the anti-apply and the
+    // synthesized ordinal identify rows by position, which only equals
+    // the iterator index when the reader returns every row.
+    // Correctness is untouched — file-source pushdown is best-effort
+    // and Spark re-evaluates every filter above the scan; only the
+    // dv'd files (bounded by compaction cadence) and row-id scans pay
+    // the unpruned read.
     val plainFunc =
-      if (dvs.isEmpty) readFunc
+      if (dvs.isEmpty && !wantsPos) readFunc
       else ColumnBridge.parquetReaderFunc(spark,
         tableSchema, dataRequired, Nil, Map.empty)
-    GraftCowReaderFactory(readFunc, plainFunc, wantsFile, dvs)
+    GraftCowReaderFactory(readFunc, plainFunc, wantsFile, wantsPos, dvs)
   }
 
   override def estimateStatistics(): Statistics = new Statistics {
@@ -280,6 +323,7 @@ case class GraftCowReaderFactory(
       org.apache.spark.sql.execution.datasources.PartitionedFile =>
         Iterator[InternalRow],
     wantsFile: Boolean,
+    wantsPos: Boolean,
     dvs: Map[String, Array[Long]] = Map.empty)
   extends PartitionReaderFactory {
 
@@ -287,39 +331,56 @@ case class GraftCowReaderFactory(
       : PartitionReader[InternalRow] = {
     val gp = p.asInstanceOf[GraftCowInputPartition]
     val pf = ColumnBridge.partitionedFile(gp.path, gp.length)
-    val base = dvs.get(gp.path) match {
-      case None => readFunc(pf)
-      case Some(deleted) =>
-        val rows = plainReadFunc(pf)
-        // lookahead lives in hasNext (the standard filter-iterator
+    val deleted = dvs.getOrElse(gp.path, Array.empty[Long])
+    val it: Iterator[InternalRow] =
+      if (!wantsPos && deleted.isEmpty) {
+        val base = readFunc(pf)
+        if (!wantsFile) base
+        else {
+          val fileRow = new GenericInternalRow(
+            Array[Any](UTF8String.fromString(gp.path)))
+          val joined = new JoinedRow
+          base.map(r => joined(r, fileRow))
+        }
+      } else {
+        // position-identified path: plain (unfiltered) read so the
+        // iterator index IS the row ordinal; dv'd ordinals skipped but
+        // still counted; `_file`/`_pos` appended via a reused meta row.
+        // Lookahead lives in hasNext (the standard filter-iterator
         // shape): the underlying reader may REUSE its row buffer, so
         // the next pull must not happen until the consumer is done
-        // with the previously returned row
+        // with the previously returned row.
+        val rows = plainReadFunc(pf)
+        val nMeta = (if (wantsFile) 1 else 0) + (if (wantsPos) 1 else 0)
+        val metaRow = new GenericInternalRow(math.max(nMeta, 1))
+        if (wantsFile) metaRow.update(0, UTF8String.fromString(gp.path))
+        val posSlot = if (wantsFile) 1 else 0
+        val joined = new JoinedRow
         new Iterator[InternalRow] {
           private var ord = -1L
           private var di = 0
           private var pending: InternalRow = null
+          private var pendingOrd = -1L
           override def hasNext: Boolean = {
             while (pending == null && rows.hasNext) {
               val r = rows.next(); ord += 1
               while (di < deleted.length && deleted(di) < ord) di += 1
-              if (di >= deleted.length || deleted(di) != ord) pending = r
+              if (di >= deleted.length || deleted(di) != ord) {
+                pending = r; pendingOrd = ord
+              }
             }
             pending != null
           }
           override def next(): InternalRow = {
             if (!hasNext) throw new NoSuchElementException("empty reader")
-            val r = pending; pending = null; r
+            val r = pending; pending = null
+            if (nMeta == 0) r
+            else {
+              if (wantsPos) metaRow.setLong(posSlot, pendingOrd)
+              joined(r, metaRow)
+            }
           }
         }
-    }
-    val it =
-      if (!wantsFile) base
-      else {
-        val fileRow = new GenericInternalRow(
-          Array[Any](UTF8String.fromString(gp.path)))
-        val joined = new JoinedRow
-        base.map(r => joined(r, fileRow))
       }
     new PartitionReader[InternalRow] {
       private var row: InternalRow = _
@@ -374,6 +435,201 @@ class GraftCowBatchWrite(op: GraftRowLevelOperation) extends BatchWrite {
 
 case class GraftCowCommitMessage(relPath: String, bytes: Long, rows: Long)
   extends WriterCommitMessage
+
+// ---------------------------------------------------------------------
+// Delta-based (merge-on-read) row-level SQL — `SupportsDelta`. On a
+// `graft.rowlevel.mode = 'mor'` table, UPDATE / MERGE INTO / rewrite-path
+// DELETE no longer rewrite matched file-groups: Spark's delta rewrite
+// hands the writer per-row (operation, row id) verbs, deletes become
+// position-delete sidecar entries keyed by the (_file, _pos) row id the
+// scan synthesizes, updates become delete + re-insert, inserts append —
+// ONE commit annotates the affected manifest lines with dv pointers and
+// adds the new data files. Write cost ∝ matched + inserted ROWS; no
+// pre-existing data file opens for write (the same bargain the
+// programmatic deleteWhereMor/mergeInto MOR paths struck, now for SQL
+// text).
+// ---------------------------------------------------------------------
+
+/** The merge-on-read twin of [[GraftRowLevelOperation]]: same pinned
+  * snapshot, same shared COW scan (which serves the `_pos` ordinal and
+  * anti-applies existing dvs, so a re-UPDATE of a survivor row is keyed
+  * on TRUE file ordinals), but writes ride [[GraftDeltaBatchWrite]]. */
+class GraftDeltaOperation(
+    val tablePath: String,
+    val pinnedVersion: Int,
+    val tableSchema: StructType,
+    cmd: RowLevelOperation.Command) extends RowLevelOperation
+    with SupportsDelta {
+
+  val entries: Seq[(String, String, Long)] =
+    Layout.rowLevelEntries(SparkSession.active, tablePath, pinnedVersion)
+  val dvs: Map[String, Array[Long]] =
+    Layout.versionDvs(SparkSession.active, tablePath, pinnedVersion)
+
+  override def command(): RowLevelOperation.Command = cmd
+
+  override def newScanBuilder(options:
+      org.apache.spark.sql.util.CaseInsensitiveStringMap): ScanBuilder =
+    new GraftCowScanBuilder(entries, tableSchema, dvs,
+      s"$tablePath@v$pinnedVersion(mor)", _ => ())
+
+  override def rowId(): Array[NamedReference] = Array(
+    Expressions.column(GraftRowLevel.FileColumnName),
+    Expressions.column(GraftRowLevel.PosColumnName))
+
+  /** `_file` rides along for runtime group filtering (the IN-subquery
+    * over matched files still prunes the scan's group list). */
+  override def requiredMetadataAttributes(): Array[NamedReference] =
+    Array(Expressions.column(GraftRowLevel.FileColumnName))
+
+  override def newWriteBuilder(info: LogicalWriteInfo)
+      : DeltaWriteBuilder = new DeltaWriteBuilder {
+    override def build(): DeltaWrite = new DeltaWrite {
+      override def toBatch: DeltaBatchWrite =
+        new GraftDeltaBatchWrite(GraftDeltaOperation.this)
+      override def description(): String =
+        s"graft-delta-write[$tablePath@v$pinnedVersion]"
+    }
+  }
+
+  override def description(): String =
+    s"graft-delta[$cmd $tablePath@v$pinnedVersion]"
+}
+
+/** Tasks stage insert/update rows as parquet AND position deletes as
+  * (grp, pos) sidecar parquet into one fresh txn dir; the driver commit
+  * is a single REPLACE CAS via [[Layout.commitDelta]]. */
+class GraftDeltaBatchWrite(op: GraftDeltaOperation)
+    extends DeltaBatchWrite {
+
+  private val txnRel = "data/txn-" + java.util.UUID.randomUUID().toString
+  private val writeSchema = ColumnBridge.nullableSchema(op.tableSchema)
+  private[sql] val dvSchema = StructType(Seq(
+    org.apache.spark.sql.types.StructField("grp", StringType,
+      nullable = false),
+    org.apache.spark.sql.types.StructField("pos",
+      org.apache.spark.sql.types.LongType, nullable = false)))
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo)
+      : DeltaWriterFactory = {
+    val spark = SparkSession.active
+    // each factory carries ITS schema inside its hadoop conf
+    // (ParquetWriteSupport reads the schema from the conf, not the
+    // OutputWriter argument) — the two writers must not share one
+    val (dataFactory, dataConf) =
+      ColumnBridge.parquetWriterFactory(spark, writeSchema, Map.empty)
+    val (dvFactory, dvConf) =
+      ColumnBridge.parquetWriterFactory(spark, dvSchema, Map.empty)
+    GraftDeltaWriterFactory(op.tablePath, txnRel, dataFactory, dvFactory,
+      dataConf, dvConf, writeSchema, dvSchema)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val ms = messages.toSeq.collect { case m: GraftDeltaCommitMessage => m }
+    val dataStaged = ms.collect {
+      case m if m.dataRel != null => (m.dataRel, m.dataBytes) }
+    val grpToSidecars = ms.flatMap(m =>
+        m.grps.map(g => g -> m.dvRel)).groupBy(_._1)
+      .map { case (g, rs) => g -> rs.map(_._2).distinct.sorted.toSeq }
+    Layout.commitDelta(SparkSession.active, op.tablePath,
+      op.pinnedVersion, grpToSidecars, dataStaged,
+      s"${op.command().toString.toLowerCase}DeltaSql")
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val spark = SparkSession.active
+    val dir = new Path(op.tablePath, txnRel)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try fs.delete(dir, true) catch { case _: java.io.IOException => () }
+  }
+}
+
+case class GraftDeltaCommitMessage(dataRel: String, dataBytes: Long,
+    dvRel: String, grps: Array[String]) extends WriterCommitMessage
+
+/** Per-task delta writer: lazily opens a parquet data writer for
+  * inserts and a (grp, pos) sidecar writer for deletes; update =
+  * delete + insert. Names carry (partition, task attempt) so
+  * speculative retries never collide — the commit coordinator picks one
+  * attempt's message, losers stay unreferenced until vacuum. */
+case class GraftDeltaWriterFactory(tablePath: String, txnRel: String,
+    dataFactory:
+      org.apache.spark.sql.execution.datasources.OutputWriterFactory,
+    dvFactory:
+      org.apache.spark.sql.execution.datasources.OutputWriterFactory,
+    conf: org.apache.spark.util.SerializableConfiguration,
+    dvConf: org.apache.spark.util.SerializableConfiguration,
+    schema: StructType, dvSchema: StructType)
+    extends DeltaWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long)
+      : DeltaWriter[InternalRow] = new DeltaWriter[InternalRow] {
+
+    private var dataWriter:
+      org.apache.spark.sql.execution.datasources.OutputWriter = null
+    private var dvWriter:
+      org.apache.spark.sql.execution.datasources.OutputWriter = null
+    private val grps = scala.collection.mutable.TreeSet.empty[String]
+    private val dvRow = new GenericInternalRow(2)
+
+    override def insert(row: InternalRow): Unit = {
+      if (dataWriter == null)
+        dataWriter = ColumnBridge.newOutputWriter(dataFactory, conf,
+          s"$tablePath/$txnRel", f"part-$partitionId%05d-$taskId",
+          schema, partitionId, taskId)
+      dataWriter.write(row)
+    }
+
+    override def delete(meta: InternalRow, id: InternalRow): Unit = {
+      // row id = (_file qualified path, _pos ordinal), rowId() order
+      val grp = Layout.grpOfPath(id.getUTF8String(0).toString)
+      if (dvWriter == null)
+        dvWriter = ColumnBridge.newOutputWriter(dvFactory, dvConf,
+          s"$tablePath/$txnRel", f"dv-$partitionId%05d-$taskId",
+          dvSchema, partitionId, taskId)
+      dvRow.update(0, UTF8String.fromString(grp))
+      dvRow.setLong(1, id.getLong(1))
+      dvWriter.write(dvRow)
+      grps += grp
+    }
+
+    override def update(meta: InternalRow, id: InternalRow,
+        row: InternalRow): Unit = {
+      delete(meta, id); insert(row)
+    }
+
+    override def commit(): WriterCommitMessage = {
+      def closeAndRel(
+          w: org.apache.spark.sql.execution.datasources.OutputWriter)
+          : (String, Long) =
+        if (w == null) (null, 0L)
+        else {
+          w.close()
+          val p = new Path(w.path())
+          val len = p.getFileSystem(
+            new org.apache.hadoop.conf.Configuration(conf.value))
+            .getFileStatus(p).getLen
+          (s"$txnRel/${p.getName}", len)
+        }
+      val (dataRel, dataBytes) = closeAndRel(dataWriter)
+      val (dvRel, _) = closeAndRel(dvWriter)
+      GraftDeltaCommitMessage(dataRel, dataBytes, dvRel,
+        grps.toArray)
+    }
+
+    override def abort(): Unit =
+      Seq(dataWriter, dvWriter).filter(_ != null).foreach { w =>
+        try w.close() catch { case _: Throwable => () }
+        val p = new Path(w.path())
+        try p.getFileSystem(
+          new org.apache.hadoop.conf.Configuration(conf.value))
+          .delete(p, false)
+        catch { case _: java.io.IOException => () }
+      }
+
+    override def close(): Unit = ()
+  }
+}
 
 /** Per-task parquet writer: lazily opened (an empty partition stages no
   * file), named by (partition, task attempt) so a speculative retry

@@ -248,7 +248,8 @@ class SnapshotScanBuilder(
     inner.asInstanceOf[
       org.apache.spark.sql.connector.read.SupportsPushDownAggregates]
 
-  private val FileCol = "_file"
+  // synthesized row-identity columns only the row-based scan serves
+  private val MetaCols = Set("_file", "_pos")
   private var wantsFile = false
   private var required: org.apache.spark.sql.types.StructType = schema
   // bounds predicates derived from pushed filters — forwarded to the
@@ -259,7 +260,7 @@ class SnapshotScanBuilder(
       filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
       : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = {
     val (onFile, onData) =
-      filters.partition(_.references.exists(_.name == FileCol))
+      filters.partition(_.references.exists(r => MetaCols(r.name)))
     // MANIFEST-level file skipping for SQL reads: WHERE conjuncts that
     // translate to bounds predicates (SnapshotScanBuilder.skipOf) drop
     // whole files from the scan BEFORE any parquet footer opens — the
@@ -290,10 +291,10 @@ class SnapshotScanBuilder(
 
   override def pruneColumns(
       requiredSchema: org.apache.spark.sql.types.StructType): Unit = {
-    wantsFile = requiredSchema.fieldNames.contains(FileCol)
+    wantsFile = requiredSchema.fieldNames.exists(MetaCols)
     required = requiredSchema
     inner.pruneColumns(org.apache.spark.sql.types.StructType(
-      requiredSchema.filterNot(_.name == FileCol)))
+      requiredSchema.filterNot(f => MetaCols(f.name))))
   }
 
   // a table with live deletion vectors must never answer from parquet

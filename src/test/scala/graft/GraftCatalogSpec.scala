@@ -445,10 +445,14 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(spark.sql(
       "SELECT k FROM graft.default.mor_sql WHERE k <= 25 ORDER BY k")
       .collect().map(_.getLong(0)).toSeq == (21L to 25L))
-    // row-level UPDATE on the dv'd table: the COW rewrite reads groups
-    // dv-applied, so position-deleted rows must NOT resurrect
+    // row-level UPDATE on the MOR table takes the DELTA path: matched
+    // rows position-delete + re-insert, dv-deleted rows never resurrect,
+    // and the pre-update data files stay byte-for-byte in the manifest
     spark.sql(
       "UPDATE graft.default.mor_sql SET v = v + 1 WHERE k BETWEEN 1 AND 30")
+    assert(paths(ops.Layout.currentVersion(fs, root))
+        .intersect(dataBefore) == dataBefore,
+      "MOR UPDATE rewrote pre-update data files (expected the delta path)")
     assert(spark.sql("SELECT COUNT(*) AS n FROM graft.default.mor_sql")
       .head.getLong(0) == 80, "UPDATE resurrected dv-deleted rows")
     assert(spark.sql(

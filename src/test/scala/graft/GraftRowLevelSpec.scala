@@ -53,6 +53,77 @@ class GraftRowLevelSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2)))
       .toMap
 
+  /** Same three-group table, but merge-on-read: row-level SQL must take
+    * the DELTA path (position deletes + appends, zero file rewrites). */
+  private def makeMorTable(name: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS graftrl.default.$name")
+    spark.sql(s"""CREATE TABLE graftrl.default.$name
+                 |  (k BIGINT, v STRING, amt DOUBLE)
+                 |TBLPROPERTIES ('graft.rowlevel.mode' = 'mor')"""
+      .stripMargin)
+    Seq((0, 100), (100, 200), (200, 300)).foreach { case (lo, hi) =>
+      spark.sql(
+        s"""INSERT INTO graftrl.default.$name
+           |SELECT /*+ REPARTITION(1) */ id AS k,
+           |  concat('v', id) AS v, CAST(id AS DOUBLE) AS amt
+           |FROM range($lo, $hi)""".stripMargin)
+    }
+  }
+
+  test("MOR MERGE/UPDATE/DELETE: delta path, zero data-file rewrites, exact state") {
+    val t = "mor_delta"
+    makeMorTable(t)
+    val before = snapFiles(t).toSet
+    // MERGE: update k in [50,60), delete k in [150,160), insert 1000-1004
+    spark.sql(
+      s"""MERGE INTO graftrl.default.$t AS t
+         |USING (SELECT id AS k, concat('u', id) AS v,
+         |         CAST(id * 10 AS DOUBLE) AS amt
+         |       FROM range(50, 60)
+         |       UNION ALL
+         |       SELECT id, 'x', 0.0 FROM range(150, 160)
+         |       UNION ALL
+         |       SELECT id, concat('n', id), CAST(id AS DOUBLE)
+         |       FROM range(1000, 1005)) AS s
+         |ON t.k = s.k
+         |WHEN MATCHED AND s.v = 'x' THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET v = s.v, amt = s.amt
+         |WHEN NOT MATCHED THEN INSERT (k, v, amt) VALUES (s.k, s.v, s.amt)
+         |""".stripMargin)
+    val after = snapFiles(t).toSet
+    assert(before.subsetOf(after),
+      "MOR MERGE rewrote or dropped a pre-merge data file")
+    assert(after.size > before.size, "no appended merge output")
+    val m = rowsOf(t)
+    assert(m.size == 300 - 10 + 5)
+    assert(m(55L) == ("u55", 550.0), s"update missed: ${m(55L)}")
+    assert(!m.contains(155L), "delete missed")
+    assert(m(1002L) == ("n1002", 1002.0), "insert missed")
+    assert(m(42L) == ("v42", 42.0), "untouched row changed")
+    // UPDATE over a dv'd file: ordinals must be TRUE file ordinals, so a
+    // second update of already-updated rows (and of never-touched rows
+    // in the same file) hits exactly the intended rows
+    spark.sql(
+      s"""UPDATE graftrl.default.$t SET amt = amt + 1
+         |WHERE k >= 52 AND k <= 54 OR k = 70""".stripMargin)
+    assert(snapFiles(t).toSet.intersect(before) == before,
+      "MOR UPDATE rewrote a data file")
+    val m2 = rowsOf(t)
+    assert(m2(53L) == ("u53", 531.0) && m2(70L) == ("v70", 71.0),
+      s"${m2(53L)} / ${m2(70L)}")
+    assert(m2(55L) == ("u55", 550.0) && m2.size == m.size)
+    // DELETE with an untranslatable predicate rides the row-level path
+    spark.sql(s"DELETE FROM graftrl.default.$t WHERE k % 100 = 99")
+    val m3 = rowsOf(t)
+    assert(!m3.contains(99L) && !m3.contains(199L) && !m3.contains(299L))
+    assert(m3.size == m2.size - 3)
+    assert(snapFiles(t).toSet.intersect(before) == before,
+      "MOR DELETE rewrote a data file")
+    // compaction materializes everything; state identical
+    ops.Layout.compactSnapshot(spark, tablePath(t), sortBy = Seq("k"))
+    assert(rowsOf(t) == m3, "post-compaction state drifted")
+  }
+
   test("MERGE INTO: update + delete + insert clauses, hand-checked") {
     makeTable("m1")
     spark.sql(
