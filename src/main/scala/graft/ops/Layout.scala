@@ -954,7 +954,15 @@ object Layout {
     * arrive through Spark's group-based rewrite and stay copy-on-write
     * regardless of mode — they read dv-applied (position-deleted rows
     * never resurrect through a rewrite) and their swapped-in lines
-    * carry no dv, which is correct under either mode. */
+    * carry no dv, which is correct under either mode. [[replaceWhere]]
+    * and truncate stay copy-on-write by design in both modes too: a
+    * backfill swaps whole value ranges, so the rewrite IS the payload,
+    * not overhead. Concurrent MOR deletes compose: disjoint file sets
+    * rebase past each other (each loser re-annotates ONLY its own
+    * lines onto the winner's head); overlapping file sets hit the
+    * standard REPLACE conflict and the caller re-runs against the new
+    * head, where the dv-applied matched-set recompute makes the retry
+    * a union, never a double-delete. */
   val RowLevelModeProp = "graft.rowlevel.mode"
 
   private def morEnabled(props: Map[String, String]): Boolean =

@@ -403,6 +403,27 @@ class ManifestStreamSpec extends AnyFunSuite {
       .map(_.getAs[Number](0).longValue).toSet
     assert(!got.contains(3L) && got.contains(20L) && got.size == 12,
       s"batch veneer leaked or lost rows on a MOR table: $got")
+    // the DOCUMENTED recovery works: compact (materializes the
+    // vectors), restart from a startingVersion at the compacted head —
+    // the new stream emits the post-restart appends, no dv refusal
+    val root = new Path(table)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.ops.Layout.compactSnapshot(spark, table,
+      sortBy = Seq("n_nationkey"))
+    val headV = graft.ops.Layout.currentVersion(fs, root)
+    val name2 = freshName()
+    val q2 = startStream(table, name2,
+      Map("startingVersion" -> headV.toString))
+    try {
+      q2.processAllAvailable() // baseline consumed, nothing to emit
+      graft.ops.Layout.commitSnapshot(spark, table,
+        nation.where(col("n_nationkey") === 21))
+      q2.processAllAvailable()
+      val keys2 = spark.table(name2).collect()
+        .map(_.getAs[Number](0).longValue).toSet
+      assert(keys2 == Set(21L),
+        s"post-compaction restart emitted wrong delta: $keys2")
+    } finally q2.stop()
   }
 
   test("maxBytesPerTrigger packs a 100x size-skewed backlog into byte-bounded batches") {

@@ -699,6 +699,46 @@ class SnapshotIsolationSpec extends AnyFunSuite {
     assert(readSnapshot(spark, table).count() == 89)
   }
 
+  test("concurrent MOR deletes on disjoint files both land through the CAS rebase") {
+    import ops.Layout._
+    import spark.implicits._
+    val table = "target/graft_io/spec/mor_concurrent"
+    val root = new Path(table)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(root, true)
+    // three single-file commits with disjoint key ranges
+    commitSnapshot(spark, table,
+      (0L until 100L).map(i => (i, i * 1.0)).toDF("id", "v").coalesce(1),
+      props = Map(RowLevelModeProp -> "mor"))
+    commitSnapshot(spark, table,
+      (100L until 200L).map(i => (i, i * 1.0)).toDF("id", "v").coalesce(1))
+    commitSnapshot(spark, table,
+      (200L until 300L).map(i => (i, i * 1.0)).toDF("id", "v").coalesce(1))
+    // two racing MOR deletes touching DISJOINT files: the CAS loser must
+    // rebase its dv-annotated lines onto the winner's head (its input
+    // lines are untouched there), so BOTH deletes land — the documented
+    // composition contract at RowLevelModeProp
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val ths = Seq(
+      new Thread(() =>
+        try deleteWhere(spark, table, col("id") < 50)
+        catch { case t: Throwable => errs.add(t) }),
+      new Thread(() =>
+        try deleteWhere(spark, table, col("id") >= 250)
+        catch { case t: Throwable => errs.add(t) }))
+    ths.foreach(_.start()); ths.foreach(_.join())
+    assert(errs.isEmpty, s"concurrent disjoint MOR deletes failed: " +
+      errs.toArray.mkString("; "))
+    val ids = readSnapshot(spark, table).select("id")
+      .as[Long].collect().toSet
+    assert(ids == (50L until 250L).toSet,
+      s"expected exactly [50,250) to survive, got ${ids.size} ids")
+    // and no data file was rewritten by either delete
+    val paths = versionFileEntries(fs, root,
+      currentVersion(fs, root)).map(_._1)
+    assert(paths.size == 3, s"MOR deletes changed the file set: $paths")
+  }
+
   test("MOR merge: matched rows dv-deleted, updates+inserts append, state ≡ COW merge") {
     import ops.Layout._
     import spark.implicits._
