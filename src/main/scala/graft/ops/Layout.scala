@@ -2372,6 +2372,35 @@ object Layout {
       bytesBefore, bytesAfter, inputs.size))
   }
 
+  /** Targeted merge-on-read maintenance: materialize deletion vectors
+    * by rewriting ONLY the files that carry them — each dv'd file is
+    * re-staged dv-applied and swapped for a clean line; every other
+    * file carries by manifest line untouched. At 100 TB this, not a
+    * full-table [[compactSnapshot]], is how dvs actually get retired:
+    * cost ∝ the dv'd files' bytes (bounded by the delete rate between
+    * maintenance runs), never the table. Surfaced as SQL via
+    * `CALL system.compact(…, only_dv => true)`. Returns
+    * (newVersion, filesRewritten, filesUntouched) — a no-op (no live
+    * dvs) commits nothing and returns the current version. */
+  def compactDeletes(spark: SparkSession, table: String)
+      : (Int, Int, Int) = {
+    val root = new Path(table)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v0 = currentVersion(fs, root)
+    require(v0 > 0, s"compactDeletes: no committed version in $table")
+    val lines = manifestFiles(fs, root, v0)
+    val (dvLines, plain) = lines.partition(l => entryDvs(l).nonEmpty)
+    if (dvLines.isEmpty) return (v0, 0, plain.size)
+    val staged = stageTxn(spark, fs, root,
+      readManifestLines(spark, fs, root, v0, dvLines))
+    val added = withStats(spark, fs, root, staged,
+      statsColumnsOf(fs, root, v0))
+    val v = try replaceCommit(fs, root, "compactDeletes",
+      dvLines.toSet, added)
+    catch { case e: Throwable => dropStaged(fs, root, staged); throw e }
+    (v, dvLines.size, plain.size)
+  }
+
   /** URI-scheme/slash-insensitive normal form for matching
     * input_file_name() output against manifest-derived paths. The two
     * sides arrive differently encoded: input_file_name() reports a

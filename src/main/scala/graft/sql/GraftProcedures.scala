@@ -136,7 +136,12 @@ object GraftProcedures {
         ProcedureParameter.in("sort_by", DataTypes.StringType)
           .defaultValue("''").build(),
         ProcedureParameter.in("zorder_by", DataTypes.StringType)
-          .defaultValue("''").build())
+          .defaultValue("''").build(),
+        // targeted MOR maintenance: rewrite ONLY files carrying live
+        // deletion vectors (dv-applied), carry everything else by line
+        // — cost ∝ the delete rate, not the table (Layout.compactDeletes)
+        ProcedureParameter.in("only_dv", DataTypes.BooleanType)
+          .defaultValue("false").build())
       private val out = StructType(Seq(
         org.apache.spark.sql.types.StructField(
           "version", DataTypes.IntegerType, nullable = false),
@@ -155,12 +160,21 @@ object GraftProcedures {
         require(z.isEmpty || (z.length >= 2 && z.length <= 6),
           s"zorder_by takes two to six comma-separated columns, got " +
             s"'${z.mkString(",")}'")
-        val (v, stats) = Layout.compactSnapshot(spark, table,
-          targetFileBytes = input.getLong(1),
-          sortBy = sortBy,
-          zorderBy = z)
-        one(out)(v, stats.filesBefore, stats.filesAfter,
-          stats.bytesBefore)
+        if (input.getBoolean(4)) {
+          require(sortBy.isEmpty && z.isEmpty,
+            "only_dv rewrites only the dv'd files and cannot re-cluster" +
+              " — drop sort_by/zorder_by or run a full compact")
+          val (v, rewritten, untouched) =
+            Layout.compactDeletes(spark, table)
+          one(out)(v, rewritten + untouched, rewritten + untouched, 0L)
+        } else {
+          val (v, stats) = Layout.compactSnapshot(spark, table,
+            targetFileBytes = input.getLong(1),
+            sortBy = sortBy,
+            zorderBy = z)
+          one(out)(v, stats.filesBefore, stats.filesAfter,
+            stats.bytesBefore)
+        }
       }
     }
 

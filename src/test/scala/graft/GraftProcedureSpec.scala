@@ -130,10 +130,19 @@ class GraftProcedureSpec extends AnyFunSuite {
     assert(d2.getInt(5) == 1 && d2.getInt(6) == 1,
       s"expected one dv-masked file and one sidecar, got " +
         s"(${d2.getInt(5)}, ${d2.getInt(6)})")
-    spark.sql(s"CALL $c.system.compact('default.$t')")
+    // targeted maintenance: only_dv rewrites JUST the dv'd files
+    spark.sql(s"CALL $c.system.compact('default.$t', only_dv => true)")
     val d3 = spark.sql(s"CALL $c.system.detail('default.$t')").head()
     assert(d3.getInt(5) == 0 && d3.getInt(6) == 0,
       "compaction must materialize deletion vectors away")
+    assert(spark.sql(s"SELECT COUNT(*) AS n FROM $c.default.$t")
+      .head.getLong(0) == 1)
+    // only_dv cannot re-cluster — refuse loudly
+    val eDv = intercept[Exception] {
+      spark.sql(s"CALL $c.system.compact('default.$t', " +
+        "sort_by => 'k', only_dv => true)")
+    }
+    assert(eDv.getMessage.contains("only_dv"), eDv.getMessage)
   }
 
   test("CDC delta reads as SQL text through the veneer's changesFrom") {

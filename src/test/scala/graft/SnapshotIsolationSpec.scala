@@ -739,6 +739,45 @@ class SnapshotIsolationSpec extends AnyFunSuite {
     assert(paths.size == 3, s"MOR deletes changed the file set: $paths")
   }
 
+  test("compactDeletes rewrites ONLY dv'd files; the rest stay byte-identical") {
+    import ops.Layout._
+    import spark.implicits._
+    val table = "target/graft_io/spec/mor_compact_dv"
+    val root = new Path(table)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(root, true)
+    commitSnapshot(spark, table,
+      (0L until 100L).map(i => (i, i * 1.0)).toDF("id", "v").coalesce(1),
+      props = Map(RowLevelModeProp -> "mor"))
+    commitSnapshot(spark, table,
+      (100L until 200L).map(i => (i, i * 1.0)).toDF("id", "v").coalesce(1))
+    commitSnapshot(spark, table,
+      (200L until 300L).map(i => (i, i * 1.0)).toDF("id", "v").coalesce(1))
+    deleteWhere(spark, table, col("id") < 30) // dv on file 1 only
+    val v0 = currentVersion(fs, root)
+    val pathsBefore = versionFileEntries(fs, root, v0).map(_._1)
+    val mtimes = pathsBefore.map(p =>
+      p -> fs.getFileStatus(new Path(root, p)).getModificationTime).toMap
+    val (v1, rewritten, untouched) = compactDeletes(spark, table)
+    assert(v1 == v0 + 1 && rewritten == 1 && untouched == 2,
+      s"($v1, $rewritten, $untouched)")
+    // targeted: the two clean files carry BY LINE, bytes untouched; no
+    // dv group survives; content exact
+    val after = versionFileEntries(fs, root, v1).map(_._1)
+    val carried = after.filter(pathsBefore.contains)
+    assert(carried.size == 2, s"expected 2 carried files, got $carried")
+    carried.foreach(p => assert(
+      fs.getFileStatus(new Path(root, p)).getModificationTime == mtimes(p),
+      s"compactDeletes touched clean file $p"))
+    assert(versionDvs(spark, table, v1).isEmpty,
+      "a dv group survived the targeted rewrite")
+    assert(readSnapshot(spark, table).select("id").as[Long]
+      .collect().toSet == (30L until 300L).toSet)
+    // idempotent: with no live dvs it commits NOTHING
+    val (v2, r2, _) = compactDeletes(spark, table)
+    assert(v2 == v1 && r2 == 0, "no-op compactDeletes must not commit")
+  }
+
   test("MOR merge: matched rows dv-deleted, updates+inserts append, state ≡ COW merge") {
     import ops.Layout._
     import spark.implicits._
