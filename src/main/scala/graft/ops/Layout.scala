@@ -995,6 +995,21 @@ object Layout {
 
   private val CommitHeader = "#commit\t"
 
+  /** `#op\t<verb>` — the committing verb's name, recorded so history
+    * answers "WHICH operation produced version N" (the DESCRIBE
+    * HISTORY `operation` column) instead of just a UUID. Unknown to
+    * pre-r17 readers (every header parser matches its own prefix) and
+    * absent from pre-r17 manifests (history shows "" for those). */
+  private val OpHeader = "#op\t"
+
+  /** The verb recorded in `v`'s manifest, if the committing writer
+    * recorded one. */
+  private def opNameOf(fs: FileSystem, root: Path, v: Int)
+      : Option[String] =
+    rawManifestLines(fs, root, v)
+      .find(_.startsWith(OpHeader))
+      .map(l => dec(l.substring(OpHeader.length)))
+
   /** The commit UUID recorded in a manifest, read UNCACHED — the
     * post-rename winner check must see the file's actual current bytes,
     * never a cache entry keyed on (mtime, length). */
@@ -1309,7 +1324,7 @@ object Layout {
         // why the gate lives inside the CAS loop
         gate.check(head, all, constraintsOf(props))
         val attemptId = java.util.UUID.randomUUID().toString
-        val header = (CommitHeader + attemptId) +:
+        val header = Seq(CommitHeader + attemptId, OpHeader + enc(op)) ++
           (schemaFor(head).map(s => SchemaHeader + s.json).toSeq ++
             props.toSeq.sorted.map { case (k, v2) =>
               s"$PropHeader${enc(k)}\t${enc(v2)}" } ++
@@ -2984,7 +2999,7 @@ object Layout {
   }
 
   def history(spark: SparkSession, table: String)
-      : Seq[(Int, Long, Int, Long, String)] = {
+      : Seq[(Int, Long, Int, Long, String, String)] = {
     val root = new Path(table)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val mdir = new Path(root, "manifests")
@@ -2996,7 +3011,10 @@ object Layout {
           val entries = versionFileEntries(fs, root, v)
           Some((v, st.getModificationTime, entries.size,
             entries.flatMap(_._2).sum,
-            commitIdOf(fs, st.getPath).getOrElse("")))
+            commitIdOf(fs, st.getPath).getOrElse(""),
+            // the committing VERB (DESCRIBE HISTORY's operation
+            // column); "" on pre-#op manifests
+            opNameOf(fs, root, v).getOrElse("")))
         case _ => None
       }
     }.sortBy(_._1)

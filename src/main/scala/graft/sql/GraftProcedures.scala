@@ -193,13 +193,18 @@ object GraftProcedures {
         org.apache.spark.sql.types.StructField(
           "bytes", DataTypes.LongType, nullable = false),
         org.apache.spark.sql.types.StructField(
-          "commit_id", DataTypes.StringType, nullable = false)))
+          "commit_id", DataTypes.StringType, nullable = false),
+        // which VERB produced the version (append / delete / merge /
+        // compact / rollback / DDL …) — "" on pre-r17 manifests
+        org.apache.spark.sql.types.StructField(
+          "operation", DataTypes.StringType, nullable = false)))
       override def call(input: InternalRow): java.util.Iterator[Scan] = {
         val table = tableDir(cat, input.getUTF8String(0).toString)
         rowsResult(out, Layout.history(spark, table).map {
-          case (v, at, files, bytes, id) =>
+          case (v, at, files, bytes, id, op) =>
             Array[Any](v, at, files, bytes,
-              org.apache.spark.unsafe.types.UTF8String.fromString(id))
+              org.apache.spark.unsafe.types.UTF8String.fromString(id),
+              org.apache.spark.unsafe.types.UTF8String.fromString(op))
         })
       }
     }

@@ -97,6 +97,12 @@ class GraftProcedureSpec extends AnyFunSuite {
     assert(h.last.getInt(2) == compacted.getInt(2),
       "head file count must equal compact's files_after")
     assert(h.last.getLong(3) > 0, "recorded bytes ride the manifest")
+    // the operation column names the committing VERB per version:
+    // CREATE + both INSERTs are append commits, v4 is the compaction
+    assert(h.map(_.getString(5)).toSeq ==
+      Seq("commitSnapshot", "commitSnapshot", "commitSnapshot",
+        "compactSnapshot"),
+      h.map(_.getString(5)).mkString(","))
     spark.sql(s"CALL $c.system.expire_snapshots('default.$t', keep_last => 1)")
     val h2 = spark.sql(s"CALL $c.system.history('default.$t')").collect()
     assert(h2.map(_.getInt(0)).toSeq == Seq(4),
