@@ -851,6 +851,16 @@ object Layout {
   // anti-joins the union, so overlap is harmless.
   private val DvCol = "@dv"
   private val DvPfx = "D:"
+
+  /** Whether a line's second field is the optional `@bytes` size token
+    * (digits only) — NOT any other '@'-prefixed token. On a legacy line
+    * that predates the size token, the first tab field after the path
+    * can be a group's column slot — including `@dv` — and a parser that
+    * skipped any '@'-token as "the size" would silently drop that whole
+    * group (r17 ADVICE: position-deleted rows would resurrect). */
+  private def isSizeToken(s: String): Boolean =
+    s.length > 1 && s.charAt(0) == '@' &&
+      s.substring(1).forall(c => c >= '0' && c <= '9')
   private def encBound(s: String): String =
     StrPfx + java.net.URLEncoder.encode(s, "UTF-8")
 
@@ -874,7 +884,7 @@ object Layout {
   private[graft] def entryBounds(line: String): Map[String, ColBounds] = {
     val f = line.split('\t')
     var i = 1
-    if (i < f.length && f(i).startsWith("@")) i += 1
+    if (i < f.length && isSizeToken(f(i))) i += 1
     val b = Map.newBuilder[String, ColBounds]
     while (i + 3 <= f.length) {
       decodePair(f(i + 1), f(i + 2)).foreach(v => b += f(i) -> v)
@@ -889,7 +899,7 @@ object Layout {
       : Map[String, (Char, Array[Byte])] = {
     val f = line.split('\t')
     var i = 1
-    if (i < f.length && f(i).startsWith("@")) i += 1
+    if (i < f.length && isSizeToken(f(i))) i += 1
     val b = Map.newBuilder[String, (Char, Array[Byte])]
     while (i + 3 <= f.length) {
       val mid = f(i + 1)
@@ -911,7 +921,7 @@ object Layout {
   private[graft] def entryDvs(line: String): Seq[String] = {
     val f = line.split('\t')
     var i = 1
-    if (i < f.length && f(i).startsWith("@")) i += 1
+    if (i < f.length && isSizeToken(f(i))) i += 1
     val b = Seq.newBuilder[String]
     while (i + 3 <= f.length) {
       if (f(i) == DvCol && f(i + 1).startsWith(DvPfx))
@@ -979,7 +989,7 @@ object Layout {
     * consumers fall back to getFileStatus for older lines). */
   private[graft] def entrySize(line: String): Option[Long] = {
     val f = line.split('\t')
-    if (f.length > 1 && f(1).startsWith("@"))
+    if (f.length > 1 && isSizeToken(f(1)))
       scala.util.Try(f(1).substring(1).toLong).toOption
     else None
   }
@@ -2395,17 +2405,22 @@ object Layout {
     * cost ∝ the dv'd files' bytes (bounded by the delete rate between
     * maintenance runs), never the table. Surfaced as SQL via
     * `CALL system.compact(…, only_dv => true)`. Returns
-    * (newVersion, filesRewritten, filesUntouched) — a no-op (no live
-    * dvs) commits nothing and returns the current version. */
+    * (newVersion, filesRewritten, filesUntouched, bytesRewritten) —
+    * bytesRewritten is the dv'd files' recorded byte total, so the
+    * procedure output distinguishes a no-op from a rewrite (r17
+    * ADVICE); a no-op (no live dvs) commits nothing and returns the
+    * current version. */
   def compactDeletes(spark: SparkSession, table: String)
-      : (Int, Int, Int) = {
+      : (Int, Int, Int, Long) = {
     val root = new Path(table)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val v0 = currentVersion(fs, root)
     require(v0 > 0, s"compactDeletes: no committed version in $table")
     val lines = manifestFiles(fs, root, v0)
     val (dvLines, plain) = lines.partition(l => entryDvs(l).nonEmpty)
-    if (dvLines.isEmpty) return (v0, 0, plain.size)
+    if (dvLines.isEmpty) return (v0, 0, plain.size, 0L)
+    val bytesIn = dvLines.map(l => entrySize(l).getOrElse(
+      fs.getFileStatus(new Path(root, entryPath(l))).getLen)).sum
     val staged = stageTxn(spark, fs, root,
       readManifestLines(spark, fs, root, v0, dvLines))
     val added = withStats(spark, fs, root, staged,
@@ -2413,7 +2428,7 @@ object Layout {
     val v = try replaceCommit(fs, root, "compactDeletes",
       dvLines.toSet, added)
     catch { case e: Throwable => dropStaged(fs, root, staged); throw e }
-    (v, dvLines.size, plain.size)
+    (v, dvLines.size, plain.size, bytesIn)
   }
 
   /** URI-scheme/slash-insensitive normal form for matching
@@ -2833,12 +2848,20 @@ object Layout {
                 .join(upSrc, Seq(key), "inner")
                 .select(tcols.map(col): _*)
             val newData = updated.unionByName(inserts)
-            val dataStaged = stageTxn(spark, fs, root, newData)
-            val added = annotated ++ withStats(spark, fs, root,
-              dataStaged, statsColumnsOf(fs, root, v0))
-            val v = replaceCommit(fs, root, "mergeIntoMor",
-              affLines.toSet, added)
-            (v, affected.size, nInserted)
+            // track the data files too: a failed commit must drop BOTH
+            // stage sets, not orphan the data half until vacuum (r17
+            // ADVICE — deleteWhereMor/replaceWhere already do this)
+            var dataStaged = Seq.empty[(String, Long)]
+            try {
+              dataStaged = stageTxn(spark, fs, root, newData)
+              val added = annotated ++ withStats(spark, fs, root,
+                dataStaged, statsColumnsOf(fs, root, v0))
+              val v = replaceCommit(fs, root, "mergeIntoMor",
+                affLines.toSet, added)
+              (v, affected.size, nInserted)
+            } catch { case e: Throwable =>
+              dropStaged(fs, root, dataStaged); throw e
+            }
           } catch { case e: Throwable =>
             dropStaged(fs, root, dvStaged); throw e
           }

@@ -164,9 +164,15 @@ object GraftProcedures {
           require(sortBy.isEmpty && z.isEmpty,
             "only_dv rewrites only the dv'd files and cannot re-cluster" +
               " — drop sort_by/zorder_by or run a full compact")
-          val (v, rewritten, untouched) =
+          val (v, rewritten, untouched, bytesIn) =
             Layout.compactDeletes(spark, table)
-          one(out)(v, rewritten + untouched, rewritten + untouched, 0L)
+          // honest accounting (r17 ADVICE): before = the old line
+          // count; after = the NEW manifest's (a dv'd file can re-stage
+          // into a different file count); bytes = the dv'd input bytes
+          val filesAfter =
+            if (rewritten == 0) untouched
+            else Layout.snapshotLayout(spark, table, Some(v))._1.size
+          one(out)(v, rewritten + untouched, filesAfter, bytesIn)
         } else {
           val (v, stats) = Layout.compactSnapshot(spark, table,
             targetFileBytes = input.getLong(1),

@@ -531,6 +531,11 @@ class GraftDeltaBatchWrite(op: GraftDeltaOperation)
     val grpToSidecars = ms.flatMap(m =>
         m.grps.map(g => g -> m.dvRel)).groupBy(_._1)
       .map { case (g, rs) => g -> rs.map(_._2).distinct.sorted.toSeq }
+    // an UPDATE/MERGE that matched zero rows and inserted none has
+    // nothing to commit — committing would mint a manifest version
+    // identical to the head (version churn + a misleading DESCRIBE
+    // HISTORY line per no-op statement; r17 ADVICE)
+    if (grpToSidecars.isEmpty && dataStaged.isEmpty) return
     Layout.commitDelta(SparkSession.active, op.tablePath,
       op.pinnedVersion, grpToSidecars, dataStaged,
       s"${op.command().toString.toLowerCase}DeltaSql")

@@ -739,6 +739,30 @@ class SnapshotIsolationSpec extends AnyFunSuite {
     assert(paths.size == 3, s"MOR deletes changed the file set: $paths")
   }
 
+  test("manifest line parsers: a legacy size-token-less line gaining a" +
+      " dv group keeps the dv (r17 ADVICE)") {
+    import ops.Layout._
+    // pre-size-token line grammar: `path` with groups directly after —
+    // the first tab field is a group's COLUMN slot. When that slot is
+    // the dv group's `@dv`, a parser that skipped any '@'-token as the
+    // size would drop the dv and resurrect position-deleted rows.
+    val legacyDv = "data/txn-a/part-0.parquet\t@dv\tD:data%2Fdv%2Fs1.parquet\tD:"
+    assert(entryDvs(legacyDv) == Seq("data/dv/s1.parquet"))
+    assert(entrySize(legacyDv).isEmpty)
+    assert(entryBounds(legacyDv).isEmpty)
+    assert(entryBlooms(legacyDv).isEmpty)
+    // legacy line with a bounds group first — still no size token
+    val legacyBounds = "p.parquet\tid\tL:1\tL:9\t@dv\tD:dv.parquet\tD:"
+    assert(entryBounds(legacyBounds) == Map("id" -> LongBounds(1, 9)))
+    assert(entryDvs(legacyBounds) == Seq("dv.parquet"))
+    assert(entrySize(legacyBounds).isEmpty)
+    // modern line: size token consumed exactly once, groups intact
+    val modern = "p.parquet\t@123\tid\tL:1\tL:9\t@dv\tD:dv.parquet\tD:"
+    assert(entrySize(modern).contains(123L))
+    assert(entryBounds(modern) == Map("id" -> LongBounds(1, 9)))
+    assert(entryDvs(modern) == Seq("dv.parquet"))
+  }
+
   test("compactDeletes rewrites ONLY dv'd files; the rest stay byte-identical") {
     import ops.Layout._
     import spark.implicits._
@@ -758,9 +782,10 @@ class SnapshotIsolationSpec extends AnyFunSuite {
     val pathsBefore = versionFileEntries(fs, root, v0).map(_._1)
     val mtimes = pathsBefore.map(p =>
       p -> fs.getFileStatus(new Path(root, p)).getModificationTime).toMap
-    val (v1, rewritten, untouched) = compactDeletes(spark, table)
+    val (v1, rewritten, untouched, bytesIn) = compactDeletes(spark, table)
     assert(v1 == v0 + 1 && rewritten == 1 && untouched == 2,
       s"($v1, $rewritten, $untouched)")
+    assert(bytesIn > 0, "bytesRewritten must report the dv'd input bytes")
     // targeted: the two clean files carry BY LINE, bytes untouched; no
     // dv group survives; content exact
     val after = versionFileEntries(fs, root, v1).map(_._1)
@@ -774,8 +799,9 @@ class SnapshotIsolationSpec extends AnyFunSuite {
     assert(readSnapshot(spark, table).select("id").as[Long]
       .collect().toSet == (30L until 300L).toSet)
     // idempotent: with no live dvs it commits NOTHING
-    val (v2, r2, _) = compactDeletes(spark, table)
-    assert(v2 == v1 && r2 == 0, "no-op compactDeletes must not commit")
+    val (v2, r2, _, b2) = compactDeletes(spark, table)
+    assert(v2 == v1 && r2 == 0 && b2 == 0L,
+      "no-op compactDeletes must not commit")
   }
 
   test("MOR merge: matched rows dv-deleted, updates+inserts append, state ≡ COW merge") {
