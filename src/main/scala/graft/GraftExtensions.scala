@@ -46,6 +46,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => TopKStrategy)
     e.injectOptimizerRule(_ => RowNumberTopKRewrite)
+    // per-file deletion-vector dispatch for SQL reads of MOR tables:
+    // Union(vectorized BatchScan over dv-free files, masked read of
+    // dv'd files) instead of a table-wide row-based fallback
+    e.injectOptimizerRule(_ => graft.sql.MorPerFileDispatch)
     e.injectFunction(binary("graft_dot", DotProduct))
     e.injectFunction(binary("graft_l2sq", SquaredDistance))
     e.injectFunction(binary("graft_set_intersect", SortedIntersectCount))

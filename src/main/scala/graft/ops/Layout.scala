@@ -941,7 +941,7 @@ object Layout {
     * its last two path segments — txn dir name + file name, both
     * uuid'd. Relocation-proof (no table root) and cheap to derive on
     * the scan side from `_metadata.file_path`. */
-  private def grpOfRel(rel: String): String = {
+  private[graft] def grpOfRel(rel: String): String = {
     val parts = rel.split('/')
     if (parts.length >= 2) parts(parts.length - 2) + "/" + parts.last
     else rel
@@ -955,6 +955,19 @@ object Layout {
   private[graft] def versionHasDvs(fs: FileSystem, root: Path,
       v: Int): Boolean =
     v > 0 && manifestFiles(fs, root, v).exists(l => entryDvs(l).nonEmpty)
+
+  /** `v`'s live deletion-vector pointers keyed by root-relative data
+    * file path (dv-carrying lines only) — the streaming source's
+    * per-batch dispatch currency: a dv on a file the stream has NOT yet
+    * emitted is maskable in-batch; a dv on an already-emitted file is a
+    * retraction the append-only contract cannot express. */
+  private[graft] def versionDvMap(fs: FileSystem, root: Path,
+      v: Int): Map[String, Seq[String]] =
+    if (v <= 0) Map.empty
+    else manifestFiles(fs, root, v).iterator
+      .map(l => entryPath(l) -> entryDvs(l))
+      .filter(_._2.nonEmpty)
+      .toMap
 
   /** `graft.rowlevel.mode` — `cow` (default): row-level verbs rewrite
     * affected files; `mor`: [[deleteWhere]]/[[mergeInto]] (and SQL
@@ -1944,12 +1957,14 @@ object Layout {
     * (pushdown, pruning, vectorized read) a snapshot without going
     * through a DataFrame first. */
   private[graft] def snapshotLayout(spark: SparkSession, table: String,
-      version: Option[Int]): (Seq[String], Option[types.StructType]) = {
+      version: Option[Int], dvFreeOnly: Boolean = false)
+      : (Seq[String], Option[types.StructType]) = {
     val root = new Path(table)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val v = version.getOrElse(currentVersion(fs, root))
     require(v > 0, s"snapshotLayout: no committed version in $table")
-    (manifestFiles(fs, root, v)
+    val lines = manifestFiles(fs, root, v)
+    ((if (dvFreeOnly) lines.filter(l => entryDvs(l).isEmpty) else lines)
        .map(l => new Path(root, entryPath(l)).toString),
      schemaOf(fs, root, v))
   }
@@ -2041,6 +2056,25 @@ object Layout {
     if (plainLines.isEmpty) masked
     else masked.unionByName(
       readVersionFiles(spark, fs, root, v, absOf(plainLines)))
+  }
+
+  /** The dv-applying read of ONLY `version`'s dv-CARRYING files — the
+    * masked branch of the SQL scan's per-file MOR dispatch
+    * ([[graft.sql.MorPerFileDispatch]]): the optimizer serves a
+    * dv-carrying version as Union(vectorized BatchScan over dv-free
+    * files, this plan), so one trickle-deleted file never costs a
+    * table-wide vectorization loss (r17 verdict task 1). Empty frame
+    * when the version carries no dvs. */
+  private[graft] def maskedDvRead(spark: SparkSession, table: String,
+      version: Int): DataFrame = {
+    val root = new Path(table)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dvLines = manifestFiles(fs, root, version)
+      .filter(l => entryDvs(l).nonEmpty)
+    if (dvLines.isEmpty)
+      emptyFrame(spark,
+        schemaOf(fs, root, version).getOrElse(types.StructType(Nil)))
+    else readManifestLines(spark, fs, root, version, dvLines)
   }
 
   /** Read `table` as of `version` (default: newest) — manifest-listed
@@ -2135,13 +2169,19 @@ object Layout {
     * records bounds for both clustering columns and each prunes
     * independently. */
   private[graft] def fileSelection(spark: SparkSession, table: String,
-      skips: Seq[Skip], version: Option[Int] = None)
+      skips: Seq[Skip], version: Option[Int] = None,
+      dvFreeOnly: Boolean = false)
       : (Seq[String], Int) = {
     val root = new Path(table)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val v = version.getOrElse(currentVersion(fs, root))
     require(v > 0, s"fileSelection: no committed version in $table")
-    val lines = manifestFiles(fs, root, v)
+    val all = manifestFiles(fs, root, v)
+    // a dv-free branch scan (MOR per-file dispatch) prunes within ITS
+    // file universe only — a kept dv-carrying file must never slip into
+    // the vectorized branch (its deleted rows would resurrect)
+    val lines =
+      if (dvFreeOnly) all.filter(l => entryDvs(l).isEmpty) else all
     val kept = lines.filter { line =>
       val b = entryBounds(line)
       lazy val bl = entryBlooms(line)
@@ -2157,8 +2197,10 @@ object Layout {
     * [[readSnapshotWhere]] makes for the Scala verbs. Returns (kept
     * absolute paths, total files in the version). */
   private[graft] def prunedFilePaths(spark: SparkSession, table: String,
-      skips: Seq[Skip], version: Option[Int]): (Seq[String], Int) = {
-    val (kept, total) = fileSelection(spark, table, skips, version)
+      skips: Seq[Skip], version: Option[Int],
+      dvFreeOnly: Boolean = false): (Seq[String], Int) = {
+    val (kept, total) =
+      fileSelection(spark, table, skips, version, dvFreeOnly)
     val root = new Path(table)
     (kept.map(l => new Path(root, entryPath(l)).toString), total)
   }

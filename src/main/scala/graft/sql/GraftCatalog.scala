@@ -375,7 +375,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   * not a thing). The scan is Spark's own parquet ScanBuilder over the
   * manifest's explicit file list — `EXPLAIN` on a catalog SELECT shows
   * PushedFilters/ReadSchema like any parquet scan. */
-class GraftTable(path: String, version: Option[Int])
+/** `dvFreeOnly = true` is the VECTORIZED BRANCH VIEW of a dv-carrying
+  * snapshot: same path and pinned version, file universe restricted to
+  * the manifest lines WITHOUT deletion-vector groups, `hasDv = false`.
+  * Only [[MorPerFileDispatch]] constructs it (via [[dvFreeTwin]]) as
+  * the first child of its per-file-dispatch Union — it is a read-only
+  * view, never catalog-loaded, never written. */
+class GraftTable(path: String, version: Option[Int],
+    dvFreeOnly: Boolean = false)
     extends Table with SupportsRead with SupportsWrite
     with SupportsDelete with SupportsRowLevelOperations
     with SupportsMetadataColumns {
@@ -397,10 +404,32 @@ class GraftTable(path: String, version: Option[Int])
   }
 
   private lazy val pinnedLayout: (Seq[String], Option[StructType]) =
-    Layout.snapshotLayout(spark, path, Some(pinnedVersion))
+    Layout.snapshotLayout(spark, path, Some(pinnedVersion), dvFreeOnly)
+
+  /** Whether the pinned snapshot's manifest carries any live deletion
+    * vector — the [[MorPerFileDispatch]] eligibility test. Manifest-line
+    * inspection only (no sidecar read); always false on a dv-free view,
+    * which is what makes the dispatch rewrite converge. */
+  private[graft] lazy val hasLiveDvs: Boolean =
+    !dvFreeOnly && Layout.versionHasDvs(
+      new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration),
+      new Path(path), pinnedVersion)
+
+  /** This snapshot restricted to its dv-FREE files — the vectorized
+    * branch of the per-file MOR dispatch. */
+  private[graft] def dvFreeTwin: GraftTable =
+    new GraftTable(path, Some(pinnedVersion), dvFreeOnly = true)
+
+  /** Whether the dv-free branch would scan any file at all (a snapshot
+    * whose every file carries a dv has no vectorized branch). */
+  private[graft] def hasDvFreeFiles: Boolean = pinnedLayout._1.nonEmpty
+
+  private[graft] def tableDir: String = path
+  private[graft] def pinnedV: Int = pinnedVersion
 
   override def name(): String = s"graft.`$path`" +
-    version.fold("")(v => s"@v$v")
+    version.fold("")(v => s"@v$v") +
+    (if (dvFreeOnly) "#dvfree" else "")
 
   override def schema(): StructType = {
     val (files, recorded) = pinnedLayout
@@ -481,7 +510,8 @@ class GraftTable(path: String, version: Option[Int])
     * empty (any table no MOR delete ever touched — the common case) ⇒
     * zero overhead, the vectorized path is untouched. */
   private lazy val pinnedDvs: Map[String, Array[Long]] =
-    Layout.versionDvs(spark, path, pinnedVersion)
+    if (dvFreeOnly) Map.empty
+    else Layout.versionDvs(spark, path, pinnedVersion)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : ScanBuilder = {
@@ -493,10 +523,13 @@ class GraftTable(path: String, version: Option[Int])
         // predicates prune its file-group list exactly as they prune
         // the vectorized scan's file list
         val all = Layout.rowLevelEntries(spark, path, pinnedVersion)
-        val entries = if (skips.isEmpty) all else {
+        val universe =
+          if (!dvFreeOnly) all
+          else all.filter { case (l, _, _) => Layout.entryDvs(l).isEmpty }
+        val entries = if (skips.isEmpty) universe else {
           val kept = Layout.fileSelection(spark, path, skips,
-            Some(pinnedVersion))._1.toSet
-          all.filter { case (l, _, _) => kept.contains(l) }
+            Some(pinnedVersion), dvFreeOnly)._1.toSet
+          universe.filter { case (l, _, _) => kept.contains(l) }
         }
         new GraftCowScan(entries,
           ColumnBridge.nullableSchema(schema()), required, pushedData,
@@ -504,9 +537,10 @@ class GraftTable(path: String, version: Option[Int])
       },
       // manifest-level file skipping for SQL WHERE clauses: bounds
       // predicates evaluate against THIS pinned version's recorded
-      // per-file stats, dropping whole files before any footer opens
+      // per-file stats, dropping whole files before any footer opens;
+      // a dv-free branch view prunes within its own file universe
       skips => Layout.prunedFilePaths(spark, path, skips,
-        Some(pinnedVersion)),
+        Some(pinnedVersion), dvFreeOnly),
       hasDv = pinnedDvs.nonEmpty)
   }
 
@@ -596,7 +630,17 @@ class GraftTable(path: String, version: Option[Int])
     * standard connector subset; None = untranslatable, reported
     * through canDeleteWhere so Spark refuses the statement instead of
     * deleting the wrong rows. */
-  private def filterToColumn(f: Filter): Option[Column] = f match {
+  private def filterToColumn(f: Filter): Option[Column] =
+    GraftFilters.toColumn(f)
+
+  override def toString: String = name()
+}
+
+/** Shared v1 [[Filter]] → Column translation (the standard connector
+  * subset): the DELETE path's gate and the dv-snapshot batch veneer's
+  * pushdown re-application. None = untranslatable. */
+private[graft] object GraftFilters {
+  def toColumn(f: Filter): Option[Column] = f match {
     case sources.EqualTo(a, v)            => Some(col(a) === lit(v))
     case sources.EqualNullSafe(a, v)      => Some(col(a) <=> lit(v))
     case sources.GreaterThan(a, v)        => Some(col(a) > lit(v))
@@ -612,14 +656,12 @@ class GraftTable(path: String, version: Option[Int])
     case sources.AlwaysTrue()             => Some(lit(true))
     case sources.AlwaysFalse()            => Some(lit(false))
     case sources.And(l, r) =>
-      for (a <- filterToColumn(l); b <- filterToColumn(r)) yield a && b
+      for (a <- toColumn(l); b <- toColumn(r)) yield a && b
     case sources.Or(l, r) =>
-      for (a <- filterToColumn(l); b <- filterToColumn(r)) yield a || b
-    case sources.Not(c) => filterToColumn(c).map(!_)
+      for (a <- toColumn(l); b <- toColumn(r)) yield a || b
+    case sources.Not(c) => toColumn(c).map(!_)
     case _ => None
   }
-
-  override def toString: String = name()
 }
 
 /** The SQL-surface query key: the whole table lifecycle as `spark.sql`

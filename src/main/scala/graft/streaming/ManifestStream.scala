@@ -112,22 +112,35 @@ class ManifestStreamProvider extends StreamSourceProvider
     }
     // merge-on-read: a version with live deletion vectors cannot be
     // served as a raw file relation (it would emit deleted rows); fall
-    // back to a TableScan over the dv-applying snapshot read — correct,
-    // at the price of scan-level pushdown, and only until the next
-    // compaction materializes the vectors. The common (no-dv) case
-    // keeps the vectorized file relation untouched.
+    // back to a PRUNED+FILTERED scan over the dv-applying snapshot read
+    // — column pruning and translatable filters re-plan the DataFrame,
+    // so they reach the underlying parquet scans of BOTH branches
+    // (vectorized over dv-free files, masked anti-join over dv'd files;
+    // Layout.readManifestLines dispatches per file). Spark re-evaluates
+    // every filter above the scan (unhandledFilters defaults to all),
+    // so partial translation is purely an optimization. The common
+    // (no-dv) case keeps the vectorized file relation untouched.
     val rootP = new org.apache.hadoop.fs.Path(table)
     val v = version.getOrElse(Layout.currentVersion(
       rootP.getFileSystem(spark.sparkContext.hadoopConfiguration), rootP))
     if (Layout.versionHasDvs(rootP.getFileSystem(
         spark.sparkContext.hadoopConfiguration), rootP, v)) {
       val df = Layout.readSnapshot(spark, table, Some(v))
-      new BaseRelation with org.apache.spark.sql.sources.TableScan {
+      new BaseRelation
+          with org.apache.spark.sql.sources.PrunedFilteredScan {
         override def sqlContext: SQLContext = sqlContext0
         override def schema: org.apache.spark.sql.types.StructType =
           df.schema
-        override def buildScan()
-            : org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = df.rdd
+        override def buildScan(requiredColumns: Array[String],
+            filters: Array[org.apache.spark.sql.sources.Filter])
+            : org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
+          val pruned = df.select(requiredColumns.toSeq.map(
+            org.apache.spark.sql.functions.col): _*)
+          filters.toSeq.flatMap(graft.sql.GraftFilters.toColumn)
+            .reduceOption(_ && _)
+            .fold(pruned)(pruned.where)
+            .rdd
+        }
       }
     } else {
       val (paths, schema) = Layout.snapshotLayout(spark, table, version)
@@ -258,7 +271,8 @@ class ManifestStreamProvider extends StreamSourceProvider
       p.get("startingversion").map(_.toInt).getOrElse(0),
       p.get("maxversionspertrigger").map(_.toInt),
       p.get("maxbytespertrigger").map(_.toLong),
-      p.get("maxfilespertrigger").map(_.toLong))
+      p.get("maxfilespertrigger").map(_.toLong),
+      p.get("ignoredeletes").exists(_.toBoolean))
   }
 }
 
@@ -285,7 +299,8 @@ class ManifestStreamSource(spark: SparkSession, table: String,
     pinnedSchema: StructType, startingVersion: Int,
     maxVersionsPerTrigger: Option[Int],
     maxBytesPerTrigger: Option[Long] = None,
-    maxFilesPerTrigger: Option[Long] = None) extends Source
+    maxFilesPerTrigger: Option[Long] = None,
+    ignoreDeletes: Boolean = false) extends Source
     with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
   require(maxVersionsPerTrigger.forall(_ >= 1),
@@ -388,21 +403,62 @@ class ManifestStreamSource(spark: SparkSession, table: String,
         "not a row-level change log across rewrites. Restart the stream " +
         "from a startingVersion at or after the rewrite.")
     // Merge-on-read deletes keep every PATH (only dv groups change), so
-    // the path diff above cannot see them — but the per-batch relation
-    // reads raw files and would emit position-deleted rows. Refuse as
-    // loudly as the REPLACE case; compaction materializes the vectors
-    // and re-opens the stream.
-    require(!Layout.versionHasDvs(fs, root, to),
-      s"graft-manifest stream on $table: version $to carries live " +
-        "merge-on-read deletion vectors — the raw-file batch relation " +
-        "cannot anti-apply them. CALL system.compact (materializes the " +
-        "vectors), then restart from a startingVersion at or after it.")
+    // the path diff above cannot see them. Per-file dispatch (r17
+    // verdict task 2):
+    //   - a dv on a file FIRST SEEN in this batch is maskable — its
+    //     rows were never emitted, so serving the file through the
+    //     dv-applying anti-join keeps stream ≡ batch read;
+    //   - a dv on an already-EMITTED file is a retraction the
+    //     append-only contract cannot express — refuse as loudly as the
+    //     REPLACE case, unless the consumer opted into Delta-style
+    //     `ignoreDeletes` (the dv'd old file simply stays emitted
+    //     as-was; new files still serve masked).
     val added = toPaths.filterNot(fromPaths)
+    val addedSet = added.toSet
+    val dvByRel = Layout.versionDvMap(fs, root, to)
+    // only dv material NEW in (from, to] can be a retraction — a dv
+    // already live at `from` was applied when its file's batch was
+    // served masked (or predates this stream's baseline entirely)
+    val dvAtFrom =
+      if (from == 0) Map.empty[String, Seq[String]]
+      else Layout.versionDvMap(fs, root, from)
+    val retraction = dvByRel.exists { case (p, sidecars) =>
+      !addedSet(p) &&
+        sidecars.toSet != dvAtFrom.getOrElse(p, Nil).toSet
+    }
+    require(ignoreDeletes || !retraction,
+      s"graft-manifest stream on $table: version $to carries live " +
+        "merge-on-read deletion vectors on files this stream already " +
+        "emitted — an append-only stream cannot retract rows. Either " +
+        "set ignoreDeletes=true (stream past deletes of already-" +
+        "emitted rows), or CALL system.compact (materializes the " +
+        "vectors), then restart from a startingVersion at or after it.")
     if (added.isEmpty)
-      ColumnBridge.emptyStreamingDF(spark, pinnedSchema)
-    else
-      ColumnBridge.streamingFileRelation(spark, "parquet",
-        added.map(rel => new Path(root, rel).toString), pinnedSchema)
+      return ColumnBridge.emptyStreamingDF(spark, pinnedSchema)
+    val base = ColumnBridge.streamingFileRelation(spark, "parquet",
+      added.map(rel => new Path(root, rel).toString), pinnedSchema)
+    val dvAdded = added.filter(dvByRel.contains)
+    if (dvAdded.isEmpty) base
+    else {
+      // anti-apply exactly the ADDED files' position deletes: (grp,pos)
+      // sidecar union, restricted to the added files' groups (a sidecar
+      // can carry other files' groups — those never match here), as the
+      // STATIC side of a stream-static left-anti join. `row_index` is
+      // Spark's own per-file ordinal, correct under row-group skipping.
+      import org.apache.spark.sql.functions.{col, substring_index}
+      val sidecars = dvAdded.flatMap(dvByRel).distinct
+        .map(rel => new Path(root, rel).toString)
+      val grps = dvAdded.map(Layout.grpOfRel)
+      val del = spark.read.parquet(sidecars: _*)
+        .where(col("grp").isin(grps: _*))
+        .select(col("grp").as("__grp"), col("pos").as("__pos"))
+      base
+        .withColumn("__grp",
+          substring_index(col("_metadata.file_path"), "/", -2))
+        .withColumn("__pos", col("_metadata.row_index"))
+        .join(del, Seq("__grp", "__pos"), "left_anti")
+        .drop("__grp", "__pos")
+    }
   }
 
   override def stop(): Unit = ()

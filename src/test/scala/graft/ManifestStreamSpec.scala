@@ -426,6 +426,72 @@ class ManifestStreamSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("a MOR delete on a not-yet-emitted file masks in-batch — no " +
+      "restart, stream ≡ batch read") {
+    import graft.ops.Layout._
+    val table = freshTable("mor_mask")
+    commitSnapshot(spark, table, nation.where(col("n_nationkey") < 12),
+      props = Map(RowLevelModeProp -> "mor"))
+    // v2 appends the >= 12 half; v3 position-deletes key 20 from it —
+    // BEFORE the stream sees v2, so the dv sits on files first seen in
+    // the (0, 3] batch: maskable, no retraction involved. (Committed
+    // before the stream starts: a free-running trigger could otherwise
+    // race v2 into its own batch and turn the dv into a retraction.)
+    commitSnapshot(spark, table,
+      nation.where(col("n_nationkey") >= 12))
+    deleteWhere(spark, table, col("n_nationkey") === 20)
+    val name = freshName()
+    val q = startStream(table, name)
+    try {
+      q.processAllAvailable()
+      val keys = spark.table(name).collect()
+        .map(_.getAs[Number](0).longValue).toSet
+      val expect = nation.select("n_nationkey").collect()
+        .map(_.getAs[Number](0).longValue).toSet - 20L
+      assert(keys == expect,
+        s"masked batch wrong: got $keys, want $expect")
+      // ≡ the dv-applying batch read of the same head
+      val batch = readSnapshot(spark, table)
+        .select("n_nationkey").collect()
+        .map(_.getAs[Number](0).longValue).toSet
+      assert(keys == batch)
+      // the stream stays LIVE across the dv version: later appends flow
+      commitSnapshot(spark, table, nation.where(lit(false)))
+      commitSnapshot(spark, table,
+        nation.where(col("n_nationkey") === 20))
+      q.processAllAvailable()
+      assert(spark.table(name).count() == keys.size + 1,
+        "append after the masked dv batch did not arrive")
+    } finally q.stop()
+  }
+
+  test("ignoreDeletes=true streams past a dv on an already-emitted " +
+      "file; later appends keep flowing") {
+    import graft.ops.Layout._
+    val table = freshTable("mor_ignore")
+    commitSnapshot(spark, table, nation.where(col("n_nationkey") < 12),
+      props = Map(RowLevelModeProp -> "mor"))
+    val name = freshName()
+    val q = startStream(table, name, Map("ignoreDeletes" -> "true"))
+    try {
+      q.processAllAvailable()
+      assert(spark.table(name).count() == 12)
+      // retraction case: dv lands on the file batch 1 already emitted —
+      // with ignoreDeletes the stream continues (the emitted row simply
+      // stays in the sink), and the next append still arrives
+      deleteWhere(spark, table, col("n_nationkey") === 3)
+      commitSnapshot(spark, table,
+        nation.where(col("n_nationkey") === 20))
+      q.processAllAvailable()
+      val keys = spark.table(name).collect()
+        .map(_.getAs[Number](0).longValue).toSet
+      assert(keys.contains(3L),
+        "ignoreDeletes must not retract already-emitted rows")
+      assert(keys.contains(20L), "append after the dv version lost")
+      assert(keys.size == 13)
+    } finally q.stop()
+  }
+
   test("maxBytesPerTrigger packs a 100x size-skewed backlog into byte-bounded batches") {
     import graft.ops.Layout._
     import org.apache.spark.sql.streaming.Trigger
