@@ -180,6 +180,35 @@ object Hnsw {
       searchLayer(q, Seq(ep), math.max(ef, k), 0)
         .take(k).map { case (d, n) => (ids(n), 1.0 - d) }.toSeq
     }
+
+    /** Serialize: one row per node — (node, vec_id, NORMALIZED vector,
+      * adjacency per level). Entry point/top level ride every row (two
+      * ints; saves a separate meta table). */
+    private[graft] def dumpRows
+        : Iterator[(Int, Long, Seq[Double], Seq[Seq[Int]])] =
+      (0 until size).iterator.map(n =>
+        (n, ids(n), vecs(n).toSeq, links(n).map(_.toSeq).toSeq))
+
+    private[graft] def entryNode: Int = entry
+    private[graft] def maxLevel: Int = topLevel
+  }
+
+  private[graft] object ShardIndex {
+    /** Rebuild a shard index from its persisted rows (inverse of
+      * [[ShardIndex.dumpRows]]); `m`/`efC` are construction-time knobs
+      * a restored graph no longer needs — searches touch only the
+      * adjacency, vectors and entry point. */
+    def restore(idsA: Array[Long], vecsA: Array[Array[Double]],
+        linksA: Array[Array[mutable.ArrayBuffer[Int]]],
+        entry0: Int, top0: Int): ShardIndex = {
+      val s = new ShardIndex(8, 64)
+      s.ids ++= idsA
+      s.vecs ++= vecsA
+      s.links ++= linksA
+      s.entry = entry0
+      s.topLevel = top0
+      s
+    }
   }
 
   /** Sharded ANN over `(vec_id, emb)`: hash-partition the corpus into
@@ -211,6 +240,11 @@ object Hnsw {
         }
       }
       .toDF("query_id", "cand_id", "cosine")
+    topKMerge(local, k)
+  }
+
+  /** Global per-query top-k cut over the shards' local answers. */
+  private def topKMerge(local: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("cand_id"))
     local.withColumn("rnk", row_number().over(w))
@@ -220,24 +254,115 @@ object Hnsw {
       .orderBy("query_id", "rnk")
   }
 
+  /** PERSIST the shard graphs (r17 verdict task 3): build each shard's
+    * HNSW once and serialize it — one row per node (vec_id, normalized
+    * vector, per-level adjacency) — into a graft-manifest table, the
+    * Lucene-segment-graph model on the engine's own table format:
+    * snapshot-isolated swaps on rebuild, vacuum reclaims old graphs,
+    * and query batches REUSE the graph instead of paying construction
+    * (the dominant ANN cost — efC beam searches per insert) per batch.
+    * Rebuild cadence is the caller's (compaction-driven, like dv
+    * retirement). A rebuild REPLACE-commits, so a racing reader keeps
+    * its pinned version. */
+  private[graft] def buildIndex(e: DataFrame, table: String,
+      shards: Int, m: Int = 8, efC: Int = 64): Unit = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val rows = e.select(col("vec_id").cast("long"),
+        col("emb").cast("array<double>"))
+      .as[(Long, Seq[Double])]
+      .repartition(shards, col("vec_id"))
+      .mapPartitions { it =>
+        val part = it.toArray.sortBy(_._1)
+        if (part.isEmpty) Iterator.empty
+        else {
+          val shard = org.apache.spark.TaskContext.getPartitionId()
+          val idx = new ShardIndex(m, efC)
+          part.foreach { case (id, v) => idx.add(id, v.toArray) }
+          idx.dumpRows.map { case (n, id, vec, lk) =>
+            (shard, n, id, vec, lk, idx.entryNode, idx.maxLevel) }
+        }
+      }
+      .toDF("shard", "node", "vec_id", "emb", "links", "entry", "top")
+    Layout.replaceSnapshot(spark, table, rows)
+  }
+
+  /** Search a [[buildIndex]]-persisted graph: restore each shard from
+    * its rows (one group = one shard — the only shuffle, ∝ graph size,
+    * never construction), answer the query batch per shard, one global
+    * top-k merge. Same output contract as [[annSharded]]; HnswSpec
+    * proves persisted ≡ in-memory. */
+  private[graft] def searchIndex(spark: SparkSession, table: String,
+      queries: Seq[(Long, Array[Double])], k: Int, efS: Int = 64)
+      : DataFrame = {
+    import spark.implicits._
+    val g = Layout.readSnapshot(spark, table)
+      .select(col("shard").cast("int"), col("node").cast("int"),
+        col("vec_id").cast("long"),
+        col("emb").cast("array<double>"),
+        col("links").cast("array<array<int>>"),
+        col("entry").cast("int"), col("top").cast("int"))
+      .as[(Int, Int, Long, Seq[Double], Seq[Seq[Int]], Int, Int)]
+    val local = g.groupByKey(_._1).flatMapGroups { (_, it) =>
+      val rows = it.toArray.sortBy(_._2)
+      val idx = ShardIndex.restore(
+        rows.map(_._3),
+        rows.map(_._4.toArray),
+        rows.map(_._5.map(l => mutable.ArrayBuffer(l: _*)).toArray),
+        rows.head._6, rows.head._7)
+      queries.iterator.flatMap { case (qid, qv) =>
+        idx.search(qv, k, efS).map { case (cid, cos) =>
+          (qid, cid, cos) }
+      }
+    }.toDF("query_id", "cand_id", "cosine")
+    topKMerge(local, k)
+  }
+
   /** X3 graph-ANN key: same query/candidate split and output shape as
     * the exact [[Vectors.qVectorTopk]] (queries = vec_id < 5,
     * candidates = the rest, top-10 by cosine) so HnswSpec can measure
     * recall against the exact contract directly. Rows-only: the graph
     * walk is not SQL-expressible; determinism + recall are spec-pinned. */
-  def qVectorAnnHnsw(s: SparkSession, d: String): DataFrame = {
+  /** FIXED shard count for the keyed/bench surface: the result set
+    * depends on which sub-index a vector hashes into, so a
+    * machine-dependent `defaultParallelism` would make correctness
+    * artifacts hash differently across environments (r17 ADVICE).
+    * 16 shards ≫ the bench's core-count variation and is a fine build
+    * parallelism at the tested scales; real deployments pick shards ∝
+    * corpus size, not cores. */
+  private val KeyShards = 16
+
+  private def querySplit(s: SparkSession, d: String)
+      : (Seq[(Long, Array[Double])], DataFrame) = {
     val e = graft.Tables.embeddings(s, d).select(col("vec_id"),
       col("embedding").cast("array<double>").as("emb"))
     val queries = e.where(col("vec_id") < 5)
       .collect().map(r => (r.getLong(0),
         r.getSeq[Double](1).toArray)).toSeq.sortBy(_._1)
-    val cands = e.where(col("vec_id") >= 5)
-    val shards = s.sparkContext.defaultParallelism
-    annSharded(cands, queries, k = 10, shards = shards)
+    (queries, e.where(col("vec_id") >= 5))
+  }
+
+  def qVectorAnnHnsw(s: SparkSession, d: String): DataFrame = {
+    val (queries, cands) = querySplit(s, d)
+    annSharded(cands, queries, k = 10, shards = KeyShards)
+  }
+
+  /** X3 persisted-graph key: build (or rebuild) the shard graphs into a
+    * graft-manifest table once, then answer the SAME contract as
+    * [[qVectorAnnHnsw]] from the persisted graph — output is
+    * row-identical (same shards, same deterministic construction), which
+    * HnswSpec pins, and a second query batch pays only the graph
+    * restore, never construction. */
+  def qVectorAnnHnswPersist(s: SparkSession, d: String): DataFrame = {
+    val (queries, cands) = querySplit(s, d)
+    val table = s"${Sources.ioDir(s, d)}/hnsw_graph"
+    buildIndex(cands, table, shards = KeyShards)
+    searchIndex(s, table, queries, k = 10)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_vector_ann_hnsw" -> qVectorAnnHnsw _)
+    "q_vector_ann_hnsw" -> qVectorAnnHnsw _,
+    "q_vector_ann_hnsw_persist" -> qVectorAnnHnswPersist _)
 
   val oracleSql: Map[String, String] = Map.empty
 }

@@ -77,6 +77,41 @@ class HnswSpec extends AnyFunSuite {
       s"full-beam search missed true neighbors: ${truth -- got}")
   }
 
+  test("persisted graph search ≡ in-memory build (row-identical), and " +
+      "the persisted table restores without construction") {
+    val inMem = ops.Hnsw.qVectorAnnHnsw(spark, sf).collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    val persisted = ops.Hnsw.qVectorAnnHnswPersist(spark, sf)
+      .collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    assert(persisted == inMem,
+      "persisted-graph search diverged from the in-memory build — " +
+        "serialization lost graph structure")
+    // the graph table is a real graft-manifest snapshot: re-query reads
+    // it directly (no rebuild), and the node count equals the corpus
+    val table = s"${ops.Sources.ioDir(spark, sf)}/hnsw_graph"
+    val g = ops.Layout.readSnapshot(spark, table)
+    val corpus = Tables.embeddings(spark, sf)
+      .where(col("vec_id") >= 5).count()
+    assert(g.count() == corpus,
+      "persisted graph must carry one row per corpus vector")
+    val again = ops.Hnsw.searchIndex(spark, table,
+      Tables.embeddings(spark, sf).where(col("vec_id") < 5)
+        .select(col("vec_id"),
+          col("embedding").cast("array<double>"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+        .toSeq.sortBy(_._1),
+      k = 10).collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    assert(again == inMem, "re-query of the persisted graph diverged")
+    // a rebuild REPLACE-commits: version advances, old graph readable
+    val v = ops.Layout.currentVersion(
+      new org.apache.hadoop.fs.Path(table).getFileSystem(
+        spark.sparkContext.hadoopConfiguration),
+      new org.apache.hadoop.fs.Path(table))
+    assert(v >= 1)
+  }
+
   test("sharding is a pure union: every reported pair is a real candidate") {
     val ids = Tables.embeddings(spark, sf)
       .select("vec_id").as[Long](org.apache.spark.sql.Encoders.scalaLong)

@@ -34,7 +34,10 @@ class LedgerSpec extends AnyFunSuite {
       "q_sketch_rollup",
       // r17: graph-ANN — the HNSW walk is not SQL-expressible; HnswSpec
       // pins recall vs the exact q_vector_topk contract + determinism
-      "q_vector_ann_hnsw")
+      "q_vector_ann_hnsw",
+      // r18: persisted shard graphs — same contract, served from the
+      // serialized graph table; HnswSpec pins persisted ≡ in-memory
+      "q_vector_ann_hnsw_persist")
     assert(rowsOnly == documented,
       s"undocumented rows-only keys: ${rowsOnly -- documented}; " +
         s"stale documented: ${documented -- rowsOnly}")
