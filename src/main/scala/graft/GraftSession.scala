@@ -30,6 +30,12 @@ object GraftSession {
       // stats-driven broadcast flip that buys.
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // column-mapped (renameable) tables carry parquet field ids in
+      // their recorded schemas; matching by id is what lets pre-rename
+      // files keep reading. No-op for schemas without ids, and every
+      // graft read path also sets it lazily (Layout.ensureFieldIdRead)
+      // for sessions not built here.
+      .config("spark.sql.parquet.fieldId.read.enabled", "true")
       .config("spark.ui.enabled", "false")
       .withExtensions(new GraftExtensions)
   }

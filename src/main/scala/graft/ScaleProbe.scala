@@ -238,6 +238,15 @@ object ScaleProbe {
     // (n·log n inserts each over an in-memory graph), search fan-out =
     // shards × ef with the query set fixed; should track corpus volume
     "q_vector_ann_hnsw",
+    // round-18: persisted shard graphs — build + serialize tracks
+    // corpus volume; the search half restores the graph table (∝ graph
+    // size) instead of reconstructing, so the key should probe BELOW
+    // the in-memory twin at scale
+    "q_vector_ann_hnsw_persist",
+    // round-18: RENAME COLUMN lifecycle — two inserts dominate
+    // (supplier unscaled in the replica, so the pin is fixed-overhead
+    // sanity like the evolution key); the rename itself is O(manifest)
+    "q_rename_sql",
     // the CNPJ vertical (reference envelope ">20 GB", readme.md:108):
     // synthetic flagship over the replica's 10× orders/customer —
     // r15 splits load (z-cluster + commit, data-volume-bound) from

@@ -991,6 +991,132 @@ object Layout {
   private def morEnabled(props: Map[String, String]): Boolean =
     props.get(RowLevelModeProp).exists(_.equalsIgnoreCase("mor"))
 
+  // -- column mapping (field-id indirection → RENAME COLUMN) -----------
+  //
+  // `graft.column.mapping = 'id'` (CREATE-time only): every column gets
+  // a stable integer field id, stamped as `parquet.field.id` schema
+  // metadata on every write — Spark's own parquet field-id support
+  // (SPARK-38094, the Iceberg-compat mechanism) then writes the ids
+  // into the footers and, with `spark.sql.parquet.fieldId.read.enabled`,
+  // matches read-schema columns to file columns BY ID instead of by
+  // name. A RENAME COLUMN is then a schema-only commit (the id carries),
+  // and files written under the old name keep reading correctly — the
+  // Delta/Iceberg column-mapping design on public Spark machinery.
+  // Without the property, renames refuse (parquet matches by name; old
+  // files would silently null-fill) and add+backfill stays the
+  // documented workaround.
+  val ColumnMappingProp = "graft.column.mapping"
+
+  /** Spark's parquet field-id metadata key
+    * (`ParquetUtils.FIELD_ID_METADATA_KEY`). */
+  private[graft] val FieldIdKey = "parquet.field.id"
+
+  private def idMapped(props: Map[String, String]): Boolean =
+    props.get(ColumnMappingProp).exists(_.equalsIgnoreCase("id"))
+
+  private[graft] def hasFieldIds(s: types.StructType): Boolean =
+    s.fields.nonEmpty && s.fields.forall(_.metadata.contains(FieldIdKey))
+
+  private def withId(f: types.StructField, id: Long): types.StructField =
+    f.copy(metadata = new types.MetadataBuilder()
+      .withMetadata(f.metadata).putLong(FieldIdKey, id).build())
+
+  /** CREATE-time id assignment: 1..n in declaration order. */
+  private def assignIds(s: types.StructType): types.StructType =
+    types.StructType(s.fields.zipWithIndex.map { case (f, i) =>
+      withId(f, i + 1L) })
+
+  /** Carry `prior`'s ids onto `merged` by (case-insensitive) name;
+    * fields new in `merged` get fresh ids past the prior maximum —
+    * ids are never reused, so a rename can never collide with a
+    * historical column. */
+  private def restampIds(prior: types.StructType,
+      merged: types.StructType): types.StructType = {
+    val byName = prior.fields.iterator
+      .filter(_.metadata.contains(FieldIdKey))
+      .map(f => f.name.toLowerCase -> f.metadata.getLong(FieldIdKey))
+      .toMap
+    var next = (byName.valuesIterator ++ Iterator(0L)).max + 1
+    types.StructType(merged.fields.map { f =>
+      val id = byName.getOrElse(f.name.toLowerCase,
+        { val v = next; next += 1; v })
+      withId(f, id)
+    })
+  }
+
+  /** Make this session read id-carrying schemas BY ID (a no-op for
+    * schemas without ids, so it never changes non-mapped reads). */
+  private[graft] def ensureFieldIdRead(spark: SparkSession,
+      s: types.StructType): Unit =
+    if (hasFieldIds(s))
+      spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+
+  /** Stamp an outgoing frame's columns with the table's field ids so
+    * the parquet writer records them ([[FieldIdKey]] metadata →
+    * footer). On a non-mapped table this is the identity. On a mapped
+    * table every column must already exist in the recorded schema —
+    * id-mapped tables take schema evolution through DDL
+    * ([[addColumns]]), which assigns the id atomically; letting an
+    * APPEND mint ids would race a concurrent rename/evolution into a
+    * silent id mismatch between staged footers and the committed
+    * schema. */
+  private def stampFieldIds(spark: SparkSession, fs: FileSystem,
+      root: Path, df: DataFrame,
+      createProps: Map[String, String]): DataFrame = {
+    val head = currentVersion(fs, root)
+    val props =
+      if (head > 0) propsOf(fs, root, head) else createProps
+    if (!idMapped(props)) return df
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    val recorded = if (head > 0) schemaOf(fs, root, head) else None
+    val cols = recorded match {
+      case Some(rs) =>
+        require(hasFieldIds(rs),
+          s"$ColumnMappingProp='id' on a table whose recorded schema " +
+            "carries no field ids — the property is CREATE-time only")
+        val idByName = rs.fields.iterator.map(f =>
+          f.name.toLowerCase -> f.metadata.getLong(FieldIdKey)).toMap
+        df.schema.fields.map { f =>
+          val id = idByName.getOrElse(f.name.toLowerCase,
+            throw new IllegalArgumentException(
+              s"column-mapped table: column '${f.name}' is not in the " +
+                "recorded schema. Id-mapped tables evolve through " +
+                "ALTER TABLE ADD COLUMN (which assigns the field id " +
+                "atomically), then append."))
+          col(f.name).as(f.name, new types.MetadataBuilder()
+            .withMetadata(f.metadata).putLong(FieldIdKey, id).build())
+        }
+      case None => // creating commit: 1..n in frame order — the exact
+        // ids [[assignIds]] gives the recorded schema
+        df.schema.fields.zipWithIndex.map { case (f, i) =>
+          col(f.name).as(f.name, new types.MetadataBuilder()
+            .withMetadata(f.metadata).putLong(FieldIdKey, i + 1L)
+            .build())
+        }
+    }
+    df.select(cols.toSeq: _*)
+  }
+
+  private[graft] def validateColumnMappingProp(
+      props: Map[String, String]): Unit =
+    props.get(ColumnMappingProp).foreach(v =>
+      require(v.equalsIgnoreCase("id"),
+        s"$ColumnMappingProp must be 'id', got '$v'"))
+
+  /** `graft.merge.schema_evolution = 'true'` (opt-in, toggleable):
+    * surfaces Spark's `TableCapability.AUTOMATIC_SCHEMA_EVOLUTION`, so
+    * a `MERGE INTO` whose source carries columns the target lacks
+    * auto-ADDs them (the analyzer drives the catalog's AddColumn path —
+    * a schema-only commit; old rows null-fill) instead of refusing.
+    * Off by default: silent schema growth is a policy decision. */
+  val MergeSchemaEvolutionProp = "graft.merge.schema_evolution"
+
+  private[graft] def validateMergeEvolutionProp(
+      props: Map[String, String]): Unit =
+    props.get(MergeSchemaEvolutionProp).foreach(v =>
+      require(v.equalsIgnoreCase("true") || v.equalsIgnoreCase("false"),
+        s"$MergeSchemaEvolutionProp must be 'true' or 'false', got '$v'"))
+
   private[graft] def validateRowLevelProps(
       props: Map[String, String]): Unit =
     props.get(RowLevelModeProp).foreach(v =>
@@ -1402,10 +1528,21 @@ object Layout {
     * lists them. Sizes ride along from the one listStatus the staging
     * already does, so recording them in manifest lines is free. */
   private def stageTxn(spark: SparkSession, fs: FileSystem, root: Path,
-                       df: DataFrame): Seq[(String, Long)] = {
+                       df: DataFrame,
+                       createProps: Map[String, String] = Map.empty,
+                       stamp: Boolean = true)
+      : Seq[(String, Long)] = {
     val txn = new Path(root,
       "data/txn-" + java.util.UUID.randomUUID().toString)
-    df.write.mode("overwrite").parquet(txn.toString)
+    // id-mapped tables stamp field ids on EVERY staged DATA frame
+    // (identity for everything else) — one chokepoint instead of
+    // per-verb metadata plumbing, so a rewrite verb whose unionByName
+    // dropped the metadata still stages correct footers. stamp = false
+    // for internal sidecars (dv position files) that never read under
+    // the table schema.
+    val out =
+      if (stamp) stampFieldIds(spark, fs, root, df, createProps) else df
+    out.write.mode("overwrite").parquet(txn.toString)
     fs.listStatus(txn).toSeq
       .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
       .map(st => (s"data/${txn.getName}/${st.getPath.getName}", st.getLen))
@@ -1457,15 +1594,17 @@ object Layout {
       validateBloomProps(props, Some(df.schema))
       validateConstraintProps(spark, props, Some(df.schema))
       validateRowLevelProps(props)
+      validateColumnMappingProp(props)
+      validateMergeEvolutionProp(props)
     }
     val root = new Path(table)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val added = stageTxn(spark, fs, root, df)
+    val added = stageTxn(spark, fs, root, df, createProps = props)
     val entries = withStats(spark, fs, root, added, statsColumns)
     casCommit(fs, root, "commitSnapshot", head =>
       (if (head == 0) Seq.empty else manifestFiles(fs, root, head)) ++
         entries,
-      appendSchemaFor(fs, root, df),
+      appendSchemaFor(fs, root, df, newProps = props),
       propsXform = p => {
         val merged = p ++ props
         // mutual-exclusivity must hold on what actually COMMITS (head
@@ -1495,6 +1634,13 @@ object Layout {
     // DDL time, not at some later read
     require(!set.keys.exists(_.isEmpty) && !unset.contains(""),
       "empty property key")
+    // column mapping is a CREATE-time, immutable property: enabling it
+    // later leaves id-less footers behind; disabling it strands renamed
+    // columns whose files only match by id
+    require(!set.contains(ColumnMappingProp) &&
+        !unset.contains(ColumnMappingProp),
+      s"$ColumnMappingProp is immutable — set it at CREATE TABLE " +
+        "(rewrite into a new mapped table to change it)")
     set.get(StatsColumnsProp).foreach { v =>
       val cols = v.split(',').map(_.trim).filter(_.nonEmpty).toSeq
       validateStatsColumns(cols)
@@ -1509,6 +1655,7 @@ object Layout {
     validateBloomProps(set, headSchema)
     validateConstraintProps(spark, set, headSchema)
     validateRowLevelProps(set)
+    validateMergeEvolutionProp(set)
     val newConstraints = constraintsOf(set)
     // a constraint on a table with no recorded schema can't be resolved
     // at DDL time and would turn every later commit's gate into an
@@ -1566,8 +1713,76 @@ object Layout {
         cols.foreach(c => require(
           !prior.fieldNames.exists(_.equalsIgnoreCase(c.name)),
           s"addColumns: column '${c.name}' already exists"))
-        Some(types.StructType(
-          prior.fields ++ cols.map(_.copy(nullable = true))))
+        val s = types.StructType(
+          prior.fields ++ cols.map(_.copy(nullable = true)))
+        // id-mapped tables assign the new columns' field ids HERE —
+        // the one atomic place (appends refuse unknown columns)
+        Some(if (idMapped(propsOf(fs, root, head))) restampIds(prior, s)
+             else s)
+      })
+  }
+
+  /** `ALTER TABLE ... RENAME COLUMN` as a schema-only commit (r17
+    * verdict task 4) — requires `graft.column.mapping = 'id'`: the
+    * field id carries, so files written under the old name keep reading
+    * correctly (parquet field-id matching), old versions time-travel
+    * under the old name, and not a byte rewrites. Refused on non-mapped
+    * tables (parquet matches by name — old files would silently
+    * null-fill) with the documented add+backfill workaround named.
+    * Props/constraints referencing the old name refuse first, like
+    * [[dropColumns]]. Pre-rename manifest bounds keep the OLD name and
+    * simply stop pruning new-name predicates on those files — stats are
+    * an optimization, never a correctness input; the next rewrite of
+    * each file re-records them. */
+  def renameColumn(spark: SparkSession, table: String,
+      from: String, to: String): Int = {
+    require(!to.contains('\t') && !to.contains('\n') &&
+        !to.startsWith("@"),
+      "column names must not contain tab/newline or start with @ " +
+        "(manifest line currency)")
+    val root = new Path(table)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    casCommit(fs, root, "renameColumn",
+      head => manifestFiles(fs, root, head),
+      head => {
+        val props = propsOf(fs, root, head)
+        require(idMapped(props),
+          s"RENAME COLUMN requires $ColumnMappingProp='id' (a " +
+            "CREATE-time property): without field ids, parquet matches " +
+            "columns by name and every pre-rename file would silently " +
+            "null-fill. On this table: ADD COLUMN + backfill instead.")
+        val prior = schemaOf(fs, root, head).getOrElse(
+          throw new IllegalStateException(
+            s"renameColumn: $table has no recorded schema"))
+        require(hasFieldIds(prior),
+          s"renameColumn: recorded schema carries no field ids — " +
+            "the table predates its mapping property (invariant broken)")
+        require(prior.fieldNames.exists(_.equalsIgnoreCase(from)),
+          s"renameColumn: no such column '$from' " +
+            s"(table columns: ${prior.fieldNames.mkString(", ")})")
+        require(!prior.fieldNames.exists(_.equalsIgnoreCase(to)),
+          s"renameColumn: column '$to' already exists")
+        Seq(StatsColumnsProp, BloomColumnsProp, ClusterSortProp,
+            ClusterZorderProp, PartitionedByProp).foreach { p =>
+          props.get(p).map(splitCols).getOrElse(Nil).foreach { c =>
+            require(!c.equalsIgnoreCase(from),
+              s"renameColumn: column '$c' is referenced by $p — UNSET " +
+                "the property first")
+          }
+        }
+        constraintsOf(props).foreach { case (cname, sqlText) =>
+          val renamed = types.StructType(prior.fields.map(f =>
+            if (f.name.equalsIgnoreCase(from)) f.copy(name = to) else f))
+          try emptyFrame(spark, renamed)
+            .where(expr(sqlText)).queryExecution.analyzed
+          catch { case _: Exception =>
+            throw new IllegalArgumentException(
+              s"renameColumn: CHECK constraint '$cname' ($sqlText) " +
+                "references the renamed column — UNSET it first")
+          }
+        }
+        Some(types.StructType(prior.fields.map(f =>
+          if (f.name.equalsIgnoreCase(from)) f.copy(name = to) else f)))
       })
   }
 
@@ -1633,12 +1848,34 @@ object Layout {
     * legacy head without a recorded schema stays unrecorded — inferring
     * one from this append's (possibly narrower) frame could silently
     * hide existing columns. */
-  private def appendSchemaFor(fs: FileSystem, root: Path, df: DataFrame)
+  private def appendSchemaFor(fs: FileSystem, root: Path, df: DataFrame,
+      newProps: Map[String, String] = Map.empty)
       : Int => Option[types.StructType] =
     head =>
-      if (head == 0) Some(ColumnBridge.nullableSchema(df.schema))
-      else schemaOf(fs, root, head).map(prior =>
-        mergeWiden(prior, ColumnBridge.nullableSchema(df.schema)))
+      if (head == 0) {
+        val s = ColumnBridge.nullableSchema(df.schema)
+        Some(if (idMapped(newProps)) assignIds(s) else s)
+      } else {
+        val headProps = propsOf(fs, root, head)
+        require(!idMapped(newProps) || idMapped(headProps),
+          s"$ColumnMappingProp is a CREATE-time property — existing " +
+            "data files carry no field ids, so enabling it later would " +
+            "break id-matched reads. Rewrite into a new mapped table.")
+        schemaOf(fs, root, head).map { prior =>
+          if (idMapped(headProps)) {
+            // id-mapped: appends never mint ids (see stampFieldIds) —
+            // a racing rename would otherwise desync staged footers
+            // from the committed schema
+            df.schema.fieldNames.foreach(n => require(
+              prior.fieldNames.exists(_.equalsIgnoreCase(n)),
+              s"column-mapped table: column '$n' is not in the " +
+                "recorded schema — ALTER TABLE ADD COLUMN first"))
+            restampIds(prior,
+              mergeWiden(prior, ColumnBridge.nullableSchema(df.schema)))
+          } else
+            mergeWiden(prior, ColumnBridge.nullableSchema(df.schema))
+        }
+      }
 
   /** Schema-evolution merge for the APPEND verb: add-column (new fields
     * append, nullable, so pre-evolution files null-fill) PLUS lossless
@@ -1790,8 +2027,23 @@ object Layout {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val added = withStats(spark, fs, root,
       stageTxn(spark, fs, root, df), statsColumns)
+    val recorded = replaceSchemaFor(fs, root, df)
     casCommit(fs, root, "replaceSnapshot", _ => added,
-      _ => Some(ColumnBridge.nullableSchema(df.schema)))
+      _ => Some(recorded))
+  }
+
+  /** The schema a full REPLACE records: the frame's, nullable — plus,
+    * on an id-mapped table, the head's field ids carried by name (the
+    * staged footers were stamped from the same head, so footer and
+    * record agree). */
+  private def replaceSchemaFor(fs: FileSystem, root: Path,
+      df: DataFrame): types.StructType = {
+    val s = ColumnBridge.nullableSchema(df.schema)
+    val head = currentVersion(fs, root)
+    if (head > 0 && idMapped(propsOf(fs, root, head)))
+      schemaOf(fs, root, head).filter(hasFieldIds)
+        .map(prior => restampIds(prior, s)).getOrElse(s)
+    else s
   }
 
   /** Full-table REPLACE with the same exactly-once marker — the
@@ -1803,7 +2055,8 @@ object Layout {
     txnGuarded(spark, table, df, appId, batchId, "replaceSnapshotTxn") {
       (fs, root, added) =>
         val entries = withStats(spark, fs, root, added, Nil)
-        (_ => entries, _ => Some(ColumnBridge.nullableSchema(df.schema)))
+        val recorded = replaceSchemaFor(fs, root, df)
+        (_ => entries, _ => Some(recorded))
     }
 
   /** The one exactly-once commit scaffold both txn verbs share: appId
@@ -2013,7 +2266,10 @@ object Layout {
   private def readVersionFiles(spark: SparkSession, fs: FileSystem,
       root: Path, v: Int, paths: Seq[String]): DataFrame = {
     val r = spark.read
-    schemaOf(fs, root, v).fold(r)(s => r.schema(s)).parquet(paths: _*)
+    schemaOf(fs, root, v).fold(r)(s => {
+      ensureFieldIdRead(spark, s) // id-mapped tables match by field id
+      r.schema(s)
+    }).parquet(paths: _*)
   }
 
   /** Read a set of manifest LINES under `v`'s recorded schema with
@@ -2587,7 +2843,7 @@ object Layout {
       positions: DataFrame)
       : (Seq[(String, Long)], Map[String, Seq[String]]) = {
     val staged = stageTxn(spark, fs, root,
-      positions.repartition(col("grp")))
+      positions.repartition(col("grp")), stamp = false)
     if (staged.isEmpty) return (staged, Map.empty)
     // one metadata-light pass over the just-staged sidecars maps each
     // group to the sidecar file(s) carrying its positions — the

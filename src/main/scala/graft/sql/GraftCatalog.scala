@@ -247,13 +247,23 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         c.isInstanceOf[TableChange.RemoveProperty] ||
         c.isInstanceOf[TableChange.AddColumn] ||
         c.isInstanceOf[TableChange.DeleteColumn] ||
+        c.isInstanceOf[TableChange.RenameColumn] ||
         c.isInstanceOf[TableChange.UpdateColumnType])
     if (unsupported.nonEmpty) throw new UnsupportedOperationException(
       "ALTER TABLE supports SET/UNSET TBLPROPERTIES, ADD COLUMN, " +
-        "DROP COLUMN and ALTER COLUMN ... TYPE (widening only). " +
-        "RENAME COLUMN is not supported — add the new column and " +
-        "backfill it instead (old files null-fill, history stays " +
-        s"readable). Refused: ${unsupported.mkString(", ")}")
+        "DROP COLUMN, ALTER COLUMN ... TYPE (widening only) and — on " +
+        s"tables created with ${Layout.ColumnMappingProp}='id' — " +
+        "RENAME COLUMN. " +
+        s"Refused: ${unsupported.mkString(", ")}")
+    val renames = changes.collect {
+      case r: TableChange.RenameColumn => r }
+    renames.foreach { r =>
+      require(r.fieldNames.length == 1,
+        "RENAME COLUMN supports top-level columns only; got " +
+          r.fieldNames.mkString("."))
+      Layout.renameColumn(spark, dirOf(ident),
+        r.fieldNames()(0), r.newName())
+    }
     val widens = changes.collect {
       case u: TableChange.UpdateColumnType => u }
     widens.foreach { u =>
@@ -463,11 +473,21 @@ class GraftTable(path: String, version: Option[Int],
   // write); plain INSERT still rides V1_BATCH_WRITE because
   // newWriteBuilder returns a V1Write — the physical planner dispatches
   // on the Write object, not the capability set.
-  override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ,
+  override def capabilities(): util.Set[TableCapability] = {
+    val caps = util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
       TableCapability.OVERWRITE_BY_FILTER)
+    // opt-in (r17 verdict task 7): a MERGE whose source carries
+    // target-missing columns auto-ADDs them — the analyzer's
+    // ResolveMergeIntoSchemaEvolution drives this catalog's AddColumn
+    // path, a schema-only commit; old rows null-fill
+    if (Layout.tableProps(spark, path, Some(pinnedVersion).filter(_ > 0))
+        .get(Layout.MergeSchemaEvolutionProp)
+        .exists(_.equalsIgnoreCase("true")))
+      caps.add(TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
+    caps
+  }
 
   /** `_file` (which data file holds the row — the COW planner's group
     * id) and `_pos` (the row's file ordinal — with `_file`, the delta
@@ -516,6 +536,9 @@ class GraftTable(path: String, version: Option[Int],
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : ScanBuilder = {
     val (files, _) = pinnedLayout
+    // id-mapped table: the DSv2 parquet scan (and the row-based cow
+    // scan's reader) must match columns by field id, not name
+    Layout.ensureFieldIdRead(spark, schema())
     new org.apache.spark.sql.graft.SnapshotScanBuilder(spark, files,
       schema(), options.asCaseSensitiveMap(),
       (required, pushedData, skips) => {
@@ -1038,6 +1061,44 @@ object GraftSql {
       .stripMargin)
   }
 
+  /** RENAME COLUMN end to end (r17 verdict task 4): CREATE with
+    * `graft.column.mapping='id'` (field-id indirection), land
+    * generation-1 under the original column name, `ALTER TABLE … RENAME
+    * COLUMN` (schema-only commit — zero bytes rewritten; old files
+    * match by parquet field id), land generation-2 under the NEW name,
+    * aggregate across both generations. Shares q_snapshot_widening's /
+    * q_widening_sql's oracle: the renamed lifecycle must land exactly
+    * the plain lifecycle's state — the hash proves pre-rename files
+    * read correctly under the new name. */
+  def qRenameSql(s: SparkSession, d: String): DataFrame = {
+    val wh = s"${graft.ops.Sources.ioDir(s, d)}/sql_catalog"
+    val cat = catalogFor(s, wh)
+    val t = s"$cat.default.supplier_rename_sql"
+    s.sql(s"DROP TABLE IF EXISTS $t")
+    supplier(s, d)
+      .select(col("s_suppkey"), col("s_nationkey"),
+        dec2(col("s_acctbal")).as("bal"))
+      .createOrReplaceTempView("supplier_rename_src")
+    s.sql(s"""CREATE TABLE $t
+            |  (s_suppkey BIGINT, s_nationkey BIGINT,
+            |   acct DECIMAL(18,2))
+            |TBLPROPERTIES ('graft.column.mapping' = 'id')""".stripMargin)
+    s.sql(s"""INSERT INTO $t
+            |SELECT s_suppkey, s_nationkey, bal
+            |FROM supplier_rename_src WHERE s_suppkey % 2 = 0"""
+      .stripMargin)
+    s.sql(s"ALTER TABLE $t RENAME COLUMN acct TO bal")
+    s.sql(s"""INSERT INTO $t
+            |SELECT s_suppkey, s_nationkey, bal
+            |FROM supplier_rename_src WHERE s_suppkey % 2 = 1"""
+      .stripMargin)
+    s.sql(s"""SELECT s_nationkey, CAST(COUNT(*) AS BIGINT) AS n,
+            |  CAST(SUM(s_suppkey) AS BIGINT) AS sum_key,
+            |  CAST(SUM(bal) AS DOUBLE) AS sum_bal
+            |FROM $t GROUP BY s_nationkey ORDER BY s_nationkey"""
+      .stripMargin)
+  }
+
   /** The delta (merge-on-read) SQL MERGE, end to end: the exact
     * statement of [[qManifestMergeSql]] against a
     * `graft.rowlevel.mode='mor'` table — Spark's delta rewrite drives
@@ -1080,6 +1141,7 @@ object GraftSql {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_partitioned_sql" -> qPartitionedSql _,
     "q_widening_sql" -> qWideningSql _,
+    "q_rename_sql" -> qRenameSql _,
     "q_merge_sql_mor" -> qMergeSqlMor _,
     "q_manifest_sql" -> qManifestSql _,
     "q_manifest_merge_sql" -> qManifestMergeSql _,
@@ -1125,6 +1187,10 @@ object GraftSql {
     // shared string: the ALTER COLUMN TYPE DDL path must land exactly
     // the append-merge widening path's state
     "q_widening_sql" ->
+      graft.ops.Layout.oracleSql("q_snapshot_widening"),
+    // shared string: the renamed lifecycle (field-id indirection) must
+    // land exactly the plain lifecycle's state
+    "q_rename_sql" ->
       graft.ops.Layout.oracleSql("q_snapshot_widening"),
     "q_manifest_sql" -> graft.ops.Sources.oracleSql("q_table_roundtrip"),
     // shared string: a constraint-gated insert of conforming data must

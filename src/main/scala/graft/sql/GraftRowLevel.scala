@@ -134,8 +134,10 @@ class GraftRowLevelOperation(
   override def command(): RowLevelOperation.Command = cmd
 
   override def newScanBuilder(options:
-      org.apache.spark.sql.util.CaseInsensitiveStringMap): ScanBuilder =
+      org.apache.spark.sql.util.CaseInsensitiveStringMap): ScanBuilder = {
+    Layout.ensureFieldIdRead(SparkSession.active, tableSchema)
     new GraftCowScanBuilder(this)
+  }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(info.schema().fieldNames.sameElements(tableSchema.fieldNames),
@@ -469,9 +471,11 @@ class GraftDeltaOperation(
   override def command(): RowLevelOperation.Command = cmd
 
   override def newScanBuilder(options:
-      org.apache.spark.sql.util.CaseInsensitiveStringMap): ScanBuilder =
+      org.apache.spark.sql.util.CaseInsensitiveStringMap): ScanBuilder = {
+    Layout.ensureFieldIdRead(SparkSession.active, tableSchema)
     new GraftCowScanBuilder(entries, tableSchema, dvs,
       s"$tablePath@v$pinnedVersion(mor)", _ => ())
+  }
 
   override def rowId(): Array[NamedReference] = Array(
     Expressions.column(GraftRowLevel.FileColumnName),

@@ -144,6 +144,7 @@ class ManifestStreamProvider extends StreamSourceProvider
       }
     } else {
       val (paths, schema) = Layout.snapshotLayout(spark, table, version)
+      schema.foreach(Layout.ensureFieldIdRead(spark, _))
       ColumnBridge.fileRelation(spark, "parquet", paths, schema)
     }
   }
@@ -313,6 +314,10 @@ class ManifestStreamSource(spark: SparkSession, table: String,
   private val root = new Path(table)
   private val fs =
     root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  // id-mapped table: per-batch file relations read under the pinned
+  // schema and must match parquet columns by field id
+  Layout.ensureFieldIdRead(spark, pinnedSchema)
 
   /** Trigger.AvailableNow contract: deliver exactly the commits present
     * when the query started (still in capped per-trigger batches), then

@@ -379,6 +379,60 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("mutually exclusive"), e2.getMessage)
   }
 
+  test("RENAME COLUMN on an id-mapped table: schema-only commit, old " +
+      "files read by field id; refused without the mapping") {
+    val t = "graft.default.ren_sql"
+    val dir = "target/graft_io/spec/sql_catalog_wh/default/ren_sql"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"""CREATE TABLE $t (k BIGINT, val DOUBLE)
+                 |TBLPROPERTIES ('graft.column.mapping' = 'id')"""
+      .stripMargin)
+    spark.sql(s"""INSERT INTO $t
+                 |SELECT id AS k, CAST(id AS DOUBLE) AS val
+                 |FROM range(0, 10)""".stripMargin)
+    val preRename = ops.Layout.history(spark, dir).map(_._1).max
+    spark.sql(s"ALTER TABLE $t RENAME COLUMN val TO amount")
+    // gen-1 files (written under 'val') read by FIELD ID under 'amount'
+    val r1 = spark.sql(s"SELECT CAST(SUM(amount) AS BIGINT) AS s, " +
+      s"COUNT(amount) AS n FROM $t").collect().head
+    assert(r1.getLong(0) == 45 && r1.getLong(1) == 10,
+      "pre-rename files must read under the new name (field-id match), " +
+        s"got ${r1}")
+    // post-rename insert under the new name; both generations answer
+    spark.sql(s"""INSERT INTO $t
+                 |SELECT id AS k, CAST(id AS DOUBLE) AS amount
+                 |FROM range(10, 20)""".stripMargin)
+    assert(spark.sql(s"SELECT CAST(SUM(amount) AS BIGINT) FROM $t")
+      .collect().head.getLong(0) == 190)
+    // filter pushdown on the renamed column still answers exactly
+    assert(spark.sql(s"SELECT COUNT(*) FROM $t WHERE amount >= 15")
+      .collect().head.getLong(0) == 5)
+    // time travel: the pre-rename version keeps the OLD name
+    val old = spark.sql(s"SELECT * FROM $t VERSION AS OF $preRename")
+    assert(old.columns.toSeq == Seq("k", "val"),
+      s"pre-rename version must read under 'val': ${old.columns.toSeq}")
+    assert(old.count() == 10)
+    // programmatic read core agrees with the SQL surface
+    val core = ops.Layout.readSnapshot(spark, dir)
+    assert(core.columns.toSeq == Seq("k", "amount"))
+    assert(core.agg(sum("amount")).collect().head.getDouble(0) == 190.0)
+
+    // a NON-mapped table refuses with the workaround named
+    val ex = intercept[Exception] {
+      spark.sql("ALTER TABLE graft.default.nation_sql " +
+        "RENAME COLUMN n_name TO nm")
+    }
+    assert(ex.getMessage.contains("column.mapping"),
+      s"wrong refusal: ${ex.getMessage}")
+    // the mapping property is CREATE-time immutable
+    val ex2 = intercept[Exception] {
+      spark.sql("ALTER TABLE graft.default.nation_sql " +
+        "SET TBLPROPERTIES ('graft.column.mapping' = 'id')")
+    }
+    assert(ex2.getMessage.contains("immutable"),
+      s"wrong refusal: ${ex2.getMessage}")
+  }
+
   test("ALTER COLUMN TYPE widens in place; narrowing refuses with the named error") {
     spark.sql("DROP TABLE IF EXISTS graft.default.widen_sql")
     spark.sql(

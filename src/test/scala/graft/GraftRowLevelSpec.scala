@@ -228,4 +228,67 @@ class GraftRowLevelSpec extends AnyFunSuite {
       .where("k = 5").head.getString(1)
     assert(viaApi == "x")
   }
+
+  test("MERGE-time schema evolution: a source-only column auto-ADDs " +
+      "under the opt-in property; refused without it") {
+    val t = "merge_evolve"
+    spark.sql(s"DROP TABLE IF EXISTS graftrl.default.$t")
+    spark.sql(s"""CREATE TABLE graftrl.default.$t (k BIGINT, v STRING)
+                 |TBLPROPERTIES ('graft.merge.schema_evolution' = 'true')"""
+      .stripMargin)
+    spark.sql(s"""INSERT INTO graftrl.default.$t
+                 |SELECT id AS k, concat('v', id) AS v FROM range(0, 10)"""
+      .stripMargin)
+    // both consents required: the table property (capability) AND the
+    // statement-level WITH SCHEMA EVOLUTION syntax
+    spark.sql(
+      s"""MERGE WITH SCHEMA EVOLUTION INTO graftrl.default.$t AS t
+         |USING (SELECT id AS k, concat('u', id) AS v,
+         |       id * 10 AS extra FROM range(5, 15)) AS s
+         |ON t.k = s.k
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val rows = spark.sql(
+      s"SELECT k, v, extra FROM graftrl.default.$t").collect()
+      .map(r => r.getLong(0) ->
+        (r.getString(1), if (r.isNullAt(2)) None else Some(r.getLong(2))))
+      .toMap
+    assert(rows.size == 15)
+    // pre-evolution rows null-fill the new column
+    (0L until 5L).foreach(k =>
+      assert(rows(k) == (s"v$k", None), s"k=$k: ${rows(k)}"))
+    // matched rows updated, new column populated
+    (5L until 10L).foreach(k =>
+      assert(rows(k) == (s"u$k", Some(k * 10)), s"k=$k: ${rows(k)}"))
+    // inserted rows carry the new column
+    (10L until 15L).foreach(k =>
+      assert(rows(k) == (s"u$k", Some(k * 10)), s"k=$k: ${rows(k)}"))
+
+    // without the property (no AUTOMATIC_SCHEMA_EVOLUTION capability)
+    // the same statement never grows the schema — star assignments
+    // resolve only the target's columns, the source-only column is
+    // ignored, and an explicit reference to it refuses
+    val t2 = "merge_noevolve"
+    makeTable(t2)
+    spark.sql(
+      s"""MERGE WITH SCHEMA EVOLUTION INTO graftrl.default.$t2 AS t
+         |USING (SELECT id AS k, concat('u', id) AS v,
+         |       CAST(id AS DOUBLE) AS amt, id * 10 AS extra
+         |       FROM range(5, 15)) AS s
+         |ON t.k = s.k
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(spark.sql(s"SELECT * FROM graftrl.default.$t2").columns.toSeq
+      == Seq("k", "v", "amt"),
+      "schema grew on a table without the opt-in property")
+    val ex = intercept[Exception] {
+      spark.sql(
+        s"""MERGE INTO graftrl.default.$t2 AS t
+           |USING (SELECT id AS k, id * 10 AS extra FROM range(0, 5)) AS s
+           |ON t.k = s.k
+           |WHEN MATCHED THEN UPDATE SET extra = s.extra"""
+          .stripMargin)
+    }
+    assert(ex.getMessage != null)
+  }
 }

@@ -137,12 +137,13 @@ class GraftSkippingSqlSpec extends AnyFunSuite {
     val props = spark.sql(s"SHOW TBLPROPERTIES $c.default.$t").collect()
       .map(_.getString(0)).toSet
     assert(!props.contains("graft.stats.columns"))
-    // destructive schema DDL stays refused, with a named reason
-    // (ADD COLUMN is supported since r16 — see GraftCatalogSpec)
+    // RENAME on a table WITHOUT graft.column.mapping='id' stays
+    // refused, with the workaround named (mapped-table renames are
+    // supported since r18 — see GraftCatalogSpec)
     val e = intercept[Exception] {
       spark.sql(s"ALTER TABLE $c.default.$t RENAME COLUMN tag TO label")
     }
-    assert(e.getMessage.contains("Refused"))
+    assert(e.getMessage.contains("column.mapping"))
     // and the ALTER validates stats columns against the recorded schema
     val e2 = intercept[Exception] {
       spark.sql(s"""ALTER TABLE $c.default.$t

@@ -763,6 +763,49 @@ class SnapshotIsolationSpec extends AnyFunSuite {
     assert(entryDvs(modern) == Seq("dv.parquet"))
   }
 
+  test("renameColumn composes with MOR deletes and the evolution guard" +
+      " (id-mapped table)") {
+    import ops.Layout._
+    import spark.implicits._
+    val table = "target/graft_io/spec/rename_mor"
+    val root = new Path(table)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(root, true)
+    commitSnapshot(spark, table,
+      (0L until 100L).map(i => (i, i * 2.0)).toDF("id", "v").coalesce(1),
+      props = Map(ColumnMappingProp -> "id", RowLevelModeProp -> "mor"))
+    commitSnapshot(spark, table,
+      (100L until 200L).map(i => (i, i * 2.0)).toDF("id", "v").coalesce(1))
+    renameColumn(spark, table, "v", "w")
+    // dv-applying read under the renamed schema: predicate on the NEW
+    // name reaches files written under the OLD name (field-id match)
+    deleteWhere(spark, table, col("w") < 20.0)
+    val got = readSnapshot(spark, table)
+    assert(got.columns.toSeq == Seq("id", "w"))
+    assert(got.count() == 190)
+    assert(got.agg(min(col("w"))).head.getDouble(0) == 20.0)
+    // appends on a mapped table never mint ids: unknown column refuses
+    val ex = intercept[Exception] {
+      commitSnapshot(spark, table,
+        Seq((9999L, 1.0, "x")).toDF("id", "w", "extra"))
+    }
+    assert(ex.getMessage.contains("ADD COLUMN"),
+      s"wrong refusal: ${ex.getMessage}")
+    // DDL assigns the id; the append then lands, old rows null-fill
+    addColumns(spark, table, Seq(
+      org.apache.spark.sql.types.StructField("extra",
+        org.apache.spark.sql.types.StringType)))
+    commitSnapshot(spark, table,
+      Seq((9999L, 1.0, "x")).toDF("id", "w", "extra"))
+    val evolved = readSnapshot(spark, table)
+    assert(evolved.where(col("extra").isNotNull).count() == 1)
+    assert(evolved.count() == 191)
+    // rename the evolved column too — fresh id carries
+    renameColumn(spark, table, "extra", "note")
+    assert(readSnapshot(spark, table)
+      .where(col("note") === "x").count() == 1)
+  }
+
   test("compactDeletes rewrites ONLY dv'd files; the rest stay byte-identical") {
     import ops.Layout._
     import spark.implicits._
