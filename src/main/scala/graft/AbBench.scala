@@ -4,10 +4,14 @@ package graft
   *
   *   runMain graft.AbBench <key,key,...> [conf=v1|v2[;conf2=...]]
   *
-  * Runs each key twice per side (min reported) with the toggles applied
-  * to the LIVE session between sides — for isolating whether a bench
-  * regression is a plan change (flips with the conf) or machine noise
-  * (doesn't). Not part of the driver contract.
+  * Runs each key N times per side (min reported; SPARK_GRAFT_AB_RUNS,
+  * default 2) with the toggles applied to the LIVE session between
+  * sides — for isolating whether a bench regression is a plan change
+  * (flips with the conf) or machine noise (doesn't). Each run also
+  * reports executor CPU-ns via [[BenchProtocol.CpuListener]] — the
+  * repo's regression protocol diffs CPU, not wall, so the dev tool
+  * must surface the same signal the round artifact does. Not part of
+  * the driver contract.
   */
 object AbBench {
   def main(args: Array[String]): Unit = {
@@ -20,15 +24,19 @@ object AbBench {
       }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_AB_RUNS", "2").toInt
     val spark = GraftSession.builder(s"local[$cpus]", Some(cpus.toInt))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    def timeOnce(key: String): Double = {
+    val cpu = new BenchProtocol.CpuListener
+    spark.sparkContext.addSparkListener(cpu)
+    def timeOnce(key: String): (Double, Double) = {
+      val c0 = cpu.snapshot(spark)
       // dev tool: surface the exception before folding to the sentinel
       val t = BenchProtocol.timeOnce(spark, sfDir, (s, d) =>
         SparkEntry.queries(key)(s, d))
       if (t < 0) println(s"ERR $key (run the key via Verify for the stack)")
-      t
+      (t, (cpu.snapshot(spark) - c0) / 1e9)
     }
     val sides = if (toggles.isEmpty) Seq(0) else Seq(0, 1)
     for (side <- sides) {
@@ -39,9 +47,12 @@ object AbBench {
       keys.foreach { k =>
         // min over the SUCCESSFUL runs: -1 is the error sentinel, and
         // math.min would let one transient failure discard a valid sample
-        val ts = Seq(timeOnce(k), timeOnce(k)).filter(_ >= 0)
-        val t = if (ts.isEmpty) -1.0 else ts.min
-        println(f"ABBENCH $label $k $t%.3f " +
+        val samples = Seq.fill(runs)(timeOnce(k)).filter(_._1 >= 0)
+        val (t, c) =
+          if (samples.isEmpty) (-1.0, -1.0)
+          else (samples.map(_._1).min, samples.map(_._2).min)
+        println(f"ABBENCH $label $k wall=$t%.3f cpu=$c%.3f " +
+          s"runs=${samples.size} " +
           s"lp_rounds=${ops.Sketches.lastLabelPropIterations}")
       }
     }
