@@ -36,6 +36,16 @@ object GraftSession {
       // graft read path also sets it lazily (Layout.ensureFieldIdRead)
       // for sessions not built here.
       .config("spark.sql.parquet.fieldId.read.enabled", "true")
+      // storage-partitioned joins (r18): lets a scan's reported
+      // KeyGroupedPartitioning reach the planner, so two graft tables
+      // PARTITIONED BY the same columns join WITHOUT a shuffle on
+      // either side; pushPartValues pads partition values present on
+      // only one side with empty partitions instead of re-shuffling.
+      // Inert for every non-keyed scan (only the graft catalog's
+      // eligible partitioned snapshots report a partitioning).
+      .config("spark.sql.sources.v2.bucketing.enabled", "true")
+      .config("spark.sql.sources.v2.bucketing.pushPartValues.enabled",
+        "true")
       .config("spark.ui.enabled", "false")
       .withExtensions(new GraftExtensions)
   }

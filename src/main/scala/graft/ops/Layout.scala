@@ -491,6 +491,37 @@ object Layout {
     * directories without the listing pathology. */
   val PartitionedByProp = "graft.partitioned.by"
 
+  /** Bucket layout (r18): recorded by SQL `CREATE TABLE … PARTITIONED
+    * BY (bucket(N, col))`. Physically: every commit repartitions the
+    * batch into N hash buckets — `pmod(col, N)` on the column cast to
+    * long — and stages ONE-BUCKET files (the same fanout writer the
+    * identity layout uses), recording each file's bucket id as a
+    * `#bucket` manifest group (a name no real column can take:
+    * manifest lines are tab-split, so the leading '#' only means
+    * "header" at line start). The scan side then reports
+    * KeyGroupedPartitioning(bucket(N, col)) and two tables bucketed the
+    * SAME way join on `col` with NO shuffle on either side — the
+    * fact⋈fact co-location Hive bucketing / Iceberg bucket transforms
+    * exist for. The placement function is pmod — deliberately the
+    * simplest deterministic choice, exposed to Spark's planner as the
+    * catalog's `bucket` V2 function so both sides' TransformExpressions
+    * compare equal (canonicalName), and evaluable so Spark could even
+    * shuffle a THIRD, unbucketed side to match. Integral columns only
+    * (the cast-to-long keeps int/long tables compatible); bucket count
+    * is CREATE-time immutable (changing it re-places every row — that
+    * is a rewrite, not a property flip). */
+  val BucketByProp    = "graft.bucket.by"
+  val BucketCountProp = "graft.bucket.count"
+  private[graft] val BucketGroup = "#bucket"
+
+  /** The key shape [[spjFileKeys]] proved for a snapshot: identity
+    * partition columns, or one bucket transform. */
+  private[graft] sealed trait SpjShape
+  private[graft] final case class SpjIdentity(cols: Seq[String])
+      extends SpjShape
+  private[graft] final case class SpjBucket(col: String, n: Int)
+      extends SpjShape
+
   private[graft] def splitCols(v: String): Seq[String] =
     v.split(',').map(_.trim).filter(_.nonEmpty).toSeq
 
@@ -1542,10 +1573,74 @@ object Layout {
     // the table schema.
     val out =
       if (stamp) stampFieldIds(spark, fs, root, df, createProps) else df
-    out.write.mode("overwrite").parquet(txn.toString)
+    // PARTITIONED BY tables stage SINGLE-PARTITION-VALUE files: Spark's
+    // own dynamic-partition writer fans each task out one file per
+    // value (scales to arbitrarily many values per task — it sorts and
+    // spills, no per-value memory), on DUPLICATED columns so the data
+    // files keep the real columns (the engine reads explicit file
+    // lists, never directory names). The staged tree is then flattened
+    // back into the txn root so every downstream path assumption (flat
+    // txn dirs, grpOfRel's two-segment keys) holds unchanged. The
+    // invariant this buys: per-file partition-column bounds record
+    // min == max, which is what makes the snapshot storage-partitioned-
+    // join eligible ([[spjFileKeys]]) — a co-partitioned graft⋈graft
+    // join then plans with NO shuffle on either side. stamp = false
+    // sidecars (dv position files) never fan out. Applied per commit,
+    // so a table gains eligibility as multi-value files (pre-feature
+    // history, MOR delta inserts) are compacted away.
+    val stagedProps = {
+      val headV = currentVersion(fs, root)
+      (if (headV == 0) Map.empty[String, String]
+       else propsOf(fs, root, headV)) ++ createProps
+    }
+    val partCols = stagedProps.get(PartitionedByProp).map(splitCols)
+      .getOrElse(Nil)
+    val bucketSpec = stagedProps.get(BucketByProp)
+      .zip(stagedProps.get(BucketCountProp))
+      .map { case (c, n) => (c, n.toInt) }
+    if (stamp && bucketSpec.exists(b => out.columns.contains(b._1))) {
+      // bucket layout: repartition INTO the buckets first (≈N tasks,
+      // each holding whole buckets — without this, every task would
+      // fan a file into every bucket: tasks × N files per commit),
+      // then the same per-value fanout writer
+      val (c, n) = bucketSpec.get
+      val bexpr = pmod(col(c).cast("long"), lit(n.toLong))
+      val fan = out.repartition(n, bexpr).withColumn("__gp_bucket", bexpr)
+      fan.write.mode("overwrite").partitionBy("__gp_bucket")
+        .parquet(txn.toString)
+      flattenStagedDirs(fs, txn)
+    } else if (stamp && partCols.nonEmpty &&
+        partCols.forall(out.columns.contains)) {
+      val dups = partCols.map(c => s"__gp_$c")
+      val fan = partCols.zip(dups).foldLeft(out) {
+        case (d, (c, g)) => d.withColumn(g, col(c))
+      }
+      fan.write.mode("overwrite").partitionBy(dups: _*).parquet(txn.toString)
+      flattenStagedDirs(fs, txn)
+    } else out.write.mode("overwrite").parquet(txn.toString)
     fs.listStatus(txn).toSeq
       .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
       .map(st => (s"data/${txn.getName}/${st.getPath.getName}", st.getLen))
+  }
+
+  /** Move every parquet leaf of a dynamic-partition staging tree up
+    * into the txn root (metadata renames — no data moves) and drop the
+    * now-empty `__gp_*=value` directories. Part-file names REPEAT
+    * across partition directories (same job uuid, same task numbering),
+    * so each gets a unique `p<i>-` prefix. */
+  private def flattenStagedDirs(fs: FileSystem, txn: Path): Unit = {
+    def leaves(p: Path): Seq[Path] =
+      fs.listStatus(p).toSeq.flatMap { st =>
+        if (st.isDirectory) leaves(st.getPath)
+        else if (st.getPath.getName.endsWith(".parquet")) Seq(st.getPath)
+        else Nil
+      }
+    val dirs = fs.listStatus(txn).toSeq.filter(_.isDirectory).map(_.getPath)
+    dirs.flatMap(leaves).zipWithIndex.foreach { case (f, i) =>
+      require(fs.rename(f, new Path(txn, s"p$i-${f.getName}")),
+        s"flattenStagedDirs: rename failed for $f")
+    }
+    dirs.foreach(d => fs.delete(d, true))
   }
 
   /** Atomically commit `df` as an APPEND transaction; returns the new
@@ -1600,7 +1695,11 @@ object Layout {
     val root = new Path(table)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val added = stageTxn(spark, fs, root, df, createProps = props)
-    val entries = withStats(spark, fs, root, added, statsColumns)
+    // extraProps: a CREATE-with-data's partition/bucket props aren't
+    // head props yet — withStats unions them so the very first commit
+    // records the bounds the SPJ invariant needs
+    val entries = withStats(spark, fs, root, added, statsColumns,
+      extraProps = props)
     casCommit(fs, root, "commitSnapshot", head =>
       (if (head == 0) Seq.empty else manifestFiles(fs, root, head)) ++
         entries,
@@ -2110,7 +2209,8 @@ object Layout {
     * append predating an evolved column) record no bounds — their files
     * always survive selection. */
   private def withStats(spark: SparkSession, fs: FileSystem, root: Path,
-      staged: Seq[(String, Long)], statsColumns: Seq[String])
+      staged: Seq[(String, Long)], statsColumns: Seq[String],
+      extraProps: Map[String, String] = Map.empty)
       : Seq[String] = {
     validateStatsColumns(statsColumns) // backstop; verbs validate first
     def bare = staged.map { case (rel, len) => s"$rel\t@$len" }
@@ -2134,7 +2234,23 @@ object Layout {
     // added constraint opens. See AttemptConstraintGate.)
     val stagedPaths =
       staged.map { case (rel, _) => new Path(root, rel).toString }
-    if (statsColumns.isEmpty && !headProps.contains(BloomColumnsProp))
+    // declared partition columns ALWAYS get bounds, whatever the verb's
+    // caller passed: the single-value-per-file invariant the fanout
+    // stager maintains is only USEFUL (pruning + SPJ grouping) if every
+    // commit records it, and a programmatic commitSnapshot(df) must not
+    // silently break the table's join eligibility. extraProps = a
+    // create-with-data verb's own props (not head props yet).
+    val allProps = headProps ++ extraProps
+    val statsAll = (statsColumns ++ allProps.get(PartitionedByProp)
+      .map(splitCols).getOrElse(Nil)).distinct
+    // bucket layout: each staged file's bucket id, recorded as the
+    // synthetic `#bucket` group — min==max per file is the invariant
+    // the fanout stager maintains and the SPJ grouping reads back
+    val bucketSpec = allProps.get(BucketByProp)
+      .zip(allProps.get(BucketCountProp))
+      .map { case (c, n) => (c, n.toInt) }
+    if (statsAll.isEmpty && !allProps.contains(BloomColumnsProp) &&
+        bucketSpec.isEmpty)
       return bare
     val df = spark.read.parquet(stagedPaths: _*)
     def isIntegral(dt: types.DataType) = dt match {
@@ -2143,13 +2259,17 @@ object Layout {
       case _ => false
     }
     // blooms only for probe-able types; others were refused at DDL time
-    val bloomCols = headProps.get(BloomColumnsProp).map(splitCols)
+    val bloomCols = allProps.get(BloomColumnsProp).map(splitCols)
       .getOrElse(Nil)
       .filter(df.columns.contains)
       .filter(c => isIntegral(df.schema(c).dataType) ||
         df.schema(c).dataType == types.StringType)
-    val present = statsColumns.filter(df.columns.contains)
-    if (present.isEmpty && bloomCols.isEmpty) return bare
+    val present = statsAll.filter(df.columns.contains)
+    val bucket = bucketSpec.filter { case (c, _) =>
+      df.columns.contains(c) && isIntegral(df.schema(c).dataType)
+    }
+    if (present.isEmpty && bloomCols.isEmpty && bucket.isEmpty)
+      return bare
     def keyed(c: String): Column = df.schema(c).dataType match {
       case types.StringType           => col(c)
       case dt if isIntegral(dt)       => col(c).cast("long")
@@ -2158,7 +2278,11 @@ object Layout {
     val aggs = present.flatMap(c =>
       Seq(min(keyed(c)).as(s"__mn_$c"), max(keyed(c)).as(s"__mx_$c"))) ++
       bloomCols.map(c => graft.functions.FileBloom
-        .fileBloom(keyed(c), bloomBits).as(s"__bl_$c"))
+        .fileBloom(keyed(c), bloomBits).as(s"__bl_$c")) ++
+      bucket.toSeq.flatMap { case (c, n) =>
+        val e = pmod(col(c).cast("long"), lit(n.toLong))
+        Seq(min(e).as("__bk_mn"), max(e).as("__bk_mx"))
+      }
     val rows = df.groupBy(input_file_name().as("__f"))
       .agg(aggs.head, aggs.tail: _*).collect()
     val rendered: Map[String, String] = rows.map { r =>
@@ -2197,6 +2321,16 @@ object Layout {
           groups ++= s"\t$c\t$BloomPfx$t:$b64\t$BloomPfx"
         }
       }
+      // the synthetic bucket-id group: long bounds under the `#bucket`
+      // name (never collides with a column — '#' only means header at
+      // LINE start); a null bucket (null key rows) records no group,
+      // so the file simply isn't SPJ-groupable
+      bucket.foreach { case (_, _) =>
+        val base = 1 + 2 * present.size + bloomCols.size
+        if (!r.isNullAt(base) && !r.isNullAt(base + 1))
+          groups ++= s"\t$BucketGroup\t$LongPfx${r.getLong(base)}" +
+            s"\t$LongPfx${r.getLong(base + 1)}"
+      }
       fsPathOf(r.getString(0)) -> groups.result()
     }.toMap
     staged.map { case (rel, len) =>
@@ -2220,6 +2354,66 @@ object Layout {
     ((if (dvFreeOnly) lines.filter(l => entryDvs(l).isEmpty) else lines)
        .map(l => new Path(root, entryPath(l)).toString),
      schemaOf(fs, root, v))
+  }
+
+  /** Storage-partitioned-join (SPJ) grouping of a snapshot (r18): when
+    * EVERY data file of `version` is single-valued on every declared
+    * partition column — manifest bounds with min == max, the invariant
+    * the [[stageTxn]] fanout writer maintains — returns the partition
+    * columns plus each file's (size, key values), keyed by the same
+    * unqualified absolute path [[snapshotLayout]] renders. Key values
+    * are Long for integral columns, String for string columns (the two
+    * bound types whose min==max PROVES single-valuedness; double bounds
+    * are excluded — NaN/-0.0 equality is not value identity).
+    *
+    * None whenever ANY file lacks the invariant: SPJ silently degrades
+    * to the plain vectorized scan rather than ever risk a wrong
+    * grouping — a wrong group here WOULD be a wrong answer downstream,
+    * because Spark elides the join shuffle on the strength of this
+    * report. Multi-value files enter a partitioned table only through
+    * pre-feature history or MOR delta-inserts; one compaction restores
+    * eligibility (its rewrite re-stages through the fanout writer). */
+  private[graft] def spjFileKeys(spark: SparkSession, table: String,
+      version: Int): Option[(SpjShape, Map[String, (Long, Seq[Any])])] = {
+    val root = new Path(table)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (version <= 0) return None
+    val props = propsOf(fs, root, version)
+    val bucketSpec = props.get(BucketByProp).zip(props.get(BucketCountProp))
+      .map { case (c, n) => (c, n.toInt) }
+    val partCols = props.get(PartitionedByProp).map(splitCols)
+      .getOrElse(Nil)
+    // a bucket layout keys on the recorded `#bucket` group; an identity
+    // layout on the partition columns' own bounds
+    val keyCols = bucketSpec.fold(partCols)(_ => Seq(BucketGroup))
+    if (keyCols.isEmpty) return None
+    val lines = manifestFiles(fs, root, version)
+    if (lines.isEmpty) return None
+    val keys = Map.newBuilder[String, (Long, Seq[Any])]
+    val it = lines.iterator
+    while (it.hasNext) {
+      val l = it.next()
+      val b = entryBounds(l)
+      val vs = Array.ofDim[Any](keyCols.size)
+      var i = 0
+      var ok = true
+      while (ok && i < keyCols.size) {
+        b.get(keyCols(i)) match {
+          case Some(LongBounds(mn, mx)) if mn == mx => vs(i) = mn
+          case Some(StrBounds(mn, mx)) if mn == mx  => vs(i) = mn
+          case _                                    => ok = false
+        }
+        i += 1
+      }
+      if (!ok) return None
+      val rel = entryPath(l)
+      val size = entrySize(l).getOrElse(
+        fs.getFileStatus(new Path(root, rel)).getLen)
+      keys += new Path(root, rel).toString -> ((size, vs.toSeq))
+    }
+    Some((bucketSpec.fold[SpjShape](SpjIdentity(partCols)) {
+      case (c, n) => SpjBucket(c, n)
+    }, keys.result()))
   }
 
   /** `version`'s live deletion vectors resolved to the SQL scan's

@@ -59,10 +59,28 @@ import graft.ops.Layout
   * a `_file`-group COW scan with runtime group filtering, committed as
   * one REPLACE CAS — see [[graft.sql.GraftRowLevel]]. */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
-    with ProcedureCatalog {
+    with ProcedureCatalog with FunctionCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
+
+  // --- V2 functions: the bucket placement function -------------------
+  // Exposing `bucket` through the catalog is what makes bucket-layout
+  // SPJ work: V2ScanPartitioningAndOrdering resolves each side's
+  // bucket(N, col) transform through THIS loadFunction, and the two
+  // TransformExpressions compare equal by the bound function's
+  // canonicalName — only then does EnsureRequirements elide the join
+  // shuffle. The function is also genuinely evaluable (pmod on long),
+  // so Spark can hash a third, unbucketed side INTO this placement.
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty || namespaceExists(namespace))
+      Array(Identifier.of(namespace, "bucket"))
+    else Array.empty
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (ident.name().equalsIgnoreCase("bucket")) GraftBucketFunction
+    else throw new org.apache.spark.sql.catalyst.analysis
+      .NoSuchFunctionException(ident)
 
   override def initialize(name: String,
       options: CaseInsensitiveStringMap): Unit = {
@@ -165,19 +183,56 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // small-files/listing pathology hive layouts hit at 100 TB.
     // Non-identity transforms (bucket, days, …) refuse with the
     // property-based alternatives named.
-    val partCols: Seq[String] = partitions.toSeq.map { t =>
-      val id = t.name() == "identity" &&
-        t.references().length == 1 &&
-        t.references()(0).fieldNames().length == 1
-      if (!id) throw new UnsupportedOperationException(
-        s"PARTITIONED BY supports identity transforms only, got '$t' — " +
-          "for bucketing/temporal layouts use graft.cluster.sort_by / " +
-          "graft.cluster.zorder_by TBLPROPERTIES on a derived column")
-      t.references()(0).fieldNames()(0)
+    // `PARTITIONED BY (bucket(N, col))` (r18): hash-bucket layout — one
+    // transform, one integral column; mixing bucket + identity refuses
+    // (two independent groupings cannot both be the file layout)
+    val bucketSpec: Option[(Int, String)] = partitions.toSeq match {
+      case Seq(t) if t.name() == "bucket" =>
+        require(t.references().length == 1 &&
+            t.references()(0).fieldNames().length == 1,
+          s"bucket transform must name exactly one column, got '$t'")
+        val n = t.arguments().collectFirst {
+          case l: org.apache.spark.sql.connector.expressions.Literal[_]
+              if l.value().isInstanceOf[Int] =>
+            l.value().asInstanceOf[Int]
+        }.getOrElse(throw new UnsupportedOperationException(
+          s"bucket transform needs an integer bucket count, got '$t'"))
+        require(n > 0, s"bucket count must be positive, got $n")
+        Some((n, t.references()(0).fieldNames()(0)))
+      case ts if ts.exists(_.name() == "bucket") =>
+        throw new UnsupportedOperationException(
+          "PARTITIONED BY supports ONE bucket transform or identity " +
+            s"columns, not a mix: ${ts.mkString(", ")}")
+      case _ => None
     }
+    val partCols: Seq[String] =
+      if (bucketSpec.isDefined) Nil
+      else partitions.toSeq.map { t =>
+        val id = t.name() == "identity" &&
+          t.references().length == 1 &&
+          t.references()(0).fieldNames().length == 1
+        if (!id) throw new UnsupportedOperationException(
+          s"PARTITIONED BY supports identity transforms and bucket(N, col) " +
+            s"only, got '$t' — for temporal layouts use " +
+            "graft.cluster.sort_by / graft.cluster.zorder_by " +
+            "TBLPROPERTIES on a derived column")
+        t.references()(0).fieldNames()(0)
+      }
     partCols.foreach(c => require(schema.fieldNames.contains(c),
       s"PARTITIONED BY names unknown column '$c' " +
         s"(table columns: ${schema.fieldNames.mkString(", ")})"))
+    bucketSpec.foreach { case (_, c) =>
+      require(schema.fieldNames.contains(c),
+        s"bucket transform names unknown column '$c' " +
+          s"(table columns: ${schema.fieldNames.mkString(", ")})")
+      val dt = schema(c).dataType
+      require(Seq(org.apache.spark.sql.types.LongType,
+          org.apache.spark.sql.types.IntegerType,
+          org.apache.spark.sql.types.ShortType,
+          org.apache.spark.sql.types.ByteType).contains(dt),
+        s"bucket column '$c' must be integral (placement is pmod on " +
+          s"long), got $dt")
+    }
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
     val dir = dirOf(ident)
     // `graft.stats.columns` TBLPROPERTY: recorded in the CREATE commit's
@@ -204,7 +259,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       TableCatalog.PROP_EXTERNAL, TableCatalog.PROP_IS_MANAGED_LOCATION,
       "option.path", "path")
     val userProps = properties.asScala.toMap -- reserved
-    val graftProps =
+    bucketSpec.foreach { case (_, _) =>
+      require(!userProps.contains(Layout.ClusterSortProp) &&
+          !userProps.contains(Layout.ClusterZorderProp),
+        "PARTITIONED BY (bucket(...)) and graft.cluster.* TBLPROPERTIES " +
+          "are mutually exclusive — the bucket placement IS the layout")
+      require(!userProps.contains(Layout.BucketByProp) &&
+          !userProps.contains(Layout.BucketCountProp),
+        "declare bucketing through PARTITIONED BY (bucket(N, col)), " +
+          "not raw graft.bucket.* properties")
+    }
+    val graftProps0 =
       if (partCols.isEmpty) userProps
       else {
         require(!userProps.contains(Layout.ClusterSortProp) &&
@@ -220,6 +285,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             (stats ++ partCols.filterNot(stats.contains)).mkString(",")) +
           (Layout.PartitionedByProp -> partCols.mkString(","))
       }
+    val graftProps = bucketSpec.fold(graftProps0) { case (n, c) =>
+      graftProps0 + (Layout.BucketByProp -> c) +
+        (Layout.BucketCountProp -> n.toString)
+    }
     Layout.validateClusterProps(graftProps, Some(schema))
     Layout.validateBloomProps(graftProps, Some(schema))
     Layout.validateConstraintProps(spark, graftProps, Some(schema))
@@ -461,13 +530,21 @@ class GraftTable(path: String, version: Option[Int],
     * (DESCRIBE / SHOW CREATE fidelity); the physical layout behind them
     * is clustering + manifest skipping, not directories. */
   override def partitioning()
-      : Array[org.apache.spark.sql.connector.expressions.Transform] =
-    Layout.tableProps(spark, path, Some(pinnedVersion).filter(_ > 0))
-      .get(Layout.PartitionedByProp)
-      .map(Layout.splitCols(_).map(c =>
-        org.apache.spark.sql.connector.expressions.Expressions
-          .identity(c)).toArray)
+      : Array[org.apache.spark.sql.connector.expressions.Transform] = {
+    val props = Layout.tableProps(spark, path,
+      Some(pinnedVersion).filter(_ > 0))
+    props.get(Layout.BucketByProp)
+      .zip(props.get(Layout.BucketCountProp))
+      .map { case (c, n) =>
+        Array(org.apache.spark.sql.connector.expressions.Expressions
+          .bucket(n.toInt, c))
+      }
+      .orElse(props.get(Layout.PartitionedByProp)
+        .map(Layout.splitCols(_).map(c =>
+          org.apache.spark.sql.connector.expressions.Expressions
+            .identity(c)).toArray))
       .getOrElse(Array.empty)
+  }
 
   // BATCH_WRITE is the ROW-LEVEL path's capability (ReplaceData's V2
   // write); plain INSERT still rides V1_BATCH_WRITE because
@@ -533,6 +610,31 @@ class GraftTable(path: String, version: Option[Int],
     if (dvFreeOnly) Map.empty
     else Layout.versionDvs(spark, path, pinnedVersion)
 
+  /** SPJ grouping of the pinned snapshot (r18): Some when the table is
+    * PARTITIONED BY (identity cols or one bucket transform) and every
+    * manifest line is single-valued on its key — the scan builder then
+    * regroups the vectorized scan per key value and reports
+    * KeyGroupedPartitioning, so a co-partitioned join plans
+    * shuffle-free. Manifest-line inspection only; the dv-free branch
+    * view shares the full map (its file subset keys by lookup). */
+  private lazy val spjKeys: Option[(
+      Array[org.apache.spark.sql.connector.expressions.Expression],
+      Seq[org.apache.spark.sql.types.DataType],
+      Map[String, (Long, Seq[Any])])] =
+    Layout.spjFileKeys(spark, path, pinnedVersion).flatMap {
+      case (Layout.SpjIdentity(cols), m) =>
+        val sch = schema()
+        if (!cols.forall(sch.fieldNames.contains)) None
+        else Some((cols.map(c =>
+            org.apache.spark.sql.connector.expressions.Expressions
+              .identity(c): org.apache.spark.sql.connector.expressions.Expression).toArray,
+          cols.map(c => sch(c).dataType), m))
+      case (Layout.SpjBucket(c, n), m) =>
+        Some((Array(org.apache.spark.sql.connector.expressions.Expressions
+            .bucket(n, c): org.apache.spark.sql.connector.expressions.Expression),
+          Seq(org.apache.spark.sql.types.IntegerType), m))
+    }
+
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : ScanBuilder = {
     val (files, _) = pinnedLayout
@@ -564,7 +666,8 @@ class GraftTable(path: String, version: Option[Int],
       // a dv-free branch view prunes within its own file universe
       skips => Layout.prunedFilePaths(spark, path, skips,
         Some(pinnedVersion), dvFreeOnly),
-      hasDv = pinnedDvs.nonEmpty)
+      hasDv = pinnedDvs.nonEmpty,
+      spjKeys = spjKeys)
   }
 
   /** INSERT INTO → APPEND commit; INSERT OVERWRITE (truncate) →
@@ -684,6 +787,56 @@ private[graft] object GraftFilters {
       for (a <- toColumn(l); b <- toColumn(r)) yield a || b
     case sources.Not(c) => toColumn(c).map(!_)
     case _ => None
+  }
+}
+
+/** The catalog's `bucket` V2 function: `bucket(n, x) = pmod(x, n)` on
+  * the key cast to long — THE placement function every bucket-layout
+  * write uses (Layout.stageTxn) and every bucket-layout scan reports
+  * (KeyGroupedPartitioning over bucket(N, col) transforms). One stable
+  * [[BoundFunction.canonicalName]] is the whole compatibility story:
+  * Spark elides a join shuffle exactly when both sides' transforms
+  * resolved to THIS name with the same bucket count. pmod rather than
+  * a murmur-style hash is a deliberate trade: the placement is
+  * SQL-expressible (`(x % n + n) % n`), so every bucket-layout oracle
+  * stays DuckDB-checkable; uniformity on integral keys is equivalent
+  * unless keys cluster in residue classes — callers with such keys
+  * should bucket on a derived column. */
+object GraftBucketFunction
+    extends org.apache.spark.sql.connector.catalog.functions.UnboundFunction {
+  import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction}
+  import org.apache.spark.sql.types._
+
+  override def name(): String = "bucket"
+  override def description(): String =
+    "bucket(n, col): pmod(col, n) — the graft bucket-layout placement"
+
+  override def bind(inputType: StructType): BoundFunction = {
+    require(inputType.size == 2,
+      s"bucket expects (numBuckets INT, col), got $inputType")
+    val keyType = inputType(1).dataType
+    val integral = Seq(LongType, IntegerType, ShortType, ByteType)
+    require(integral.contains(keyType),
+      s"bucket key must be integral, got $keyType")
+    new ScalarFunction[Int] {
+      override def inputTypes(): Array[DataType] =
+        Array(IntegerType, keyType)
+      override def resultType(): DataType = IntegerType
+      override def name(): String = "bucket"
+      override def canonicalName(): String = "graft.bucket"
+      override def isResultNullable: Boolean = false
+      override def produceResult(
+          input: org.apache.spark.sql.catalyst.InternalRow): Int = {
+        val n = input.getInt(0)
+        val x = keyType match {
+          case LongType    => input.getLong(1)
+          case IntegerType => input.getInt(1).toLong
+          case ShortType   => input.getShort(1).toLong
+          case ByteType    => input.getByte(1).toLong
+        }
+        (((x % n) + n) % n).toInt
+      }
+    }
   }
 }
 
@@ -1138,7 +1291,90 @@ object GraftSql {
             |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
   }
 
+  /** Storage-partitioned join end to end (r18): two tables PARTITIONED
+    * BY (day) — an events fact and a per-day dimension — joined on the
+    * partition column. With v2 bucketing on (GraftSession default) both
+    * scans report KeyGroupedPartitioning over their single-value files,
+    * so the join AND the grouped aggregate plan with ZERO shuffles —
+    * the co-partitioned fact⋈dim zip that replaces the dominant
+    * warehouse shuffle at 100 TB. SpjSpec pins the shuffle-free plan
+    * and the write invariant; this key pins the ANSWER: the oracle
+    * recomputes the join relationally over the raw events parquet, so a
+    * wrong file grouping (rows keyed into the wrong partition) would
+    * hash-mismatch immediately. */
+  def qSpjJoin(s: SparkSession, d: String): DataFrame = {
+    val wh = s"${graft.ops.Sources.ioDir(s, d)}/sql_catalog"
+    val cat = catalogFor(s, wh)
+    val fact = s"$cat.default.events_spj_fact"
+    val dim = s"$cat.default.events_spj_dim"
+    s.sql(s"DROP TABLE IF EXISTS $fact")
+    s.sql(s"DROP TABLE IF EXISTS $dim")
+    val dayNs = 86400L * 1000 * 1000 * 1000
+    graft.Events.events(s, d)
+      .select(col("event_id"), col("event_type"),
+        dec2(col("value")).as("v"),
+        expr(s"ts div $dayNs").as("day"))
+      .createOrReplaceTempView("events_spj_src")
+    s.sql(s"""CREATE TABLE $fact
+            |  (event_id BIGINT, event_type STRING, v DECIMAL(18,2),
+            |   day BIGINT)
+            |PARTITIONED BY (day)""".stripMargin)
+    s.sql(s"INSERT INTO $fact SELECT * FROM events_spj_src")
+    s.sql(s"""CREATE TABLE $dim (day BIGINT, w DECIMAL(18,2))
+            |PARTITIONED BY (day)""".stripMargin)
+    s.sql(s"""INSERT INTO $dim
+            |SELECT day, CAST(SUM(v) AS DECIMAL(18,2)) AS w
+            |FROM events_spj_src GROUP BY day""".stripMargin)
+    s.sql(s"""SELECT f.day, CAST(COUNT(*) AS BIGINT) AS n,
+            |  CAST(SUM(f.v) AS DOUBLE) AS sum_v,
+            |  CAST(MAX(d.w) AS DOUBLE) AS day_w
+            |FROM $fact f JOIN $dim d ON f.day = d.day
+            |GROUP BY f.day ORDER BY f.day""".stripMargin)
+  }
+
+  /** Bucket-layout SPJ end to end (r18): orders and lineitem both
+    * `PARTITIONED BY (bucket(16, orderkey))` — the canonical fact⋈fact
+    * shape whose shuffle dominates every warehouse plan at 100 TB. The
+    * writes place rows by the catalog's `bucket` function (pmod), the
+    * scans report KeyGroupedPartitioning over the SAME bound function,
+    * and the equi-join on the bucket key plans with ZERO shuffles on
+    * either side (SpjSpec pins the plan; broadcast can't fake this —
+    * both sides are fact-sized). The oracle recomputes the join over
+    * the raw parquet, so a single row placed or grouped into the wrong
+    * bucket hash-mismatches. */
+  def qBucketJoin(s: SparkSession, d: String): DataFrame = {
+    val wh = s"${graft.ops.Sources.ioDir(s, d)}/sql_catalog"
+    val cat = catalogFor(s, wh)
+    val of = s"$cat.default.orders_bkt"
+    val lf = s"$cat.default.lineitem_bkt"
+    s.sql(s"DROP TABLE IF EXISTS $of")
+    s.sql(s"DROP TABLE IF EXISTS $lf")
+    orders(s, d)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        dec2(col("o_totalprice")).as("price"))
+      .createOrReplaceTempView("orders_bkt_src")
+    lineitem(s, d)
+      .select(col("l_orderkey"), dec2(col("l_quantity")).as("qty"))
+      .createOrReplaceTempView("lineitem_bkt_src")
+    s.sql(s"""CREATE TABLE $of
+            |  (o_orderkey BIGINT, o_orderstatus STRING,
+            |   price DECIMAL(18,2))
+            |PARTITIONED BY (bucket(16, o_orderkey))""".stripMargin)
+    s.sql(s"INSERT INTO $of SELECT * FROM orders_bkt_src")
+    s.sql(s"""CREATE TABLE $lf (l_orderkey BIGINT, qty DECIMAL(18,2))
+            |PARTITIONED BY (bucket(16, l_orderkey))""".stripMargin)
+    s.sql(s"INSERT INTO $lf SELECT * FROM lineitem_bkt_src")
+    s.sql(s"""SELECT o.o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+            |  CAST(SUM(l.qty) AS DOUBLE) AS sum_qty,
+            |  CAST(SUM(o.price) AS DOUBLE) AS sum_price
+            |FROM $of o JOIN $lf l ON o.o_orderkey = l.l_orderkey
+            |GROUP BY o.o_orderstatus ORDER BY o.o_orderstatus"""
+      .stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_spj_join" -> qSpjJoin _,
+    "q_bucket_join" -> qBucketJoin _,
     "q_partitioned_sql" -> qPartitionedSql _,
     "q_widening_sql" -> qWideningSql _,
     "q_rename_sql" -> qRenameSql _,
@@ -1180,6 +1416,33 @@ object GraftSql {
         |ORDER BY o_orderstatus""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // the SPJ fact⋈dim recomputed relationally from the raw events —
+    // a wrong partition-value file grouping would shift n/sum_v/day_w
+    // for the misgrouped day and hash-mismatch
+    "q_spj_join" ->
+      """WITH src AS (
+        |  SELECT event_id, event_type,
+        |    CAST(value AS DECIMAL(18,2)) AS v,
+        |    epoch_ns(ts) // 86400000000000 AS day FROM events),
+        |  dim AS (
+        |    SELECT day, CAST(SUM(v) AS DECIMAL(18,2)) AS w
+        |    FROM src GROUP BY day)
+        |SELECT f.day, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(f.v) AS DOUBLE) AS sum_v,
+        |  CAST(MAX(d.w) AS DOUBLE) AS day_w
+        |FROM src f JOIN dim d ON f.day = d.day
+        |GROUP BY f.day ORDER BY f.day""".stripMargin,
+    // the bucket-layout fact⋈fact recomputed relationally from the raw
+    // tables — any row placed or grouped into the wrong bucket would
+    // drop/duplicate join matches and hash-mismatch
+    "q_bucket_join" ->
+      """SELECT o.o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_qty,
+        |  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_price
+        |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |GROUP BY o.o_orderstatus ORDER BY o.o_orderstatus""".stripMargin,
     // shared string: PARTITIONED BY (clustering + manifest skipping)
     // must answer exactly like the hive-directory layout it replaces
     "q_partitioned_sql" ->

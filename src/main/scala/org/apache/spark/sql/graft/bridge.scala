@@ -230,7 +230,10 @@ class SnapshotScanBuilder(
       Seq[graft.ops.Layout.Skip]) =>
         org.apache.spark.sql.connector.read.Scan,
     prune: Seq[graft.ops.Layout.Skip] => (Seq[String], Int) = null,
-    hasDv: Boolean = false)
+    hasDv: Boolean = false,
+    spjKeys: Option[(Array[org.apache.spark.sql.connector.expressions.Expression],
+      Seq[org.apache.spark.sql.types.DataType],
+      Map[String, (Long, Seq[Any])])] = None)
   extends org.apache.spark.sql.connector.read.ScanBuilder
   with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
   with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
@@ -255,6 +258,12 @@ class SnapshotScanBuilder(
   // bounds predicates derived from pushed filters — forwarded to the
   // row-based scan so manifest pruning survives the dv-forced path
   private var lastSkips: Seq[graft.ops.Layout.Skip] = Nil
+  // the file universe the built scan will read — manifest pruning
+  // narrows it; the SPJ regrouping must key exactly this set
+  private var currentFiles: Seq[String] = files
+  // a pushed aggregate's output rows are NOT keyed by partition value —
+  // the keyed wrapper must never claim a partitioning over them
+  private var aggPushed = false
 
   override def pushFilters(
       filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
@@ -277,9 +286,11 @@ class SnapshotScanBuilder(
       if (skips.nonEmpty) {
         val (kept, total) = prune(skips)
         SnapshotScanBuilder.lastPrune = Some((kept.size, total))
-        if (kept.size < total)
+        if (kept.size < total) {
           inner = ColumnBridge.parquetScanBuilder(spark, kept, schema,
             options).asInstanceOf[FileScanBuilder]
+          currentFiles = kept
+        }
       } else SnapshotScanBuilder.lastPrune = None
     }
     onFile ++ inner.pushFilters(onData)
@@ -306,19 +317,43 @@ class SnapshotScanBuilder(
 
   override def pushAggregation(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
-      : Boolean = !wantsFile && !hasDv && innerAgg.pushAggregation(agg)
+      : Boolean = {
+    val pushed = !wantsFile && !hasDv && innerAgg.pushAggregation(agg)
+    if (pushed) aggPushed = true
+    pushed
+  }
 
   /** Plans requesting `_file` take the row-based scan (which
     * synthesizes it); so does EVERY read of a version with live
     * deletion vectors — the row-based reader is the one that can
     * anti-apply position deletes by ordinal. Non-dv tables keep the
-    * vectorized parquet path untouched. */
+    * vectorized parquet path untouched.
+    *
+    * SPJ (r18): an eligible partitioned snapshot (caller passed
+    * spjKeys — every file single-valued on the partition columns)
+    * wraps the vectorized scan in [[KeyedParquetScan]] when the
+    * session runs with v2 bucketing on: same reader factory, files
+    * regrouped one-task-per-partition-value, KeyGroupedPartitioning
+    * reported — a co-partitioned join then plans shuffle-free. Never
+    * over a pushed aggregate (its rows aren't keyed), and any
+    * conversion gap falls back to the plain scan. */
   override def build(): org.apache.spark.sql.connector.read.Scan =
     if (wantsFile || hasDv)
       fileScanFor(required,
         org.apache.spark.sql.internal.connector.PredicateUtils
           .toV1(inner.pushedFilters), lastSkips)
-    else inner.build()
+    else {
+      val base = inner.build()
+      val spjOn = spjKeys.isDefined && !aggPushed &&
+        spark.conf.get("spark.sql.sources.v2.bucketing.enabled",
+          "false").toBoolean
+      if (!spjOn) base
+      else {
+        val (keyExprs, dts, keyed) = spjKeys.get
+        KeyedParquetScan.wrap(base, keyExprs, dts, currentFiles, keyed)
+          .getOrElse(base)
+      }
+    }
 }
 
 object SnapshotScanBuilder {

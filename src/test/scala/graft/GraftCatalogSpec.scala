@@ -362,13 +362,32 @@ class GraftCatalogSpec extends AnyFunSuite {
       .collect().map(_.getString(0))
     assert(desc.contains("# Partition Information") ||
       desc.contains("day"), desc.mkString(","))
-    // non-identity transforms refuse with the alternative named
+    // bucket(N, col) is a supported layout since r18 — it records the
+    // bucket props (SpjSpec pins the write invariant + shuffle-free
+    // join); temporal transforms still refuse with the alternative named
+    spark.sql("DROP TABLE IF EXISTS graft.default.part_bkt")
+    spark.sql(
+      """CREATE TABLE graft.default.part_bkt (id BIGINT, day BIGINT)
+        |PARTITIONED BY (bucket(8, id))""".stripMargin)
+    val bprops = spark.sql("SHOW TBLPROPERTIES graft.default.part_bkt")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(bprops.get("graft.bucket.by").contains("id"))
+    assert(bprops.get("graft.bucket.count").contains("8"))
+    spark.sql("DROP TABLE graft.default.part_bkt")
     val e = intercept[Exception] {
       spark.sql(
-        """CREATE TABLE graft.default.part_bad (id BIGINT, day BIGINT)
-          |PARTITIONED BY (bucket(8, id))""".stripMargin)
+        """CREATE TABLE graft.default.part_bad (id BIGINT, ts TIMESTAMP)
+          |PARTITIONED BY (days(ts))""".stripMargin)
     }
     assert(e.getMessage.contains("identity"), e.getMessage)
+    // mixing bucket and identity refuses (two independent groupings
+    // cannot both be the file layout)
+    val eMix = intercept[Exception] {
+      spark.sql(
+        """CREATE TABLE graft.default.part_bad3 (id BIGINT, day BIGINT)
+          |PARTITIONED BY (day, bucket(8, id))""".stripMargin)
+    }
+    assert(eMix.getMessage.contains("not a mix"), eMix.getMessage)
     // PARTITIONED BY + explicit clustering props conflict loudly
     val e2 = intercept[Exception] {
       spark.sql(

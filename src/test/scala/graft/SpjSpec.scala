@@ -1,0 +1,242 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Storage-partitioned joins (r18): a graft table `PARTITIONED BY`
+  * stages single-partition-value files (Layout.stageTxn fanout), the
+  * manifest records min==max bounds per file, and the DSv2 scan
+  * regroups the vectorized parquet read one-task-per-value reporting
+  * KeyGroupedPartitioning (KeyedParquetScan) — so a join of two
+  * co-partitioned tables on the partition column plans with NO shuffle
+  * on either side. Pins:
+  *   - the write invariant (every staged file single-valued, keys
+  *     recoverable via Layout.spjFileKeys),
+  *   - the shuffle-free join plan AND its result correctness vs the
+  *     conf-off shuffle plan,
+  *   - the shuffle-free grouped aggregate on the partition column,
+  *   - graceful fallbacks: conf off, pruned-away partition column,
+  *     WHERE-pruned subsets, non-groupable (double) partition type. */
+class SpjSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val wh = "target/graft_io/spec/spj_catalog"
+  private def cat = sql.GraftSql.catalogFor(spark, wh)
+
+  /** Run `f` with v2 bucketing (the SPJ gate) set to `on`. */
+  private def withSpj[T](on: Boolean)(f: => T): T = {
+    val k = "spark.sql.sources.v2.bucketing.enabled"
+    val pv = "spark.sql.sources.v2.bucketing.pushPartValues.enabled"
+    val prev = (spark.conf.getOption(k), spark.conf.getOption(pv))
+    spark.conf.set(k, on.toString)
+    spark.conf.set(pv, "true")
+    try f
+    finally {
+      prev._1.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+      prev._2.fold(spark.conf.unset(pv))(spark.conf.set(pv, _))
+    }
+  }
+
+  /** The FINAL physical plan (through AQE), after executing `df`. */
+  private def finalPlan(df: org.apache.spark.sql.DataFrame): SparkPlan = {
+    df.collect()
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p                        => p
+    }
+  }
+
+  private def shuffles(p: SparkPlan): Seq[ShuffleExchangeExec] =
+    p.collectWithSubqueries { case e: ShuffleExchangeExec => e }
+
+  private def mkTables(): (String, String) = {
+    val c = cat
+    val fact = s"$c.default.spj_fact"
+    val dim = s"$c.default.spj_dim"
+    spark.sql(s"DROP TABLE IF EXISTS $fact")
+    spark.sql(s"DROP TABLE IF EXISTS $dim")
+    spark.sql(s"""CREATE TABLE $fact
+                |  (day BIGINT, uid BIGINT, v DOUBLE)
+                |PARTITIONED BY (day)""".stripMargin)
+    spark.sql(s"""CREATE TABLE $dim (day BIGINT, w DOUBLE)
+                |PARTITIONED BY (day)""".stripMargin)
+    // two fact inserts with different day domains (7 vs 5 days) so the
+    // table holds SEVERAL files per day value and the sides' value sets
+    // differ (exercises pushPartValues padding: dim has days 0..6 only)
+    spark.sql(s"""INSERT INTO $fact
+                |SELECT id % 7 AS day, id AS uid, id * 0.5 AS v
+                |FROM range(0, 200)""".stripMargin)
+    spark.sql(s"""INSERT INTO $fact
+                |SELECT id % 5 AS day, id AS uid, id * 0.25 AS v
+                |FROM range(200, 300)""".stripMargin)
+    spark.sql(s"""INSERT INTO $dim
+                |SELECT id AS day, id * 10.0 AS w FROM range(0, 7)"""
+      .stripMargin)
+    (fact, dim)
+  }
+
+  test("partitioned writes stage single-value files with manifest keys") {
+    val (_, _) = mkTables()
+    val dir = s"$wh/default/spj_fact"
+    val head = {
+      val root = new org.apache.hadoop.fs.Path(dir)
+      val fs = root.getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      ops.Layout.currentVersion(fs, root)
+    }
+    val keys = ops.Layout.spjFileKeys(spark, dir, head)
+    assert(keys.isDefined,
+      "every staged file of a PARTITIONED BY table must be single-valued")
+    val (shape, byFile) = keys.get
+    assert(shape == ops.Layout.SpjIdentity(Seq("day")))
+    assert(byFile.nonEmpty)
+    val values = byFile.values.map(_._2.head.asInstanceOf[Long]).toSet
+    assert(values == (0L until 7L).toSet,
+      s"expected day keys 0..6, got $values")
+    // more files than values: both inserts fanned out per day
+    assert(byFile.size > values.size,
+      "two inserts must stage at least two files for overlapping days")
+  }
+
+  test("co-partitioned join plans with zero shuffles, results exact") {
+    val (fact, dim) = mkTables()
+    val q =
+      s"""SELECT f.day, CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(SUM(f.v * d.w) AS DOUBLE) AS s
+         |FROM $fact f JOIN $dim d ON f.day = d.day
+         |GROUP BY f.day ORDER BY f.day""".stripMargin
+    val expected = withSpj(on = false) {
+      spark.sql(q).collect().map(_.toString).toSeq
+    }
+    withSpj(on = true) {
+      val bcOff = "spark.sql.autoBroadcastJoinThreshold"
+      val prev = spark.conf.getOption(bcOff)
+      spark.conf.set(bcOff, "-1") // pin the SPJ path, not a broadcast
+      try {
+        val df = spark.sql(q)
+        val plan = finalPlan(df)
+        val sh = shuffles(plan)
+        assert(sh.isEmpty,
+          s"co-partitioned join + grouped agg must not shuffle:\n$plan")
+        assert(plan.toString.contains("KeyedParquetScan"),
+          s"expected the keyed scan in:\n$plan")
+        assert(df.collect().map(_.toString).toSeq == expected,
+          "SPJ plan must produce exactly the shuffle plan's rows")
+      } finally prev.fold(spark.conf.unset(bcOff))(
+        spark.conf.set(bcOff, _))
+    }
+  }
+
+  test("grouped aggregate on the partition column skips the exchange") {
+    val (fact, _) = mkTables()
+    withSpj(on = true) {
+      val df = spark.sql(
+        s"""SELECT day, CAST(SUM(v) AS DOUBLE) AS s
+           |FROM $fact GROUP BY day""".stripMargin)
+      val plan = finalPlan(df)
+      assert(shuffles(plan).isEmpty,
+        s"groupBy(partition col) over a keyed scan must not shuffle:\n$plan")
+      assert(df.collect().length == 7)
+    }
+  }
+
+  test("conf off falls back to the plain vectorized scan") {
+    val (fact, _) = mkTables()
+    withSpj(on = false) {
+      val df = spark.sql(s"SELECT day, uid, v FROM $fact")
+      val plan = finalPlan(df)
+      assert(!plan.toString.contains("KeyedParquetScan"),
+        s"bucketing off must not key the scan:\n$plan")
+      assert(df.collect().length == 300)
+    }
+  }
+
+  test("pruned-away partition column and WHERE subsets stay correct") {
+    val (fact, _) = mkTables()
+    withSpj(on = true) {
+      // partition column absent from the output: the keyed report
+      // cannot resolve — plan must degrade, never throw
+      assert(spark.sql(s"SELECT uid FROM $fact").collect().length == 300)
+      // manifest-pruned subset keys only surviving files
+      val df = spark.sql(s"SELECT uid, v FROM $fact WHERE day = 3")
+      val n = df.collect().length
+      val exp = withSpj(on = false) {
+        spark.sql(s"SELECT uid, v FROM $fact WHERE day = 3")
+          .collect().length
+      }
+      assert(n == exp && n > 0)
+    }
+  }
+
+  test("bucket(8, k) fact⋈fact join plans with zero shuffles, results exact") {
+    val c = cat
+    val a = s"$c.default.spj_bkt_a"
+    val b = s"$c.default.spj_bkt_b"
+    spark.sql(s"DROP TABLE IF EXISTS $a")
+    spark.sql(s"DROP TABLE IF EXISTS $b")
+    spark.sql(s"""CREATE TABLE $a (k BIGINT, v DOUBLE)
+                |PARTITIONED BY (bucket(8, k))""".stripMargin)
+    spark.sql(s"""CREATE TABLE $b (k BIGINT, w DOUBLE)
+                |PARTITIONED BY (bucket(8, k))""".stripMargin)
+    spark.sql(s"INSERT INTO $a SELECT id, id * 0.5 FROM range(0, 1000)")
+    spark.sql(s"INSERT INTO $b SELECT id, id * 2.0 FROM range(500, 1500)")
+    // write invariant: every staged file holds ONE bucket id
+    val dir = s"$wh/default/spj_bkt_a"
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val keys = ops.Layout.spjFileKeys(spark, dir,
+      ops.Layout.currentVersion(fs, root))
+    assert(keys.isDefined, "bucket table must key every staged file")
+    assert(keys.get._1 == ops.Layout.SpjBucket("k", 8))
+    assert(keys.get._2.values.map(_._2.head.asInstanceOf[Long]).toSet ==
+      (0L until 8L).toSet)
+    val q = s"SELECT a.k, a.v, b.w FROM $a a JOIN $b b ON a.k = b.k"
+    val expected = withSpj(on = false) {
+      spark.sql(q).collect().map(_.toString).sorted.toSeq
+    }
+    assert(expected.size == 500)
+    withSpj(on = true) {
+      val bcOff = "spark.sql.autoBroadcastJoinThreshold"
+      val prev = spark.conf.getOption(bcOff)
+      spark.conf.set(bcOff, "-1")
+      try {
+        val df = spark.sql(q)
+        val plan = finalPlan(df)
+        assert(shuffles(plan).isEmpty,
+          s"co-bucketed fact⋈fact join must not shuffle either side:\n$plan")
+        assert(plan.toString.contains("KeyedParquetScan"),
+          s"expected keyed scans in:\n$plan")
+        assert(df.collect().map(_.toString).sorted.toSeq == expected)
+      } finally prev.fold(spark.conf.unset(bcOff))(
+        spark.conf.set(bcOff, _))
+    }
+  }
+
+  test("double-typed partition column is not SPJ-groupable") {
+    val c = cat
+    val t = s"$c.default.spj_double"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"""CREATE TABLE $t (g DOUBLE, v BIGINT)
+                |PARTITIONED BY (g)""".stripMargin)
+    spark.sql(
+      s"INSERT INTO $t SELECT CAST(id % 3 AS DOUBLE), id FROM range(30)")
+    val dir = s"$wh/default/spj_double"
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(ops.Layout.spjFileKeys(spark, dir,
+        ops.Layout.currentVersion(fs, root)).isEmpty,
+      "double bounds must not claim a partition key")
+    withSpj(on = true) {
+      assert(spark.sql(s"SELECT * FROM $t").collect().length == 30)
+    }
+  }
+}
