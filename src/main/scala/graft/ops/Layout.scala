@@ -285,13 +285,29 @@ object Layout {
 
   private val ManifestRe = """v(\d+)\.manifest""".r
 
-  /** Newest committed version of `table`, 0 if none. */
-  def currentVersion(fs: FileSystem, table: Path): Int = {
+  /** Manifest-chain designator (r18 branches): "" = the main chain
+    * (`v<N>.manifest`), `chainOf(name)` = branch `name`'s chain
+    * (`b.<name>.v<N>.manifest`, same manifests/ dir — the main chain's
+    * regex never matches it, so every pre-branch reader is oblivious).
+    * Branch names are restricted to [A-Za-z0-9_-] so the file-name
+    * grammar stays unambiguous. */
+  private[graft] def chainOf(branch: String): String = {
+    require(branch.matches("[A-Za-z0-9_\\-]+"),
+      s"branch name must match [A-Za-z0-9_-]+, got '$branch'")
+    s"b.$branch."
+  }
+
+  /** Newest committed version of `table`'s `chain`, 0 if none. */
+  def currentVersion(fs: FileSystem, table: Path,
+      chain: String = ""): Int = {
     val mdir = new Path(table, "manifests")
-    if (!fs.exists(mdir)) 0
-    else fs.listStatus(mdir).flatMap(st => st.getPath.getName match {
-      case ManifestRe(n) => Some(n.toInt)
-      case _             => None
+    if (!fs.exists(mdir)) return 0
+    val re =
+      if (chain.isEmpty) ManifestRe
+      else (java.util.regex.Pattern.quote(chain) + """v(\d+)\.manifest""").r
+    fs.listStatus(mdir).flatMap(st => st.getPath.getName match {
+      case re(n) => Some(n.toInt)
+      case _     => None
     }).foldLeft(0)(math.max)
   }
 
@@ -307,8 +323,9 @@ object Layout {
     * schema record, txn markers, the commit UUID) are metadata, not
     * line currency — skipped here so the rebase arithmetic never copies
     * a stale header across commits. */
-  private def manifestFiles(fs: FileSystem, table: Path, v: Int)
-      : Seq[String] = rawManifestLines(fs, table, v).filterNot(isHeader)
+  private def manifestFiles(fs: FileSystem, table: Path, v: Int,
+      chain: String = ""): Seq[String] =
+    rawManifestLines(fs, table, v, chain).filterNot(isHeader)
 
   private def isHeader(line: String): Boolean = line.startsWith("#")
 
@@ -342,9 +359,9 @@ object Layout {
   private def charsOf(lines: Seq[String]): Long =
     lines.iterator.map(_.length.toLong).sum
 
-  private def rawManifestLines(fs: FileSystem, table: Path, v: Int)
-      : Seq[String] = {
-    val mf = new Path(table, s"manifests/v$v.manifest")
+  private def rawManifestLines(fs: FileSystem, table: Path, v: Int,
+      chain: String = ""): Seq[String] = {
+    val mf = new Path(table, s"manifests/${chain}v$v.manifest")
     val st = fs.getFileStatus(mf) // FileNotFound here = expired/missing
     val key = s"${fs.makeQualified(mf)}#${st.getModificationTime}" +
       s"#${st.getLen}"
@@ -421,9 +438,9 @@ object Layout {
     schemaOf(fs, root, v)
   }
 
-  private def schemaOf(fs: FileSystem, root: Path, v: Int)
-      : Option[types.StructType] =
-    rawManifestLines(fs, root, v).collectFirst {
+  private def schemaOf(fs: FileSystem, root: Path, v: Int,
+      chain: String = ""): Option[types.StructType] =
+    rawManifestLines(fs, root, v, chain).collectFirst {
       case l if l.startsWith(SchemaHeader) =>
         types.DataType.fromJson(l.substring(SchemaHeader.length))
           .asInstanceOf[types.StructType]
@@ -441,11 +458,12 @@ object Layout {
     * records per-file bounds for — which is what lets a pure-SQL table
     * get manifest-level file skipping without any Scala in the loop. */
   def tableProps(spark: SparkSession, table: String,
-      version: Option[Int] = None): Map[String, String] = {
+      version: Option[Int] = None,
+      chain: String = ""): Map[String, String] = {
     val root = new Path(table)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val v = version.getOrElse(currentVersion(fs, root))
-    if (v == 0) Map.empty else propsOf(fs, root, v)
+    val v = version.getOrElse(currentVersion(fs, root, chain))
+    if (v == 0) Map.empty else propsOf(fs, root, v, chain)
   }
 
   /** The `graft.stats.columns` property of `table`'s head, parsed —
@@ -633,14 +651,14 @@ object Layout {
     * txn dirs are deleted before the throw (nothing orphaned for
     * vacuum). */
   private final class AttemptConstraintGate(fs: FileSystem, root: Path,
-      op: String) {
+      op: String, chain: String = "") {
     private var provenFor: Option[Seq[(String, String)]] = None
     def check(head: Int, all: Seq[String],
         constraints: Seq[(String, String)]): Unit = {
       if (constraints.isEmpty || provenFor.contains(constraints)) return
       val prior: Set[String] =
         if (head == 0) Set.empty
-        else manifestFiles(fs, root, head).map(entryPath).toSet
+        else manifestFiles(fs, root, head, chain).map(entryPath).toSet
       val newPaths = all.map(entryPath).filterNot(prior).distinct
         .map(rel => new Path(root, rel).toString)
       if (newPaths.isEmpty) { provenFor = Some(constraints); return }
@@ -658,8 +676,8 @@ object Layout {
         catch {
           case _: org.apache.spark.sql.AnalysisException =>
             val r = spark.read
-            enforce(schemaOf(fs, root, head).fold(r)(s => r.schema(s))
-              .parquet(newPaths: _*))
+            enforce(schemaOf(fs, root, head, chain).fold(r)(s =>
+              r.schema(s)).parquet(newPaths: _*))
         }
         provenFor = Some(constraints)
       } catch {
@@ -728,10 +746,10 @@ object Layout {
     }
   }
 
-  private def propsOf(fs: FileSystem, root: Path, v: Int)
-      : Map[String, String] =
+  private def propsOf(fs: FileSystem, root: Path, v: Int,
+      chain: String = ""): Map[String, String] =
     if (v == 0) Map.empty
-    else rawManifestLines(fs, root, v).collect {
+    else rawManifestLines(fs, root, v, chain).collect {
       case l if l.startsWith(PropHeader) =>
         // limit -1 keeps trailing empty strings: TBLPROPERTIES('k'='')
         // is legal SQL and writes "#prop\tk\t" — the default limit-0
@@ -756,10 +774,10 @@ object Layout {
     * Delta's txnAppId/txnVersion). Carried forward by EVERY commit verb:
     * a compaction or rollback must never erase the knowledge that batch
     * N was already applied, or a sink restart would double-write it. */
-  private def txnsOf(fs: FileSystem, root: Path, v: Int)
-      : Map[String, Long] =
+  private def txnsOf(fs: FileSystem, root: Path, v: Int,
+      chain: String = ""): Map[String, Long] =
     if (v == 0) Map.empty
-    else rawManifestLines(fs, root, v).collect {
+    else rawManifestLines(fs, root, v, chain).collect {
       case l if l.startsWith(TxnHeader) =>
         l.substring(TxnHeader.length).split('\t') match {
           case Array(app, b) => app -> b.toLong
@@ -1474,11 +1492,12 @@ object Layout {
                           (h: Int) => Map.empty,
                         propsXform: Map[String, String] =>
                           Map[String, String] = identity,
-                        attemptCheck: Int => Unit = _ => ()): Int = {
+                        attemptCheck: Int => Unit = _ => (),
+                        chain: String = ""): Int = {
     val mdir = new Path(root, "manifests")
     fs.mkdirs(mdir)
     val locked = lockfileEnabled(fs)
-    val gate = new AttemptConstraintGate(fs, root, op)
+    val gate = new AttemptConstraintGate(fs, root, op, chain)
     var attempts = 0
     while (attempts < 10) {
       // lock-enabled deployments read the head INSIDE the lock — a
@@ -1486,7 +1505,7 @@ object Layout {
       // rebase, and none can land until we release
       val lease = if (locked) Some(acquireCommitLock(fs, mdir)) else None
       try {
-        val head = currentVersion(fs, root)
+        val head = currentVersion(fs, root, chain)
         attemptCheck(head)
         val all = listFor(head)
         // headers are computed per attempt too: a racing commit may have
@@ -1496,8 +1515,8 @@ object Layout {
         // preserves them); `txnFor` supplies this commit's updates on
         // top, `propsXform` rewrites the carried props (set AND unset —
         // ALTER TABLE needs removal, which a merge cannot express).
-        val txns = txnsOf(fs, root, head) ++ txnFor(head)
-        val props = propsXform(propsOf(fs, root, head))
+        val txns = txnsOf(fs, root, head, chain) ++ txnFor(head)
+        val props = propsXform(propsOf(fs, root, head, chain))
         // CHECK constraints gate the files this attempt ADDS, against
         // the MERGED props this attempt will publish (head props AND
         // this commit's own additions) — see AttemptConstraintGate for
@@ -1510,12 +1529,12 @@ object Layout {
               s"$PropHeader${enc(k)}\t${enc(v2)}" } ++
             txns.toSeq.sorted.map { case (app, b) => s"$TxnHeader$app\t$b" })
         val tmp = new Path(mdir,
-          s".v${head + 1}.tmp-" + attemptId)
+          s".${chain}v${head + 1}.tmp-" + attemptId)
         val out = fs.create(tmp, /* overwrite = */ false)
         try out.write((header ++ all).mkString("\n").getBytes(
           java.nio.charset.StandardCharsets.UTF_8))
         finally out.close()
-        val dst = new Path(mdir, s"v${head + 1}.manifest")
+        val dst = new Path(mdir, s"${chain}v${head + 1}.manifest")
         if (publishNoReplace(fs, tmp, dst)) {
           // won only if OUR bytes are what the destination now holds; a
           // mismatch means another writer's commit occupies (or
@@ -1948,19 +1967,19 @@ object Layout {
     * one from this append's (possibly narrower) frame could silently
     * hide existing columns. */
   private def appendSchemaFor(fs: FileSystem, root: Path, df: DataFrame,
-      newProps: Map[String, String] = Map.empty)
+      newProps: Map[String, String] = Map.empty, chain: String = "")
       : Int => Option[types.StructType] =
     head =>
       if (head == 0) {
         val s = ColumnBridge.nullableSchema(df.schema)
         Some(if (idMapped(newProps)) assignIds(s) else s)
       } else {
-        val headProps = propsOf(fs, root, head)
+        val headProps = propsOf(fs, root, head, chain)
         require(!idMapped(newProps) || idMapped(headProps),
           s"$ColumnMappingProp is a CREATE-time property — existing " +
             "data files carry no field ids, so enabling it later would " +
             "break id-matched reads. Rewrite into a new mapped table.")
-        schemaOf(fs, root, head).map { prior =>
+        schemaOf(fs, root, head, chain).map { prior =>
           if (idMapped(headProps)) {
             // id-mapped: appends never mint ids (see stampFieldIds) —
             // a racing rename would otherwise desync staged footers
@@ -2344,16 +2363,18 @@ object Layout {
     * (pushdown, pruning, vectorized read) a snapshot without going
     * through a DataFrame first. */
   private[graft] def snapshotLayout(spark: SparkSession, table: String,
-      version: Option[Int], dvFreeOnly: Boolean = false)
+      version: Option[Int], dvFreeOnly: Boolean = false,
+      chain: String = "")
       : (Seq[String], Option[types.StructType]) = {
     val root = new Path(table)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val v = version.getOrElse(currentVersion(fs, root))
-    require(v > 0, s"snapshotLayout: no committed version in $table")
-    val lines = manifestFiles(fs, root, v)
+    val v = version.getOrElse(currentVersion(fs, root, chain))
+    require(v > 0, s"snapshotLayout: no committed version in $table" +
+      (if (chain.isEmpty) "" else s" (chain $chain)"))
+    val lines = manifestFiles(fs, root, v, chain)
     ((if (dvFreeOnly) lines.filter(l => entryDvs(l).isEmpty) else lines)
        .map(l => new Path(root, entryPath(l)).toString),
-     schemaOf(fs, root, v))
+     schemaOf(fs, root, v, chain))
   }
 
   /** Storage-partitioned-join (SPJ) grouping of a snapshot (r18): when
@@ -2818,6 +2839,208 @@ object Layout {
     casCommit(fs, root, "rollbackTo", _ =>
       manifestFiles(fs, root, version), // throws if expired
       _ => schemaOf(fs, root, version)) // undo restores the schema too
+  }
+
+  /** Zero-copy SHALLOW CLONE (r18): commit `dst`'s v1 whose lines
+    * reference `src`'s current files by ABSOLUTE (qualified) path —
+    * the manifest grammar's path slot accepts either form, because
+    * every consumer resolves `new Path(root, p)` and Hadoop resolves
+    * an absolute child to itself. Schema, table props and per-file
+    * stats/bloom groups carry verbatim (the clone prunes and SPJ-groups
+    * exactly like the source); txn markers do NOT (a clone is a new
+    * table — a replayed streaming batch must not be deduped against
+    * the source's history). The clone then lives its own life: appends
+    * stage locally, row-level rewrites swap absolute source lines for
+    * local files (the source is never touched), and the clone's vacuum
+    * only ever sweeps its OWN data dir — absolute lines aren't in the
+    * relative `data/txn-&lt;uuid&gt;/...` key shape the sweep matches.
+    *
+    * The one shared-fate caveat every shallow-clone design has (Delta's
+    * documents the same): `expireSnapshots` on the SOURCE doesn't know
+    * about clones, so vacuuming source history a clone still references
+    * breaks the clone. Clone for experiments and short-lived forks;
+    * re-materialize (CTAS) anything that must outlive source GC.
+    * Refuses a dv-carrying source head (compact first) — dv sidecar
+    * refs are group-internal and the masked read would need
+    * chain-of-custody across roots. */
+  def cloneTable(spark: SparkSession, src: String, dst: String): Int = {
+    val sroot = new Path(src)
+    val fs = sroot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val sHead = currentVersion(fs, sroot)
+    require(sHead > 0, s"cloneTable: no committed version in $src")
+    require(!versionHasDvs(fs, sroot, sHead),
+      s"cloneTable: $src head carries live deletion vectors — compact " +
+        "them first (CALL system.compact(only_dv => true))")
+    val droot = new Path(dst)
+    val dfs = droot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(currentVersion(dfs, droot) == 0,
+      s"cloneTable: $dst already has committed versions")
+    val absLines = manifestFiles(fs, sroot, sHead).map { l =>
+      val f = l.split('\t')
+      f(0) = fs.makeQualified(new Path(sroot, f(0))).toString
+      f.mkString("\t")
+    }
+    val schema = schemaOf(fs, sroot, sHead)
+    val props = propsOf(fs, sroot, sHead)
+    casCommit(dfs, droot, s"clone(${sroot.getName})",
+      { head =>
+        require(head == 0,
+          s"cloneTable: $dst gained a commit during the clone")
+        absLines
+      },
+      _ => schema,
+      propsXform = _ => props)
+  }
+
+  // --- branches: write-audit-publish (r18) ----------------------------
+  // A branch is a second manifest CHAIN in the same manifests/ dir
+  // (`b.<name>.v<K>.manifest`), forked by copying the main head
+  // manifest verbatim. Branch commits run the SAME CAS protocol with
+  // the chain threaded through (same locks, same constraint gate, same
+  // schema evolution), staging data into the shared data/ dir — staged
+  // files are invisible to main readers until PUBLISH, which is one
+  // ordinary main-chain CAS adopting the branch head's lines — so the
+  // nightly WAP loop is: create_branch → write to the branch → audit
+  // `VERSION AS OF 'branch'` → publish_branch. Publish is FAST-FORWARD
+  // ONLY: if main advanced since the fork, it refuses (adopting the
+  // branch would silently drop main's new commits); recreate the branch
+  // from the new head and re-stage. Divergence cost at 100 TB: zero
+  // data movement either way — fork, branch commits, and publish are
+  // all manifest-sized metadata operations.
+
+  /** Newest version of branch `name`, 0 if the branch doesn't exist. */
+  private[graft] def branchHead(fs: FileSystem, root: Path,
+      name: String): Int = currentVersion(fs, root, chainOf(name))
+
+  /** The main-chain version branch `name` forked from: its chain's
+    * MINIMUM version — the fork copy keeps the head's version number,
+    * branch commits count up from there, and nothing ever deletes the
+    * fork copy while the branch lives. */
+  private[graft] def branchBase(fs: FileSystem, root: Path,
+      name: String): Int = {
+    val chain = chainOf(name)
+    val re = (java.util.regex.Pattern.quote(chain) +
+      """v(\d+)\.manifest""").r
+    val vs = fs.listStatus(new Path(root, "manifests"))
+      .flatMap(st => st.getPath.getName match {
+        case re(n) => Some(n.toInt)
+        case _     => None
+      })
+    require(vs.nonEmpty, s"no such branch '$name' on $root")
+    vs.min
+  }
+
+  /** Names of every live branch of `table`. */
+  def listBranches(spark: SparkSession, table: String): Seq[String] = {
+    val root = new Path(table)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mdir = new Path(root, "manifests")
+    if (!fs.exists(mdir)) return Nil
+    val re = """b\.([A-Za-z0-9_\-]+)\.v\d+\.manifest""".r
+    fs.listStatus(mdir).flatMap(st => st.getPath.getName match {
+      case re(n) => Some(n)
+      case _     => None
+    }).distinct.sorted.toSeq
+  }
+
+  /** Fork branch `name` at the current main head (a verbatim manifest
+    * copy — zero data movement) and return the fork version. Refuses if
+    * the branch exists, the table is empty, or the head carries live
+    * deletion vectors (branch reads serve the plain vectorized path;
+    * compact the dvs away first — `CALL system.compact(only_dv =>
+    * true)` — rather than silently resurrecting deleted rows). */
+  def createBranch(spark: SparkSession, table: String,
+      name: String): Int = {
+    val chain = chainOf(name)
+    val root = new Path(table)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val head = currentVersion(fs, root)
+    require(head > 0, s"createBranch: no committed version in $table")
+    require(currentVersion(fs, root, chain) == 0,
+      s"branch '$name' already exists on $table")
+    require(!versionHasDvs(fs, root, head),
+      s"createBranch: head v$head carries live deletion vectors — " +
+        "compact them first (CALL system.compact(only_dv => true))")
+    val mdir = new Path(root, "manifests")
+    val tmp = new Path(mdir,
+      s".${chain}v$head.tmp-" + java.util.UUID.randomUUID().toString)
+    val out = fs.create(tmp, /* overwrite = */ false)
+    try out.write(rawManifestLines(fs, root, head).mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    require(publishNoReplace(fs, tmp,
+        new Path(mdir, s"${chain}v$head.manifest")),
+      s"branch '$name' already exists on $table (lost the create race)")
+    head
+  }
+
+  /** APPEND `df` to branch `name` — the WAP write. Same protocol as
+    * [[commitSnapshot]] (CAS, constraint gate, schema evolution, the
+    * partition/bucket fanout stager driven by the BRANCH head's props),
+    * chain-addressed so main readers never see it. */
+  def commitSnapshotToBranch(spark: SparkSession, table: String,
+      name: String, df: DataFrame,
+      statsColumns: Seq[String] = Nil): Int = {
+    validateStatsColumns(statsColumns)
+    val chain = chainOf(name)
+    val root = new Path(table)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bHead = currentVersion(fs, root, chain)
+    require(bHead > 0,
+      s"no such branch '$name' on $table — create_branch first")
+    val bProps = propsOf(fs, root, bHead, chain)
+    val added = stageTxn(spark, fs, root, df, createProps = bProps)
+    val entries = withStats(spark, fs, root, added, statsColumns,
+      extraProps = bProps)
+    casCommit(fs, root, s"appendBranch($name)", head =>
+      manifestFiles(fs, root, head, chain) ++ entries,
+      appendSchemaFor(fs, root, df, chain = chain),
+      chain = chain)
+  }
+
+  /** Publish branch `name`: one main-chain CAS adopting the branch
+    * head's lines, schema, props and txn markers (branch commits squash
+    * into one published version — the audit gate passed on the branch
+    * HEAD state, so that state is what lands). FAST-FORWARD ONLY:
+    * refuses if main advanced past the fork point. No-op (returns the
+    * main head) if the branch has no commits. The branch stays for
+    * [[dropBranch]] — publish-then-drop is the caller's pairing. */
+  def publishBranch(spark: SparkSession, table: String,
+      name: String): Int = {
+    val chain = chainOf(name)
+    val root = new Path(table)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bHead = currentVersion(fs, root, chain)
+    require(bHead > 0, s"no such branch '$name' on $table")
+    val base = branchBase(fs, root, name)
+    if (bHead == base) return currentVersion(fs, root) // nothing staged
+    casCommit(fs, root, s"publishBranch($name)", { head =>
+      require(head == base,
+        s"publishBranch($name): fast-forward only — main advanced " +
+          s"v$base → v$head since the fork; recreate the branch from " +
+          "the new head and re-stage")
+      manifestFiles(fs, root, bHead, chain)
+    },
+      _ => schemaOf(fs, root, bHead, chain),
+      _ => txnsOf(fs, root, bHead, chain),
+      propsXform = _ => propsOf(fs, root, bHead, chain))
+  }
+
+  /** Delete branch `name`'s manifests. Unpublished branch data files
+    * become orphans — the age-gated [[expireSnapshots]] sweep reclaims
+    * them like any crashed transaction's. */
+  def dropBranch(spark: SparkSession, table: String, name: String): Int = {
+    val chain = chainOf(name)
+    val root = new Path(table)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bHead = currentVersion(fs, root, chain)
+    require(bHead > 0, s"no such branch '$name' on $table")
+    var dropped = 0
+    (1 to bHead).foreach { v =>
+      val p = new Path(root, s"manifests/${chain}v$v.manifest")
+      if (fs.exists(p) && fs.delete(p, false)) dropped += 1
+    }
+    dropped
   }
 
   /** OPTIMIZE as a REPLACE commit on a manifest table — the unification
@@ -3548,10 +3771,20 @@ object Layout {
       .filter(v => fs.exists(new Path(root, s"manifests/v$v.manifest")))
     // retained = every data file AND every dv sidecar a surviving
     // manifest references — a position-delete sidecar is as load-bearing
-    // as the data file it masks
-    val retainedFiles = (math.max(1, cutoff) to head)
+    // as the data file it masks. Live BRANCHES protect their files too:
+    // an unpublished WAP batch is staged data a main-chain sweep must
+    // never reclaim (r18) — every version of every branch chain counts,
+    // since branch readers may be pinned mid-audit.
+    val branchRetained = listBranches(spark, table).flatMap { b =>
+      val chain = chainOf(b)
+      (1 to currentVersion(fs, root, chain))
+        .filter(v => fs.exists(
+          new Path(root, s"manifests/${chain}v$v.manifest")))
+        .flatMap(v => manifestFiles(fs, root, v, chain))
+    }
+    val retainedFiles = ((math.max(1, cutoff) to head)
       .filter(v => fs.exists(new Path(root, s"manifests/v$v.manifest")))
-      .flatMap(v => manifestFiles(fs, root, v))
+      .flatMap(v => manifestFiles(fs, root, v)) ++ branchRetained)
       .flatMap(l => entryPath(l) +: entryDvs(l)).toSet
     expired.foreach(v =>
       fs.delete(new Path(root, s"manifests/v$v.manifest"), false))

@@ -149,13 +149,25 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   }
 
   /** `SELECT ... VERSION AS OF n` — pin the scan to manifest version n. */
+  /** `VERSION AS OF n` pins a main-chain snapshot; `VERSION AS OF
+    * 'name'` (non-numeric) resolves a BRANCH — the WAP audit read. */
   override def loadTable(ident: Identifier, version: String): Table = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
-    val v = try version.toInt catch {
-      case _: NumberFormatException => throw new IllegalArgumentException(
-        s"graft-manifest versions are integers; got '$version'")
+    val dir = dirOf(ident)
+    version.toIntOption match {
+      case Some(v) => new GraftTable(dir, Some(v))
+      case None =>
+        val root = new org.apache.hadoop.fs.Path(dir)
+        val fs = root.getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        val bHead = Layout.branchHead(fs, root, version)
+        require(bHead > 0,
+          s"'$version' is neither a version number nor a live branch " +
+            s"of $dir (branches: " +
+            s"${Layout.listBranches(spark, dir).mkString(", ")})")
+        new GraftTable(dir, Some(bHead),
+          branch = Some(version))
     }
-    new GraftTable(dirOf(ident), Some(v))
   }
 
   /** `SELECT ... TIMESTAMP AS OF t` — Spark hands epoch MICROseconds;
@@ -461,12 +473,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   * the first child of its per-file-dispatch Union — it is a read-only
   * view, never catalog-loaded, never written. */
 class GraftTable(path: String, version: Option[Int],
-    dvFreeOnly: Boolean = false)
+    dvFreeOnly: Boolean = false, branch: Option[String] = None)
     extends Table with SupportsRead with SupportsWrite
     with SupportsDelete with SupportsRowLevelOperations
     with SupportsMetadataColumns {
 
   private def spark: SparkSession = SparkSession.active
+
+  /** Manifest chain this handle reads: "" = main, or the branch's
+    * (`VERSION AS OF '<branch>'` — the WAP audit read). A branch
+    * handle is READ-ONLY (writes/row-level refuse via the pinned
+    * `version`), carries no deletion vectors (createBranch refuses a
+    * dv-carrying head; branch appends add none), and skips manifest
+    * pruning + SPJ keying — audit reads are full-table validations. */
+  private val chain: String = branch.fold("")(Layout.chainOf)
 
   /** The snapshot this Table instance reads, resolved ONCE — schema()
     * (called at analysis) and newScanBuilder (called at planning) must
@@ -483,14 +503,15 @@ class GraftTable(path: String, version: Option[Int],
   }
 
   private lazy val pinnedLayout: (Seq[String], Option[StructType]) =
-    Layout.snapshotLayout(spark, path, Some(pinnedVersion), dvFreeOnly)
+    Layout.snapshotLayout(spark, path, Some(pinnedVersion), dvFreeOnly,
+      chain)
 
   /** Whether the pinned snapshot's manifest carries any live deletion
     * vector — the [[MorPerFileDispatch]] eligibility test. Manifest-line
     * inspection only (no sidecar read); always false on a dv-free view,
     * which is what makes the dispatch rewrite converge. */
   private[graft] lazy val hasLiveDvs: Boolean =
-    !dvFreeOnly && Layout.versionHasDvs(
+    !dvFreeOnly && branch.isEmpty && Layout.versionHasDvs(
       new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration),
       new Path(path), pinnedVersion)
 
@@ -507,7 +528,7 @@ class GraftTable(path: String, version: Option[Int],
   private[graft] def pinnedV: Int = pinnedVersion
 
   override def name(): String = s"graft.`$path`" +
-    version.fold("")(v => s"@v$v") +
+    branch.fold(version.fold("")(v => s"@v$v"))(b => s"@$b") +
     (if (dvFreeOnly) "#dvfree" else "")
 
   override def schema(): StructType = {
@@ -522,7 +543,7 @@ class GraftTable(path: String, version: Option[Int],
 
   override def properties(): util.Map[String, String] =
     (Layout.tableProps(spark, path,
-        Some(pinnedVersion).filter(_ > 0)) ++
+        Some(pinnedVersion).filter(_ > 0), chain) ++
       Map(TableCatalog.PROP_LOCATION -> path,
         TableCatalog.PROP_PROVIDER -> "graft-manifest")).asJava
 
@@ -532,7 +553,7 @@ class GraftTable(path: String, version: Option[Int],
   override def partitioning()
       : Array[org.apache.spark.sql.connector.expressions.Transform] = {
     val props = Layout.tableProps(spark, path,
-      Some(pinnedVersion).filter(_ > 0))
+      Some(pinnedVersion).filter(_ > 0), chain)
     props.get(Layout.BucketByProp)
       .zip(props.get(Layout.BucketCountProp))
       .map { case (c, n) =>
@@ -559,7 +580,8 @@ class GraftTable(path: String, version: Option[Int],
     // target-missing columns auto-ADDs them — the analyzer's
     // ResolveMergeIntoSchemaEvolution drives this catalog's AddColumn
     // path, a schema-only commit; old rows null-fill
-    if (Layout.tableProps(spark, path, Some(pinnedVersion).filter(_ > 0))
+    if (Layout.tableProps(spark, path, Some(pinnedVersion).filter(_ > 0),
+        chain)
         .get(Layout.MergeSchemaEvolutionProp)
         .exists(_.equalsIgnoreCase("true")))
       caps.add(TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
@@ -607,7 +629,7 @@ class GraftTable(path: String, version: Option[Int],
     * empty (any table no MOR delete ever touched — the common case) ⇒
     * zero overhead, the vectorized path is untouched. */
   private lazy val pinnedDvs: Map[String, Array[Long]] =
-    if (dvFreeOnly) Map.empty
+    if (dvFreeOnly || branch.isDefined) Map.empty
     else Layout.versionDvs(spark, path, pinnedVersion)
 
   /** SPJ grouping of the pinned snapshot (r18): Some when the table is
@@ -621,7 +643,8 @@ class GraftTable(path: String, version: Option[Int],
       Array[org.apache.spark.sql.connector.expressions.Expression],
       Seq[org.apache.spark.sql.types.DataType],
       Map[String, (Long, Seq[Any])])] =
-    Layout.spjFileKeys(spark, path, pinnedVersion).flatMap {
+    (if (branch.isDefined) None
+     else Layout.spjFileKeys(spark, path, pinnedVersion)).flatMap {
       case (Layout.SpjIdentity(cols), m) =>
         val sch = schema()
         if (!cols.forall(sch.fieldNames.contains)) None
@@ -647,6 +670,9 @@ class GraftTable(path: String, version: Option[Int],
         // the row-based scan keeps manifest-level skipping: bounds
         // predicates prune its file-group list exactly as they prune
         // the vectorized scan's file list
+        require(branch.isEmpty,
+          s"branch read of $path@${branch.get} cannot serve " +
+            "metadata-column scans — audit reads are plain SELECTs")
         val all = Layout.rowLevelEntries(spark, path, pinnedVersion)
         val universe =
           if (!dvFreeOnly) all
@@ -664,8 +690,11 @@ class GraftTable(path: String, version: Option[Int],
       // predicates evaluate against THIS pinned version's recorded
       // per-file stats, dropping whole files before any footer opens;
       // a dv-free branch view prunes within its own file universe
-      skips => Layout.prunedFilePaths(spark, path, skips,
-        Some(pinnedVersion), dvFreeOnly),
+      // branch (audit) reads skip manifest pruning — full-table
+      // validations by nature, and prunedFilePaths is main-chain
+      prune = if (branch.isDefined) null
+        else skips => Layout.prunedFilePaths(spark, path, skips,
+          Some(pinnedVersion), dvFreeOnly),
       hasDv = pinnedDvs.nonEmpty,
       spjKeys = spjKeys)
   }
@@ -699,6 +728,30 @@ class GraftTable(path: String, version: Option[Int],
         override def toInsertableRelation: InsertableRelation =
           new InsertableRelation {
             override def insert(data: DataFrame, ignored: Boolean): Unit = {
+              // WAP routing (r18): with `spark.graft.wap.branch` set,
+              // INSERT INTO lands on that branch — invisible to main
+              // readers until CALL system.publish_branch. The
+              // Iceberg-style session switch: the pipeline's write
+              // statements stay IDENTICAL between audited and direct
+              // runs. Append-only by design: an OVERWRITE/REPLACE
+              // WHERE under WAP refuses loudly rather than silently
+              // rewriting a branch nobody audits against.
+              val wap = data.sparkSession.conf
+                .get("spark.graft.wap.branch", "")
+              if (wap.nonEmpty) {
+                require(replacePred.isEmpty && !overwrite,
+                  "WAP branch writes support INSERT INTO (append) " +
+                    s"only — got an overwrite while spark.graft.wap" +
+                    s".branch='$wap'")
+                val bProps = Layout.tableProps(data.sparkSession, path,
+                  chain = Layout.chainOf(wap))
+                Layout.commitSnapshotToBranch(data.sparkSession, path,
+                  wap, data,
+                  statsColumns = bProps.get(Layout.StatsColumnsProp)
+                    .map(Layout.splitCols).getOrElse(Nil)
+                    .filter(data.columns.contains))
+                return
+              }
               val props = Layout.tableProps(data.sparkSession, path)
               // per-file bounds for the table's recorded stats columns
               // ride every SQL INSERT (columns a narrower frame lacks
@@ -1372,8 +1425,94 @@ object GraftSql {
       .stripMargin)
   }
 
+  /** Write-audit-publish end to end (r18): CREATE + land the even half
+    * on main, fork branch 'audit', land the odd half on the BRANCH
+    * under `spark.graft.wap.branch` (the Iceberg-style session switch —
+    * the INSERT statement is identical to a direct write), run the
+    * audit gate as a real query against `VERSION AS OF 'audit'`
+    * (refusing publish on a failed check), publish (one fast-forward
+    * CAS, zero data movement), drop the branch, aggregate main. Shares
+    * q_table_roundtrip's oracle: the WAP detour must land EXACTLY the
+    * direct two-insert state — a leak (batch visible before publish),
+    * a loss (publish dropping lines), or a duplication all
+    * hash-mismatch. BranchWapSpec pins what the aggregate can't see
+    * (invisibility before publish, divergence refusal, GC safety). */
+  def qWapPublish(s: SparkSession, d: String): DataFrame = {
+    val wh = s"${graft.ops.Sources.ioDir(s, d)}/sql_catalog"
+    val cat = catalogFor(s, wh)
+    val t = s"$cat.default.orders_wap"
+    s.sql(s"DROP TABLE IF EXISTS $t")
+    orders(s, d)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        dec2(col("o_totalprice")).as("price"))
+      .createOrReplaceTempView("orders_wap_src")
+    s.sql(s"""CREATE TABLE $t
+            |  (o_orderkey BIGINT, o_orderstatus STRING,
+            |   price DECIMAL(18,2))""".stripMargin)
+    s.sql(s"""INSERT INTO $t
+            |SELECT * FROM orders_wap_src WHERE o_orderkey % 2 = 0"""
+      .stripMargin)
+    s.sql(s"CALL $cat.system.create_branch('default.orders_wap', 'audit')")
+    s.conf.set("spark.graft.wap.branch", "audit")
+    try s.sql(s"""INSERT INTO $t
+                |SELECT * FROM orders_wap_src WHERE o_orderkey % 2 = 1"""
+      .stripMargin)
+    finally s.conf.unset("spark.graft.wap.branch")
+    // the audit gate: a real validation query against the branch — a
+    // staged batch that fails it never publishes
+    val bad = s.sql(s"""SELECT COUNT(*) FROM $t VERSION AS OF 'audit'
+                      |WHERE o_orderkey IS NULL OR price < 0"""
+      .stripMargin).head.getLong(0)
+    require(bad == 0, s"audit failed: $bad bad rows — not publishing")
+    s.sql(s"CALL $cat.system.publish_branch('default.orders_wap', 'audit')")
+    s.sql(s"CALL $cat.system.drop_branch('default.orders_wap', 'audit')")
+    s.sql(s"""SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+            |  CAST(SUM(price) AS DOUBLE) AS sum_price
+            |FROM $t GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+      .stripMargin)
+  }
+
+  /** Zero-copy shallow clone end to end (r18): land the even half on
+    * the SOURCE, `CALL system.clone` (one manifest commit referencing
+    * the source's files absolutely — no data movement at any size),
+    * land the odd half on the CLONE, aggregate the clone. Shares
+    * q_table_roundtrip's oracle: the clone must serve the source's
+    * files and its own appends as one table — a broken absolute-path
+    * resolution loses the even half, a leak into the source doubles
+    * it. CloneSpec pins divergence isolation, carried stats pruning,
+    * and vacuum safety. */
+  def qCloneSql(s: SparkSession, d: String): DataFrame = {
+    val wh = s"${graft.ops.Sources.ioDir(s, d)}/sql_catalog"
+    val cat = catalogFor(s, wh)
+    val src = s"$cat.default.orders_clone_src"
+    val t = s"$cat.default.orders_clone"
+    s.sql(s"DROP TABLE IF EXISTS $src")
+    s.sql(s"DROP TABLE IF EXISTS $t")
+    orders(s, d)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        dec2(col("o_totalprice")).as("price"))
+      .createOrReplaceTempView("orders_clone_src_v")
+    s.sql(s"""CREATE TABLE $src
+            |  (o_orderkey BIGINT, o_orderstatus STRING,
+            |   price DECIMAL(18,2))""".stripMargin)
+    s.sql(s"""INSERT INTO $src
+            |SELECT * FROM orders_clone_src_v WHERE o_orderkey % 2 = 0"""
+      .stripMargin)
+    s.sql(s"CALL $cat.system.clone('default.orders_clone_src', " +
+      "'default.orders_clone')")
+    s.sql(s"""INSERT INTO $t
+            |SELECT * FROM orders_clone_src_v WHERE o_orderkey % 2 = 1"""
+      .stripMargin)
+    s.sql(s"""SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+            |  CAST(SUM(price) AS DOUBLE) AS sum_price
+            |FROM $t GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+      .stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_spj_join" -> qSpjJoin _,
+    "q_wap_publish" -> qWapPublish _,
+    "q_clone_sql" -> qCloneSql _,
     "q_bucket_join" -> qBucketJoin _,
     "q_partitioned_sql" -> qPartitionedSql _,
     "q_widening_sql" -> qWideningSql _,
@@ -1456,6 +1595,14 @@ object GraftSql {
     "q_rename_sql" ->
       graft.ops.Layout.oracleSql("q_snapshot_widening"),
     "q_manifest_sql" -> graft.ops.Sources.oracleSql("q_table_roundtrip"),
+    // shared string: the WAP detour (branch stage + audit + publish)
+    // must land exactly the direct two-insert state
+    "q_wap_publish" ->
+      graft.ops.Sources.oracleSql("q_table_roundtrip"),
+    // shared string: source files served through absolute manifest
+    // lines + the clone's own appends must reassemble the direct state
+    "q_clone_sql" ->
+      graft.ops.Sources.oracleSql("q_table_roundtrip"),
     // shared string: a constraint-gated insert of conforming data must
     // land exactly the ungated table state
     "q_manifest_constraint_sql" ->

@@ -121,6 +121,72 @@ object GraftProcedures {
       }
     }
 
+  // --- branches: write-audit-publish as SQL (r18) ---------------------
+  // CALL system.create_branch(t, name) → fork at head; writes land on
+  // the branch under SET spark.graft.wap.branch=name; audit via
+  // `SELECT ... VERSION AS OF 'name'`; CALL system.publish_branch →
+  // fast-forward main; CALL system.drop_branch → discard.
+
+  private def createBranch(cat: GraftCatalog): UnboundProcedure =
+    new GraftProcedure("create_branch") {
+      override def parameters(): Array[ProcedureParameter] = Array(
+        ProcedureParameter.in("table", DataTypes.StringType).build(),
+        ProcedureParameter.in("branch", DataTypes.StringType).build())
+      private val out = StructType(Seq(
+        org.apache.spark.sql.types.StructField(
+          "forked_at_version", DataTypes.IntegerType, nullable = false)))
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val table = tableDir(cat, input.getUTF8String(0).toString)
+        one(out)(Layout.createBranch(spark, table,
+          input.getUTF8String(1).toString))
+      }
+    }
+
+  private def publishBranch(cat: GraftCatalog): UnboundProcedure =
+    new GraftProcedure("publish_branch") {
+      override def parameters(): Array[ProcedureParameter] = Array(
+        ProcedureParameter.in("table", DataTypes.StringType).build(),
+        ProcedureParameter.in("branch", DataTypes.StringType).build())
+      private val out = StructType(Seq(
+        org.apache.spark.sql.types.StructField(
+          "published_version", DataTypes.IntegerType, nullable = false)))
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val table = tableDir(cat, input.getUTF8String(0).toString)
+        one(out)(Layout.publishBranch(spark, table,
+          input.getUTF8String(1).toString))
+      }
+    }
+
+  private def dropBranch(cat: GraftCatalog): UnboundProcedure =
+    new GraftProcedure("drop_branch") {
+      override def parameters(): Array[ProcedureParameter] = Array(
+        ProcedureParameter.in("table", DataTypes.StringType).build(),
+        ProcedureParameter.in("branch", DataTypes.StringType).build())
+      private val out = StructType(Seq(
+        org.apache.spark.sql.types.StructField(
+          "dropped_manifests", DataTypes.IntegerType, nullable = false)))
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val table = tableDir(cat, input.getUTF8String(0).toString)
+        one(out)(Layout.dropBranch(spark, table,
+          input.getUTF8String(1).toString))
+      }
+    }
+
+  private def cloneProc(cat: GraftCatalog): UnboundProcedure =
+    new GraftProcedure("clone") {
+      override def parameters(): Array[ProcedureParameter] = Array(
+        ProcedureParameter.in("source", DataTypes.StringType).build(),
+        ProcedureParameter.in("target", DataTypes.StringType).build())
+      private val out = StructType(Seq(
+        org.apache.spark.sql.types.StructField(
+          "cloned_version", DataTypes.IntegerType, nullable = false)))
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val src = tableDir(cat, input.getUTF8String(0).toString)
+        val dst = tableDir(cat, input.getUTF8String(1).toString)
+        one(out)(Layout.cloneTable(spark, src, dst))
+      }
+    }
+
   /** OPTIMIZE as SQL: plain bin-pack by default; `sort_by` range-
     * clusters one/more columns, `zorder_by` ('a,b[,c…]', up to six) interleave-clusters
     * several — the repack that gives a skipping table disjoint per-file
@@ -277,12 +343,18 @@ object GraftProcedures {
       case "compact"          => compact(cat)
       case "history"          => history(cat)
       case "detail"           => detail(cat)
+      case "create_branch"    => createBranch(cat)
+      case "publish_branch"   => publishBranch(cat)
+      case "drop_branch"      => dropBranch(cat)
+      case "clone"            => cloneProc(cat)
       case other => throw new IllegalArgumentException(
         s"unknown procedure system.$other — known: rollback, " +
-          "expire_snapshots, compact, history, detail")
+          "expire_snapshots, compact, history, detail, create_branch, " +
+          "publish_branch, drop_branch, clone")
     }
   }
 
   val names: Seq[String] =
-    Seq("rollback", "expire_snapshots", "compact", "history", "detail")
+    Seq("rollback", "expire_snapshots", "compact", "history", "detail",
+      "create_branch", "publish_branch", "drop_branch", "clone")
 }

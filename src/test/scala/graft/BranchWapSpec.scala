@@ -1,0 +1,172 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Branches / write-audit-publish (r18): a branch is a second manifest
+  * chain (`b.<name>.v<K>.manifest`) forked by copying the main head
+  * manifest — zero data movement. Pins:
+  *   - the WAP loop end to end as SQL: create_branch → INSERT under
+  *     `spark.graft.wap.branch` → branch invisible to main readers,
+  *     visible via `VERSION AS OF '<branch>'` → publish_branch →
+  *     main sees it → drop_branch;
+  *   - fast-forward-only publish: main advancing past the fork makes
+  *     publish refuse;
+  *   - branch isolation: main writes after the fork don't leak into
+  *     the branch and vice versa;
+  *   - GC safety: expireSnapshots never reclaims unpublished branch
+  *     data files;
+  *   - guards: overwrite under WAP refuses, branch handles refuse
+  *     writes, createBranch refuses a dv-carrying head. */
+class BranchWapSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val wh = "target/graft_io/spec/wap_catalog"
+  private def cat = sql.GraftSql.catalogFor(spark, wh)
+
+  private def withWap[T](branch: String)(f: => T): T = {
+    spark.conf.set("spark.graft.wap.branch", branch)
+    try f finally spark.conf.unset("spark.graft.wap.branch")
+  }
+
+  private def count(t: String): Long =
+    spark.sql(s"SELECT COUNT(*) FROM $t").head.getLong(0)
+
+  private def mkTable(name: String): (String, String) = {
+    val c = cat
+    val t = s"$c.default.$name"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (k BIGINT, v DOUBLE)")
+    spark.sql(s"INSERT INTO $t SELECT id, id * 1.0 FROM range(0, 100)")
+    (t, s"$wh/default/$name")
+  }
+
+  test("WAP loop: stage on branch, audit, publish, drop — all SQL") {
+    val c = cat
+    val (t, dir) = mkTable("wap_t")
+    val fork = spark.sql(
+      s"CALL $c.system.create_branch('default.wap_t', 'audit')")
+      .head.getInt(0)
+    assert(fork == 2, s"fork at head v2 (create+insert), got $fork")
+    withWap("audit") {
+      spark.sql(s"INSERT INTO $t SELECT id, id * 2.0 FROM range(100, 150)")
+    }
+    // invisible on main, visible on the branch
+    assert(count(t) == 100, "main must not see the unpublished batch")
+    assert(count(s"$t VERSION AS OF 'audit'") == 150,
+      "the branch read must see base + staged batch")
+    // audit query on the branch: the staged half has v = 2k
+    assert(spark.sql(
+      s"""SELECT COUNT(*) FROM $t VERSION AS OF 'audit'
+         |WHERE k >= 100 AND v <> k * 2.0""".stripMargin)
+      .head.getLong(0) == 0)
+    // publish fast-forwards main
+    val pub = spark.sql(
+      s"CALL $c.system.publish_branch('default.wap_t', 'audit')")
+      .head.getInt(0)
+    assert(pub == 3, s"published as main v3, got $pub")
+    assert(count(t) == 150, "main must see the published batch")
+    val dropped = spark.sql(
+      s"CALL $c.system.drop_branch('default.wap_t', 'audit')")
+      .head.getInt(0)
+    assert(dropped == 2, s"fork copy + one branch commit, got $dropped")
+    assert(ops.Layout.listBranches(spark, dir).isEmpty)
+  }
+
+  test("publish refuses when main advanced past the fork") {
+    val c = cat
+    val (t, _) = mkTable("wap_div")
+    spark.sql(s"CALL $c.system.create_branch('default.wap_div', 'b1')")
+    withWap("b1") {
+      spark.sql(s"INSERT INTO $t SELECT id, 0.0 FROM range(100, 110)")
+    }
+    // main advances independently → divergence
+    spark.sql(s"INSERT INTO $t SELECT id, 1.0 FROM range(200, 210)")
+    val e = intercept[Exception] {
+      spark.sql(s"CALL $c.system.publish_branch('default.wap_div', 'b1')")
+    }
+    assert(e.getMessage.contains("fast-forward only"), e.getMessage)
+    // the branch kept ITS isolation: no main leak
+    assert(count(s"$t VERSION AS OF 'b1'") == 110)
+    assert(count(t) == 110) // 100 base + 10 main insert
+    spark.sql(s"CALL $c.system.drop_branch('default.wap_div', 'b1')")
+  }
+
+  test("expireSnapshots never reclaims unpublished branch data") {
+    val c = cat
+    val (t, dir) = mkTable("wap_gc")
+    spark.sql(s"INSERT INTO $t SELECT id, 9.0 FROM range(300, 310)")
+    spark.sql(s"CALL $c.system.create_branch('default.wap_gc', 'keep')")
+    withWap("keep") {
+      spark.sql(s"INSERT INTO $t SELECT id, 7.0 FROM range(400, 450)")
+    }
+    // aggressive sweep: 0ms orphan age would reclaim any unreferenced
+    // txn dir — the branch's staged files must survive it
+    val (_, removed) = ops.Layout.expireSnapshots(spark, dir,
+      keepLast = 1, orphanOlderThanMs = 0)
+    assert(count(s"$t VERSION AS OF 'keep'") == 160,
+      s"branch data swept by vacuum (removed=$removed)")
+    spark.sql(s"CALL $c.system.publish_branch('default.wap_gc', 'keep')")
+    assert(count(t) == 160)
+    spark.sql(s"CALL $c.system.drop_branch('default.wap_gc', 'keep')")
+  }
+
+  test("guards: overwrite under WAP, branch-handle writes, dv head") {
+    val c = cat
+    val (t, dir) = mkTable("wap_guard")
+    spark.sql(s"CALL $c.system.create_branch('default.wap_guard', 'g')")
+    val e1 = intercept[Exception] { withWap("g") {
+      spark.sql(s"INSERT OVERWRITE $t SELECT id, 0.0 FROM range(5)")
+    }}
+    assert(e1.getMessage.contains("INSERT INTO (append) only"),
+      e1.getMessage)
+    val e2 = intercept[Exception] {
+      spark.sql(s"INSERT INTO $t VERSION AS OF 'g' SELECT 1L, 1.0")
+    }
+    // Spark rejects writes to time-travel relations at parse/analysis
+    assert(e2 != null)
+    // second create of the same name refuses
+    val e3 = intercept[Exception] {
+      spark.sql(s"CALL $c.system.create_branch('default.wap_guard', 'g')")
+    }
+    assert(e3.getMessage.contains("already exists"), e3.getMessage)
+    spark.sql(s"CALL $c.system.drop_branch('default.wap_guard', 'g')")
+    // dv-carrying head refuses the fork (compact first)
+    spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES " +
+      "('graft.rowlevel.mode' = 'mor')")
+    spark.sql(s"DELETE FROM $t WHERE k = 3")
+    val e4 = intercept[Exception] {
+      ops.Layout.createBranch(spark, dir, "g2")
+    }
+    assert(e4.getMessage.contains("deletion vectors"), e4.getMessage)
+  }
+
+  test("branch append takes schema evolution and the fanout stager") {
+    val c = cat
+    val t = s"$c.default.wap_part"
+    val dir = s"$wh/default/wap_part"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"""CREATE TABLE $t (day BIGINT, v DOUBLE)
+                |PARTITIONED BY (day)""".stripMargin)
+    spark.sql(s"INSERT INTO $t SELECT id % 3, id * 1.0 FROM range(30)")
+    spark.sql(s"CALL $c.system.create_branch('default.wap_part', 'w')")
+    withWap("w") {
+      spark.sql(s"INSERT INTO $t SELECT id % 5, id * 2.0 FROM range(50)")
+    }
+    spark.sql(s"CALL $c.system.publish_branch('default.wap_part', 'w')")
+    // published table keeps SPJ eligibility: every file single-valued
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(ops.Layout.spjFileKeys(spark, dir,
+      ops.Layout.currentVersion(fs, root)).isDefined,
+      "branch-staged files must honor the partition fanout invariant")
+    assert(count(t) == 80)
+    spark.sql(s"CALL $c.system.drop_branch('default.wap_part', 'w')")
+  }
+}
