@@ -247,6 +247,17 @@ object ScaleProbe {
     // (supplier unscaled in the replica, so the pin is fixed-overhead
     // sanity like the evolution key); the rename itself is O(manifest)
     "q_rename_sql",
+    // round-18: storage-partitioned joins — the writes (fanout-staged
+    // single-value files) dominate and track volume; the join halves
+    // have ZERO shuffle at both scales, so the read cost is the two
+    // scans + per-value zip (∝ volume). The bucket twin is the
+    // fact⋈fact case: orders AND lineitem both scale ×10
+    "q_spj_join", "q_bucket_join",
+    // round-18: WAP and clone lifecycles — the staged insert dominates
+    // and tracks volume; fork, publish (fast-forward CAS) and clone
+    // are O(manifest) metadata verbs, so both keys should sit at the
+    // two-insert lifecycle envelope
+    "q_wap_publish", "q_clone_sql",
     // the CNPJ vertical (reference envelope ">20 GB", readme.md:108):
     // synthetic flagship over the replica's 10× orders/customer —
     // r15 splits load (z-cluster + commit, data-volume-bound) from

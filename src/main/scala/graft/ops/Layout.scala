@@ -1617,7 +1617,12 @@ object Layout {
     val bucketSpec = stagedProps.get(BucketByProp)
       .zip(stagedProps.get(BucketCountProp))
       .map { case (c, n) => (c, n.toInt) }
-    if (stamp && bucketSpec.exists(b => out.columns.contains(b._1))) {
+    // a user column that collides with the fanout's duplicated-column
+    // names would be silently dropped by the dynamic writer — fall back
+    // to the plain write (the invariant is an optimization, data is not)
+    val fanoutSafe = !out.columns.exists(_.startsWith("__gp_"))
+    if (stamp && fanoutSafe &&
+        bucketSpec.exists(b => out.columns.contains(b._1))) {
       // bucket layout: repartition INTO the buckets first (≈N tasks,
       // each holding whole buckets — without this, every task would
       // fan a file into every bucket: tasks × N files per commit),
@@ -1628,7 +1633,7 @@ object Layout {
       fan.write.mode("overwrite").partitionBy("__gp_bucket")
         .parquet(txn.toString)
       flattenStagedDirs(fs, txn)
-    } else if (stamp && partCols.nonEmpty &&
+    } else if (stamp && fanoutSafe && partCols.nonEmpty &&
         partCols.forall(out.columns.contains)) {
       val dups = partCols.map(c => s"__gp_$c")
       val fan = partCols.zip(dups).foldLeft(out) {
@@ -2653,10 +2658,40 @@ object Layout {
     // the vectorized branch (its deleted rows would resurrect)
     val lines =
       if (dvFreeOnly) all.filter(l => entryDvs(l).isEmpty) else all
+    // bucket pruning (r18): on a `PARTITIONED BY (bucket(N, col))`
+    // table, an equality/IN conjunct on the bucket column maps to the
+    // placement ids — keep only files whose recorded `#bucket` group
+    // can hold one of them. The raw column's [min,max] bounds are
+    // USELESS on a bucketed layout (hashing scatters ranges, every
+    // file spans the domain); the bucket id is the index that works:
+    // a point lookup on a 100 TB bucketed fact opens 1/N of the files.
+    // Sound because pmod placement is total — every row with col = v
+    // lives in bucket pmod(v, N); files without the group survive
+    // (stats are advisory). Range conjuncts don't map (by design —
+    // that's what sort/z-order layouts are for).
+    val bucketIdSets: Seq[Seq[Long]] = {
+      val spec = propsOf(fs, root, v).get(BucketByProp)
+        .zip(propsOf(fs, root, v).get(BucketCountProp))
+        .map { case (c, n) => (c, n.toLong) }
+      spec.toSeq.flatMap { case (c, n) =>
+        skips.flatMap {
+          case SkipRange(`c`, lo, hi) if lo == hi =>
+            Some(Seq(((lo % n) + n) % n))
+          case SkipIn(`c`, vs) =>
+            Some(vs.map(x => ((x % n) + n) % n).distinct)
+          case _ => None
+        }
+      }
+    }
     val kept = lines.filter { line =>
       val b = entryBounds(line)
       lazy val bl = entryBlooms(line)
-      skips.forall(s => survives(b, s) && (bl.isEmpty || survivesBloom(bl, s)))
+      skips.forall(s =>
+        survives(b, s) && (bl.isEmpty || survivesBloom(bl, s))) &&
+        bucketIdSets.forall(ids => b.get(BucketGroup) match {
+          case Some(LongBounds(mn, mx)) => ids.exists(i => i >= mn && i <= mx)
+          case _                        => true
+        })
     }
     (kept, lines.size)
   }

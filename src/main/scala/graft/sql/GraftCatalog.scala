@@ -606,6 +606,7 @@ class GraftTable(path: String, version: Option[Int],
     require(version.isEmpty,
       s"cannot ${info.command()} $path pinned at VERSION AS OF " +
         version.getOrElse(""))
+    requireNoWap(info.command().toString)
     val mor = Layout.tableProps(spark, path,
         Some(pinnedVersion).filter(_ > 0))
       .get(Layout.RowLevelModeProp).exists(_.equalsIgnoreCase("mor"))
@@ -790,6 +791,7 @@ class GraftTable(path: String, version: Option[Int],
   override def deleteWhere(filters: Array[Filter]): Unit = {
     require(version.isEmpty,
       s"cannot DELETE from $path pinned at VERSION AS OF ${version.get}")
+    requireNoWap("DELETE")
     val pred = filters.flatMap(filterToColumn)
       .reduceOption(_ && _).getOrElse(lit(true))
     Layout.deleteWhere(spark, path, pred)
@@ -798,11 +800,24 @@ class GraftTable(path: String, version: Option[Int],
   override def truncateTable(): Boolean = {
     require(version.isEmpty,
       s"cannot TRUNCATE $path pinned at VERSION AS OF ${version.get}")
+    requireNoWap("TRUNCATE")
     val empty = spark.createDataFrame(
       new util.ArrayList[org.apache.spark.sql.Row](), schema())
       .repartition(1)
     Layout.replaceSnapshot(spark, path, empty)
     true
+  }
+
+  /** WAP guard (r18): with `spark.graft.wap.branch` set, ONLY INSERT
+    * INTO routes to the branch — every other mutation would land on
+    * MAIN while the operator believes they're staging, the worst kind
+    * of silent write. Refuse loudly; unset the conf to mutate main. */
+  private def requireNoWap(op: String): Unit = {
+    val wap = spark.conf.get("spark.graft.wap.branch", "")
+    require(wap.isEmpty,
+      s"$op on $path would mutate MAIN while spark.graft.wap.branch=" +
+        s"'$wap' routes INSERTs to the branch — unset the conf first " +
+        "(WAP stages appends only)")
   }
 
   /** v1 [[Filter]] → Column translation for the DELETE path — the

@@ -307,7 +307,11 @@ object GraftProcedures {
         org.apache.spark.sql.types.StructField(
           "dv_files", DataTypes.IntegerType, nullable = false),
         org.apache.spark.sql.types.StructField(
-          "dv_sidecars", DataTypes.IntegerType, nullable = false)))
+          "dv_sidecars", DataTypes.IntegerType, nullable = false),
+        // live branches (r18): an unpublished WAP batch pins files
+        // against vacuum — the operator should SEE the branch exists
+        org.apache.spark.sql.types.StructField(
+          "branches", DataTypes.StringType, nullable = false)))
       override def call(input: InternalRow): java.util.Iterator[Scan] = {
         val table = tableDir(cat, input.getUTF8String(0).toString)
         val (v, files, bytes, ddl, props, dvFiles, dvSidecars) =
@@ -317,7 +321,9 @@ object GraftProcedures {
         rowsResult(out, Seq(Array[Any](v, files, bytes,
           org.apache.spark.unsafe.types.UTF8String.fromString(ddl),
           org.apache.spark.unsafe.types.UTF8String.fromString(propStr),
-          dvFiles, dvSidecars)))
+          dvFiles, dvSidecars,
+          org.apache.spark.unsafe.types.UTF8String.fromString(
+            Layout.listBranches(spark, table).mkString(",")))))
       }
     }
 

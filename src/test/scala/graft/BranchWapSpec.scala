@@ -54,6 +54,9 @@ class BranchWapSpec extends AnyFunSuite {
       s"CALL $c.system.create_branch('default.wap_t', 'audit')")
       .head.getInt(0)
     assert(fork == 2, s"fork at head v2 (create+insert), got $fork")
+    // the live branch is operator-visible in system.detail
+    assert(spark.sql(s"CALL $c.system.detail('default.wap_t')")
+      .head.getString(7) == "audit")
     withWap("audit") {
       spark.sql(s"INSERT INTO $t SELECT id, id * 2.0 FROM range(100, 150)")
     }
@@ -126,6 +129,15 @@ class BranchWapSpec extends AnyFunSuite {
     }}
     assert(e1.getMessage.contains("INSERT INTO (append) only"),
       e1.getMessage)
+    // row-level mutations under WAP would land on MAIN — refuse loudly
+    val eDel = intercept[Exception] { withWap("g") {
+      spark.sql(s"DELETE FROM $t WHERE k = 1")
+    }}
+    assert(eDel.getMessage.contains("would mutate MAIN"), eDel.getMessage)
+    val eUpd = intercept[Exception] { withWap("g") {
+      spark.sql(s"UPDATE $t SET v = 0.0 WHERE k = 1")
+    }}
+    assert(eUpd.getMessage.contains("would mutate MAIN"), eUpd.getMessage)
     val e2 = intercept[Exception] {
       spark.sql(s"INSERT INTO $t VERSION AS OF 'g' SELECT 1L, 1.0")
     }

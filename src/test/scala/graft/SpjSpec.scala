@@ -221,6 +221,70 @@ class SpjSpec extends AnyFunSuite {
     }
   }
 
+  test("asymmetric partition-value sets still join shuffle-free") {
+    val c = cat
+    val a = s"$c.default.spj_asym_a"
+    val b = s"$c.default.spj_asym_b"
+    spark.sql(s"DROP TABLE IF EXISTS $a")
+    spark.sql(s"DROP TABLE IF EXISTS $b")
+    spark.sql(s"""CREATE TABLE $a (day BIGINT, v DOUBLE)
+                |PARTITIONED BY (day)""".stripMargin)
+    spark.sql(s"""CREATE TABLE $b (day BIGINT, w DOUBLE)
+                |PARTITIONED BY (day)""".stripMargin)
+    spark.sql(s"INSERT INTO $a SELECT id % 7, id * 1.0 FROM range(0, 140)")
+    // the dim side holds only days 0..3 — the fact's days 4..6 have NO
+    // partner group; pushPartValues pads them with empty partitions
+    // instead of falling back to a shuffle
+    spark.sql(s"INSERT INTO $b SELECT id, id * 10.0 FROM range(0, 4)")
+    val q = s"SELECT a.day, a.v, b.w FROM $a a JOIN $b b ON a.day = b.day"
+    val expected = withSpj(on = false) {
+      spark.sql(q).collect().map(_.toString).sorted.toSeq
+    }
+    assert(expected.size == 80) // 4 of 7 days survive
+    withSpj(on = true) {
+      val bcOff = "spark.sql.autoBroadcastJoinThreshold"
+      val prev = spark.conf.getOption(bcOff)
+      spark.conf.set(bcOff, "-1")
+      try {
+        val df = spark.sql(q)
+        val plan = finalPlan(df)
+        assert(shuffles(plan).isEmpty,
+          s"asymmetric SPJ must pad, not shuffle:\n$plan")
+        assert(df.collect().map(_.toString).sorted.toSeq == expected)
+      } finally prev.fold(spark.conf.unset(bcOff))(
+        spark.conf.set(bcOff, _))
+    }
+  }
+
+  test("bucket point lookup prunes to the matching buckets' files") {
+    val c = cat
+    val t = s"$c.default.spj_bkt_prune"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"""CREATE TABLE $t (k BIGINT, v DOUBLE)
+                |PARTITIONED BY (bucket(8, k))""".stripMargin)
+    spark.sql(s"INSERT INTO $t SELECT id, id * 0.5 FROM range(0, 800)")
+    val dir = s"$wh/default/spj_bkt_prune"
+    // equality → exactly bucket pmod(42, 8) = 2's files survive
+    val (kept, total) = ops.Layout.fileSelection(spark, dir,
+      Seq(ops.Layout.SkipRange("k", 42L, 42L)))
+    assert(total >= 8, s"expected >=8 one-bucket files, got $total")
+    assert(kept.size <= total / 4,
+      s"bucket pruning kept $kept of $total — the raw bounds can't " +
+        "prune a hashed layout, the #bucket group must")
+    // IN over two residues → two buckets' files
+    val (keptIn, _) = ops.Layout.fileSelection(spark, dir,
+      Seq(ops.Layout.SkipIn("k", Seq(42L, 43L))))
+    assert(keptIn.size <= total / 2 && keptIn.size >= kept.size)
+    // SQL WHERE takes the same decision and stays exact
+    import org.apache.spark.sql.graft.SnapshotScanBuilder
+    SnapshotScanBuilder.lastPrune = None
+    assert(spark.sql(s"SELECT COUNT(*) FROM $t WHERE k = 42")
+      .head.getLong(0) == 1)
+    val prune = SnapshotScanBuilder.lastPrune
+    assert(prune.exists { case (k2, t2) => k2 < t2 },
+      s"SQL point lookup must bucket-prune, got $prune")
+  }
+
   test("double-typed partition column is not SPJ-groupable") {
     val c = cat
     val t = s"$c.default.spj_double"
