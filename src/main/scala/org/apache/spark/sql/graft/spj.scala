@@ -50,11 +50,25 @@ class KeyedFilePartition(index: Int, files: Array[PartitionedFile],
 class KeyedParquetScan(inner: Scan,
     groups: Seq[(InternalRow, Array[PartitionedFile])],
     keyExprs: Array[V2Expression]) extends Scan with Batch
-    with SupportsReportPartitioning {
+    with SupportsReportPartitioning with SupportsReportStatistics {
   override def readSchema(): StructType = inner.readSchema()
   override def toBatch: Batch = this
   override def description(): String =
     s"KeyedParquetScan(groups=${groups.size}) ${inner.description()}"
+  /** Delegate the inner FileScan's size/row estimate — without this,
+    * wrapping would LOSE the statistics report and a small keyed dim
+    * could stop auto-broadcasting in joins where SPJ doesn't apply
+    * (join key ≠ partition key). */
+  override def estimateStatistics(): Statistics = inner match {
+    case s: SupportsReportStatistics => s.estimateStatistics()
+    case _ => new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(
+          groups.iterator.flatMap(_._2.iterator.map(_.length)).sum)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.empty()
+    }
+  }
   override def outputPartitioning(): Partitioning =
     new KeyGroupedPartitioning(keyExprs, groups.size)
   override def planInputPartitions(): Array[InputPartition] =

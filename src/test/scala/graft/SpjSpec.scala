@@ -221,6 +221,20 @@ class SpjSpec extends AnyFunSuite {
     }
   }
 
+  test("keyed scans keep their statistics: small dim still broadcasts") {
+    // join on a NON-partition column → SPJ can't apply; the 7-row dim
+    // must still auto-broadcast, proving the keyed wrapper delegates
+    // the inner scan's size estimate instead of losing it
+    val (fact, dim) = mkTables()
+    withSpj(on = true) {
+      val df = spark.sql(
+        s"SELECT f.uid, d.w FROM $fact f JOIN $dim d ON f.uid = d.day")
+      val plan = finalPlan(df)
+      assert(plan.toString.contains("BroadcastHashJoin"),
+        s"small keyed dim must broadcast:\n$plan")
+    }
+  }
+
   test("asymmetric partition-value sets still join shuffle-free") {
     val c = cat
     val a = s"$c.default.spj_asym_a"
