@@ -299,6 +299,43 @@ class SpjSpec extends AnyFunSuite {
       s"SQL point lookup must bucket-prune, got $prune")
   }
 
+  test("compaction preserves SPJ eligibility on both layouts") {
+    val c = cat
+    def headKeys(dir: String) = {
+      val root = new org.apache.hadoop.fs.Path(dir)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      ops.Layout.spjFileKeys(spark, dir,
+        ops.Layout.currentVersion(fs, root))
+    }
+    // identity layout: many small per-day files → compact → still keyed
+    val t1 = s"$c.default.spj_compact_id"
+    spark.sql(s"DROP TABLE IF EXISTS $t1")
+    spark.sql(s"""CREATE TABLE $t1 (day BIGINT, v DOUBLE)
+                |PARTITIONED BY (day)""".stripMargin)
+    (0 until 3).foreach(i => spark.sql(
+      s"INSERT INTO $t1 SELECT id % 4, id * 1.0 FROM range(${i * 40}, ${i * 40 + 40})"))
+    val dir1 = s"$wh/default/spj_compact_id"
+    val before = headKeys(dir1).get._2.size
+    spark.sql(s"CALL $c.system.compact('default.spj_compact_id')")
+    val after = headKeys(dir1)
+    assert(after.isDefined,
+      "compaction re-stages through the fanout — eligibility must survive")
+    assert(after.get._2.size < before,
+      s"compact must reduce files (${after.get._2.size} vs $before)")
+    assert(spark.sql(s"SELECT COUNT(*) FROM $t1").head.getLong(0) == 120)
+    // bucket layout: same property
+    val t2 = s"$c.default.spj_compact_bkt"
+    spark.sql(s"DROP TABLE IF EXISTS $t2")
+    spark.sql(s"""CREATE TABLE $t2 (k BIGINT, v DOUBLE)
+                |PARTITIONED BY (bucket(4, k))""".stripMargin)
+    (0 until 3).foreach(i => spark.sql(
+      s"INSERT INTO $t2 SELECT id, id * 1.0 FROM range(${i * 40}, ${i * 40 + 40})"))
+    spark.sql(s"CALL $c.system.compact('default.spj_compact_bkt')")
+    val k2 = headKeys(s"$wh/default/spj_compact_bkt")
+    assert(k2.isDefined && k2.get._1 == ops.Layout.SpjBucket("k", 4))
+    assert(spark.sql(s"SELECT COUNT(*) FROM $t2").head.getLong(0) == 120)
+  }
+
   test("double-typed partition column is not SPJ-groupable") {
     val c = cat
     val t = s"$c.default.spj_double"
