@@ -294,22 +294,36 @@ object Layout {
   private[graft] def chainOf(branch: String): String = {
     require(branch.matches("[A-Za-z0-9_\\-]+"),
       s"branch name must match [A-Za-z0-9_-]+, got '$branch'")
+    // an all-digit name would be UNREACHABLE: `VERSION AS OF '7'`
+    // parses as main-chain version 7 before branch resolution is ever
+    // tried, so the audit read would silently validate the wrong data
+    require(!branch.forall(_.isDigit),
+      s"branch name must contain a non-digit (got '$branch' — " +
+        "VERSION AS OF would read main version " + branch + " instead)")
     s"b.$branch."
   }
 
-  /** Newest committed version of `table`'s `chain`, 0 if none. */
-  def currentVersion(fs: FileSystem, table: Path,
-      chain: String = ""): Int = {
+  /** Every committed version number of `table`'s `chain` — the ONE
+    * place the manifest file-name grammar is parsed, so chain
+    * discovery (head/base/liveness) can never diverge from chain
+    * addressing. */
+  private def chainVersions(fs: FileSystem, table: Path,
+      chain: String): Seq[Int] = {
     val mdir = new Path(table, "manifests")
-    if (!fs.exists(mdir)) return 0
+    if (!fs.exists(mdir)) return Nil
     val re =
       if (chain.isEmpty) ManifestRe
       else (java.util.regex.Pattern.quote(chain) + """v(\d+)\.manifest""").r
     fs.listStatus(mdir).flatMap(st => st.getPath.getName match {
       case re(n) => Some(n.toInt)
       case _     => None
-    }).foldLeft(0)(math.max)
+    }).toSeq
   }
+
+  /** Newest committed version of `table`'s `chain`, 0 if none. */
+  def currentVersion(fs: FileSystem, table: Path,
+      chain: String = ""): Int =
+    chainVersions(fs, table, chain).foldLeft(0)(math.max)
 
   /** Manifest LINES (the commit-protocol currency: set arithmetic for
     * append/replace rebasing operates on whole lines, which are copied
@@ -531,6 +545,13 @@ object Layout {
   val BucketByProp    = "graft.bucket.by"
   val BucketCountProp = "graft.bucket.count"
   private[graft] val BucketGroup = "#bucket"
+  /** Null-proved identity-partition group name prefix: `#p:<col>` —
+    * written by withStats only when the file has ZERO nulls in the
+    * column, so an SPJ grouping keyed on it can never misplace
+    * NULL-key rows (plain min/max bounds ignore nulls and cannot prove
+    * that). Legacy files lack the group → the snapshot soundly falls
+    * back to the unkeyed scan until a compaction re-records it. */
+  private[graft] val PartGroupPfx = "#p:"
 
   /** The key shape [[spjFileKeys]] proved for a snapshot: identity
     * partition columns, or one bucket transform. */
@@ -1111,13 +1132,26 @@ object Layout {
     * schema. */
   private def stampFieldIds(spark: SparkSession, fs: FileSystem,
       root: Path, df: DataFrame,
-      createProps: Map[String, String]): DataFrame = {
-    val head = currentVersion(fs, root)
-    val props =
-      if (head > 0) propsOf(fs, root, head) else createProps
+      createProps: Map[String, String],
+      chain: String = "",
+      allowNewIds: Boolean = false,
+      resolvedHead: Option[(Int, Map[String, String])] = None)
+      : DataFrame = {
+    // chain-addressed (r18): a BRANCH append must stamp ids from the
+    // BRANCH head's schema — main may have renamed/re-added a column
+    // since the fork, and stamping main's ids would silently desync
+    // the staged footers from the branch's recorded schema.
+    // resolvedHead: the caller's already-resolved (head, props) — one
+    // directory listing per staged commit, not two.
+    val (head, headProps) = resolvedHead.getOrElse {
+      val h = currentVersion(fs, root, chain)
+      (h, if (h > 0) propsOf(fs, root, h, chain)
+          else Map.empty[String, String])
+    }
+    val props = if (head > 0) headProps else createProps
     if (!idMapped(props)) return df
     spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
-    val recorded = if (head > 0) schemaOf(fs, root, head) else None
+    val recorded = if (head > 0) schemaOf(fs, root, head, chain) else None
     val cols = recorded match {
       case Some(rs) =>
         require(hasFieldIds(rs),
@@ -1125,9 +1159,17 @@ object Layout {
             "carries no field ids — the property is CREATE-time only")
         val idByName = rs.fields.iterator.map(f =>
           f.name.toLowerCase -> f.metadata.getLong(FieldIdKey)).toMap
+        // REPLACE verbs may carry new columns: they record the frame's
+        // own schema (replaceSchemaFor → restampIds), so fresh ids are
+        // minted HERE with the identical max+1-in-frame-order rule —
+        // footer ids and the recorded schema agree by construction.
+        // Appends keep the refusal: their schema evolves through DDL,
+        // and an append minting ids would race a concurrent rename.
+        var next = (idByName.valuesIterator ++ Iterator(0L)).max + 1
         df.schema.fields.map { f =>
           val id = idByName.getOrElse(f.name.toLowerCase,
-            throw new IllegalArgumentException(
+            if (allowNewIds) { val v = next; next += 1; v }
+            else throw new IllegalArgumentException(
               s"column-mapped table: column '${f.name}' is not in the " +
                 "recorded schema. Id-mapped tables evolve through " +
                 "ALTER TABLE ADD COLUMN (which assigns the field id " +
@@ -1580,7 +1622,9 @@ object Layout {
   private def stageTxn(spark: SparkSession, fs: FileSystem, root: Path,
                        df: DataFrame,
                        createProps: Map[String, String] = Map.empty,
-                       stamp: Boolean = true)
+                       stamp: Boolean = true,
+                       chain: String = "",
+                       allowNewIds: Boolean = false)
       : Seq[(String, Long)] = {
     val txn = new Path(root,
       "data/txn-" + java.util.UUID.randomUUID().toString)
@@ -1590,8 +1634,15 @@ object Layout {
     // dropped the metadata still stages correct footers. stamp = false
     // for internal sidecars (dv position files) that never read under
     // the table schema.
+    val resolved = {
+      val h = currentVersion(fs, root, chain)
+      (h, if (h > 0) propsOf(fs, root, h, chain)
+          else Map.empty[String, String])
+    }
     val out =
-      if (stamp) stampFieldIds(spark, fs, root, df, createProps) else df
+      if (stamp) stampFieldIds(spark, fs, root, df, createProps, chain,
+        allowNewIds, Some(resolved))
+      else df
     // PARTITIONED BY tables stage SINGLE-PARTITION-VALUE files: Spark's
     // own dynamic-partition writer fans each task out one file per
     // value (scales to arbitrarily many values per task — it sorts and
@@ -1607,11 +1658,7 @@ object Layout {
     // sidecars (dv position files) never fan out. Applied per commit,
     // so a table gains eligibility as multi-value files (pre-feature
     // history, MOR delta inserts) are compacted away.
-    val stagedProps = {
-      val headV = currentVersion(fs, root)
-      (if (headV == 0) Map.empty[String, String]
-       else propsOf(fs, root, headV)) ++ createProps
-    }
+    val stagedProps = resolved._2 ++ createProps
     val partCols = stagedProps.get(PartitionedByProp).map(splitCols)
       .getOrElse(Nil)
     val bucketSpec = stagedProps.get(BucketByProp)
@@ -1886,7 +1933,8 @@ object Layout {
         require(!prior.fieldNames.exists(_.equalsIgnoreCase(to)),
           s"renameColumn: column '$to' already exists")
         Seq(StatsColumnsProp, BloomColumnsProp, ClusterSortProp,
-            ClusterZorderProp, PartitionedByProp).foreach { p =>
+            ClusterZorderProp, PartitionedByProp, BucketByProp)
+          .foreach { p =>
           props.get(p).map(splitCols).getOrElse(Nil).foreach { c =>
             require(!c.equalsIgnoreCase(from),
               s"renameColumn: column '$c' is referenced by $p — UNSET " +
@@ -1937,7 +1985,8 @@ object Layout {
         }
         val props = propsOf(fs, root, head)
         Seq(StatsColumnsProp, BloomColumnsProp, ClusterSortProp,
-            ClusterZorderProp).foreach { p =>
+            ClusterZorderProp, PartitionedByProp, BucketByProp)
+          .foreach { p =>
           props.get(p).map(splitCols).getOrElse(Nil).foreach { c =>
             require(!names.exists(_.equalsIgnoreCase(c)),
               s"dropColumns: column '$c' is referenced by $p — UNSET " +
@@ -2149,7 +2198,7 @@ object Layout {
     val root = new Path(table)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val added = withStats(spark, fs, root,
-      stageTxn(spark, fs, root, df), statsColumns)
+      stageTxn(spark, fs, root, df, allowNewIds = true), statsColumns)
     val recorded = replaceSchemaFor(fs, root, df)
     casCommit(fs, root, "replaceSnapshot", _ => added,
       _ => Some(recorded))
@@ -2175,7 +2224,8 @@ object Layout {
     * until vacuum, like any REPLACE), idempotent on (appId, batchId). */
   def replaceSnapshotTxn(spark: SparkSession, table: String, df: DataFrame,
       appId: String, batchId: Long): Option[Int] =
-    txnGuarded(spark, table, df, appId, batchId, "replaceSnapshotTxn") {
+    txnGuarded(spark, table, df, appId, batchId, "replaceSnapshotTxn",
+      allowNewIds = true) {
       (fs, root, added) =>
         val entries = withStats(spark, fs, root, added, Nil)
         val recorded = replaceSchemaFor(fs, root, df)
@@ -2188,7 +2238,8 @@ object Layout {
     * receives the staged file entries and returns the verb's (listFor,
     * schemaFor) pair — the only part that differs. */
   private def txnGuarded(spark: SparkSession, table: String, df: DataFrame,
-      appId: String, batchId: Long, op: String)(
+      appId: String, batchId: Long, op: String,
+      allowNewIds: Boolean = false)(
       body: (FileSystem, Path, Seq[(String, Long)]) =>
         (Int => Seq[String], Int => Option[types.StructType]))
       : Option[Int] = {
@@ -2199,7 +2250,7 @@ object Layout {
     // cheap pre-check: skip the staging write entirely on a known replay
     if (txnsOf(fs, root, currentVersion(fs, root)).get(appId)
         .exists(_ >= batchId)) return None
-    val added = stageTxn(spark, fs, root, df)
+    val added = stageTxn(spark, fs, root, df, allowNewIds = allowNewIds)
     val (listFor, schemaFor) = body(fs, root, added)
     try Some(casCommit(fs, root, op,
       head => {
@@ -2299,18 +2350,38 @@ object Layout {
       case dt if isIntegral(dt)       => col(c).cast("long")
       case _                          => col(c).cast("double")
     }
+    // identity partition columns get a SECOND, null-PROVED group
+    // (`#p:<col>`) alongside the plain bounds: min/max ignore NULLs, so
+    // min==max alone cannot prove a file single-valued — a file mixing
+    // one value with NULL rows keyed by its bounds would let the SPJ
+    // grouping emit NULL-group rows under the wrong partition (wrong
+    // GROUP BY results, silently). spjFileKeys therefore keys identity
+    // layouts ONLY on #p groups, which are written exactly when
+    // count(col) == count(*) for the file; the fanout stager routes
+    // NULL rows to their own file, which then lacks the group and
+    // soundly disables SPJ for the snapshot. Plain bounds (pruning)
+    // are unchanged.
+    val partNn = allProps.get(PartitionedByProp).map(splitCols)
+      .getOrElse(Nil).filter(df.columns.contains)
     val aggs = present.flatMap(c =>
       Seq(min(keyed(c)).as(s"__mn_$c"), max(keyed(c)).as(s"__mx_$c"))) ++
       bloomCols.map(c => graft.functions.FileBloom
         .fileBloom(keyed(c), bloomBits).as(s"__bl_$c")) ++
       bucket.toSeq.flatMap { case (c, n) =>
         val e = pmod(col(c).cast("long"), lit(n.toLong))
-        Seq(min(e).as("__bk_mn"), max(e).as("__bk_mx"))
-      }
+        // count(e) == count(*) is the bucket group's null-free proof
+        Seq(min(e).as("__bk_mn"), max(e).as("__bk_mx"),
+          count(e).as("__bk_nn"))
+      } ++
+      Seq(count(lit(1)).as("__rows")) ++
+      partNn.map(c => count(col(c)).as(s"__nn_$c"))
     val rows = df.groupBy(input_file_name().as("__f"))
       .agg(aggs.head, aggs.tail: _*).collect()
+    val rowsIdx = 1 + 2 * present.size + bloomCols.size +
+      (if (bucket.isDefined) 3 else 0)
     val rendered: Map[String, String] = rows.map { r =>
       val groups = new StringBuilder
+      val pairs = scala.collection.mutable.Map.empty[String, (String, String)]
       present.zipWithIndex.foreach { case (c, i) =>
         val (mnI, mxI) = (1 + 2 * i, 2 + 2 * i)
         if (!r.isNullAt(mnI) && !r.isNullAt(mxI)) { // all-null → no bounds
@@ -2329,7 +2400,19 @@ object Layout {
                 if (mn.isNaN || mx.isNaN) None
                 else Some((mn.toString, mx.toString))
             }
-          pair.foreach { case (mn, mx) => groups ++= s"\t$c\t$mn\t$mx" }
+          pair.foreach { case (mn, mx) =>
+            pairs(c) = (mn, mx)
+            groups ++= s"\t$c\t$mn\t$mx"
+          }
+        }
+      }
+      // null-proved partition groups: same bound pair, #p:-prefixed
+      // name, written only when the file has ZERO nulls in the column
+      partNn.zipWithIndex.foreach { case (c, k) =>
+        if (pairs.contains(c) &&
+            r.getLong(rowsIdx + 1 + k) == r.getLong(rowsIdx)) {
+          val (mn, mx) = pairs(c)
+          groups ++= s"\t$PartGroupPfx$c\t$mn\t$mx"
         }
       }
       // bloom groups ride the same triple grammar with the "B:" prefix
@@ -2347,11 +2430,13 @@ object Layout {
       }
       // the synthetic bucket-id group: long bounds under the `#bucket`
       // name (never collides with a column — '#' only means header at
-      // LINE start); a null bucket (null key rows) records no group,
-      // so the file simply isn't SPJ-groupable
+      // LINE start); written only when the file is null-FREE on the
+      // bucket expression — a null key row in a keyed file would ride
+      // the wrong partition in the SPJ grouping
       bucket.foreach { case (_, _) =>
         val base = 1 + 2 * present.size + bloomCols.size
-        if (!r.isNullAt(base) && !r.isNullAt(base + 1))
+        if (!r.isNullAt(base) && !r.isNullAt(base + 1) &&
+            r.getLong(base + 2) == r.getLong(rowsIdx))
           groups ++= s"\t$BucketGroup\t$LongPfx${r.getLong(base)}" +
             s"\t$LongPfx${r.getLong(base + 1)}"
       }
@@ -2410,8 +2495,12 @@ object Layout {
     val partCols = props.get(PartitionedByProp).map(splitCols)
       .getOrElse(Nil)
     // a bucket layout keys on the recorded `#bucket` group; an identity
-    // layout on the partition columns' own bounds
-    val keyCols = bucketSpec.fold(partCols)(_ => Seq(BucketGroup))
+    // layout on the NULL-PROVED `#p:<col>` groups — never the plain
+    // bounds, whose min/max ignore nulls and so cannot prove a file
+    // single-valued (a value+NULL mix keyed by its bounds would emit
+    // NULL-group rows under the wrong partition downstream)
+    val keyCols = bucketSpec.fold(partCols.map(PartGroupPfx + _))(_ =>
+      Seq(BucketGroup))
     if (keyCols.isEmpty) return None
     val lines = manifestFiles(fs, root, version)
     if (lines.isEmpty) return None
@@ -2953,14 +3042,7 @@ object Layout {
     * fork copy while the branch lives. */
   private[graft] def branchBase(fs: FileSystem, root: Path,
       name: String): Int = {
-    val chain = chainOf(name)
-    val re = (java.util.regex.Pattern.quote(chain) +
-      """v(\d+)\.manifest""").r
-    val vs = fs.listStatus(new Path(root, "manifests"))
-      .flatMap(st => st.getPath.getName match {
-        case re(n) => Some(n.toInt)
-        case _     => None
-      })
+    val vs = chainVersions(fs, root, chainOf(name))
     require(vs.nonEmpty, s"no such branch '$name' on $root")
     vs.min
   }
@@ -3024,7 +3106,7 @@ object Layout {
     require(bHead > 0,
       s"no such branch '$name' on $table — create_branch first")
     val bProps = propsOf(fs, root, bHead, chain)
-    val added = stageTxn(spark, fs, root, df, createProps = bProps)
+    val added = stageTxn(spark, fs, root, df, chain = chain)
     val entries = withStats(spark, fs, root, added, statsColumns,
       extraProps = bProps)
     casCommit(fs, root, s"appendBranch($name)", head =>

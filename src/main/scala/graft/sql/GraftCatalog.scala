@@ -654,7 +654,12 @@ class GraftTable(path: String, version: Option[Int],
               .identity(c): org.apache.spark.sql.connector.expressions.Expression).toArray,
           cols.map(c => sch(c).dataType), m))
       case (Layout.SpjBucket(c, n), m) =>
-        Some((Array(org.apache.spark.sql.connector.expressions.Expressions
+        // same schema-containment guard as the identity arm: a dropped
+        // or renamed bucket column must degrade the scan, not break
+        // every read with an unresolvable transform reference
+        if (!schema().fieldNames.contains(c)) None
+        else Some((Array(
+            org.apache.spark.sql.connector.expressions.Expressions
             .bucket(n, c): org.apache.spark.sql.connector.expressions.Expression),
           Seq(org.apache.spark.sql.types.IntegerType), m))
     }

@@ -148,6 +148,12 @@ class BranchWapSpec extends AnyFunSuite {
       spark.sql(s"CALL $c.system.create_branch('default.wap_guard', 'g')")
     }
     assert(e3.getMessage.contains("already exists"), e3.getMessage)
+    // all-digit names refuse: VERSION AS OF '7' would parse as main
+    // version 7 and the audit would silently read the wrong data
+    val eNum = intercept[Exception] {
+      spark.sql(s"CALL $c.system.create_branch('default.wap_guard', '7')")
+    }
+    assert(eNum.getMessage.contains("non-digit"), eNum.getMessage)
     spark.sql(s"CALL $c.system.drop_branch('default.wap_guard', 'g')")
     // dv-carrying head refuses the fork (compact first)
     spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES " +

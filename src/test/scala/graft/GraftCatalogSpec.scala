@@ -452,6 +452,30 @@ class GraftCatalogSpec extends AnyFunSuite {
       s"wrong refusal: ${ex2.getMessage}")
   }
 
+  test("id-mapped REPLACE mints fresh field ids for new columns") {
+    // a full-table REPLACE records the FRAME's schema (replaceSchemaFor
+    // restamps: carried names keep their ids, new fields get max+1) —
+    // the staging stamp must mint the same fresh ids instead of
+    // refusing like an append does
+    val dir = "target/graft_io/spec/replace_mapped"
+    ops.Layout.dropTable(spark, dir)
+    import spark.implicits._
+    ops.Layout.commitSnapshot(spark, dir,
+      Seq((1L, "a"), (2L, "b")).toDF("k", "s"),
+      props = Map("graft.column.mapping" -> "id"))
+    ops.Layout.replaceSnapshot(spark, dir,
+      Seq((7L, "z", 9.5)).toDF("k", "s", "x"))
+    val out = ops.Layout.readSnapshot(spark, dir)
+    assert(out.columns.toSeq == Seq("k", "s", "x"))
+    assert(out.count() == 1 && out.head.getDouble(2) == 9.5)
+    // appends keep the refusal: id minting outside DDL races a rename
+    val e = intercept[Exception] {
+      ops.Layout.commitSnapshot(spark, dir,
+        Seq((8L, "q", 1.0, true)).toDF("k", "s", "x", "extra"))
+    }
+    assert(e.getMessage.contains("ADD COLUMN"), e.getMessage)
+  }
+
   test("ALTER COLUMN TYPE widens in place; narrowing refuses with the named error") {
     spark.sql("DROP TABLE IF EXISTS graft.default.widen_sql")
     spark.sql(

@@ -336,6 +336,48 @@ class SpjSpec extends AnyFunSuite {
     assert(spark.sql(s"SELECT COUNT(*) FROM $t2").head.getLong(0) == 120)
   }
 
+  test("NULL partition rows disable SPJ soundly; GROUP BY stays exact") {
+    val c = cat
+    val t = s"$c.default.spj_nulls"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"""CREATE TABLE $t (day BIGINT, v DOUBLE)
+                |PARTITIONED BY (day)""".stripMargin)
+    spark.sql(s"""INSERT INTO $t
+                |SELECT CASE WHEN id % 5 = 0 THEN NULL ELSE id % 3 END,
+                |  id * 1.0 FROM range(60)""".stripMargin)
+    // the NULL rows' file carries no null-proved #p group → the
+    // snapshot must NOT claim a partitioning (a keyed scan would emit
+    // the NULL group's rows under several partitions)
+    val dir = s"$wh/default/spj_nulls"
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(ops.Layout.spjFileKeys(spark, dir,
+      ops.Layout.currentVersion(fs, root)).isEmpty,
+      "a snapshot with NULL partition rows must not be SPJ-eligible")
+    withSpj(on = true) {
+      val rows = spark.sql(
+        s"SELECT day, COUNT(*) AS n FROM $t GROUP BY day").collect()
+      assert(rows.length == 4, s"3 days + ONE null group, got " +
+        rows.map(_.toString).mkString(","))
+      assert(rows.count(_.isNullAt(0)) == 1)
+      assert(rows.find(_.isNullAt(0)).get.getLong(1) == 12)
+    }
+  }
+
+  test("dropping or renaming the bucket column is refused while bucketed") {
+    val c = cat
+    val t = s"$c.default.spj_bkt_ddl"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"""CREATE TABLE $t (k BIGINT, v DOUBLE)
+                |PARTITIONED BY (bucket(4, k))""".stripMargin)
+    spark.sql(s"INSERT INTO $t SELECT id, id * 1.0 FROM range(40)")
+    val eDrop = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $t DROP COLUMN k")
+    }
+    assert(eDrop.getMessage.contains("graft.bucket.by"), eDrop.getMessage)
+    assert(spark.sql(s"SELECT COUNT(*) FROM $t").head.getLong(0) == 40)
+  }
+
   test("double-typed partition column is not SPJ-groupable") {
     val c = cat
     val t = s"$c.default.spj_double"
