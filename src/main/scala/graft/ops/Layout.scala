@@ -1811,6 +1811,32 @@ object Layout {
         !unset.contains(ColumnMappingProp),
       s"$ColumnMappingProp is immutable — set it at CREATE TABLE " +
         "(rewrite into a new mapped table to change it)")
+    // the layout properties are CREATE-time immutable too, and for a
+    // sharper reason than column mapping: every committed manifest line
+    // records the #p:<col>/#bucket group its file was PLACED under. A
+    // later SET of graft.bucket.count reinterprets those recorded
+    // bucket ids under a different modulus — bucket point-lookup
+    // pruning then maps predicate values to ids the files were never
+    // placed by (silently dropped files), and the scan reports a
+    // KeyGroupedPartitioning the data doesn't satisfy, so Spark elides
+    // a join shuffle unsoundly. Same failure flipping bucket.by to
+    // another column; partitioned.by is refused for symmetry (its
+    // mis-set is only safe by accident — missing groups disable
+    // keying). UNSET is equally unsound: it erases the layout the
+    // recorded groups still encode.
+    locally {
+      val layoutProps =
+        Seq(PartitionedByProp, BucketByProp, BucketCountProp)
+      val touched =
+        layoutProps.filter(p => set.contains(p) || unset.contains(p))
+      require(touched.isEmpty,
+        s"${touched.mkString(", ")} is CREATE-time immutable — files " +
+          "were placed under the recorded layout and re-keying them by " +
+          "property edit would silently corrupt pruning and " +
+          "storage-partitioned joins. To change the layout, CREATE a " +
+          "new table with the target layout and INSERT ... SELECT " +
+          "(or CALL system.clone + compact into it)")
+    }
     set.get(StatsColumnsProp).foreach { v =>
       val cols = v.split(',').map(_.trim).filter(_.nonEmpty).toSeq
       validateStatsColumns(cols)

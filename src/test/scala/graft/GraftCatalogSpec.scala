@@ -232,6 +232,34 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(spark.sql("SELECT * FROM graft.default.props_sql").count() == 1)
   }
 
+  test("ALTER refuses the CREATE-time layout properties, names the way out") {
+    // r18 verdict: setTableProps guarded only graft.column.mapping, so
+    // legal DDL could flip graft.bucket.count on a populated table and
+    // silently mis-key SPJ joins. All three layout props now get the
+    // same immutable treatment, with the rewrite path in the message.
+    spark.sql("DROP TABLE IF EXISTS graft.default.layout_sql")
+    spark.sql("""CREATE TABLE graft.default.layout_sql (k BIGINT, g STRING)
+                |PARTITIONED BY (g)""".stripMargin)
+    spark.sql("INSERT INTO graft.default.layout_sql " +
+      "SELECT id, CAST(id % 3 AS STRING) FROM range(30)")
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE graft.default.layout_sql " +
+        "SET TBLPROPERTIES ('graft.partitioned.by' = 'k')")
+    }
+    assert(e.getMessage.contains("graft.partitioned.by") &&
+        e.getMessage.contains("CREATE-time immutable"), e.getMessage)
+    // UNSET is refused too — erasing the layout is as unsound as
+    // rewriting it — and harmless props still pass through unharmed
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graft.default.layout_sql " +
+        "UNSET TBLPROPERTIES ('graft.partitioned.by')")
+    }
+    spark.sql("ALTER TABLE graft.default.layout_sql " +
+      "SET TBLPROPERTIES ('team' = 'curation')")
+    assert(spark.sql("SELECT COUNT(*) FROM graft.default.layout_sql")
+      .head.getLong(0) == 30)
+  }
+
   test("REPLACE WHERE swaps exactly the predicate's rows, idempotently") {
     spark.sql("DROP TABLE IF EXISTS graft.default.rw_sql")
     spark.sql("CREATE TABLE graft.default.rw_sql (k BIGINT, v BIGINT)")

@@ -378,6 +378,47 @@ class SpjSpec extends AnyFunSuite {
     assert(spark.sql(s"SELECT COUNT(*) FROM $t").head.getLong(0) == 40)
   }
 
+  test("layout props are ALTER-immutable: no path to a mis-keyed table") {
+    // r18 verdict defect: SET TBLPROPERTIES ('graft.bucket.count'='8')
+    // on a table written under bucket(16) would reinterpret recorded
+    // #bucket groups (placed by pmod(k,16)) under the new modulus —
+    // bucket pruning would drop matching files and the scan would
+    // report a KeyGroupedPartitioning the data doesn't satisfy, so a
+    // co-partitioned join elides its shuffle unsoundly. The only sound
+    // answer is the ColumnMappingProp treatment: refuse SET and UNSET
+    // of all three layout props outright.
+    val c = cat
+    val t = s"$c.default.spj_props_ddl"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"""CREATE TABLE $t (k BIGINT, v DOUBLE)
+                |PARTITIONED BY (bucket(16, k))""".stripMargin)
+    spark.sql(s"INSERT INTO $t SELECT id, id * 1.0 FROM range(64)")
+    for (ddl <- Seq(
+        s"ALTER TABLE $t SET TBLPROPERTIES ('graft.bucket.count'='8')",
+        s"ALTER TABLE $t SET TBLPROPERTIES ('graft.bucket.by'='v')",
+        s"ALTER TABLE $t SET TBLPROPERTIES ('graft.partitioned.by'='v')",
+        s"ALTER TABLE $t UNSET TBLPROPERTIES ('graft.bucket.count')",
+        s"ALTER TABLE $t UNSET TBLPROPERTIES ('graft.bucket.by')",
+        s"ALTER TABLE $t UNSET TBLPROPERTIES ('graft.partitioned.by')")) {
+      val e = intercept[Exception] { spark.sql(ddl) }
+      assert(e.getMessage.contains("CREATE-time immutable") &&
+          e.getMessage.contains("INSERT ... SELECT"),
+        s"$ddl must refuse naming the rewrite path, got: ${e.getMessage}")
+    }
+    // the refusals committed nothing: the layout survives intact and
+    // the keyed scan still reports the CREATE-time transform
+    val dir = s"$wh/default/spj_props_ddl"
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val keys = ops.Layout.spjFileKeys(spark, dir,
+      ops.Layout.currentVersion(fs, root))
+    assert(keys.isDefined, "layout must survive the refused DDLs")
+    withSpj(on = true) {
+      assert(spark.sql(s"SELECT SUM(v) FROM $t").head.getDouble(0) ==
+        (0 until 64).map(_.toDouble).sum)
+    }
+  }
+
   test("double-typed partition column is not SPJ-groupable") {
     val c = cat
     val t = s"$c.default.spj_double"
