@@ -250,9 +250,10 @@ object ScaleProbe {
     // round-18: storage-partitioned joins — the writes (fanout-staged
     // single-value files) dominate and track volume; the join halves
     // have ZERO shuffle at both scales, so the read cost is the two
-    // scans + per-value zip (∝ volume). The bucket twin is the
-    // fact⋈fact case: orders AND lineitem both scale ×10
-    "q_spj_join", "q_bucket_join",
+    // scans + per-value zip (∝ volume). The bucket twins are the
+    // fact⋈fact case — orders AND lineitem both scale ×10; the r19
+    // string-key twin adds the xxhash64 placement on the same shape
+    "q_spj_join", "q_bucket_join", "q_bucket_join_str",
     // round-18: WAP and clone lifecycles — the staged insert dominates
     // and tracks volume; fork, publish (fast-forward CAS) and clone
     // are O(manifest) metadata verbs, so both keys should sit at the

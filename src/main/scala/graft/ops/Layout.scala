@@ -538,12 +538,38 @@ object Layout {
     * simplest deterministic choice, exposed to Spark's planner as the
     * catalog's `bucket` V2 function so both sides' TransformExpressions
     * compare equal (canonicalName), and evaluable so Spark could even
-    * shuffle a THIRD, unbucketed side to match. Integral columns only
-    * (the cast-to-long keeps int/long tables compatible); bucket count
-    * is CREATE-time immutable (changing it re-places every row — that
-    * is a rewrite, not a property flip). */
+    * shuffle a THIRD, unbucketed side to match. Integral columns place
+    * by `pmod(cast long, N)` (the cast keeps int/long tables
+    * compatible); STRING columns (r19 — doc ids, UUIDs, URLs are the
+    * common join key in LLM-pipeline tables) place by
+    * `pmod(xxhash64(col), N)`, the engine's own deterministic hash,
+    * identical across the writer, the point-lookup pruner and the V2
+    * function. Bucket count is CREATE-time immutable (changing it
+    * re-places every row — that is a rewrite, not a property flip;
+    * enforced by [[setTableProps]]). */
   val BucketByProp    = "graft.bucket.by"
   val BucketCountProp = "graft.bucket.count"
+
+  /** Bucket id of string key `s` under `n` buckets — the string-layout
+    * placement: `pmod(xxhash64(s), n)` with SQL `xxhash64`'s seed (42),
+    * so the driver-side pruning arithmetic and the executor-side
+    * codegen'd placement expression can never disagree. */
+  private[graft] def strBucketId(s: String, n: Long): Long = {
+    val h = org.apache.spark.sql.catalyst.expressions.XXH64
+      .hashUTF8String(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s), 42L)
+    ((h % n) + n) % n
+  }
+
+  /** THE bucket placement expression, chosen by the column's declared
+    * type — every writer-side use (fanout repartition, per-file stats)
+    * goes through here so a type can never place by one function and
+    * key by another. */
+  private[graft] def bucketPlacementExpr(schema: types.StructType,
+      c: String, n: Int): Column = schema(c).dataType match {
+    case types.StringType => pmod(xxhash64(col(c)), lit(n.toLong))
+    case _                => pmod(col(c).cast("long"), lit(n.toLong))
+  }
   private[graft] val BucketGroup = "#bucket"
   /** Null-proved identity-partition group name prefix: `#p:<col>` —
     * written by withStats only when the file has ZERO nulls in the
@@ -1244,9 +1270,9 @@ object Layout {
 
   /** The verb recorded in `v`'s manifest, if the committing writer
     * recorded one. */
-  private def opNameOf(fs: FileSystem, root: Path, v: Int)
-      : Option[String] =
-    rawManifestLines(fs, root, v)
+  private def opNameOf(fs: FileSystem, root: Path, v: Int,
+      chain: String = ""): Option[String] =
+    rawManifestLines(fs, root, v, chain)
       .find(_.startsWith(OpHeader))
       .map(l => dec(l.substring(OpHeader.length)))
 
@@ -1675,7 +1701,7 @@ object Layout {
       // fan a file into every bucket: tasks × N files per commit),
       // then the same per-value fanout writer
       val (c, n) = bucketSpec.get
-      val bexpr = pmod(col(c).cast("long"), lit(n.toLong))
+      val bexpr = bucketPlacementExpr(out.schema, c, n)
       val fan = out.repartition(n, bexpr).withColumn("__gp_bucket", bexpr)
       fan.write.mode("overwrite").partitionBy("__gp_bucket")
         .parquet(txn.toString)
@@ -2367,7 +2393,8 @@ object Layout {
         df.schema(c).dataType == types.StringType)
     val present = statsAll.filter(df.columns.contains)
     val bucket = bucketSpec.filter { case (c, _) =>
-      df.columns.contains(c) && isIntegral(df.schema(c).dataType)
+      df.columns.contains(c) && (isIntegral(df.schema(c).dataType) ||
+        df.schema(c).dataType == types.StringType)
     }
     if (present.isEmpty && bloomCols.isEmpty && bucket.isEmpty)
       return bare
@@ -2394,7 +2421,7 @@ object Layout {
       bloomCols.map(c => graft.functions.FileBloom
         .fileBloom(keyed(c), bloomBits).as(s"__bl_$c")) ++
       bucket.toSeq.flatMap { case (c, n) =>
-        val e = pmod(col(c).cast("long"), lit(n.toLong))
+        val e = bucketPlacementExpr(df.schema, c, n)
         // count(e) == count(*) is the bucket group's null-free proof
         Seq(min(e).as("__bk_mn"), max(e).as("__bk_mx"),
           count(e).as("__bk_nn"))
@@ -2794,6 +2821,9 @@ object Layout {
             Some(Seq(((lo % n) + n) % n))
           case SkipIn(`c`, vs) =>
             Some(vs.map(x => ((x % n) + n) % n).distinct)
+          // string bucket layout (r19): equality on the key maps
+          // through the SAME hash the fanout writer placed by
+          case SkipEquals(`c`, s) => Some(Seq(strBucketId(s, n)))
           case _ => None
         }
       }
@@ -3051,12 +3081,15 @@ object Layout {
   // files are invisible to main readers until PUBLISH, which is one
   // ordinary main-chain CAS adopting the branch head's lines — so the
   // nightly WAP loop is: create_branch → write to the branch → audit
-  // `VERSION AS OF 'branch'` → publish_branch. Publish is FAST-FORWARD
-  // ONLY: if main advanced since the fork, it refuses (adopting the
-  // branch would silently drop main's new commits); recreate the branch
-  // from the new head and re-stage. Divergence cost at 100 TB: zero
-  // data movement either way — fork, branch commits, and publish are
-  // all manifest-sized metadata operations.
+  // `VERSION AS OF 'branch'` → publish_branch. Publish fast-forwards
+  // when main is still at the fork point; if main advanced, an
+  // append-only branch history CHERRY-PICKS (r19: re-parent the added
+  // lines onto the moved head — one unrelated main append must not
+  // invalidate hours of staging), and anything else refuses (adopting
+  // a diverged REPLACE would silently drop main's commits); recreate
+  // the branch from the new head and re-stage. Divergence cost at
+  // 100 TB: zero data movement either way — fork, branch commits, and
+  // publish are all manifest-sized metadata operations.
 
   /** Newest version of branch `name`, 0 if the branch doesn't exist. */
   private[graft] def branchHead(fs: FileSystem, root: Path,
@@ -3142,11 +3175,34 @@ object Layout {
   }
 
   /** Publish branch `name`: one main-chain CAS adopting the branch
-    * head's lines, schema, props and txn markers (branch commits squash
-    * into one published version — the audit gate passed on the branch
-    * HEAD state, so that state is what lands). FAST-FORWARD ONLY:
-    * refuses if main advanced past the fork point. No-op (returns the
-    * main head) if the branch has no commits. The branch stays for
+    * head's state (branch commits squash into one published version —
+    * the audit gate passed on the branch HEAD state, so that state is
+    * what lands). No-op (returns the main head) if the branch has no
+    * commits. Two modes, decided PER CAS ATTEMPT against whatever main
+    * head that attempt rebases onto:
+    *
+    *   - **fast-forward** (main still at the fork point): adopt the
+    *     branch head's lines, schema, props and txn markers wholesale —
+    *     anything the branch did (appends, REPLACEs, DDL) publishes.
+    *   - **cherry-pick** (main advanced past the fork, r18 verdict
+    *     task 2): if every branch commit since the fork is a pure
+    *     append — verb `appendBranch(…)`, no line removed or rewritten,
+    *     no deletion vectors — re-parent exactly the branch's ADDED
+    *     lines onto the current main head (Iceberg's append cherry-pick
+    *     semantics). Main's interleaved commits survive untouched; the
+    *     only conflict class possible is a data-file path collision,
+    *     checked per attempt. Sound because an appended file's manifest
+    *     line (bounds, `#p:`/`#bucket` groups) describes the FILE, not
+    *     the version it entered under, and the layout props it was
+    *     staged by are CREATE-time immutable — the line means the same
+    *     thing on the moved head. Branch-side schema evolution merges
+    *     via the same add-column/widening rules an append uses;
+    *     branch-side DDL (prop changes) refuses — a props edit is not
+    *     an append, and silently dropping it would be worse.
+    *
+    * A branch whose history REPLACEd/deleted still refuses on a moved
+    * main (adopting it would drop main's commits): recreate the branch
+    * from the new head and re-stage. The branch stays for
     * [[dropBranch]] — publish-then-drop is the caller's pairing. */
   def publishBranch(spark: SparkSession, table: String,
       name: String): Int = {
@@ -3157,16 +3213,78 @@ object Layout {
     require(bHead > 0, s"no such branch '$name' on $table")
     val base = branchBase(fs, root, name)
     if (bHead == base) return currentVersion(fs, root) // nothing staged
+    // the branch chain is frozen from the publisher's point of view
+    // (concurrent branch writers race the CAS like anyone else — a
+    // branch commit landing after these reads publishes next time), so
+    // the append-only evidence is computed once, not per attempt
+    val branchLines = manifestFiles(fs, root, bHead, chain)
+    val branchSet = branchLines.toSet
+    val baseLines = manifestFiles(fs, root, base, chain)
+    val added = branchLines.filterNot(baseLines.toSet)
+    val appendVerbs = ((base + 1) to bHead).forall(v =>
+      opNameOf(fs, root, v, chain).exists(_.startsWith("appendBranch(")))
+    val pureAppend = appendVerbs &&
+      baseLines.forall(branchSet) && // nothing removed or rewritten
+      added.forall(l => entryDvs(l).isEmpty)
+    val branchDdl =
+      propsOf(fs, root, bHead, chain) != propsOf(fs, root, base, chain)
+    // mode is decided inside listFor (first hook each attempt runs)
+    // so propsXform — which receives no head — follows the same call's
+    // decision instead of re-reading a possibly-moved head
+    var fastForward = true
     casCommit(fs, root, s"publishBranch($name)", { head =>
-      require(head == base,
-        s"publishBranch($name): fast-forward only — main advanced " +
-          s"v$base → v$head since the fork; recreate the branch from " +
-          "the new head and re-stage")
-      manifestFiles(fs, root, bHead, chain)
+      fastForward = head == base
+      if (fastForward) branchLines
+      else {
+        require(pureAppend,
+          s"publishBranch($name): main advanced v$base → v$head since " +
+            "the fork and the branch history is not append-only — " +
+            "cherry-pick can only re-parent pure appends; recreate " +
+            "the branch from the new head and re-stage")
+        require(!branchDdl,
+          s"publishBranch($name): main advanced v$base → v$head since " +
+            "the fork and the branch changed table properties — " +
+            "re-apply the DDL on main, then publish the data commits")
+        val mainLines = manifestFiles(fs, root, head)
+        val clash = added.map(entryPath).toSet
+          .intersect(mainLines.map(entryPath).toSet)
+        require(clash.isEmpty,
+          s"publishBranch($name): data-file conflict with main's " +
+            s"commits since the fork: ${clash.take(3).mkString(", ")}")
+        mainLines ++ added
+      }
     },
-      _ => schemaOf(fs, root, bHead, chain),
-      _ => txnsOf(fs, root, bHead, chain),
-      propsXform = _ => propsOf(fs, root, bHead, chain))
+      head =>
+        if (fastForward) schemaOf(fs, root, bHead, chain)
+        else {
+          // branch appends may have add-column/widen-evolved from the
+          // fork schema; main may have too — the same merge an append
+          // would apply reconciles both, refusing loudly on conflicts.
+          // Id-mapped tables restamp from main's ids so a main-side
+          // RENAME since the fork keeps its identity.
+          val mainS = schemaOf(fs, root, head)
+          val brS = schemaOf(fs, root, bHead, chain)
+          (mainS, brS) match {
+            case (Some(m), Some(b)) =>
+              val merged = mergeWiden(m, b)
+              if (idMapped(propsOf(fs, root, head)))
+                Some(restampIds(m, merged))
+              else Some(merged)
+            case _ => mainS.orElse(brS)
+          }
+        },
+      head =>
+        if (fastForward) txnsOf(fs, root, bHead, chain)
+        else {
+          // carry main's markers, overlay only the branch's NEW or
+          // advanced ones (the fork copy's markers are main's own)
+          val baseTx = txnsOf(fs, root, base, chain)
+          txnsOf(fs, root, bHead, chain).filter { case (app, v) =>
+            !baseTx.get(app).contains(v)
+          }
+        },
+      propsXform = p =>
+        if (fastForward) propsOf(fs, root, bHead, chain) else p)
   }
 
   /** Delete branch `name`'s manifests. Unpublished branch data files

@@ -241,9 +241,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       require(Seq(org.apache.spark.sql.types.LongType,
           org.apache.spark.sql.types.IntegerType,
           org.apache.spark.sql.types.ShortType,
-          org.apache.spark.sql.types.ByteType).contains(dt),
-        s"bucket column '$c' must be integral (placement is pmod on " +
-          s"long), got $dt")
+          org.apache.spark.sql.types.ByteType,
+          org.apache.spark.sql.types.StringType).contains(dt),
+        s"bucket column '$c' must be integral (placement pmod on long) " +
+          s"or string (placement pmod on xxhash64), got $dt")
     }
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
     val dir = dirOf(ident)
@@ -874,7 +875,10 @@ private[graft] object GraftFilters {
   * SQL-expressible (`(x % n + n) % n`), so every bucket-layout oracle
   * stays DuckDB-checkable; uniformity on integral keys is equivalent
   * unless keys cluster in residue classes — callers with such keys
-  * should bucket on a derived column. */
+  * should bucket on a derived column. STRING keys (r19) place by
+  * `pmod(xxhash64(col), n)` under their own canonical name — the hash
+  * makes uniformity a non-issue, and the join result (unlike the
+  * placement) stays relationally oracle-checkable. */
 object GraftBucketFunction
     extends org.apache.spark.sql.connector.catalog.functions.UnboundFunction {
   import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction}
@@ -889,19 +893,31 @@ object GraftBucketFunction
       s"bucket expects (numBuckets INT, col), got $inputType")
     val keyType = inputType(1).dataType
     val integral = Seq(LongType, IntegerType, ShortType, ByteType)
-    require(integral.contains(keyType),
-      s"bucket key must be integral, got $keyType")
+    require(integral.contains(keyType) || keyType == StringType,
+      s"bucket key must be integral or string, got $keyType")
     new ScalarFunction[Int] {
       override def inputTypes(): Array[DataType] =
         Array(IntegerType, keyType)
       override def resultType(): DataType = IntegerType
       override def name(): String = "bucket"
-      override def canonicalName(): String = "graft.bucket"
+      // type-family-scoped canonical name: all integral bindings share
+      // one (the cast-to-long placement is identical), strings get
+      // their own — two KeyGroupedPartitionings are join-compatible
+      // exactly when the placement FUNCTION is the same, and an
+      // int-vs-string pairing is not
+      override def canonicalName(): String =
+        if (keyType == StringType) "graft.bucket.string"
+        else "graft.bucket"
       override def isResultNullable: Boolean = false
       override def produceResult(
           input: org.apache.spark.sql.catalyst.InternalRow): Int = {
         val n = input.getInt(0)
         val x = keyType match {
+          case StringType =>
+            // SQL xxhash64's hash (seed 42) — identical to the fanout
+            // writer's pmod(xxhash64(col), n) placement
+            org.apache.spark.sql.catalyst.expressions.XXH64
+              .hashUTF8String(input.getUTF8String(1), 42L)
           case LongType    => input.getLong(1)
           case IntegerType => input.getInt(1).toLong
           case ShortType   => input.getShort(1).toLong
@@ -1445,6 +1461,48 @@ object GraftSql {
       .stripMargin)
   }
 
+  /** String-key bucket SPJ end to end (r19): the same fact⋈fact shape
+    * as [[qBucketJoin]] but on STRING join keys — the common case in
+    * LLM-pipeline tables (doc ids, UUIDs, URLs), where a zero-shuffle
+    * co-bucketed join was previously out of reach. Both tables are
+    * `PARTITIONED BY (bucket(16, <string key>))`; placement is
+    * `pmod(xxhash64(key), 16)` end to end (writer fanout, manifest
+    * `#bucket` groups, the catalog's V2 `bucket` function under its
+    * string canonical name), and the join plans with zero shuffles
+    * (SpjSpec pins the plan). The oracle recomputes the join
+    * relationally over the raw parquet with the same string-cast keys —
+    * placement is hash-private, the join RESULT is not, so one row
+    * placed or grouped into the wrong bucket hash-mismatches. */
+  def qBucketJoinStr(s: SparkSession, d: String): DataFrame = {
+    val wh = s"${graft.ops.Sources.ioDir(s, d)}/sql_catalog"
+    val cat = catalogFor(s, wh)
+    val of = s"$cat.default.orders_bkts"
+    val lf = s"$cat.default.lineitem_bkts"
+    s.sql(s"DROP TABLE IF EXISTS $of")
+    s.sql(s"DROP TABLE IF EXISTS $lf")
+    orders(s, d)
+      .select(concat(lit("ord-"), col("o_orderkey")).as("o_key"),
+        col("o_orderstatus"), dec2(col("o_totalprice")).as("price"))
+      .createOrReplaceTempView("orders_bkts_src")
+    lineitem(s, d)
+      .select(concat(lit("ord-"), col("l_orderkey")).as("l_key"),
+        dec2(col("l_quantity")).as("qty"))
+      .createOrReplaceTempView("lineitem_bkts_src")
+    s.sql(s"""CREATE TABLE $of
+            |  (o_key STRING, o_orderstatus STRING, price DECIMAL(18,2))
+            |PARTITIONED BY (bucket(16, o_key))""".stripMargin)
+    s.sql(s"INSERT INTO $of SELECT * FROM orders_bkts_src")
+    s.sql(s"""CREATE TABLE $lf (l_key STRING, qty DECIMAL(18,2))
+            |PARTITIONED BY (bucket(16, l_key))""".stripMargin)
+    s.sql(s"INSERT INTO $lf SELECT * FROM lineitem_bkts_src")
+    s.sql(s"""SELECT o.o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+            |  CAST(SUM(l.qty) AS DOUBLE) AS sum_qty,
+            |  CAST(SUM(o.price) AS DOUBLE) AS sum_price
+            |FROM $of o JOIN $lf l ON o.o_key = l.l_key
+            |GROUP BY o.o_orderstatus ORDER BY o.o_orderstatus"""
+      .stripMargin)
+  }
+
   /** Write-audit-publish end to end (r18): CREATE + land the even half
     * on main, fork branch 'audit', land the odd half on the BRANCH
     * under `spark.graft.wap.branch` (the Iceberg-style session switch —
@@ -1534,6 +1592,7 @@ object GraftSql {
     "q_wap_publish" -> qWapPublish _,
     "q_clone_sql" -> qCloneSql _,
     "q_bucket_join" -> qBucketJoin _,
+    "q_bucket_join_str" -> qBucketJoinStr _,
     "q_partitioned_sql" -> qPartitionedSql _,
     "q_widening_sql" -> qWideningSql _,
     "q_rename_sql" -> qRenameSql _,
@@ -1601,6 +1660,23 @@ object GraftSql {
         |  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
         |    AS sum_price
         |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |GROUP BY o.o_orderstatus ORDER BY o.o_orderstatus""".stripMargin,
+    // the STRING-key bucket join recomputed relationally with the same
+    // derived keys — the xxhash64 placement is not SQL-expressible in
+    // DuckDB, but the join result is placement-independent, so any
+    // mis-bucketed row still drops/duplicates matches and mismatches
+    "q_bucket_join_str" ->
+      """WITH o AS (SELECT 'ord-' || CAST(o_orderkey AS VARCHAR) AS o_key,
+        |             o_orderstatus,
+        |             CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        |           FROM orders),
+        |     l AS (SELECT 'ord-' || CAST(l_orderkey AS VARCHAR) AS l_key,
+        |             CAST(l_quantity AS DECIMAL(18,2)) AS qty
+        |           FROM lineitem)
+        |SELECT o.o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(l.qty) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(o.price) AS DOUBLE) AS sum_price
+        |FROM o JOIN l ON o.o_key = l.l_key
         |GROUP BY o.o_orderstatus ORDER BY o.o_orderstatus""".stripMargin,
     // shared string: PARTITIONED BY (clustering + manifest skipping)
     // must answer exactly like the hive-directory layout it replaces

