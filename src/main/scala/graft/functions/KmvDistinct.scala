@@ -101,13 +101,13 @@ case class KmvDistinct(
 object KmvDistinct {
   /** Unsigned 64-bit ordering; a named serializable object because the
     * expression (and its buffers) ship inside tasks. */
-  private[functions] object UnsignedOrd
+  private[graft] object UnsignedOrd
       extends java.util.Comparator[java.lang.Long] with Serializable {
     override def compare(a: java.lang.Long, b: java.lang.Long): Int =
       java.lang.Long.compareUnsigned(a, b)
   }
 
-  private[functions] def estimate(buf: java.util.TreeSet[java.lang.Long],
+  private[graft] def estimate(buf: java.util.TreeSet[java.lang.Long],
       k: Int): Long =
     if (buf.size < k) buf.size.toLong
     else {
@@ -126,7 +126,7 @@ object KmvDistinct {
     bb.array()
   }
 
-  private[functions] def mergeBytes(
+  private[graft] def mergeBytes(
       buf: java.util.TreeSet[java.lang.Long], bytes: Array[Byte], k: Int)
       : Unit = {
     val bb = ByteBuffer.wrap(bytes)

@@ -528,9 +528,11 @@ object Layout {
     * batch into N hash buckets — `pmod(col, N)` on the column cast to
     * long — and stages ONE-BUCKET files (the same fanout writer the
     * identity layout uses), recording each file's bucket id as a
-    * `#bucket` manifest group (a name no real column can take:
-    * manifest lines are tab-split, so the leading '#' only means
-    * "header" at line start). The scan side then reports
+    * spec-qualified `#bucket:<N>:<col>` manifest group (a name no real
+    * column can take: manifest lines are tab-split, so the leading '#'
+    * only means "header" at line start; the spec rides in the name so
+    * stale placements can never key — see [[bucketGroup]]). The scan
+    * side then reports
     * KeyGroupedPartitioning(bucket(N, col)) and two tables bucketed the
     * SAME way join on `col` with NO shuffle on either side — the
     * fact⋈fact co-location Hive bucketing / Iceberg bucket transforms
@@ -570,7 +572,17 @@ object Layout {
     case types.StringType => pmod(xxhash64(col(c)), lit(n.toLong))
     case _                => pmod(col(c).cast("long"), lit(n.toLong))
   }
-  private[graft] val BucketGroup = "#bucket"
+  /** The recorded bucket-id group name is SPEC-QUALIFIED (r19):
+    * `#bucket:<N>:<col>` asserts the exact placement the file was
+    * staged under, so a file placed under one spec can NEVER key (or
+    * prune) under another — the invariant that makes
+    * [[relayout]] sound against writers racing the layout swap: a
+    * stale-spec file simply lacks the matching group and the snapshot
+    * degrades to the unkeyed scan until one compaction re-places it.
+    * ('#' only means header at LINE start; the name rides the same
+    * tab-split group grammar as any column's bounds.) */
+  private[graft] def bucketGroup(c: String, n: Int): String =
+    s"#bucket:$n:$c"
   /** Null-proved identity-partition group name prefix: `#p:<col>` —
     * written by withStats only when the file has ZERO nulls in the
     * column, so an SPJ grouping keyed on it can never misplace
@@ -947,6 +959,21 @@ object Layout {
   // anti-joins the union, so overlap is harmless.
   private val DvCol = "@dv"
   private val DvPfx = "D:"
+  // commit-time NDV statistics (r19 verdict task 6): per-file KMV
+  // sketches ride the group grammar as ("<col>", "K:<base64 longs>",
+  // "K:") — the bound decoders reject the K: prefix exactly as they
+  // reject B:/D:, so old readers parse mixed lines untouched. Merged at
+  // scan time (k-min union is associative) into a snapshot NDV the
+  // planner reads through estimateStatistics — ANALYZE without a
+  // second scan, because the commit already read the staged bytes.
+  private val KmvPfx = "K:"
+  /** Sketch size: 128 longs ≈ 1.4 KB base64 per column per file buys a
+    * ~9% NDV standard error (1/√k) — the join-reorder signal needs the
+    * order of magnitude, not the digit. */
+  private[graft] val NdvSketchK = 128
+  /** Per-file row count as a synthetic bounds group (min == max ==
+    * rows) — '#'-led like #bucket/#p:, so no real column collides. */
+  private[graft] val RowsGroup = "#rows"
 
   /** Whether a line's second field is the optional `@bytes` size token
     * (digits only) — NOT any other '@'-prefixed token. On a legacy line
@@ -1011,6 +1038,30 @@ object Layout {
     b.result()
   }
 
+  /** All per-file KMV groups recorded on `line`: column → (null count,
+    * sketch bytes — the serialized k-min set
+    * [[functions.KmvDistinct]] merges). Token shape `K:<nulls>:<b64>`.
+    */
+  private[graft] def entryKmvs(line: String)
+      : Map[String, (Long, Array[Byte])] = {
+    val f = line.split('\t')
+    var i = 1
+    if (i < f.length && isSizeToken(f(i))) i += 1
+    val b = Map.newBuilder[String, (Long, Array[Byte])]
+    while (i + 3 <= f.length) {
+      val mid = f(i + 1)
+      if (mid.startsWith(KmvPfx)) {
+        val body = mid.substring(KmvPfx.length)
+        val sep = body.indexOf(':')
+        if (sep > 0) scala.util.Try((body.take(sep).toLong,
+            java.util.Base64.getDecoder.decode(body.substring(sep + 1))))
+          .toOption.foreach(v => b += f(i) -> v)
+      }
+      i += 3
+    }
+    b.result()
+  }
+
   /** All deletion-vector sidecar rel paths recorded on `line` (possibly
     * none) — one per MOR delete that touched the file; a reader applies
     * their UNION. */
@@ -1032,6 +1083,63 @@ object Layout {
   private def withDvGroup(line: String, sidecarRel: String): String =
     line + "\t" + DvCol + "\t" + DvPfx +
       java.net.URLEncoder.encode(sidecarRel, "UTF-8") + "\t" + DvPfx
+
+  // equality deletes (r19 verdict task 7): ("@eq",
+  // "E:<url-enc sidecar rel>;<url-enc key col>", "E:") — the
+  // merge-on-read currency for writers that CANNOT read matched
+  // positions first (streaming CDC upserts): the sidecar is a one-
+  // column parquet of dead KEY VALUES, and a masked read anti-joins on
+  // the key instead of the ordinal. Scoping is per-line, like dvs: the
+  // committing verb annotates the lines present at ITS head, so a file
+  // appended later (including the upsert's own batch) is never masked —
+  // exactly Iceberg's sequence-number rule, expressed in the line-copy
+  // currency this manifest already has. Bound decoders reject the E:
+  // prefix like B:/D:/K:, so mixed lines parse everywhere.
+  private val EqCol = "@eq"
+  private val EqPfx = "E:"
+
+  /** `line` with an equality-delete group appended. */
+  private def withEqGroup(line: String, sidecarRel: String,
+      keyCol: String): String =
+    line + "\t" + EqCol + "\t" + EqPfx +
+      java.net.URLEncoder.encode(sidecarRel, "UTF-8") + ";" +
+      java.net.URLEncoder.encode(keyCol, "UTF-8") + "\t" + EqPfx
+
+  /** All equality-delete groups on `line`: (sidecar rel path, key
+    * column), possibly several — one per upsert since compaction. */
+  private[graft] def entryEqs(line: String): Seq[(String, String)] = {
+    val f = line.split('\t')
+    var i = 1
+    if (i < f.length && isSizeToken(f(i))) i += 1
+    val b = Seq.newBuilder[(String, String)]
+    while (i + 3 <= f.length) {
+      if (f(i) == EqCol && f(i + 1).startsWith(EqPfx)) {
+        val body = f(i + 1).substring(EqPfx.length)
+        val sep = body.indexOf(';')
+        if (sep > 0) b += ((
+          java.net.URLDecoder.decode(body.take(sep), "UTF-8"),
+          java.net.URLDecoder.decode(body.substring(sep + 1), "UTF-8")))
+      }
+      i += 3
+    }
+    b.result()
+  }
+
+  /** Whether `v` carries any live equality delete. */
+  private[graft] def versionHasEqs(fs: FileSystem, root: Path,
+      v: Int): Boolean =
+    v > 0 && manifestFiles(fs, root, v).exists(l => entryEqs(l).nonEmpty)
+
+  /** `v`'s equality-delete annotations keyed by root-relative data file
+    * path (annotated lines only) — the streaming source's retraction
+    * detector. */
+  private[graft] def versionEqMap(fs: FileSystem, root: Path,
+      v: Int): Map[String, Seq[(String, String)]] =
+    if (v <= 0) Map.empty
+    else manifestFiles(fs, root, v).iterator
+      .map(l => entryPath(l) -> entryEqs(l))
+      .filter(_._2.nonEmpty)
+      .toMap
 
   /** The (table-wide unique) position-delete group key of a data file:
     * its last two path segments — txn dir name + file name, both
@@ -1069,7 +1177,9 @@ object Layout {
     * affected files; `mor`: [[deleteWhere]]/[[mergeInto]] (and SQL
     * `DELETE FROM`, which rides deleteWhere) record position-delete
     * sidecars instead and every scan anti-applies them
-    * ([[compactSnapshot]] materializes). SQL `UPDATE`/`MERGE INTO`
+    * ([[compactSnapshot]] materializes). [[upsertByKeys]] (r19) adds
+    * the EQUALITY-delete currency for CDC writers that cannot read
+    * matched positions first. SQL `UPDATE`/`MERGE INTO`
     * arrive through Spark's group-based rewrite and stay copy-on-write
     * regardless of mode — they read dv-applied (position-deleted rows
     * never resurrect through a rewrite) and their swapped-in lines
@@ -1561,7 +1671,8 @@ object Layout {
                         propsXform: Map[String, String] =>
                           Map[String, String] = identity,
                         attemptCheck: Int => Unit = _ => (),
-                        chain: String = ""): Int = {
+                        chain: String = "",
+                        gated: Boolean = true): Int = {
     val mdir = new Path(root, "manifests")
     fs.mkdirs(mdir)
     val locked = lockfileEnabled(fs)
@@ -1588,8 +1699,12 @@ object Layout {
         // CHECK constraints gate the files this attempt ADDS, against
         // the MERGED props this attempt will publish (head props AND
         // this commit's own additions) — see AttemptConstraintGate for
-        // why the gate lives inside the CAS loop
-        gate.check(head, all, constraintsOf(props))
+        // why the gate lives inside the CAS loop. `gated = false` is
+        // for verbs whose adopted lines come from an ALREADY-COMMITTED
+        // gated snapshot (clone): re-proving them would re-read the
+        // whole source table and turn the O(manifest) verb into an
+        // O(data) one (r18 ADVICE)
+        if (gated) gate.check(head, all, constraintsOf(props))
         val attemptId = java.util.UUID.randomUUID().toString
         val header = Seq(CommitHeader + attemptId, OpHeader + enc(op)) ++
           (schemaFor(head).map(s => SchemaHeader + s.json).toSeq ++
@@ -2368,7 +2483,13 @@ object Layout {
     // silently break the table's join eligibility. extraProps = a
     // create-with-data verb's own props (not head props yet).
     val allProps = headProps ++ extraProps
-    val statsAll = (statsColumns ++ allProps.get(PartitionedByProp)
+    // the caller's columns UNION the declared graft.stats.columns (the
+    // prop means "every commit records these" — a CREATE commit passes
+    // it only through extraProps, and before r19 its staged empty file
+    // silently carried no groups) UNION the partition columns
+    val statsAll = (statsColumns ++
+      allProps.get(StatsColumnsProp).map(splitCols).getOrElse(Nil) ++
+      allProps.get(PartitionedByProp)
       .map(splitCols).getOrElse(Nil)).distinct
     // bucket layout: each staged file's bucket id, recorded as the
     // synthetic `#bucket` group — min==max per file is the invariant
@@ -2416,6 +2537,18 @@ object Layout {
     // are unchanged.
     val partNn = allProps.get(PartitionedByProp).map(splitCols)
       .getOrElse(Nil).filter(df.columns.contains)
+    // NDV sketch columns (r19): every DECLARED stats column also
+    // records a per-file KMV sketch — the commit already reads these
+    // bytes, so planner statistics (scanStats → estimateStatistics)
+    // come free of any later ANALYZE scan. Hashable types only, and
+    // declared columns only: a partition column's NDV is its group
+    // count, not worth a per-file sketch on every commit.
+    val declared = (statsColumns ++
+      allProps.get(StatsColumnsProp).map(splitCols).getOrElse(Nil))
+      .distinct
+    val ndvCols = present.filter(declared.contains).filter(c =>
+      isIntegral(df.schema(c).dataType) ||
+        df.schema(c).dataType == types.StringType)
     val aggs = present.flatMap(c =>
       Seq(min(keyed(c)).as(s"__mn_$c"), max(keyed(c)).as(s"__mx_$c"))) ++
       bloomCols.map(c => graft.functions.FileBloom
@@ -2427,7 +2560,14 @@ object Layout {
           count(e).as("__bk_nn"))
       } ++
       Seq(count(lit(1)).as("__rows")) ++
-      partNn.map(c => count(col(c)).as(s"__nn_$c"))
+      partNn.map(c => count(col(c)).as(s"__nn_$c")) ++
+      ndvCols.flatMap(c => Seq(
+        graft.functions.KmvDistinct
+          .kmvSketch(xxhash64(col(c)), NdvSketchK).as(s"__kv_$c"),
+        // non-null count per file: the planner's ColumnStat needs
+        // nullCount alongside NDV (hasCountStats) or the estimator
+        // ignores the column entirely
+        count(col(c)).as(s"__kn_$c")))
     val rows = df.groupBy(input_file_name().as("__f"))
       .agg(aggs.head, aggs.tail: _*).collect()
     val rowsIdx = 1 + 2 * present.size + bloomCols.size +
@@ -2486,18 +2626,38 @@ object Layout {
       // LINE start); written only when the file is null-FREE on the
       // bucket expression — a null key row in a keyed file would ride
       // the wrong partition in the SPJ grouping
-      bucket.foreach { case (_, _) =>
+      bucket.foreach { case (c, n) =>
         val base = 1 + 2 * present.size + bloomCols.size
         if (!r.isNullAt(base) && !r.isNullAt(base + 1) &&
             r.getLong(base + 2) == r.getLong(rowsIdx))
-          groups ++= s"\t$BucketGroup\t$LongPfx${r.getLong(base)}" +
+          groups ++= s"\t${bucketGroup(c, n)}\t$LongPfx${r.getLong(base)}" +
             s"\t$LongPfx${r.getLong(base + 1)}"
+      }
+      // planner statistics (r19): exact per-file row count as a bounds
+      // group, plus one KMV sketch group per hashable stats column
+      groups ++= s"\t$RowsGroup\t$LongPfx${r.getLong(rowsIdx)}" +
+        s"\t$LongPfx${r.getLong(rowsIdx)}"
+      val ndvBase = rowsIdx + 1 + partNn.size
+      ndvCols.zipWithIndex.foreach { case (c, j) =>
+        val idx = ndvBase + 2 * j
+        if (!r.isNullAt(idx)) {
+          val b64 = java.util.Base64.getEncoder
+            .encodeToString(r.getAs[Array[Byte]](idx))
+          val nulls = r.getLong(rowsIdx) - r.getLong(idx + 1)
+          groups ++= s"\t$c\t$KmvPfx$nulls:$b64\t$KmvPfx"
+        }
       }
       fsPathOf(r.getString(0)) -> groups.result()
     }.toMap
     staged.map { case (rel, len) =>
       val k = fsPathOf(fs.makeQualified(new Path(root, rel)).toString)
-      s"$rel\t@$len" + rendered.getOrElse(k, "")
+      // a staged file with NO aggregate row holds zero rows (the
+      // groupBy saw none of it — e.g. the CREATE commit's empty
+      // stage): its exact row count is 0, and recording it keeps
+      // scanStats' "every line counted" invariant instead of one
+      // empty file degrading the snapshot to rows-unknown
+      s"$rel\t@$len" + rendered.getOrElse(k,
+        s"\t$RowsGroup\t${LongPfx}0\t${LongPfx}0")
     }
   }
 
@@ -2515,7 +2675,10 @@ object Layout {
     require(v > 0, s"snapshotLayout: no committed version in $table" +
       (if (chain.isEmpty) "" else s" (chain $chain)"))
     val lines = manifestFiles(fs, root, v, chain)
-    ((if (dvFreeOnly) lines.filter(l => entryDvs(l).isEmpty) else lines)
+    // "dv-free" means MASK-free: equality deletes (r19) disqualify a
+    // file from the vectorized branch exactly as position dvs do
+    ((if (dvFreeOnly) lines.filter(l =>
+        entryDvs(l).isEmpty && entryEqs(l).isEmpty) else lines)
        .map(l => new Path(root, entryPath(l)).toString),
      schemaOf(fs, root, v, chain))
   }
@@ -2537,6 +2700,48 @@ object Layout {
     * report. Multi-value files enter a partitioned table only through
     * pre-feature history or MOR delta-inserts; one compaction restores
     * eligibility (its rewrite re-stages through the fanout writer). */
+  /** Snapshot planner statistics from manifest lines alone — the
+    * ANALYZE that never scans (r19 verdict task 6): exact row count
+    * (the per-file `#rows` groups summed; None if ANY file predates
+    * them — one legacy file degrades to "unknown" rather than lie) and
+    * per-column NDV estimates (per-file KMV sketches merged — k-min
+    * union is associative, so the merged estimate equals a direct
+    * sketch of the union). Deletion vectors are ignored: a dv-masked
+    * snapshot's counts are upper bounds until compaction — fine for
+    * statistics, which are estimates by contract. O(manifest), zero
+    * data IO; served to the planner through estimateStatistics. */
+  private[graft] def scanStats(spark: SparkSession, table: String,
+      version: Int): (Option[Long], Map[String, (Long, Long)]) = {
+    val root = new Path(table)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (version <= 0) return (None, Map.empty)
+    val lines = manifestFiles(fs, root, version)
+    if (lines.isEmpty) return (Some(0L), Map.empty)
+    var rows = 0L
+    var haveRows = true
+    val sketches = scala.collection.mutable.Map
+      .empty[String, java.util.TreeSet[java.lang.Long]]
+    val nulls = scala.collection.mutable.Map.empty[String, Long]
+    lines.foreach { l =>
+      if (haveRows) entryBounds(l).get(RowsGroup) match {
+        case Some(LongBounds(n, _)) => rows += n
+        case _                      => haveRows = false
+      }
+      entryKmvs(l).foreach { case (c, (nn, bytes)) =>
+        val buf = sketches.getOrElseUpdate(c,
+          new java.util.TreeSet[java.lang.Long](
+            graft.functions.KmvDistinct.UnsignedOrd))
+        graft.functions.KmvDistinct.mergeBytes(buf, bytes, NdvSketchK)
+        nulls.updateWith(c)(p => Some(p.getOrElse(0L) + nn))
+      }
+    }
+    (if (haveRows) Some(rows) else None,
+      sketches.map { case (c, buf) =>
+        c -> (graft.functions.KmvDistinct.estimate(buf, NdvSketchK),
+          nulls.getOrElse(c, 0L))
+      }.toMap)
+  }
+
   private[graft] def spjFileKeys(spark: SparkSession, table: String,
       version: Int): Option[(SpjShape, Map[String, (Long, Seq[Any])])] = {
     val root = new Path(table)
@@ -2552,8 +2757,9 @@ object Layout {
     // bounds, whose min/max ignore nulls and so cannot prove a file
     // single-valued (a value+NULL mix keyed by its bounds would emit
     // NULL-group rows under the wrong partition downstream)
-    val keyCols = bucketSpec.fold(partCols.map(PartGroupPfx + _))(_ =>
-      Seq(BucketGroup))
+    val keyCols = bucketSpec.fold(partCols.map(PartGroupPfx + _)) {
+      case (c, n) => Seq(bucketGroup(c, n))
+    }
     if (keyCols.isEmpty) return None
     val lines = manifestFiles(fs, root, version)
     if (lines.isEmpty) return None
@@ -2651,29 +2857,62 @@ object Layout {
   private[graft] def readManifestLines(spark: SparkSession,
       fs: FileSystem, root: Path, v: Int,
       lines: Seq[String]): DataFrame = {
-    val (dvLines, plainLines) = lines.partition(l => entryDvs(l).nonEmpty)
     def absOf(ls: Seq[String]) =
       ls.map(l => new Path(root, entryPath(l)).toString)
-    if (dvLines.isEmpty) {
-      if (plainLines.isEmpty) {
-        val sch = schemaOf(fs, root, v).getOrElse(types.StructType(Nil))
-        return emptyFrame(spark, sch)
-      }
-      return readVersionFiles(spark, fs, root, v, absOf(plainLines))
+    /** Position-dv masking of `ls` (split inside: only its dv-carrying
+      * lines pay the ordinal read). */
+    def dvApplied(ls: Seq[String]): DataFrame = {
+      val (dvLines, plain) = ls.partition(l => entryDvs(l).nonEmpty)
+      if (dvLines.isEmpty)
+        return readVersionFiles(spark, fs, root, v, absOf(plain))
+      val dvPaths = dvLines.flatMap(entryDvs).distinct
+        .map(r => new Path(root, r).toString)
+      val del = spark.read.parquet(dvPaths: _*)
+        .select(col("grp").as("__grp"), col("pos").as("__pos"))
+      val masked = readVersionFiles(spark, fs, root, v, absOf(dvLines))
+        .withColumn("__grp",
+          substring_index(col("_metadata.file_path"), "/", -2))
+        .withColumn("__pos", col("_metadata.row_index"))
+        .join(del, Seq("__grp", "__pos"), "left_anti")
+        .drop("__grp", "__pos")
+      if (plain.isEmpty) masked
+      else masked.unionByName(
+        readVersionFiles(spark, fs, root, v, absOf(plain)))
     }
-    val dvPaths = dvLines.flatMap(entryDvs).distinct
-      .map(r => new Path(root, r).toString)
-    val del = spark.read.parquet(dvPaths: _*)
-      .select(col("grp").as("__grp"), col("pos").as("__pos"))
-    val masked = readVersionFiles(spark, fs, root, v, absOf(dvLines))
-      .withColumn("__grp",
-        substring_index(col("_metadata.file_path"), "/", -2))
-      .withColumn("__pos", col("_metadata.row_index"))
-      .join(del, Seq("__grp", "__pos"), "left_anti")
-      .drop("__grp", "__pos")
-    if (plainLines.isEmpty) masked
-    else masked.unionByName(
-      readVersionFiles(spark, fs, root, v, absOf(plainLines)))
+    if (lines.isEmpty) {
+      val sch = schemaOf(fs, root, v).getOrElse(types.StructType(Nil))
+      return emptyFrame(spark, sch)
+    }
+    // equality deletes (r19): lines sharing an identical eq-sidecar
+    // SET anti-join against the union of exactly those keys — sets are
+    // per-line because each upsert annotates only the lines at ITS
+    // head (sets nest as upserts accumulate; a file is masked by every
+    // eq delete committed after it and by none committed before).
+    // Position dvs compose underneath: dv masking first, then the key
+    // anti-join. Sorted group order keeps the plan deterministic.
+    val eqGroups = lines.groupBy(l => entryEqs(l).toSet).toSeq
+      .sortBy(_._1.toSeq.sorted.mkString("|"))
+    val parts = eqGroups.map { case (eqSet, ls) =>
+      val base = dvApplied(ls)
+      if (eqSet.isEmpty) base
+      else {
+        val keyCols = eqSet.map(_._2)
+        require(keyCols.size == 1,
+          s"equality deletes with mixed key columns on one file: " +
+            s"${keyCols.mkString(", ")} — compact before changing keys")
+        val c = keyCols.head
+        // no .distinct(): an anti-join is idempotent in its build keys,
+        // and this plan is INJECTED into an already-running optimizer
+        // by MorPerFileDispatch — a Deduplicate node here would arrive
+        // after the batch that rewrites it into an Aggregate and fail
+        // planning (the sidecars are distinct-at-write anyway)
+        val keys = spark.read.parquet(
+            eqSet.map(e => new Path(root, e._1).toString).toSeq: _*)
+          .select(col(c))
+        base.join(keys, Seq(c), "left_anti")
+      }
+    }
+    parts.reduce(_ unionByName _)
   }
 
   /** The dv-applying read of ONLY `version`'s dv-CARRYING files — the
@@ -2688,7 +2927,7 @@ object Layout {
     val root = new Path(table)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dvLines = manifestFiles(fs, root, version)
-      .filter(l => entryDvs(l).nonEmpty)
+      .filter(l => entryDvs(l).nonEmpty || entryEqs(l).nonEmpty)
     if (dvLines.isEmpty)
       emptyFrame(spark,
         schemaOf(fs, root, version).getOrElse(types.StructType(Nil)))
@@ -2799,7 +3038,8 @@ object Layout {
     // file universe only — a kept dv-carrying file must never slip into
     // the vectorized branch (its deleted rows would resurrect)
     val lines =
-      if (dvFreeOnly) all.filter(l => entryDvs(l).isEmpty) else all
+      if (dvFreeOnly) all.filter(l =>
+        entryDvs(l).isEmpty && entryEqs(l).isEmpty) else all
     // bucket pruning (r18): on a `PARTITIONED BY (bucket(N, col))`
     // table, an equality/IN conjunct on the bucket column maps to the
     // placement ids — keep only files whose recorded `#bucket` group
@@ -2811,19 +3051,23 @@ object Layout {
     // lives in bucket pmod(v, N); files without the group survive
     // (stats are advisory). Range conjuncts don't map (by design —
     // that's what sort/z-order layouts are for).
-    val bucketIdSets: Seq[Seq[Long]] = {
+    // each entry pairs the SPEC-QUALIFIED group name with the matching
+    // ids — a file placed under any OTHER spec lacks the group and
+    // survives, so pruning can never act on stale placement (r19)
+    val bucketIdSets: Seq[(String, Seq[Long])] = {
       val spec = propsOf(fs, root, v).get(BucketByProp)
         .zip(propsOf(fs, root, v).get(BucketCountProp))
         .map { case (c, n) => (c, n.toLong) }
       spec.toSeq.flatMap { case (c, n) =>
+        val g = bucketGroup(c, n.toInt)
         skips.flatMap {
           case SkipRange(`c`, lo, hi) if lo == hi =>
-            Some(Seq(((lo % n) + n) % n))
+            Some(g -> Seq(((lo % n) + n) % n))
           case SkipIn(`c`, vs) =>
-            Some(vs.map(x => ((x % n) + n) % n).distinct)
+            Some(g -> vs.map(x => ((x % n) + n) % n).distinct)
           // string bucket layout (r19): equality on the key maps
           // through the SAME hash the fanout writer placed by
-          case SkipEquals(`c`, s) => Some(Seq(strBucketId(s, n)))
+          case SkipEquals(`c`, s) => Some(g -> Seq(strBucketId(s, n)))
           case _ => None
         }
       }
@@ -2833,10 +3077,10 @@ object Layout {
       lazy val bl = entryBlooms(line)
       skips.forall(s =>
         survives(b, s) && (bl.isEmpty || survivesBloom(bl, s))) &&
-        bucketIdSets.forall(ids => b.get(BucketGroup) match {
+        bucketIdSets.forall { case (g, ids) => b.get(g) match {
           case Some(LongBounds(mn, mx)) => ids.exists(i => i >= mn && i <= mx)
           case _                        => true
-        })
+        } }
     }
     (kept, lines.size)
   }
@@ -3048,9 +3292,11 @@ object Layout {
     val fs = sroot.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val sHead = currentVersion(fs, sroot)
     require(sHead > 0, s"cloneTable: no committed version in $src")
-    require(!versionHasDvs(fs, sroot, sHead),
-      s"cloneTable: $src head carries live deletion vectors — compact " +
-        "them first (CALL system.compact(only_dv => true))")
+    require(!versionHasDvs(fs, sroot, sHead) &&
+        !versionHasEqs(fs, sroot, sHead),
+      s"cloneTable: $src head carries live row masks (deletion " +
+        "vectors / equality deletes) — compact them first " +
+        "(CALL system.compact(only_dv => true))")
     val droot = new Path(dst)
     val dfs = droot.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(currentVersion(dfs, droot) == 0,
@@ -3062,6 +3308,13 @@ object Layout {
     }
     val schema = schemaOf(fs, sroot, sHead)
     val props = propsOf(fs, sroot, sHead)
+    // gated = false: every adopted line comes from the source's
+    // committed, already-gated head — re-proving its CHECK constraints
+    // here would re-read the ENTIRE source table and break the
+    // zero-copy O(manifest) promise (and the gate's failure cleanup
+    // deletes "new" files' txn dirs, which for a clone are the
+    // source's own data — doubly wrong). The clone's own later appends
+    // gate normally.
     casCommit(dfs, droot, s"clone(${sroot.getName})",
       { head =>
         require(head == 0,
@@ -3069,7 +3322,8 @@ object Layout {
         absLines
       },
       _ => schema,
-      propsXform = _ => props)
+      propsXform = _ => props,
+      gated = false)
   }
 
   // --- branches: write-audit-publish (r18) ----------------------------
@@ -3134,9 +3388,11 @@ object Layout {
     require(head > 0, s"createBranch: no committed version in $table")
     require(currentVersion(fs, root, chain) == 0,
       s"branch '$name' already exists on $table")
-    require(!versionHasDvs(fs, root, head),
-      s"createBranch: head v$head carries live deletion vectors — " +
-        "compact them first (CALL system.compact(only_dv => true))")
+    require(!versionHasDvs(fs, root, head) &&
+        !versionHasEqs(fs, root, head),
+      s"createBranch: head v$head carries live row masks (deletion " +
+        "vectors / equality deletes) — compact them first " +
+        "(CALL system.compact(only_dv => true))")
     val mdir = new Path(root, "manifests")
     val tmp = new Path(mdir,
       s".${chain}v$head.tmp-" + java.util.UUID.randomUUID().toString)
@@ -3294,12 +3550,16 @@ object Layout {
     val chain = chainOf(name)
     val root = new Path(table)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val bHead = currentVersion(fs, root, chain)
-    require(bHead > 0, s"no such branch '$name' on $table")
+    val vs = chainVersions(fs, root, chain)
+    require(vs.nonEmpty, s"no such branch '$name' on $table")
+    // one directory listing names the chain's ACTUAL manifests — a
+    // branch forked at a high main version holds a handful, and
+    // probing 1..head would cost O(main head) filesystem RPCs (r18
+    // ADVICE)
     var dropped = 0
-    (1 to bHead).foreach { v =>
+    vs.foreach { v =>
       val p = new Path(root, s"manifests/${chain}v$v.manifest")
-      if (fs.exists(p) && fs.delete(p, false)) dropped += 1
+      if (fs.delete(p, false)) dropped += 1
     }
     dropped
   }
@@ -3393,7 +3653,10 @@ object Layout {
     val v0 = currentVersion(fs, root)
     require(v0 > 0, s"compactDeletes: no committed version in $table")
     val lines = manifestFiles(fs, root, v0)
-    val (dvLines, plain) = lines.partition(l => entryDvs(l).nonEmpty)
+    // "only_dv" = materialize every row MASK: equality deletes (r19)
+    // rewrite away through the same targeted pass as position dvs
+    val (dvLines, plain) = lines.partition(l =>
+      entryDvs(l).nonEmpty || entryEqs(l).nonEmpty)
     if (dvLines.isEmpty) return (v0, 0, plain.size, 0L)
     val bytesIn = dvLines.map(l => entrySize(l).getOrElse(
       fs.getFileStatus(new Path(root, entryPath(l))).getLen)).sum
@@ -3405,6 +3668,123 @@ object Layout {
       dvLines.toSet, added)
     catch { case e: Throwable => dropStaged(fs, root, staged); throw e }
     (v, dvLines.size, plain.size, bytesIn)
+  }
+
+  /** Guarded partition-spec evolution (r19 verdict task 4) — the
+    * legitimate path [[setTableProps]]' layout refusal points at,
+    * without the CREATE-new-table detour: ONE REPLACE commit re-fans
+    * the whole table out under the TARGET layout (through the same
+    * staging writer every insert uses, so the single-value-per-file /
+    * one-bucket-per-file invariant and the spec-qualified stats groups
+    * are re-recorded for the new spec) and swaps the three layout
+    * properties atomically in the same manifest. Per-version props make
+    * time travel sound for free: a reader pinned to a pre-relayout
+    * version reads THAT version's props and keys its files under the
+    * OLD spec; the new head keys under the new one — no version ever
+    * mixes. Guards:
+    *   - live WAP branches refuse (their staged files were placed
+    *     under the current layout; publish or drop them first);
+    *   - the REPLACE is strict: if ANY commit lands between the
+    *     re-stage and the CAS, relayout refuses rather than adopt
+    *     files placed under a layout this commit is about to retire
+    *     (re-run it — the rewrite is idempotent, orphaned staging is
+    *     vacuum-reclaimed like any crashed txn's);
+    *   - a writer that raced the OTHER way (staged under the old
+    *     layout, landed after) is handled by the spec-qualified
+    *     `#bucket:<N>:<col>` / null-proved `#p:<col>` group names: its
+    *     files lack the new spec's groups, so SPJ soundly degrades to
+    *     the unkeyed scan until one compaction re-places them — never
+    *     a wrong grouping.
+    * Identity columns and bucket specs are mutually exclusive, as at
+    * CREATE; empty arguments flatten the table to an unpartitioned
+    * bin-packed layout. Returns (newVersion, filesBefore, filesAfter). */
+  def relayout(spark: SparkSession, table: String,
+      partitionedBy: Seq[String] = Nil,
+      bucketBy: Option[String] = None,
+      bucketCount: Option[Int] = None,
+      targetFileBytes: Long = 128L << 20): (Int, Int, Int) = {
+    val root = new Path(table)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v0 = currentVersion(fs, root)
+    require(v0 > 0, s"relayout: no committed version in $table")
+    require(bucketBy.isDefined == bucketCount.isDefined,
+      "relayout: bucket_by and bucket_count come together")
+    require(partitionedBy.isEmpty || bucketBy.isEmpty,
+      "relayout: identity partition columns and a bucket spec are " +
+        "mutually exclusive (as at CREATE)")
+    bucketCount.foreach(n =>
+      require(n > 0, s"relayout: bucket count must be positive, got $n"))
+    val branches = listBranches(spark, table)
+    require(branches.isEmpty,
+      s"relayout: live branch(es) ${branches.mkString(", ")} hold " +
+        "files staged under the current layout — publish or drop " +
+        "them first, then relayout")
+    val headProps = propsOf(fs, root, v0)
+    val sch = schemaOf(fs, root, v0)
+    (partitionedBy ++ bucketBy).foreach(c => sch.foreach(s =>
+      require(s.fieldNames.contains(c),
+        s"relayout: unknown column '$c' " +
+          s"(table columns: ${s.fieldNames.mkString(", ")})")))
+    bucketBy.foreach { c =>
+      sch.foreach { s =>
+        val dt = s(c).dataType
+        require(Seq[types.DataType](types.ByteType, types.ShortType,
+            types.IntegerType, types.LongType, types.StringType)
+            .contains(dt),
+          s"relayout: bucket column '$c' must be integral or string, " +
+            s"got $dt")
+      }
+      require(!headProps.contains(ClusterSortProp) &&
+          !headProps.contains(ClusterZorderProp),
+        "relayout: bucket layout and graft.cluster.* properties are " +
+          "mutually exclusive — UNSET the clustering first")
+    }
+    val layoutKeys = Seq(PartitionedByProp, BucketByProp, BucketCountProp)
+    val newLayout: Map[String, String] =
+      (if (partitionedBy.nonEmpty)
+        Map(PartitionedByProp -> partitionedBy.mkString(","))
+      else Map.empty[String, String]) ++
+      bucketBy.zip(bucketCount).map { case (c, n) =>
+        Map(BucketByProp -> c, BucketCountProp -> n.toString)
+      }.getOrElse(Map.empty[String, String])
+    // staging overrides: the fanout writer and the stats recorder merge
+    // these OVER the head props, so the retiring layout can neither
+    // place files nor record groups during the rewrite ("" / "0" are
+    // the merge-map's only way to express removal; the COMMITTED props
+    // drop the keys outright below)
+    val stagingOverrides: Map[String, String] = Map(
+      PartitionedByProp -> "", BucketByProp -> "",
+      BucketCountProp -> "0") ++ newLayout
+    val inputs = manifestFiles(fs, root, v0)
+    // dv-aware read: like compactSnapshot, the rewrite materializes
+    // deletion vectors — new lines carry live rows only
+    val df = readManifestLines(spark, fs, root, v0, inputs)
+    val arranged =
+      if (bucketBy.isDefined || partitionedBy.nonEmpty) df // fanout writer splits
+      else {
+        val bytesBefore = inputs.map(l => entrySize(l).getOrElse(
+          fs.getFileStatus(new Path(root, entryPath(l))).getLen)).sum
+        df.coalesce(math.max(1L,
+          (bytesBefore + targetFileBytes - 1) / targetFileBytes).toInt)
+      }
+    val staged = stageTxn(spark, fs, root, arranged,
+      createProps = stagingOverrides)
+    val added = withStats(spark, fs, root, staged,
+      statsColumnsOf(fs, root, v0), extraProps = stagingOverrides)
+    val inputSet = inputs.toSet
+    val v = try casCommit(fs, root, "relayout",
+      { head =>
+        val headLines = manifestFiles(fs, root, head)
+        require(headLines.toSet == inputSet,
+          "relayout: a concurrent commit landed mid-relayout — its " +
+            "files were placed under the layout this commit retires; " +
+            "re-run relayout against the new head")
+        added
+      },
+      head => schemaOf(fs, root, head),
+      propsXform = p => p -- layoutKeys ++ newLayout)
+    catch { case e: Throwable => dropStaged(fs, root, staged); throw e }
+    (v, inputs.size, added.size)
   }
 
   /** URI-scheme/slash-insensitive normal form for matching
@@ -3582,6 +3962,87 @@ object Layout {
     (v, affected.size, untouched.size)
   }
 
+  /** Merge-on-read EQUALITY upsert (r19 verdict task 7) — the CDC-sink
+    * verb for writers that CANNOT read matched positions first (a
+    * streaming `foreachBatch` must not re-scan a 100 TB table per
+    * micro-batch): one commit that (1) appends `batch`'s rows, (2)
+    * stages a one-column parquet of `batch`'s key values, and (3)
+    * annotates every line present at the commit's head with the
+    * equality-delete pointer. A masked read then anti-joins those
+    * files on the KEY ([[readManifestLines]]'s eq branch) — the
+    * pre-existing row version dies, the appended one lives, and files
+    * committed after this upsert (including its own) are never masked
+    * (per-line scoping = Iceberg's sequence-number rule in the
+    * line-copy currency). `deleteOnly = true` records a tombstone
+    * batch (CDC deletes). [[compactSnapshot]] /
+    * `CALL system.compact(only_dv => true)` materialize the masks.
+    *
+    * One integral-or-string key column (the CDC shape); NULL keys in
+    * `batch` never match (SQL join semantics) and are filtered from
+    * the sidecar. Requires `graft.rowlevel.mode='mor'`. All live eq
+    * annotations on a table must share one key column — changing keys
+    * mid-stream refuses until a compaction. Write cost ∝ the batch,
+    * plus O(files) manifest-line annotation — zero data-file reads or
+    * rewrites, the property that makes it a streaming sink.
+    * Returns (newVersion, linesAnnotated, dataFilesAppended). */
+  def upsertByKeys(spark: SparkSession, table: String, batch: DataFrame,
+      keyCol: String, deleteOnly: Boolean = false): (Int, Int, Int) = {
+    val root = new Path(table)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v0 = currentVersion(fs, root)
+    require(v0 > 0, s"upsertByKeys: no committed version in $table")
+    require(morEnabled(propsOf(fs, root, v0)),
+      s"upsertByKeys requires $RowLevelModeProp='mor' on $table — " +
+        "equality deletes are a merge-on-read currency")
+    require(batch.columns.contains(keyCol),
+      s"upsertByKeys: batch has no column '$keyCol' " +
+        s"(batch columns: ${batch.columns.mkString(", ")})")
+    batch.schema(keyCol).dataType match {
+      case types.ByteType | types.ShortType | types.IntegerType |
+           types.LongType | types.StringType => ()
+      case dt => throw new IllegalArgumentException(
+        s"upsertByKeys: key column '$keyCol' must be integral or " +
+          s"string, got $dt")
+    }
+    val keys = batch.select(col(keyCol))
+      .where(col(keyCol).isNotNull).distinct()
+    // one sidecar file: keys are micro-batch-bounded by the caller's
+    // trigger, not table-sized
+    val sidecars = stageTxn(spark, fs, root, keys.repartition(1),
+      stamp = false)
+    val dataStaged =
+      if (deleteOnly) Seq.empty[(String, Long)]
+      else stageTxn(spark, fs, root, batch)
+    val dataEntries =
+      if (dataStaged.isEmpty) Seq.empty[String]
+      else withStats(spark, fs, root, dataStaged,
+        statsColumnsOf(fs, root, v0))
+    var annotated = 0
+    val v = try casCommit(fs, root, "upsertByKeys",
+      { head =>
+        val headLines = manifestFiles(fs, root, head)
+        // key-column consistency, re-checked against the exact head
+        // this attempt rebases onto (a racing upsert with another key
+        // column must refuse, not mis-mask)
+        val prior = headLines.flatMap(entryEqs).map(_._2).distinct
+        require(prior.forall(_ == keyCol),
+          s"upsertByKeys: table carries equality deletes keyed on " +
+            s"${prior.filterNot(_ == keyCol).mkString(", ")} — compact " +
+            "them away before upserting on a different key")
+        annotated = headLines.size
+        headLines.map(l => sidecars.foldLeft(l) { case (acc, (rel, _)) =>
+          withEqGroup(acc, rel, keyCol)
+        }) ++ dataEntries
+      },
+      if (deleteOnly) head => schemaOf(fs, root, head)
+      else appendSchemaFor(fs, root, batch))
+    catch { case e: Throwable =>
+      dropStaged(fs, root, sidecars ++ dataStaged)
+      throw e
+    }
+    (v, annotated, dataEntries.size)
+  }
+
   /** `INSERT INTO t REPLACE WHERE pred SELECT ...` — Delta's
     * replaceWhere, the idempotent-backfill verb: ONE atomic commit that
     * drops the predicate's existing rows (copy-on-write, only files
@@ -3733,6 +4194,13 @@ object Layout {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val v0 = currentVersion(fs, root)
     require(v0 > 0, s"mergeInto: no committed version in $table")
+    // equality deletes mask by key, but this verb's matched-row reads
+    // key on positions — an eq-dead row would read back as "matched"
+    // and resurrect through the rewrite. Refuse with the way out (r19).
+    require(!versionHasEqs(fs, root, v0),
+      s"mergeInto: $table carries live equality deletes — materialize " +
+        "them first (CALL system.compact(only_dv => true)) or keep " +
+        "mutating through upsertByKeys")
     // Materialize the source ONCE at entry: this verb evaluates it
     // several times (uniqueness aggregate, matched-file semi-join,
     // insert anti-join, update join), and a source that is expensive
@@ -4038,15 +4506,18 @@ object Layout {
     // since branch readers may be pinned mid-audit.
     val branchRetained = listBranches(spark, table).flatMap { b =>
       val chain = chainOf(b)
-      (1 to currentVersion(fs, root, chain))
-        .filter(v => fs.exists(
-          new Path(root, s"manifests/${chain}v$v.manifest")))
+      // enumerate the chain's ACTUAL versions from one directory
+      // listing — a branch forked at a high version holds only a few
+      // manifests, and probing 1..head would cost O(main head)
+      // filesystem RPCs per branch (r18 ADVICE)
+      chainVersions(fs, root, chain)
         .flatMap(v => manifestFiles(fs, root, v, chain))
     }
     val retainedFiles = ((math.max(1, cutoff) to head)
       .filter(v => fs.exists(new Path(root, s"manifests/v$v.manifest")))
       .flatMap(v => manifestFiles(fs, root, v)) ++ branchRetained)
-      .flatMap(l => entryPath(l) +: entryDvs(l)).toSet
+      .flatMap(l =>
+        (entryPath(l) +: entryDvs(l)) ++ entryEqs(l).map(_._1)).toSet
     expired.foreach(v =>
       fs.delete(new Path(root, s"manifests/v$v.manifest"), false))
     // Re-check the head before the DESTRUCTIVE half: retainedFiles was
@@ -4186,6 +4657,42 @@ object Layout {
     commitSnapshot(s, table, o.where(pmod(col("o_orderkey"), lit(2)) === 1))
     deleteWhere(s, table,
       pmod(col("o_orderkey"), lit(2)) === 1 && col("o_orderstatus") === "F")
+    readSnapshot(s, table)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum(dec2(col("o_totalprice"))).cast("double").as("sum_price"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** Merge-on-read EQUALITY-upsert lifecycle (r19): even + odd halves
+    * land under mor; [[upsertByKeys]] re-lands the odd non-'F' slice
+    * by key (masks every pre-existing version of those keys, appends
+    * identical rows — the CDC idempotent-replay shape), then a
+    * tombstone batch (`deleteOnly`) kills the odd-'F' keys. NEITHER
+    * commit reads or rewrites a data file. The visible state must
+    * equal the predicate DELETE's, so the oracle is SHARED with
+    * q_snapshot_delete / q_snapshot_delete_mor: a resurrected row
+    * (mask not applied), a double-counted one (the upsert's own
+    * append wrongly masked), or an over-deleted one (scoping wrong)
+    * all hash-mismatch. SnapshotIsolationSpec pins what the aggregate
+    * can't see (pinned pre-upsert reads, compaction materialization,
+    * SQL dispatch, guards). */
+  def qUpsertEq(s: SparkSession, d: String): DataFrame = {
+    import graft.Tables._
+    val table = s"${Sources.ioDir(s, d)}/orders_eq_upsert"
+    dropTable(s, table) // deterministic re-run: fresh table history
+    val o = orders(s, d)
+    commitSnapshot(s, table,
+      o.where(pmod(col("o_orderkey"), lit(2)) === 0),
+      props = Map(RowLevelModeProp -> "mor"))
+    commitSnapshot(s, table, o.where(pmod(col("o_orderkey"), lit(2)) === 1))
+    upsertByKeys(s, table,
+      o.where(pmod(col("o_orderkey"), lit(2)) === 1 &&
+        col("o_orderstatus") =!= "F"), "o_orderkey")
+    upsertByKeys(s, table,
+      o.where(pmod(col("o_orderkey"), lit(2)) === 1 &&
+        col("o_orderstatus") === "F").select("o_orderkey"),
+      "o_orderkey", deleteOnly = true)
     readSnapshot(s, table)
       .groupBy("o_orderstatus")
       .agg(count(lit(1)).as("n"),
@@ -4532,6 +5039,7 @@ object Layout {
     "q_compact_snapshot"  -> qCompactSnapshot _,
     "q_snapshot_delete"   -> qSnapshotDelete _,
     "q_snapshot_delete_mor" -> qSnapshotDeleteMor _,
+    "q_upsert_eq"         -> qUpsertEq _,
     "q_snapshot_merge"    -> qSnapshotMerge _,
     "q_snapshot_merge_mor" -> qSnapshotMergeMor _,
     "q_manifest_skipping" -> qManifestSkipping _,
@@ -4598,6 +5106,11 @@ object Layout {
     // and copy-on-write must land the IDENTICAL visible state — the
     // oracle hash proves the dv-applying read equals the rewriting verb
     "q_snapshot_delete_mor" -> oracleSqlDelete,
+    // shared string: the equality-upsert detour (identical-row re-land
+    // by key + tombstone batch) must land exactly the predicate
+    // DELETE's visible state — resurrection, double-count, or
+    // over-masking all hash-mismatch
+    "q_upsert_eq" -> oracleSqlDelete,
     "q_snapshot_merge_mor"  -> oracleSqlMerge,
     // post-delete state recomputed from source with the negated predicate
     "q_snapshot_delete" -> oracleSqlDelete,

@@ -160,11 +160,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         val root = new org.apache.hadoop.fs.Path(dir)
         val fs = root.getFileSystem(
           spark.sparkContext.hadoopConfiguration)
-        val bHead = Layout.branchHead(fs, root, version)
+        // only branch-shaped strings reach chain resolution: a
+        // timestamp literal ('2024-01-01 00:00:00') would otherwise
+        // trip chainOf's name-grammar require and surface a confusing
+        // "branch name must match …" to a user attempting time travel
+        // (r18 ADVICE) — they get the neither-version-nor-branch
+        // message with the live branch list instead
+        val bHead =
+          if (version.matches("[A-Za-z0-9_\\-]+") &&
+              !version.forall(_.isDigit))
+            Layout.branchHead(fs, root, version)
+          else 0
         require(bHead > 0,
           s"'$version' is neither a version number nor a live branch " +
             s"of $dir (branches: " +
-            s"${Layout.listBranches(spark, dir).mkString(", ")})")
+            s"${Layout.listBranches(spark, dir).mkString(", ")}); " +
+            "for time travel by time use TIMESTAMP AS OF")
         new GraftTable(dir, Some(bHead),
           branch = Some(version))
     }
@@ -507,12 +518,25 @@ class GraftTable(path: String, version: Option[Int],
     Layout.snapshotLayout(spark, path, Some(pinnedVersion), dvFreeOnly,
       chain)
 
-  /** Whether the pinned snapshot's manifest carries any live deletion
-    * vector — the [[MorPerFileDispatch]] eligibility test. Manifest-line
-    * inspection only (no sidecar read); always false on a dv-free view,
-    * which is what makes the dispatch rewrite converge. */
+  /** Whether the pinned snapshot's manifest carries any live row mask —
+    * position deletion vector OR equality delete (r19) — the
+    * [[MorPerFileDispatch]] eligibility test. Manifest-line inspection
+    * only (no sidecar read); always false on a mask-free view, which is
+    * what makes the dispatch rewrite converge. */
   private[graft] lazy val hasLiveDvs: Boolean =
-    !dvFreeOnly && branch.isEmpty && Layout.versionHasDvs(
+    !dvFreeOnly && branch.isEmpty && {
+      val fs = new Path(path).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      Layout.versionHasDvs(fs, new Path(path), pinnedVersion) ||
+        Layout.versionHasEqs(fs, new Path(path), pinnedVersion)
+    }
+
+  /** Equality deletes specifically — the one mask shape the row-based
+    * FALLBACK scan cannot apply (it masks by ordinal, not key), so a
+    * scan of an eq-carrying snapshot must come through the dispatch
+    * rewrite or refuse. */
+  private[graft] lazy val hasLiveEqs: Boolean =
+    !dvFreeOnly && branch.isEmpty && Layout.versionHasEqs(
       new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration),
       new Path(path), pinnedVersion)
 
@@ -667,6 +691,18 @@ class GraftTable(path: String, version: Option[Int],
 
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : ScanBuilder = {
+    // equality deletes mask by KEY, which only the per-file dispatch
+    // rewrite (readManifestLines' anti-join branch) can apply — the
+    // row-based fallback masks by ordinal and would resurrect deleted
+    // rows. With GraftExtensions installed this builder is only ever
+    // reached through the mask-free twin; reaching it with live eq
+    // deletes means no extensions (or a _file/_pos metadata scan,
+    // which row-level semantics can't define over key-masked rows) —
+    // refuse loudly with the two ways out.
+    require(!hasLiveEqs,
+      s"$path@v$pinnedVersion carries live equality deletes — read " +
+        "through GraftSession (MOR per-file dispatch) or materialize " +
+        "them first (CALL system.compact(only_dv => true))")
     val (files, _) = pinnedLayout
     // id-mapped table: the DSv2 parquet scan (and the row-based cow
     // scan's reader) must match columns by field id, not name
@@ -703,8 +739,18 @@ class GraftTable(path: String, version: Option[Int],
         else skips => Layout.prunedFilePaths(spark, path, skips,
           Some(pinnedVersion), dvFreeOnly),
       hasDv = pinnedDvs.nonEmpty,
-      spjKeys = spjKeys)
+      spjKeys = spjKeys,
+      // manifest-derived planner stats (r19): memoized per table
+      // handle, O(manifest) on first use, zero data IO. Branch reads
+      // skip — scanStats reads the main chain.
+      tableStats = () =>
+        if (branch.isDefined) (None, Map.empty)
+        else memoScanStats)
   }
+
+  private lazy val memoScanStats
+      : (Option[Long], Map[String, (Long, Long)]) =
+    Layout.scanStats(spark, path, pinnedVersion)
 
   /** INSERT INTO → APPEND commit; INSERT OVERWRITE (truncate) →
     * full-table REPLACE; `INSERT INTO t REPLACE WHERE pred` →

@@ -327,6 +327,50 @@ object GraftProcedures {
       }
     }
 
+  /** Guarded partition-spec evolution as SQL (r19):
+    * `CALL system.relayout('default.t', bucket_by => 'k',
+    * bucket_count => 16)` / `(partitioned_by => 'day')` / no layout
+    * args = flatten. One REPLACE commit re-fans the table out under the
+    * target layout and swaps the layout props atomically — the rewrite
+    * the ALTER-immutability refusal names (Layout.relayout has the
+    * guard rationale: branch refusal, strict replace, spec-qualified
+    * groups for racing writers). */
+  private def relayoutProc(cat: GraftCatalog): UnboundProcedure =
+    new GraftProcedure("relayout") {
+      override def parameters(): Array[ProcedureParameter] = Array(
+        ProcedureParameter.in("table", DataTypes.StringType).build(),
+        ProcedureParameter.in("partitioned_by", DataTypes.StringType)
+          .defaultValue("''").build(),
+        ProcedureParameter.in("bucket_by", DataTypes.StringType)
+          .defaultValue("''").build(),
+        ProcedureParameter.in("bucket_count", DataTypes.IntegerType)
+          .defaultValue("0").build(),
+        ProcedureParameter.in("target_file_bytes", DataTypes.LongType)
+          .defaultValue(s"${128L << 20}").build())
+      private val out = StructType(Seq(
+        org.apache.spark.sql.types.StructField(
+          "version", DataTypes.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField(
+          "files_before", DataTypes.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField(
+          "files_after", DataTypes.IntegerType, nullable = false)))
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val table = tableDir(cat, input.getUTF8String(0).toString)
+        val partBy = input.getUTF8String(1).toString.split(',')
+          .map(_.trim).filter(_.nonEmpty).toSeq
+        val bucketBy =
+          Option(input.getUTF8String(2).toString).filter(_.nonEmpty)
+        val n = input.getInt(3)
+        require(bucketBy.isEmpty == (n == 0),
+          "relayout: bucket_by and bucket_count come together")
+        val (v, before, after) = Layout.relayout(spark, table,
+          partitionedBy = partBy, bucketBy = bucketBy,
+          bucketCount = if (n == 0) None else Some(n),
+          targetFileBytes = input.getLong(4))
+        one(out)(v, before, after)
+      }
+    }
+
   // A `system.changes` procedure returning the CDC delta was built and
   // deliberately REMOVED: Spark 4.1's CALL machinery accepts only
   // LocalScan procedure output (InvokeProcedures.toRelation: "Only
@@ -353,14 +397,16 @@ object GraftProcedures {
       case "publish_branch"   => publishBranch(cat)
       case "drop_branch"      => dropBranch(cat)
       case "clone"            => cloneProc(cat)
+      case "relayout"         => relayoutProc(cat)
       case other => throw new IllegalArgumentException(
         s"unknown procedure system.$other — known: rollback, " +
           "expire_snapshots, compact, history, detail, create_branch, " +
-          "publish_branch, drop_branch, clone")
+          "publish_branch, drop_branch, clone, relayout")
     }
   }
 
   val names: Seq[String] =
     Seq("rollback", "expire_snapshots", "compact", "history", "detail",
-      "create_branch", "publish_branch", "drop_branch", "clone")
+      "create_branch", "publish_branch", "drop_branch", "clone",
+      "relayout")
 }

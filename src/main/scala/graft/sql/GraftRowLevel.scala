@@ -68,6 +68,19 @@ import graft.ops.Layout
   * pays only for the delta. */
 object GraftRowLevel {
 
+  /** Refuse a row-level operation over a snapshot carrying equality
+    * deletes (r19): the COW/delta scans mask by ordinal, so a rewrite
+    * through them would resurrect key-masked rows. */
+  private[sql] def requireNoEqs(tablePath: String, v: Int): Unit = {
+    val spark = SparkSession.active
+    val root = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(!Layout.versionHasEqs(fs, root, v),
+      s"$tablePath@v$v carries live equality deletes — materialize " +
+        "them first (CALL system.compact(only_dv => true)) before " +
+        "UPDATE/MERGE, or keep mutating through upsertByKeys")
+  }
+
   /** The `_file` metadata column: which data file a row lives in — the
     * group identity for copy-on-write planning (Iceberg uses the same
     * name for the same purpose). Reserved for row-level planning; a
@@ -124,6 +137,11 @@ class GraftRowLevelOperation(
     * rows of a merge-on-read table. */
   val dvs: Map[String, Array[Long]] =
     Layout.versionDvs(SparkSession.active, tablePath, pinnedVersion)
+
+  // equality deletes mask by KEY, which the ordinal-keyed COW scan
+  // cannot apply — a rewrite reading through it would resurrect
+  // eq-deleted rows. Refuse with the way out named (r19).
+  GraftRowLevel.requireNoEqs(tablePath, pinnedVersion)
 
   @volatile private var mainScan: GraftCowScan = null
   private[sql] def registerScan(s: GraftCowScan): Unit = synchronized {
@@ -467,6 +485,10 @@ class GraftDeltaOperation(
     Layout.rowLevelEntries(SparkSession.active, tablePath, pinnedVersion)
   val dvs: Map[String, Array[Long]] =
     Layout.versionDvs(SparkSession.active, tablePath, pinnedVersion)
+
+  // same eq guard as the COW operation: the shared scan masks by
+  // ordinal only (r19)
+  GraftRowLevel.requireNoEqs(tablePath, pinnedVersion)
 
   override def command(): RowLevelOperation.Command = cmd
 

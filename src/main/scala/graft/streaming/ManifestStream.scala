@@ -124,7 +124,9 @@ class ManifestStreamProvider extends StreamSourceProvider
     val v = version.getOrElse(Layout.currentVersion(
       rootP.getFileSystem(spark.sparkContext.hadoopConfiguration), rootP))
     if (Layout.versionHasDvs(rootP.getFileSystem(
-        spark.sparkContext.hadoopConfiguration), rootP, v)) {
+          spark.sparkContext.hadoopConfiguration), rootP, v) ||
+        Layout.versionHasEqs(rootP.getFileSystem(
+          spark.sparkContext.hadoopConfiguration), rootP, v)) {
       val df = Layout.readSnapshot(spark, table, Some(v))
       new BaseRelation
           with org.apache.spark.sql.sources.PrunedFilteredScan {
@@ -438,6 +440,24 @@ class ManifestStreamSource(spark: SparkSession, table: String,
         "set ignoreDeletes=true (stream past deletes of already-" +
         "emitted rows), or CALL system.compact (materializes the " +
         "vectors), then restart from a startingVersion at or after it.")
+    // equality deletes (r19) are retractions BY CONSTRUCTION — they
+    // mask rows of files committed before them, emitted or about to
+    // be. The streaming file relation serves raw paths and has no key
+    // anti-join branch, so any eq material new in (from, to] refuses
+    // outright (same ignoreDeletes escape hatch as dvs).
+    val eqByRel = Layout.versionEqMap(fs, root, to)
+    val eqAtFrom =
+      if (from == 0) Map.empty[String, Seq[(String, String)]]
+      else Layout.versionEqMap(fs, root, from)
+    val eqNew = eqByRel.exists { case (p, s) =>
+      s.toSet != eqAtFrom.getOrElse(p, Nil).toSet
+    }
+    require(ignoreDeletes || !eqNew,
+      s"graft-manifest stream on $table: version $to carries live " +
+        "equality deletes (key upserts) — an append-only stream " +
+        "cannot retract rows by key. Either set ignoreDeletes=true, " +
+        "or CALL system.compact(only_dv => true) (materializes the " +
+        "masks), then restart from a startingVersion at or after it.")
     if (added.isEmpty)
       return ColumnBridge.emptyStreamingDF(spark, pinnedSchema)
     val base = ColumnBridge.streamingFileRelation(spark, "parquet",

@@ -233,7 +233,9 @@ class SnapshotScanBuilder(
     hasDv: Boolean = false,
     spjKeys: Option[(Array[org.apache.spark.sql.connector.expressions.Expression],
       Seq[org.apache.spark.sql.types.DataType],
-      Map[String, (Long, Seq[Any])])] = None)
+      Map[String, (Long, Seq[Any])])] = None,
+    tableStats: () => (Option[Long], Map[String, (Long, Long)]) =
+      () => (None, Map.empty))
   extends org.apache.spark.sql.connector.read.ScanBuilder
   with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
   with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
@@ -343,7 +345,15 @@ class SnapshotScanBuilder(
         org.apache.spark.sql.internal.connector.PredicateUtils
           .toV1(inner.pushedFilters), lastSkips)
     else {
-      val base = inner.build()
+      val base0 = inner.build()
+      // manifest-derived planner stats (r19): enrich the scan's
+      // estimate with exact row count + per-column NDV — never over a
+      // pushed aggregate (its output is not the table's rows). A
+      // stats-free table wraps nothing.
+      val base = if (aggPushed) base0 else tableStats() match {
+        case (None, ndv) if ndv.isEmpty => base0
+        case (rows, ndv) => new GraftStatsScan(base0, rows, ndv)
+      }
       val spjOn = spjKeys.isDefined && !aggPushed &&
         spark.conf.get("spark.sql.sources.v2.bucketing.enabled",
           "false").toBoolean

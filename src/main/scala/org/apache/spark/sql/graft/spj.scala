@@ -50,11 +50,129 @@ class KeyedFilePartition(index: Int, files: Array[PartitionedFile],
 class KeyedParquetScan(inner: Scan,
     groups: Seq[(InternalRow, Array[PartitionedFile])],
     keyExprs: Array[V2Expression]) extends Scan with Batch
-    with SupportsReportPartitioning with SupportsReportStatistics {
+    with SupportsReportPartitioning with SupportsReportStatistics
+    with SupportsRuntimeV2Filtering {
   override def readSchema(): StructType = inner.readSchema()
   override def toBatch: Batch = this
   override def description(): String =
     s"KeyedParquetScan(groups=${groups.size}) ${inner.description()}"
+
+  // --- runtime group filtering (r18 ADVICE: DPP was lost exactly on
+  // SPJ-eligible scans). The keyed grouping IS a partition index, so a
+  // dynamic-partition-pruning subquery on the key column can drop whole
+  // groups before a byte is read — the classic star-join win: a
+  // selective dim filter prunes the fact scan to the surviving keys'
+  // files at runtime. filter() narrows `live`; planInputPartitions
+  // serves the narrowed set (BatchScanExec re-plans partitions after
+  // filtering and regroups by HasPartitionKey). Guarded on
+  // pushPartValues: without it Spark requires filtered partitions to
+  // preserve the ORIGINAL partitioning exactly, so dropping groups
+  // would throw — we then keep all groups (pruning is an optimization,
+  // never a correctness lever). ---------------------------------------
+
+  @volatile private var live: Seq[(InternalRow, Array[PartitionedFile])] =
+    groups
+
+  /** Key positions addressable by a runtime predicate: column name,
+    * key-row ordinal, and the raw-literal → key-space mapping (identity
+    * for identity transforms; the placement hash for bucket transforms
+    * — a DPP literal arrives in COLUMN space, group keys live in
+    * bucket-id space). */
+  private lazy val keyCols: Seq[(String, Int, Any => Option[Any])] = {
+    import org.apache.spark.sql.connector.expressions.{LiteralValue, Transform}
+    keyExprs.toSeq.zipWithIndex.flatMap { case (e, i) =>
+      e match {
+        case t: Transform if t.name == "identity" =>
+          t.references().headOption
+            .filter(_.fieldNames().length == 1)
+            .map(r => (r.fieldNames().head, i, (raw: Any) => Option(raw)))
+        case t: Transform if t.name == "bucket" =>
+          val n = t.arguments().collectFirst {
+            case l: LiteralValue[_] => l.value match {
+              case x: java.lang.Number => x.intValue()
+            }
+          }
+          val c = t.references().headOption
+            .filter(_.fieldNames().length == 1).map(_.fieldNames().head)
+          n.zip(c).map { case (nb, col) =>
+            (col, i, (raw: Any) => bucketIdOf(raw, nb)) }
+        case _ => None
+      }
+    }
+  }
+
+  /** Column-space value → bucket id under the graft placement (same
+    * arithmetic as Layout.strBucketId / the integral pmod — keyed here
+    * on the CATALYST literal type). None = an unplaceable literal
+    * (null, unexpected type): the predicate is then ignored, sound. */
+  private def bucketIdOf(raw: Any, n: Int): Option[Any] = {
+    val x: Option[Long] = raw match {
+      case s: UTF8String =>
+        Some(org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashUTF8String(s, 42L))
+      case l: java.lang.Long    => Some(l.longValue())
+      case i: java.lang.Integer => Some(i.longValue())
+      case s: java.lang.Short   => Some(s.longValue())
+      case b: java.lang.Byte    => Some(b.longValue())
+      case _                    => None
+    }
+    x.map(v => (((v % n) + n) % n).toInt)
+  }
+
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    if (org.apache.spark.sql.internal.SQLConf.get.v2BucketingPushPartValuesEnabled)
+      keyCols
+        // only columns that SURVIVED column pruning: Spark's
+        // PartitionPruning resolves these against the scan OUTPUT and
+        // throws on a projected-away key column (a query that joins on
+        // a non-partition column while not selecting the partition one)
+        .filter(kc =>
+          readSchema().fieldNames.exists(_.equalsIgnoreCase(kc._1)))
+        .map(kc => org.apache.spark.sql.connector.expressions
+          .Expressions.column(kc._1)).toArray
+    else Array.empty
+
+  /** One predicate → (key ordinal, allowed key-space values), when it
+    * is an equality/IN on a key column with ALL-literal operands.
+    * Anything else → None (the group set stays as is). */
+  private def parsePredicate(
+      p: org.apache.spark.sql.connector.expressions.filter.Predicate)
+      : Option[(Int, Set[Any])] = {
+    import org.apache.spark.sql.connector.expressions.{LiteralValue, NamedReference}
+    if (p.name() != "IN" && p.name() != "=") return None
+    val kids = p.children()
+    if (kids.length < 2) return None
+    val colName = kids.head match {
+      case r: NamedReference if r.fieldNames().length == 1 =>
+        Some(r.fieldNames().head)
+      case _ => None
+    }
+    val lits = kids.drop(1).toSeq.map {
+      case l: LiteralValue[_] => Option(l.value)
+      case _                  => None
+    }
+    if (colName.isEmpty || lits.exists(_.isEmpty)) return None
+    keyCols.collectFirst {
+      case (c, i, toKey) if c.equalsIgnoreCase(colName.get) =>
+        val mapped = lits.flatten.flatMap(toKey)
+        // every literal must map, or the filter under-approximates the
+        // allowed set and would WRONGLY drop groups
+        if (mapped.size == lits.size) Some((i, mapped.toSet)) else None
+    }.flatten
+  }
+
+  override def filter(
+      predicates: Array[org.apache.spark.sql.connector.expressions
+        .filter.Predicate]): Unit = {
+    var cur = live
+    predicates.foreach(p => parsePredicate(p).foreach { case (i, allowed) =>
+      cur = cur.filter { case (k, _) =>
+        allowed.contains(k.asInstanceOf[GenericInternalRow].values(i))
+      }
+    })
+    live = cur
+  }
   /** Delegate the inner FileScan's size/row estimate — without this,
     * wrapping would LOSE the statistics report and a small keyed dim
     * could stop auto-broadcasting in joins where SPJ doesn't apply
@@ -72,11 +190,69 @@ class KeyedParquetScan(inner: Scan,
   override def outputPartitioning(): Partitioning =
     new KeyGroupedPartitioning(keyExprs, groups.size)
   override def planInputPartitions(): Array[InputPartition] =
-    groups.zipWithIndex.map { case ((k, fs), i) =>
+    live.zipWithIndex.map { case ((k, fs), i) =>
       new KeyedFilePartition(i, fs, k): InputPartition
     }.toArray
   override def createReaderFactory(): PartitionReaderFactory =
     inner.toBatch.createReaderFactory()
+}
+
+/** Statistics veneer over the vectorized parquet scan (r19): same
+  * batch, same reader factory, same pushdown — only
+  * `estimateStatistics` is enriched with the MANIFEST-derived exact row
+  * count and per-column NDV (`Layout.scanStats`: per-file `#rows`
+  * groups + merged KMV sketches, recorded at commit time). Spark's
+  * `DataSourceV2Relation.transformV2Stats` lifts `columnStats` into
+  * catalyst `ColumnStat`s, so with CBO on the planner sees real
+  * cardinalities — a grouped subquery on a low-NDV column estimates to
+  * its NDV and broadcasts, instead of mis-planning a sort-merge join
+  * off the raw scan size. File size still comes from the wrapped scan
+  * (byte truth lives with the file index). */
+class GraftStatsScan(inner: Scan, rows: Option[Long],
+    ndv: Map[String, (Long, Long)]) extends Scan with Batch
+    with SupportsReportStatistics {
+  override def readSchema(): StructType = inner.readSchema()
+  override def toBatch: Batch = this
+  override def description(): String = inner.description()
+  override def planInputPartitions(): Array[InputPartition] =
+    inner.toBatch.planInputPartitions()
+  override def createReaderFactory(): PartitionReaderFactory =
+    inner.toBatch.createReaderFactory()
+  override def estimateStatistics(): Statistics = {
+    val size = inner match {
+      case s: SupportsReportStatistics => s.estimateStatistics().sizeInBytes()
+      case _                           => java.util.OptionalLong.empty()
+    }
+    val cols = new java.util.HashMap[
+      org.apache.spark.sql.connector.expressions.NamedReference,
+      org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+    val out = readSchema().fieldNames
+    ndv.foreach { case (c, (n, nulls)) =>
+      // only columns that survived pruning: the stats map resolves
+      // against the scan OUTPUT. nullCount rides along — catalyst's
+      // estimators require BOTH (hasCountStats) before they trust a
+      // column at all
+      if (out.exists(_.equalsIgnoreCase(c)))
+        cols.put(
+          org.apache.spark.sql.connector.expressions.Expressions.column(c),
+          new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+            override def distinctCount(): java.util.OptionalLong =
+              java.util.OptionalLong.of(n)
+            override def nullCount(): java.util.OptionalLong =
+              java.util.OptionalLong.of(nulls)
+          })
+    }
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong = size
+      override def numRows(): java.util.OptionalLong =
+        rows.fold(java.util.OptionalLong.empty())(
+          java.util.OptionalLong.of)
+      override def columnStats(): java.util.Map[
+        org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics] =
+        cols
+    }
+  }
 }
 
 object KeyedParquetScan {

@@ -76,6 +76,39 @@ class CloneSpec extends AnyFunSuite {
     assert(count(src) == 50, "source intact after the clone's vacuum")
   }
 
+  test("clone of a constraint-carrying source runs zero jobs (O(manifest))") {
+    // r18 ADVICE (medium): the commit gate saw the adopted lines as
+    // "new" (prior head 0) and re-proved the source's CHECK constraints
+    // by re-reading the entire table — the zero-copy clone was O(data).
+    // The adopted snapshot was already gated at source-commit time, so
+    // the clone commits ungated; the proof is job-count zero.
+    val c = cat
+    val src = s"$c.default.cl_gated_src"
+    val dst = s"$c.default.cl_gated_dst"
+    spark.sql(s"DROP TABLE IF EXISTS $src")
+    spark.sql(s"DROP TABLE IF EXISTS $dst")
+    spark.sql(s"""CREATE TABLE $src (k BIGINT, v DOUBLE)
+                |TBLPROPERTIES ('graft.constraint.pos' = 'v >= 0')"""
+      .stripMargin)
+    spark.sql(s"INSERT INTO $src SELECT id, id * 1.0 FROM range(500)")
+    val sc = spark.sparkContext
+    sc.setJobGroup("clone-gate-check", "clone must schedule no jobs")
+    try spark.sql(
+      s"CALL $c.system.clone('default.cl_gated_src', 'default.cl_gated_dst')")
+    finally sc.clearJobGroup()
+    val jobs = sc.statusTracker.getJobIdsForGroup("clone-gate-check")
+    assert(jobs.isEmpty,
+      s"clone scheduled ${jobs.length} job(s) — it re-read the source")
+    // the clone still carries the constraint and enforces it on ITS
+    // own future writes
+    assert(count(dst) == 500)
+    val e = intercept[Exception] {
+      spark.sql(s"INSERT INTO $dst VALUES (9999, -1.0)")
+    }
+    assert(e.getMessage.contains("pos"), e.getMessage)
+    assert(count(dst) == 500)
+  }
+
   test("refusals: existing target, dv-carrying source") {
     val c = cat
     val src = s"$c.default.cl_r_src"

@@ -239,6 +239,98 @@ class GraftProcedureSpec extends AnyFunSuite {
     assert(e.getMessage.contains("two to six"), e.getMessage)
   }
 
+  test("relayout re-buckets a populated table; pinned readers keep the old spec") {
+    // the legal path to the layout change ALTER TBLPROPERTIES refuses:
+    // one REPLACE commit re-fans out + swaps the props atomically
+    val c = cat
+    val t = s"$c.default.proc_relayout"
+    val dir = s"$wh/default/proc_relayout"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"""CREATE TABLE $t (k BIGINT, v DOUBLE)
+                |PARTITIONED BY (bucket(16, k))""".stripMargin)
+    spark.sql(s"INSERT INTO $t SELECT id, id * 0.5 FROM range(0, 800)")
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v0 = ops.Layout.currentVersion(fs, root)
+    assert(ops.Layout.spjFileKeys(spark, dir, v0).map(_._1)
+      .contains(ops.Layout.SpjBucket("k", 16)))
+    val res = spark.sql(
+      s"""CALL $c.system.relayout('default.proc_relayout',
+         |bucket_by => 'k', bucket_count => 8)""".stripMargin).head()
+    val v1 = res.getInt(0)
+    assert(v1 == v0 + 1 && res.getInt(1) > 0 && res.getInt(2) > 0)
+    // SPJ eligibility holds IMMEDIATELY under the new spec: every file
+    // re-keyed by the spec-qualified #bucket:8:k group, ids in [0, 8)
+    val keys = ops.Layout.spjFileKeys(spark, dir, v1)
+    assert(keys.map(_._1).contains(ops.Layout.SpjBucket("k", 8)),
+      s"post-relayout snapshot must key under bucket(8), got $keys")
+    assert(keys.get._2.values.map(_._2.head.asInstanceOf[Long]).toSet ==
+      (0L until 8L).toSet)
+    // a reader pinned to the pre-relayout version keys under the OLD
+    // spec — per-version props make time travel sound for free
+    assert(ops.Layout.spjFileKeys(spark, dir, v0).map(_._1)
+      .contains(ops.Layout.SpjBucket("k", 16)),
+      "pinned pre-relayout reads must keep the old keying")
+    assert(spark.sql(s"SELECT * FROM $t VERSION AS OF $v0")
+      .count() == 800)
+    // contents identical, point lookup prunes under the NEW placement
+    assert(spark.sql(s"SELECT COUNT(*) FROM $t").head.getLong(0) == 800)
+    assert(spark.sql(s"SELECT v FROM $t WHERE k = 42").head.getDouble(0)
+      == 21.0)
+    val (kept, total) = ops.Layout.fileSelection(spark, dir,
+      Seq(ops.Layout.SkipRange("k", 42L, 42L)))
+    assert(total >= 8 && kept.size <= total / 4,
+      s"post-relayout lookup kept ${kept.size} of $total")
+    // relayout to identity partitioning, then flatten — both preserve
+    // contents and the final layout drops all layout props
+    spark.sql(s"""CALL $c.system.relayout('default.proc_relayout',
+                 |partitioned_by => 'k')""".stripMargin)
+    assert(ops.Layout.spjFileKeys(spark, dir,
+      ops.Layout.currentVersion(fs, root)).map(_._1)
+      .contains(ops.Layout.SpjIdentity(Seq("k"))))
+    spark.sql(s"CALL $c.system.relayout('default.proc_relayout')")
+    assert(ops.Layout.spjFileKeys(spark, dir,
+      ops.Layout.currentVersion(fs, root)).isEmpty,
+      "flattened table must not claim a keyed layout")
+    assert(spark.sql(s"SELECT COUNT(*) FROM $t").head.getLong(0) == 800)
+  }
+
+  test("relayout refuses mid-flight WAP branches and bad arguments") {
+    val c = cat
+    val t = s"$c.default.proc_relayout_guard"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (k BIGINT, v DOUBLE)")
+    spark.sql(s"INSERT INTO $t SELECT id, id * 1.0 FROM range(100)")
+    spark.sql(
+      s"CALL $c.system.create_branch('default.proc_relayout_guard', 'w')")
+    val e = intercept[Exception] {
+      spark.sql(s"""CALL $c.system.relayout(
+        |'default.proc_relayout_guard',
+        |bucket_by => 'k', bucket_count => 4)""".stripMargin)
+    }
+    assert(e.getMessage.contains("live branch"), e.getMessage)
+    spark.sql(
+      s"CALL $c.system.drop_branch('default.proc_relayout_guard', 'w')")
+    // bucket_by without bucket_count refuses; unknown column refuses
+    intercept[Exception] {
+      spark.sql(s"CALL $c.system.relayout(" +
+        "'default.proc_relayout_guard', bucket_by => 'k')")
+    }
+    val eCol = intercept[Exception] {
+      spark.sql(s"CALL $c.system.relayout(" +
+        "'default.proc_relayout_guard', partitioned_by => 'nope')")
+    }
+    assert(eCol.getMessage.contains("unknown column"), eCol.getMessage)
+    // identity + bucket together refuses
+    intercept[Exception] {
+      spark.sql(s"""CALL $c.system.relayout(
+        |'default.proc_relayout_guard', partitioned_by => 'k',
+        |bucket_by => 'k', bucket_count => 4)""".stripMargin)
+    }
+    // after the refusals the table still works and was never mutated
+    assert(spark.sql(s"SELECT COUNT(*) FROM $t").head.getLong(0) == 100)
+  }
+
   test("unknown procedures and namespaces fail with a named error") {
     val c = cat
     val e = intercept[Exception] {

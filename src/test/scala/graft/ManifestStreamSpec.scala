@@ -426,6 +426,40 @@ class ManifestStreamSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("streaming CDC upsert sink: foreachBatch upserts by key, last version wins") {
+    // r19: the equality-delete verb exists exactly for this shape — a
+    // micro-batch sink that must upsert by key WITHOUT re-scanning the
+    // table per batch (upsertByKeys reads zero data files; cost ∝ the
+    // batch + one manifest annotation pass)
+    import graft.ops.Layout._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val table = freshTable("eq_upsert_sink")
+    commitSnapshot(spark, table,
+      (1L to 10L).map(i => (i, 0L)).toDF("id", "ver"),
+      props = Map(RowLevelModeProp -> "mor"))
+    val src = MemoryStream[(Long, Long)](spark)
+    val q = src.toDF().toDF("id", "ver").writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        upsertByKeys(spark, table, batch, "id"); ()
+      }
+      .option("checkpointLocation", freshTable("eq_upsert_ckpt"))
+      .start()
+    try {
+      src.addData((1L, 1L), (2L, 1L), (11L, 1L))
+      q.processAllAvailable()
+      src.addData((1L, 2L)) // second version of key 1 across batches
+      q.processAllAvailable()
+    } finally q.stop()
+    val m = readSnapshot(spark, table).select("id", "ver")
+      .as[(Long, Long)].collect().toMap
+    assert(m.size == 11, s"expected 11 live keys, got ${m.size}: $m")
+    assert(m(1L) == 2L && m(2L) == 1L && m(11L) == 1L,
+      s"upserted keys must serve their NEWEST version: $m")
+    assert((3L to 10L).forall(m(_) == 0L),
+      s"untouched keys must keep the seed version: $m")
+  }
+
   test("a MOR delete on a not-yet-emitted file masks in-batch — no " +
       "restart, stream ≡ batch read") {
     import graft.ops.Layout._

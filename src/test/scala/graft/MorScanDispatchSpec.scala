@@ -172,6 +172,33 @@ class MorScanDispatchSpec extends AnyFunSuite {
       .collect().head.getLong(0) == 290)
   }
 
+  test("SQL read of an equality-upserted snapshot serves through the dispatch") {
+    // r19: equality deletes mask by KEY — only the dispatch rewrite
+    // (readManifestLines' anti-join branch) can apply them; the
+    // fallback row scan refuses. With extensions on, plain SQL must
+    // serve the post-upsert state exactly.
+    val t = "equ"
+    makeMor(t)
+    import spark.implicits._
+    ops.Layout.upsertByKeys(spark, tablePath(t),
+      (40L to 60L).map(i => (i, s"NEW$i")).toDF("k", "v"), "k")
+    val viaSql = spark.sql(s"SELECT k, v FROM gmor.default.$t")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(viaSql.size == 300, s"got ${viaSql.size}")
+    assert((40L to 60L).forall(i => viaSql(i) == s"NEW$i"),
+      "SQL read must serve the upserted row versions")
+    assert(viaSql(39L) == "v39" && viaSql(61L) == "v61")
+    // pushdown through the Union still prunes and filters correctly
+    assert(spark.sql(
+      s"SELECT COUNT(*) FROM gmor.default.$t WHERE k BETWEEN 40 AND 60")
+      .head.getLong(0) == 21)
+    // ≡ programmatic core
+    val viaCore = ops.Layout.readSnapshot(spark, tablePath(t))
+      .select("k", "v")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(viaSql == viaCore)
+  }
+
   test("SQL read of a dv snapshot ≡ programmatic readSnapshot") {
     val t = "deq"
     makeMor(t)

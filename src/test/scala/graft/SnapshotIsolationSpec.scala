@@ -699,6 +699,85 @@ class SnapshotIsolationSpec extends AnyFunSuite {
     assert(readSnapshot(spark, table).count() == 89)
   }
 
+  test("equality upsert: zero data files touched, masks scoped per commit, state ≡ COW") {
+    import ops.Layout._
+    import spark.implicits._
+    val table = "target/graft_io/spec/eq_upsert"
+    val root = new Path(table)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(root, true)
+    val rows = (1L to 100L).map(i =>
+      (i, if (i % 2 == 0) "even" else "odd", i * 10.0)).toDF("id", "par", "v")
+    commitSnapshot(spark, table, rows.where(col("par") === "even"),
+      props = Map(RowLevelModeProp -> "mor"))
+    commitSnapshot(spark, table, rows.where(col("par") === "odd"))
+    val v0 = currentVersion(fs, root)
+    def dataLines(v: Int) = versionFileEntries(fs, root, v).map(_._1)
+    val before = dataLines(v0).toSet
+    val mtimes = before.map(p =>
+      p -> fs.getFileStatus(new Path(root, p)).getModificationTime).toMap
+    // CDC update batch: ids 1..20 re-land with v doubled — the upsert
+    // must mask every PRE-EXISTING version of those keys and keep its
+    // own appended rows unmasked
+    val batch = (1L to 20L).map(i =>
+      (i, if (i % 2 == 0) "even" else "odd", i * 20.0))
+      .toDF("id", "par", "v")
+    val (v1, annotated, appended) =
+      upsertByKeys(spark, table, batch, "id")
+    assert(v1 == v0 + 1 && annotated >= 2 && appended >= 1,
+      s"($v1, $annotated, $appended)")
+    before.foreach { p =>
+      assert(fs.getFileStatus(new Path(root, p)).getModificationTime ==
+        mtimes(p), s"equality upsert rewrote $p")
+    }
+    val cur = readSnapshot(spark, table).select("id", "v")
+      .as[(Long, Double)].collect().toMap
+    assert(cur.size == 100, s"expected 100 live rows, got ${cur.size}")
+    assert((1L to 20L).forall(i => cur(i) == i * 20.0),
+      "upserted keys must serve the NEW row version")
+    assert((21L to 100L).forall(i => cur(i) == i * 10.0),
+      "non-upserted keys must be untouched")
+    // pinned pre-upsert reader sees pre-upsert values
+    assert(readSnapshot(spark, table, Some(v0)).where(col("id") === 5L)
+      .select("v").as[Double].head() == 50.0)
+    // masks apply through the skipping read path too
+    assert(readSnapshotRange(spark, table, "id", 1L, 20L).count() == 20)
+    // tombstone batch (CDC delete): keys only, no data appended
+    val (v2, _, app2) = upsertByKeys(spark, table,
+      Seq(99L, 100L).toDF("id"), "id", deleteOnly = true)
+    assert(app2 == 0)
+    assert(readSnapshot(spark, table).count() == 98)
+    // masks ACCUMULATE and the newest version wins: id 1 again
+    upsertByKeys(spark, table,
+      Seq((1L, "odd", 999.0)).toDF("id", "par", "v"), "id")
+    assert(readSnapshot(spark, table).where(col("id") === 1L)
+      .select("v").as[Double].head() == 999.0)
+    // guards: a different key column refuses (masks would mis-key);
+    // branch/clone refuse a masked head
+    val eKey = intercept[Exception] {
+      upsertByKeys(spark, table,
+        Seq(("odd", 1.0)).toDF("par", "v"), "par")
+    }
+    assert(eKey.getMessage.contains("keyed on"), eKey.getMessage)
+    val eBr = intercept[Exception] {
+      createBranch(spark, table, "audit_eq")
+    }
+    assert(eBr.getMessage.contains("row masks"), eBr.getMessage)
+    // compaction materializes every mask; state preserved exactly
+    val expected = readSnapshot(spark, table).select("id", "v")
+      .as[(Long, Double)].collect().toSet
+    compactSnapshot(spark, table, sortBy = Seq("id"))
+    assert(!versionHasEqs(fs, root, currentVersion(fs, root)),
+      "compaction must materialize equality deletes away")
+    assert(readSnapshot(spark, table).select("id", "v")
+      .as[(Long, Double)].collect().toSet == expected)
+    // post-compaction the key column may change (masks are gone)
+    val (_, _, _) = upsertByKeys(spark, table,
+      Seq((0L, "even", 0.0)).toDF("id", "par", "v"), "par")
+    assert(readSnapshot(spark, table).count() == expected.size - 49 + 1,
+      "par-keyed upsert masks every 'even' row and lands one")
+  }
+
   test("concurrent MOR deletes on disjoint files both land through the CAS rebase") {
     import ops.Layout._
     import spark.implicits._

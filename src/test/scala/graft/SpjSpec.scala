@@ -360,6 +360,62 @@ class SpjSpec extends AnyFunSuite {
       s"SQL point lookup must bucket-prune, got $prune")
   }
 
+  test("runtime filtering prunes keyed groups: DPP survives the SPJ wrap") {
+    // r18 ADVICE (low): the keyed wrapper didn't forward runtime
+    // filtering, so dynamic partition pruning was lost exactly on
+    // SPJ-eligible scans. The keyed grouping IS the partition index:
+    // a selective dim filter must prune the fact's groups at runtime.
+    val c = cat
+    val fact = s"$c.default.spj_dpp_fact"
+    val dim = s"$c.default.spj_dpp_dim"
+    spark.sql(s"DROP TABLE IF EXISTS $fact")
+    spark.sql(s"DROP TABLE IF EXISTS $dim")
+    spark.sql(s"""CREATE TABLE $fact (day BIGINT, v DOUBLE)
+                |PARTITIONED BY (day)""".stripMargin)
+    spark.sql(
+      s"INSERT INTO $fact SELECT id % 7, id * 1.0 FROM range(0, 700)")
+    spark.sql(s"CREATE TABLE $dim (day BIGINT, flag STRING)")
+    spark.sql(s"INSERT INTO $dim SELECT id, IF(id = 3, 'keep', 'drop') " +
+      "FROM range(0, 7)")
+    val q = s"""SELECT f.day, COUNT(*) AS n, SUM(f.v) AS s
+               |FROM $fact f JOIN $dim d ON f.day = d.day
+               |WHERE d.flag = 'keep' GROUP BY f.day""".stripMargin
+    val expected = withSpj(on = false) {
+      spark.sql(q).collect().map(_.toString).sorted.toSeq
+    }
+    withSpj(on = true) {
+      val df = spark.sql(q)
+      val plan = finalPlan(df)
+      assert(plan.toString.toLowerCase.contains("dynamicpruning"),
+        s"expected a DPP subquery on the keyed fact scan:\n$plan")
+      assert(df.collect().map(_.toString).sorted.toSeq == expected)
+      // the scan instance itself was narrowed: one surviving group.
+      // (walk through AQE query-stage leaves — collectWithSubqueries
+      // alone stops at them)
+      def allNodes(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+        case a: AdaptiveSparkPlanExec => allNodes(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          allNodes(q.plan)
+        case _ => (p.children ++ p.subqueries).flatMap(allNodes)
+      })
+      val keyed = allNodes(plan).collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+          if b.scan.isInstanceOf[org.apache.spark.sql.graft.KeyedParquetScan]
+          => b.scan.asInstanceOf[org.apache.spark.sql.graft.KeyedParquetScan]
+      }
+      assert(keyed.nonEmpty, s"no keyed scan in:\n$plan")
+      val parts = keyed.head.planInputPartitions().length
+      assert(parts == 1,
+        s"runtime filter should leave 1 of 7 groups, got $parts")
+    }
+    // a non-literal / unparseable predicate must be IGNORED, not
+    // mis-prune: same query shape with an expression filter still exact
+    withSpj(on = true) {
+      assert(spark.sql(s"SELECT COUNT(*) FROM $fact f JOIN $dim d " +
+        s"ON f.day = d.day WHERE d.flag <> 'drop'").head.getLong(0) == 100)
+    }
+  }
+
   test("compaction preserves SPJ eligibility on both layouts") {
     val c = cat
     def headKeys(dir: String) = {
