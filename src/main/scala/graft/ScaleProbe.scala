@@ -259,6 +259,11 @@ object ScaleProbe {
     // are O(manifest) metadata verbs, so both keys should sit at the
     // two-insert lifecycle envelope
     "q_wap_publish", "q_clone_sql",
+    // round-19: equality-upsert lifecycle — the two upsert commits are
+    // append+annotate (zero data-file reads), so the key should track
+    // the two-insert volume like the WAP twin, with the masked read's
+    // key anti-join ∝ batch size on top
+    "q_upsert_eq",
     // the CNPJ vertical (reference envelope ">20 GB", readme.md:108):
     // synthetic flagship over the replica's 10× orders/customer —
     // r15 splits load (z-cluster + commit, data-volume-bound) from

@@ -3501,6 +3501,15 @@ object Layout {
           s"publishBranch($name): main advanced v$base → v$head since " +
             "the fork and the branch changed table properties — " +
             "re-apply the DDL on main, then publish the data commits")
+        // the branch's files were constraint-gated at branch-commit
+        // time under the FORK's props; publishing ungated (below) is
+        // only sound if main's constraints haven't changed since
+        require(constraintsOf(propsOf(fs, root, head)) ==
+            constraintsOf(propsOf(fs, root, base)),
+          s"publishBranch($name): main changed CHECK constraints " +
+            s"since the fork (v$base → v$head) — the staged files " +
+            "were never proven against them; recreate the branch from " +
+            "the new head and re-stage")
         val mainLines = manifestFiles(fs, root, head)
         val clash = added.map(entryPath).toSet
           .intersect(mainLines.map(entryPath).toSet)
@@ -3540,7 +3549,16 @@ object Layout {
           }
         },
       propsXform = p =>
-        if (fastForward) propsOf(fs, root, bHead, chain) else p)
+        if (fastForward) propsOf(fs, root, bHead, chain) else p,
+      // gated = false: every line this commit adds was ALREADY gated —
+      // branch commits run the chain-threaded constraint gate at
+      // commitSnapshotToBranch time, branch-side prop changes are
+      // unreachable (fast-forward republishes the fork props verbatim;
+      // cherry-pick refuses branchDdl AND main-side constraint drift
+      // above) — so the publish re-proof would re-read the entire
+      // staged batch for nothing. Publish is a pure metadata commit,
+      // as a WAP gate must be at 100 TB (BranchWapSpec pins zero jobs).
+      gated = false)
   }
 
   /** Delete branch `name`'s manifests. Unpublished branch data files

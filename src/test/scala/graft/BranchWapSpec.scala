@@ -152,6 +152,53 @@ class BranchWapSpec extends AnyFunSuite {
     spark.sql(s"CALL $c.system.drop_branch('default.wap_forge', 'fx')")
   }
 
+  test("publish is metadata-only: zero jobs, constraints gated at branch-commit time") {
+    // the WAP gate at 100 TB: branch commits prove CHECK constraints
+    // when they stage; publish must adopt lines without re-reading a
+    // byte (r19 — the publish-time re-proof re-read the whole batch)
+    val c = cat
+    val t = s"$c.default.wap_gate"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"""CREATE TABLE $t (k BIGINT, v DOUBLE)
+                |TBLPROPERTIES ('graft.constraint.pos' = 'v >= 0')"""
+      .stripMargin)
+    spark.sql(s"INSERT INTO $t SELECT id, id * 1.0 FROM range(100)")
+    spark.sql(s"CALL $c.system.create_branch('default.wap_gate', 'g')")
+    withWap("g") {
+      // the gate runs HERE, on the branch commit — a violating batch
+      // refuses and leaves nothing staged
+      val e = intercept[Exception] {
+        spark.sql(s"INSERT INTO $t VALUES (999, -1.0)")
+      }
+      assert(e.getMessage.contains("pos"), e.getMessage)
+      spark.sql(s"INSERT INTO $t SELECT id, id * 2.0 FROM range(100, 150)")
+    }
+    // main advances → the publish takes the cherry-pick path too
+    spark.sql(s"INSERT INTO $t SELECT id, 1.0 FROM range(200, 210)")
+    val sc = spark.sparkContext
+    sc.setJobGroup("wap-publish-gate", "publish must schedule no jobs")
+    try spark.sql(s"CALL $c.system.publish_branch('default.wap_gate', 'g')")
+    finally sc.clearJobGroup()
+    val jobs = sc.statusTracker.getJobIdsForGroup("wap-publish-gate")
+    assert(jobs.isEmpty,
+      s"publish scheduled ${jobs.length} job(s) — it re-read the batch")
+    assert(count(t) == 160)
+    spark.sql(s"CALL $c.system.drop_branch('default.wap_gate', 'g')")
+    // cherry-pick still refuses when main CHANGED constraints since
+    // the fork — the staged files were never proven against them
+    spark.sql(s"CALL $c.system.create_branch('default.wap_gate', 'g2')")
+    withWap("g2") {
+      spark.sql(s"INSERT INTO $t SELECT id, 3.0 FROM range(300, 310)")
+    }
+    spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES " +
+      "('graft.constraint.cap' = 'k < 100000')")
+    val eC = intercept[Exception] {
+      spark.sql(s"CALL $c.system.publish_branch('default.wap_gate', 'g2')")
+    }
+    assert(eC.getMessage.contains("CHECK constraints"), eC.getMessage)
+    spark.sql(s"CALL $c.system.drop_branch('default.wap_gate', 'g2')")
+  }
+
   test("expireSnapshots never reclaims unpublished branch data") {
     val c = cat
     val (t, dir) = mkTable("wap_gc")
