@@ -2108,6 +2108,13 @@ object Layout {
                 "the property first")
           }
         }
+        // live equality deletes mask by NAME — a rename would orphan
+        // every annotation's key and break masked reads (r19)
+        manifestFiles(fs, root, head).flatMap(entryEqs).map(_._2)
+          .distinct.foreach(c => require(!c.equalsIgnoreCase(from),
+            s"renameColumn: column '$c' keys live equality deletes — " +
+              "materialize them first (CALL system.compact(only_dv " +
+              "=> true))"))
         constraintsOf(props).foreach { case (cname, sqlText) =>
           val renamed = types.StructType(prior.fields.map(f =>
             if (f.name.equalsIgnoreCase(from)) f.copy(name = to) else f))
@@ -2160,6 +2167,14 @@ object Layout {
                 "the property first")
           }
         }
+        // live equality deletes mask by NAME — dropping the key column
+        // would break every masked read (r19)
+        manifestFiles(fs, root, head).flatMap(entryEqs).map(_._2)
+          .distinct.foreach(c =>
+            require(!names.exists(_.equalsIgnoreCase(c)),
+              s"dropColumns: column '$c' keys live equality deletes — " +
+                "materialize them first (CALL system.compact(only_dv " +
+                "=> true))"))
         val remaining = prior.fields.filterNot(f =>
           names.exists(_.equalsIgnoreCase(f.name)))
         require(remaining.nonEmpty,

@@ -1549,6 +1549,43 @@ object GraftSql {
       .stripMargin)
   }
 
+  /** Guarded partition-spec evolution end to end (r19): CREATE a
+    * bucket(16) table, land the full orders projection, `CALL
+    * system.relayout` to bucket(8) — one REPLACE commit re-fanning
+    * every file out under the new spec and swapping the layout props
+    * atomically (the rewrite path the ALTER-immutability refusal
+    * names) — then aggregate THROUGH the relayouted snapshot, with a
+    * point lookup exercising the new placement's pruning on the way.
+    * Shares q_table_roundtrip's oracle: a relayout that drops,
+    * duplicates, or mis-places one row hash-mismatches.
+    * GraftProcedureSpec pins what the aggregate can't see (pinned
+    * pre-relayout keying, SPJ eligibility, branch/arg guards). */
+  def qRelayoutSql(s: SparkSession, d: String): DataFrame = {
+    val wh = s"${graft.ops.Sources.ioDir(s, d)}/sql_catalog"
+    val cat = catalogFor(s, wh)
+    val t = s"$cat.default.orders_rel"
+    s.sql(s"DROP TABLE IF EXISTS $t")
+    orders(s, d)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        dec2(col("o_totalprice")).as("price"))
+      .createOrReplaceTempView("orders_rel_src")
+    s.sql(s"""CREATE TABLE $t
+            |  (o_orderkey BIGINT, o_orderstatus STRING,
+            |   price DECIMAL(18,2))
+            |PARTITIONED BY (bucket(16, o_orderkey))""".stripMargin)
+    s.sql(s"INSERT INTO $t SELECT * FROM orders_rel_src")
+    s.sql(s"""CALL $cat.system.relayout('default.orders_rel',
+            |bucket_by => 'o_orderkey', bucket_count => 8)""".stripMargin)
+    // a point lookup through the NEW placement (bucket pruning on the
+    // re-fanned files) — the driver-visible smoke that the relayouted
+    // layout actually serves
+    s.sql(s"SELECT COUNT(*) FROM $t WHERE o_orderkey = 32").collect()
+    s.sql(s"""SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+            |  CAST(SUM(price) AS DOUBLE) AS sum_price
+            |FROM $t GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+      .stripMargin)
+  }
+
   /** Write-audit-publish end to end (r18): CREATE + land the even half
     * on main, fork branch 'audit', land the odd half on the BRANCH
     * under `spark.graft.wap.branch` (the Iceberg-style session switch —
@@ -1639,6 +1676,7 @@ object GraftSql {
     "q_clone_sql" -> qCloneSql _,
     "q_bucket_join" -> qBucketJoin _,
     "q_bucket_join_str" -> qBucketJoinStr _,
+    "q_relayout_sql" -> qRelayoutSql _,
     "q_partitioned_sql" -> qPartitionedSql _,
     "q_widening_sql" -> qWideningSql _,
     "q_rename_sql" -> qRenameSql _,
@@ -1740,6 +1778,10 @@ object GraftSql {
     // shared string: the WAP detour (branch stage + audit + publish)
     // must land exactly the direct two-insert state
     "q_wap_publish" ->
+      graft.ops.Sources.oracleSql("q_table_roundtrip"),
+    // shared string: the relayout rewrite (bucket(16) → bucket(8))
+    // must preserve the table's visible state exactly
+    "q_relayout_sql" ->
       graft.ops.Sources.oracleSql("q_table_roundtrip"),
     // shared string: source files served through absolute manifest
     // lines + the clone's own appends must reassemble the direct state

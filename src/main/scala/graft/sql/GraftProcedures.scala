@@ -311,19 +311,65 @@ object GraftProcedures {
         // live branches (r18): an unpublished WAP batch pins files
         // against vacuum — the operator should SEE the branch exists
         org.apache.spark.sql.types.StructField(
-          "branches", DataTypes.StringType, nullable = false)))
+          "branches", DataTypes.StringType, nullable = false),
+        // planner statistics (r19): the manifest-derived exact row
+        // count (-1 when a legacy line predates the #rows groups) and
+        // the merged per-column NDV estimates — ANALYZE observability
+        // with zero data IO. Appended LAST so older consumers' column
+        // ordinals keep working.
+        org.apache.spark.sql.types.StructField(
+          "row_count", DataTypes.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField(
+          "ndv", DataTypes.StringType, nullable = false)))
       override def call(input: InternalRow): java.util.Iterator[Scan] = {
         val table = tableDir(cat, input.getUTF8String(0).toString)
         val (v, files, bytes, ddl, props, dvFiles, dvSidecars) =
           Layout.tableDetail(spark, table)
         val propStr = props.toSeq.sorted
           .map { case (k, value) => s"$k=$value" }.mkString("; ")
+        val (rows, ndv) = Layout.scanStats(spark, table, v)
+        val ndvStr = ndv.toSeq.sorted
+          .map { case (c, (n, _)) => s"$c=$n" }.mkString("; ")
         rowsResult(out, Seq(Array[Any](v, files, bytes,
           org.apache.spark.unsafe.types.UTF8String.fromString(ddl),
           org.apache.spark.unsafe.types.UTF8String.fromString(propStr),
           dvFiles, dvSidecars,
           org.apache.spark.unsafe.types.UTF8String.fromString(
-            Layout.listBranches(spark, table).mkString(",")))))
+            Layout.listBranches(spark, table).mkString(",")),
+          rows.getOrElse(-1L),
+          org.apache.spark.unsafe.types.UTF8String.fromString(ndvStr))))
+      }
+    }
+
+  /** Equality upsert as SQL (r19): `CALL system.upsert('default.t',
+    * source => 'updates_view', key => 'id')` — merge-on-read key
+    * upserts without reading a single data file (Layout.upsertByKeys:
+    * append the source's rows, stage a key sidecar, annotate head
+    * lines; masked reads anti-join on the key). `delete_only => true`
+    * records a tombstone batch. The source is any table or view the
+    * session resolves — the natural shape for a CDC staging view. */
+  private def upsertProc(cat: GraftCatalog): UnboundProcedure =
+    new GraftProcedure("upsert") {
+      override def parameters(): Array[ProcedureParameter] = Array(
+        ProcedureParameter.in("table", DataTypes.StringType).build(),
+        ProcedureParameter.in("source", DataTypes.StringType).build(),
+        ProcedureParameter.in("key", DataTypes.StringType).build(),
+        ProcedureParameter.in("delete_only", DataTypes.BooleanType)
+          .defaultValue("false").build())
+      private val out = StructType(Seq(
+        org.apache.spark.sql.types.StructField(
+          "version", DataTypes.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField(
+          "lines_annotated", DataTypes.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField(
+          "files_appended", DataTypes.IntegerType, nullable = false)))
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val table = tableDir(cat, input.getUTF8String(0).toString)
+        val src = spark.table(input.getUTF8String(1).toString)
+        val (v, annotated, appended) = Layout.upsertByKeys(spark, table,
+          src, input.getUTF8String(2).toString,
+          deleteOnly = input.getBoolean(3))
+        one(out)(v, annotated, appended)
       }
     }
 
@@ -398,15 +444,16 @@ object GraftProcedures {
       case "drop_branch"      => dropBranch(cat)
       case "clone"            => cloneProc(cat)
       case "relayout"         => relayoutProc(cat)
+      case "upsert"           => upsertProc(cat)
       case other => throw new IllegalArgumentException(
         s"unknown procedure system.$other — known: rollback, " +
           "expire_snapshots, compact, history, detail, create_branch, " +
-          "publish_branch, drop_branch, clone, relayout")
+          "publish_branch, drop_branch, clone, relayout, upsert")
     }
   }
 
   val names: Seq[String] =
     Seq("rollback", "expire_snapshots", "compact", "history", "detail",
       "create_branch", "publish_branch", "drop_branch", "clone",
-      "relayout")
+      "relayout", "upsert")
 }

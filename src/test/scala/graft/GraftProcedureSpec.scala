@@ -8,12 +8,21 @@ import org.scalatest.funsuite.AnyFunSuite
   * deletion, named/default arguments, and error surfaces. */
 class GraftProcedureSpec extends AnyFunSuite {
 
-  lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  lazy val spark: SparkSession = {
+    // the deployed session shape: system.upsert's post-upsert SELECT
+    // needs the MOR per-file dispatch (equality masks), which rides
+    // GraftExtensions — clear the handles so getOrCreate really
+    // applies them regardless of suite order
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+  }
 
   private val wh = "target/graft_io/spec/proc_catalog"
   private def cat = sql.GraftSql.catalogFor(spark, wh)
@@ -293,6 +302,40 @@ class GraftProcedureSpec extends AnyFunSuite {
       ops.Layout.currentVersion(fs, root)).isEmpty,
       "flattened table must not claim a keyed layout")
     assert(spark.sql(s"SELECT COUNT(*) FROM $t").head.getLong(0) == 800)
+  }
+
+  test("system.upsert merges by key through SQL; detail reports manifest stats") {
+    val c = cat
+    val t = s"$c.default.proc_upsert"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"""CREATE TABLE $t (id BIGINT, v DOUBLE)
+                |TBLPROPERTIES ('graft.rowlevel.mode' = 'mor',
+                |  'graft.stats.columns' = 'id')""".stripMargin)
+    spark.sql(s"INSERT INTO $t SELECT id, id * 1.0 FROM range(100)")
+    spark.range(40, 60)
+      .selectExpr("id", "CAST(id * 100.0 AS DOUBLE) AS v")
+      .createOrReplaceTempView("proc_upsert_src")
+    val res = spark.sql(s"""CALL $c.system.upsert('default.proc_upsert',
+      |source => 'proc_upsert_src', key => 'id')""".stripMargin).head()
+    assert(res.getInt(1) > 0 && res.getInt(2) > 0)
+    // the SQL read (per-file dispatch) serves the upserted versions
+    assert(spark.sql(s"SELECT COUNT(*) FROM $t").head.getLong(0) == 100)
+    assert(spark.sql(s"SELECT v FROM $t WHERE id = 50").head.getDouble(0)
+      == 5000.0)
+    // tombstones through the same procedure
+    spark.range(0, 10).selectExpr("id")
+      .createOrReplaceTempView("proc_upsert_dead")
+    spark.sql(s"""CALL $c.system.upsert('default.proc_upsert',
+      |source => 'proc_upsert_dead', key => 'id',
+      |delete_only => true)""".stripMargin)
+    assert(spark.sql(s"SELECT COUNT(*) FROM $t").head.getLong(0) == 90)
+    // detail's appended stats columns: exact row count (upper bound
+    // until masks compact — the annotations mask 30 dead versions) and
+    // the declared column's NDV
+    val d = spark.sql(s"CALL $c.system.detail('default.proc_upsert')")
+      .head()
+    assert(d.getLong(8) >= 90, s"row_count ${d.getLong(8)}")
+    assert(d.getString(9).contains("id="), s"ndv '${d.getString(9)}'")
   }
 
   test("relayout refuses mid-flight WAP branches and bad arguments") {

@@ -763,6 +763,12 @@ class SnapshotIsolationSpec extends AnyFunSuite {
       createBranch(spark, table, "audit_eq")
     }
     assert(eBr.getMessage.contains("row masks"), eBr.getMessage)
+    // dropping the live eq KEY column would break every masked read
+    val eDrop = intercept[Exception] {
+      dropColumns(spark, table, Seq("id"))
+    }
+    assert(eDrop.getMessage.contains("equality deletes"),
+      eDrop.getMessage)
     // compaction materializes every mask; state preserved exactly
     val expected = readSnapshot(spark, table).select("id", "v")
       .as[(Long, Double)].collect().toSet
