@@ -552,16 +552,15 @@ object Layout {
   val BucketByProp    = "graft.bucket.by"
   val BucketCountProp = "graft.bucket.count"
 
-  /** Bucket id of string key `s` under `n` buckets — the string-layout
-    * placement: `pmod(xxhash64(s), n)` with SQL `xxhash64`'s seed (42),
-    * so the driver-side pruning arithmetic and the executor-side
+  /** Bucket id of string key `s` under `n` buckets — delegates to the
+    * ONE placement definition ([[org.apache.spark.sql.graft
+    * .BucketPlacement]]) shared with the V2 function and runtime group
+    * filtering, so driver-side pruning arithmetic and the executor-side
     * codegen'd placement expression can never disagree. */
-  private[graft] def strBucketId(s: String, n: Long): Long = {
-    val h = org.apache.spark.sql.catalyst.expressions.XXH64
-      .hashUTF8String(
-        org.apache.spark.unsafe.types.UTF8String.fromString(s), 42L)
-    ((h % n) + n) % n
-  }
+  private[graft] def strBucketId(s: String, n: Long): Long =
+    org.apache.spark.sql.graft.BucketPlacement.idOfString(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s), n.toInt)
+      .toLong
 
   /** THE bucket placement expression, chosen by the column's declared
     * type — every writer-side use (fanout repartition, per-file stats)
@@ -1129,6 +1128,23 @@ object Layout {
   private[graft] def versionHasEqs(fs: FileSystem, root: Path,
       v: Int): Boolean =
     v > 0 && manifestFiles(fs, root, v).exists(l => entryEqs(l).nonEmpty)
+
+  /** (live dvs?, live eqs?) of `v` in ONE line pass — the SQL table
+    * handle asks both on every scan, and two separate walks of a
+    * million-line manifest are a million wasted line parses. */
+  private[graft] def versionMasks(fs: FileSystem, root: Path,
+      v: Int): (Boolean, Boolean) = {
+    if (v <= 0) return (false, false)
+    var dv = false
+    var eq = false
+    val it = manifestFiles(fs, root, v).iterator
+    while (it.hasNext && !(dv && eq)) {
+      val l = it.next()
+      if (!dv && entryDvs(l).nonEmpty) dv = true
+      if (!eq && entryEqs(l).nonEmpty) eq = true
+    }
+    (dv, eq)
+  }
 
   /** `v`'s equality-delete annotations keyed by root-relative data file
     * path (annotated lines only) — the streaming source's retraction
@@ -2905,6 +2921,11 @@ object Layout {
     // eq delete committed after it and by none committed before).
     // Position dvs compose underneath: dv masking first, then the key
     // anti-join. Sorted group order keeps the plan deterministic.
+    // Cost: one plan branch per DISTINCT set — i.e. per upsert since
+    // the last compaction — and nested sets re-read shared sidecars
+    // once per branch; like dv sidecar volume, this is bounded by
+    // maintenance cadence (compact/only_dv resets it to zero), the
+    // same bargain every MOR design strikes.
     val eqGroups = lines.groupBy(l => entryEqs(l).toSet).toSeq
       .sortBy(_._1.toSeq.sorted.mkString("|"))
     val parts = eqGroups.map { case (eqSet, ls) =>
@@ -3557,10 +3578,16 @@ object Layout {
         if (fastForward) txnsOf(fs, root, bHead, chain)
         else {
           // carry main's markers, overlay only the branch's NEW or
-          // advanced ones (the fork copy's markers are main's own)
+          // advanced ones (the fork copy's markers are main's own) —
+          // and never move a marker BACKWARDS past one main advanced
+          // concurrently: markers are replay fences, monotonic by
+          // contract (today unreachable — no branch verb takes an
+          // appId — but the merge must not rely on that)
           val baseTx = txnsOf(fs, root, base, chain)
+          val headTx = txnsOf(fs, root, head)
           txnsOf(fs, root, bHead, chain).filter { case (app, v) =>
-            !baseTx.get(app).contains(v)
+            !baseTx.get(app).contains(v) &&
+              headTx.get(app).forall(_ < v)
           }
         },
       propsXform = p =>

@@ -518,27 +518,28 @@ class GraftTable(path: String, version: Option[Int],
     Layout.snapshotLayout(spark, path, Some(pinnedVersion), dvFreeOnly,
       chain)
 
+  /** (live position dvs?, live equality deletes?) of the pinned
+    * snapshot — ONE manifest-line pass answers both (the cached lines
+    * are walked once, not once per predicate); always (false, false)
+    * on a mask-free view, which is what makes the dispatch rewrite
+    * converge. */
+  private lazy val liveMasks: (Boolean, Boolean) =
+    if (dvFreeOnly || branch.isDefined) (false, false)
+    else Layout.versionMasks(
+      new Path(path).getFileSystem(
+        spark.sparkContext.hadoopConfiguration),
+      new Path(path), pinnedVersion)
+
   /** Whether the pinned snapshot's manifest carries any live row mask —
     * position deletion vector OR equality delete (r19) — the
-    * [[MorPerFileDispatch]] eligibility test. Manifest-line inspection
-    * only (no sidecar read); always false on a mask-free view, which is
-    * what makes the dispatch rewrite converge. */
-  private[graft] lazy val hasLiveDvs: Boolean =
-    !dvFreeOnly && branch.isEmpty && {
-      val fs = new Path(path).getFileSystem(
-        spark.sparkContext.hadoopConfiguration)
-      Layout.versionHasDvs(fs, new Path(path), pinnedVersion) ||
-        Layout.versionHasEqs(fs, new Path(path), pinnedVersion)
-    }
+    * [[MorPerFileDispatch]] eligibility test. */
+  private[graft] def hasLiveDvs: Boolean = liveMasks._1 || liveMasks._2
 
   /** Equality deletes specifically — the one mask shape the row-based
     * FALLBACK scan cannot apply (it masks by ordinal, not key), so a
     * scan of an eq-carrying snapshot must come through the dispatch
     * rewrite or refuse. */
-  private[graft] lazy val hasLiveEqs: Boolean =
-    !dvFreeOnly && branch.isEmpty && Layout.versionHasEqs(
-      new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration),
-      new Path(path), pinnedVersion)
+  private[graft] def hasLiveEqs: Boolean = liveMasks._2
 
   /** This snapshot restricted to its dv-FREE files — the vectorized
     * branch of the per-file MOR dispatch. */
@@ -742,9 +743,12 @@ class GraftTable(path: String, version: Option[Int],
       spjKeys = spjKeys,
       // manifest-derived planner stats (r19): memoized per table
       // handle, O(manifest) on first use, zero data IO. Branch reads
-      // skip — scanStats reads the main chain.
+      // skip (scanStats reads the main chain); so do masked snapshots
+      // and their dispatch twins — masked counts overstate live rows,
+      // and the twin + masked-branch Union would DOUBLE-count them.
       tableStats = () =>
-        if (branch.isDefined) (None, Map.empty)
+        if (branch.isDefined || dvFreeOnly || hasLiveDvs)
+          (None, Map.empty)
         else memoScanStats)
   }
 
@@ -958,18 +962,22 @@ object GraftBucketFunction
       override def produceResult(
           input: org.apache.spark.sql.catalyst.InternalRow): Int = {
         val n = input.getInt(0)
-        val x = keyType match {
+        import org.apache.spark.sql.graft.BucketPlacement
+        keyType match {
           case StringType =>
-            // SQL xxhash64's hash (seed 42) — identical to the fanout
-            // writer's pmod(xxhash64(col), n) placement
-            org.apache.spark.sql.catalyst.expressions.XXH64
-              .hashUTF8String(input.getUTF8String(1), 42L)
-          case LongType    => input.getLong(1)
-          case IntegerType => input.getInt(1).toLong
-          case ShortType   => input.getShort(1).toLong
-          case ByteType    => input.getByte(1).toLong
+            // ONE shared placement definition (writer expression, V2
+            // function, runtime filtering); a NULL key hashes to the
+            // seed, exactly as SQL xxhash64 evaluates a null child —
+            // getUTF8String returns null there, never throw
+            BucketPlacement.idOfString(input.getUTF8String(1), n)
+          case LongType    => BucketPlacement.idOfLong(input.getLong(1), n)
+          case IntegerType =>
+            BucketPlacement.idOfLong(input.getInt(1).toLong, n)
+          case ShortType   =>
+            BucketPlacement.idOfLong(input.getShort(1).toLong, n)
+          case ByteType    =>
+            BucketPlacement.idOfLong(input.getByte(1).toLong, n)
         }
-        (((x % n) + n) % n).toInt
       }
     }
   }

@@ -260,6 +260,7 @@ class SnapshotScanBuilder(
   // bounds predicates derived from pushed filters — forwarded to the
   // row-based scan so manifest pruning survives the dv-forced path
   private var lastSkips: Seq[graft.ops.Layout.Skip] = Nil
+  private var prunedFiles: Boolean = false
   // the file universe the built scan will read — manifest pruning
   // narrows it; the SPJ regrouping must key exactly this set
   private var currentFiles: Seq[String] = files
@@ -292,6 +293,7 @@ class SnapshotScanBuilder(
           inner = ColumnBridge.parquetScanBuilder(spark, kept, schema,
             options).asInstanceOf[FileScanBuilder]
           currentFiles = kept
+          prunedFiles = true
         }
       } else SnapshotScanBuilder.lastPrune = None
     }
@@ -347,10 +349,16 @@ class SnapshotScanBuilder(
     else {
       val base0 = inner.build()
       // manifest-derived planner stats (r19): enrich the scan's
-      // estimate with exact row count + per-column NDV — never over a
-      // pushed aggregate (its output is not the table's rows). A
-      // stats-free table wraps nothing.
-      val base = if (aggPushed) base0 else tableStats() match {
+      // estimate with exact row count + per-column NDV. Never over a
+      // pushed aggregate (its output is not the table's rows), and
+      // never when manifest skipping pruned files — the snapshot-level
+      // numRows would then overstate what this scan actually serves,
+      // inconsistently with its pruned sizeInBytes. (Pushed DATA
+      // filters are fine: v2 file sources always keep the residual
+      // Filter node, and its estimation SCALES the reported count by
+      // predicate selectivity — which is what the stats are for.)
+      val base = if (aggPushed || prunedFiles) base0
+      else tableStats() match {
         case (None, ndv) if ndv.isEmpty => base0
         case (rows, ndv) => new GraftStatsScan(base0, rows, ndv)
       }

@@ -9,6 +9,26 @@ import org.apache.spark.sql.execution.datasources.{FilePartition, PartitionedFil
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
+/** THE bucket-layout placement arithmetic — the ONE definition every
+  * consumer shares: the writer's fanout expression
+  * (Layout.bucketPlacementExpr renders the same math as Catalyst
+  * codegen), driver-side point-lookup pruning (Layout.strBucketId),
+  * the catalog's V2 `bucket` function (GraftBucketFunction), and
+  * runtime group filtering (KeyedParquetScan). Three diverging copies
+  * of a placement hash is how a layout silently drops rows — so there
+  * are no copies. NULL string keys hash to the seed (42), exactly what
+  * SQL `xxhash64` evaluates to when its child is null, so the
+  * evaluable function and the codegen'd writer expression agree on
+  * every input. */
+object BucketPlacement {
+  def idOfLong(x: Long, n: Int): Int = (((x % n) + n) % n).toInt
+  def idOfString(s: UTF8String, n: Int): Int =
+    idOfLong(
+      if (s == null) 42L
+      else org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUTF8String(s, 42L), n)
+}
+
 /** A [[FilePartition]] whose files all share ONE partition-key tuple.
   * Subclassing (rather than a fresh InputPartition type) is the point:
   * Spark's own `FilePartitionReaderFactory.createReader` dispatches on
@@ -101,22 +121,19 @@ class KeyedParquetScan(inner: Scan,
     }
   }
 
-  /** Column-space value → bucket id under the graft placement (same
-    * arithmetic as Layout.strBucketId / the integral pmod — keyed here
-    * on the CATALYST literal type). None = an unplaceable literal
-    * (null, unexpected type): the predicate is then ignored, sound. */
-  private def bucketIdOf(raw: Any, n: Int): Option[Any] = {
-    val x: Option[Long] = raw match {
-      case s: UTF8String =>
-        Some(org.apache.spark.sql.catalyst.expressions.XXH64
-          .hashUTF8String(s, 42L))
-      case l: java.lang.Long    => Some(l.longValue())
-      case i: java.lang.Integer => Some(i.longValue())
-      case s: java.lang.Short   => Some(s.longValue())
-      case b: java.lang.Byte    => Some(b.longValue())
-      case _                    => None
-    }
-    x.map(v => (((v % n) + n) % n).toInt)
+  /** Column-space value → bucket id via [[BucketPlacement]], keyed on
+    * the CATALYST literal type. None = an unplaceable literal (null,
+    * unexpected type): the predicate is then ignored, sound. */
+  private def bucketIdOf(raw: Any, n: Int): Option[Any] = raw match {
+    case s: UTF8String        => Some(BucketPlacement.idOfString(s, n))
+    case l: java.lang.Long    => Some(BucketPlacement.idOfLong(l, n))
+    case i: java.lang.Integer =>
+      Some(BucketPlacement.idOfLong(i.longValue(), n))
+    case s: java.lang.Short   =>
+      Some(BucketPlacement.idOfLong(s.longValue(), n))
+    case b: java.lang.Byte    =>
+      Some(BucketPlacement.idOfLong(b.longValue(), n))
+    case _                    => None
   }
 
   override def filterAttributes()

@@ -271,6 +271,23 @@ class SpjSpec extends AnyFunSuite {
       } finally prev.fold(spark.conf.unset(bcOff))(
         spark.conf.set(bcOff, _))
     }
+    // the evaluable V2 function agrees with the writer on EVERY input,
+    // including NULL (xxhash64 of a null child = the seed; the bound
+    // function must not NPE — Spark may evaluate it to shuffle an
+    // unbucketed third side into this placement)
+    val bound = graft.sql.GraftBucketFunction.bind(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("n",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.StringType))))
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.functions
+        .ScalarFunction[Int]]
+    val nullRow = new org.apache.spark.sql.catalyst.expressions
+      .GenericInternalRow(Array[Any](8, null))
+    assert(bound.produceResult(nullRow) ==
+      org.apache.spark.sql.graft.BucketPlacement.idOfString(null, 8),
+      "V2 function must place NULL keys where the writer does")
     // string point lookup prunes through the SAME hash the writer
     // placed by: only bucket strBucketId('doc-42', 8)'s files survive
     val (kept, total) = ops.Layout.fileSelection(spark, dir,
