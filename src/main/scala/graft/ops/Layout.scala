@@ -1129,6 +1129,17 @@ object Layout {
       v: Int): Boolean =
     v > 0 && manifestFiles(fs, root, v).exists(l => entryEqs(l).nonEmpty)
 
+  /** Refuse a schema DDL touching a column that keys live equality
+    * deletes — the annotations mask by NAME, so a rename orphans them
+    * and a drop breaks every masked read. One definition, shared by
+    * both DDL verbs so the guard can't diverge. */
+  private def requireNoLiveEqKey(fs: FileSystem, root: Path, head: Int,
+      verb: String, hits: String => Boolean): Unit =
+    manifestFiles(fs, root, head).flatMap(entryEqs).map(_._2)
+      .distinct.foreach(c => require(!hits(c),
+        s"$verb: column '$c' keys live equality deletes — materialize " +
+          "them first (CALL system.compact(only_dv => true))"))
+
   /** (live dvs?, live eqs?) of `v` in ONE line pass — the SQL table
     * handle asks both on every scan, and two separate walks of a
     * million-line manifest are a million wasted line parses. */
@@ -2126,11 +2137,8 @@ object Layout {
         }
         // live equality deletes mask by NAME — a rename would orphan
         // every annotation's key and break masked reads (r19)
-        manifestFiles(fs, root, head).flatMap(entryEqs).map(_._2)
-          .distinct.foreach(c => require(!c.equalsIgnoreCase(from),
-            s"renameColumn: column '$c' keys live equality deletes — " +
-              "materialize them first (CALL system.compact(only_dv " +
-              "=> true))"))
+        requireNoLiveEqKey(fs, root, head, "renameColumn",
+          _.equalsIgnoreCase(from))
         constraintsOf(props).foreach { case (cname, sqlText) =>
           val renamed = types.StructType(prior.fields.map(f =>
             if (f.name.equalsIgnoreCase(from)) f.copy(name = to) else f))
@@ -2185,12 +2193,8 @@ object Layout {
         }
         // live equality deletes mask by NAME — dropping the key column
         // would break every masked read (r19)
-        manifestFiles(fs, root, head).flatMap(entryEqs).map(_._2)
-          .distinct.foreach(c =>
-            require(!names.exists(_.equalsIgnoreCase(c)),
-              s"dropColumns: column '$c' keys live equality deletes — " +
-                "materialize them first (CALL system.compact(only_dv " +
-                "=> true))"))
+        requireNoLiveEqKey(fs, root, head, "dropColumns",
+          c => names.exists(_.equalsIgnoreCase(c)))
         val remaining = prior.fields.filterNot(f =>
           names.exists(_.equalsIgnoreCase(f.name)))
         require(remaining.nonEmpty,
@@ -3539,13 +3543,16 @@ object Layout {
             "re-apply the DDL on main, then publish the data commits")
         // the branch's files were constraint-gated at branch-commit
         // time under the FORK's props; publishing ungated (below) is
-        // only sound if main's constraints haven't changed since
-        require(constraintsOf(propsOf(fs, root, head)) ==
-            constraintsOf(propsOf(fs, root, base)),
-          s"publishBranch($name): main changed CHECK constraints " +
-            s"since the fork (v$base → v$head) — the staged files " +
-            "were never proven against them; recreate the branch from " +
-            "the new head and re-stage")
+        // sound as long as main's LIVE constraints are a subset of
+        // what the staging was proven against — main DROPPING a
+        // constraint since the fork is a pure relaxation and must not
+        // force a re-stage; an added or changed one refuses
+        require(constraintsOf(propsOf(fs, root, head)).toSet
+            .subsetOf(constraintsOf(propsOf(fs, root, base)).toSet),
+          s"publishBranch($name): main added or changed CHECK " +
+            s"constraints since the fork (v$base → v$head) — the " +
+            "staged files were never proven against them; recreate " +
+            "the branch from the new head and re-stage")
         val mainLines = manifestFiles(fs, root, head)
         val clash = added.map(entryPath).toSet
           .intersect(mainLines.map(entryPath).toSet)
@@ -4051,6 +4058,15 @@ object Layout {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val v0 = currentVersion(fs, root)
     require(v0 > 0, s"upsertByKeys: no committed version in $table")
+    // same WAP discipline as every other mutating verb: under an
+    // active spark.graft.wap.branch the session's INSERTs route to the
+    // branch, so an upsert quietly landing on MAIN would be exactly
+    // the unaudited write WAP exists to prevent
+    val wap = spark.conf.get("spark.graft.wap.branch", "")
+    require(wap.isEmpty,
+      s"upsertByKeys on $table would mutate MAIN while " +
+        s"spark.graft.wap.branch='$wap' routes INSERTs to the branch " +
+        "— unset the conf first (WAP stages appends only)")
     require(morEnabled(propsOf(fs, root, v0)),
       s"upsertByKeys requires $RowLevelModeProp='mor' on $table — " +
         "equality deletes are a merge-on-read currency")

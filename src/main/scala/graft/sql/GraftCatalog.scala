@@ -945,7 +945,7 @@ object GraftBucketFunction
     val integral = Seq(LongType, IntegerType, ShortType, ByteType)
     require(integral.contains(keyType) || keyType == StringType,
       s"bucket key must be integral or string, got $keyType")
-    new ScalarFunction[Int] {
+    new ScalarFunction[Integer] {
       override def inputTypes(): Array[DataType] =
         Array(IntegerType, keyType)
       override def resultType(): DataType = IntegerType
@@ -958,9 +958,13 @@ object GraftBucketFunction
       override def canonicalName(): String =
         if (keyType == StringType) "graft.bucket.string"
         else "graft.bucket"
-      override def isResultNullable: Boolean = false
+      // the function must agree with the WRITER's placement expression
+      // on EVERY input, nulls included: pmod(cast long) is null on a
+      // null key (integral → result nullable), while pmod(xxhash64(s))
+      // hashes a null child to the seed (string → never null)
+      override def isResultNullable: Boolean = keyType != StringType
       override def produceResult(
-          input: org.apache.spark.sql.catalyst.InternalRow): Int = {
+          input: org.apache.spark.sql.catalyst.InternalRow): Integer = {
         val n = input.getInt(0)
         import org.apache.spark.sql.graft.BucketPlacement
         keyType match {
@@ -969,14 +973,24 @@ object GraftBucketFunction
             // function, runtime filtering); a NULL key hashes to the
             // seed, exactly as SQL xxhash64 evaluates a null child —
             // getUTF8String returns null there, never throw
-            BucketPlacement.idOfString(input.getUTF8String(1), n)
-          case LongType    => BucketPlacement.idOfLong(input.getLong(1), n)
+            Integer.valueOf(
+              BucketPlacement.idOfString(input.getUTF8String(1), n))
+          case _ if input.isNullAt(1) =>
+            // the writer's cast-to-long pmod is null here: a null
+            // integral key places NOWHERE (its file is never keyed) —
+            // reading it as 0 would co-locate nulls with bucket 0
+            null
+          case LongType =>
+            Integer.valueOf(BucketPlacement.idOfLong(input.getLong(1), n))
           case IntegerType =>
-            BucketPlacement.idOfLong(input.getInt(1).toLong, n)
-          case ShortType   =>
-            BucketPlacement.idOfLong(input.getShort(1).toLong, n)
-          case ByteType    =>
-            BucketPlacement.idOfLong(input.getByte(1).toLong, n)
+            Integer.valueOf(
+              BucketPlacement.idOfLong(input.getInt(1).toLong, n))
+          case ShortType =>
+            Integer.valueOf(
+              BucketPlacement.idOfLong(input.getShort(1).toLong, n))
+          case ByteType =>
+            Integer.valueOf(
+              BucketPlacement.idOfLong(input.getByte(1).toLong, n))
         }
       }
     }

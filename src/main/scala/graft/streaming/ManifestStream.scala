@@ -121,12 +121,11 @@ class ManifestStreamProvider extends StreamSourceProvider
     // so partial translation is purely an optimization. The common
     // (no-dv) case keeps the vectorized file relation untouched.
     val rootP = new org.apache.hadoop.fs.Path(table)
-    val v = version.getOrElse(Layout.currentVersion(
-      rootP.getFileSystem(spark.sparkContext.hadoopConfiguration), rootP))
-    if (Layout.versionHasDvs(rootP.getFileSystem(
-          spark.sparkContext.hadoopConfiguration), rootP, v) ||
-        Layout.versionHasEqs(rootP.getFileSystem(
-          spark.sparkContext.hadoopConfiguration), rootP, v)) {
+    val rootFs =
+      rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v = version.getOrElse(Layout.currentVersion(rootFs, rootP))
+    val (hasDv, hasEq) = Layout.versionMasks(rootFs, rootP, v)
+    if (hasDv || hasEq) {
       val df = Layout.readSnapshot(spark, table, Some(v))
       new BaseRelation
           with org.apache.spark.sql.sources.PrunedFilteredScan {

@@ -176,12 +176,37 @@ class BranchWapSpec extends AnyFunSuite {
     // main advances → the publish takes the cherry-pick path too
     spark.sql(s"INSERT INTO $t SELECT id, 1.0 FROM range(200, 210)")
     val sc = spark.sparkContext
-    sc.setJobGroup("wap-publish-gate", "publish must schedule no jobs")
-    try spark.sql(s"CALL $c.system.publish_branch('default.wap_gate', 'g')")
-    finally sc.clearJobGroup()
-    val jobs = sc.statusTracker.getJobIdsForGroup("wap-publish-gate")
-    assert(jobs.isEmpty,
-      s"publish scheduled ${jobs.length} job(s) — it re-read the batch")
+    import java.util.concurrent.atomic.AtomicInteger
+    val published = new AtomicInteger
+    val drained = new AtomicInteger
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val g = Option(js.properties)
+          .map(_.getProperty("spark.jobGroup.id")).orNull
+        if (g == "wap-publish-gate") published.incrementAndGet()
+        if (g == "wap-publish-drain") drained.incrementAndGet()
+      }
+    }
+    sc.addSparkListener(l)
+    try {
+      sc.setJobGroup("wap-publish-gate", "publish must schedule no jobs")
+      try spark.sql(
+        s"CALL $c.system.publish_branch('default.wap_gate', 'g')")
+      finally sc.clearJobGroup()
+      // the listener bus delivers in order: once the DRAIN job's event
+      // is visible, any job the publish scheduled would be too — no
+      // sleep-based race (the statusTracker is fed asynchronously)
+      sc.setJobGroup("wap-publish-drain", "bus drain marker")
+      try sc.parallelize(1 to 1, 1).count()
+      finally sc.clearJobGroup()
+      val deadline = System.nanoTime + 10L * 1000 * 1000 * 1000
+      while (drained.get == 0 && System.nanoTime < deadline)
+        Thread.sleep(20)
+      assert(drained.get > 0, "listener bus never delivered the drain")
+      assert(published.get == 0,
+        s"publish scheduled ${published.get} job(s) — it re-read the batch")
+    } finally sc.removeSparkListener(l)
     assert(count(t) == 160)
     spark.sql(s"CALL $c.system.drop_branch('default.wap_gate', 'g')")
     // cherry-pick still refuses when main CHANGED constraints since
@@ -197,6 +222,17 @@ class BranchWapSpec extends AnyFunSuite {
     }
     assert(eC.getMessage.contains("CHECK constraints"), eC.getMessage)
     spark.sql(s"CALL $c.system.drop_branch('default.wap_gate', 'g2')")
+    // …but main DROPPING a constraint since the fork is a pure
+    // relaxation: the staging was proven against a strictly stronger
+    // set, so the publish must NOT force a re-stage
+    spark.sql(s"CALL $c.system.create_branch('default.wap_gate', 'g3')")
+    withWap("g3") {
+      spark.sql(s"INSERT INTO $t SELECT id, 4.0 FROM range(400, 410)")
+    }
+    spark.sql(s"ALTER TABLE $t UNSET TBLPROPERTIES ('graft.constraint.cap')")
+    spark.sql(s"CALL $c.system.publish_branch('default.wap_gate', 'g3')")
+    assert(count(s"$t WHERE k >= 400") == 10)
+    spark.sql(s"CALL $c.system.drop_branch('default.wap_gate', 'g3')")
   }
 
   test("expireSnapshots never reclaims unpublished branch data") {
@@ -236,6 +272,14 @@ class BranchWapSpec extends AnyFunSuite {
       spark.sql(s"UPDATE $t SET v = 0.0 WHERE k = 1")
     }}
     assert(eUpd.getMessage.contains("would mutate MAIN"), eUpd.getMessage)
+    // equality upserts are main-chain mutations too (r19): under WAP
+    // they must refuse like every other row-level verb
+    val eUp = intercept[Exception] { withWap("g") {
+      ops.Layout.upsertByKeys(spark, dir,
+        spark.range(5).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v"),
+        "k")
+    }}
+    assert(eUp.getMessage.contains("would mutate MAIN"), eUp.getMessage)
     val e2 = intercept[Exception] {
       spark.sql(s"INSERT INTO $t VERSION AS OF 'g' SELECT 1L, 1.0")
     }

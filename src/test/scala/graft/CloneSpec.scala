@@ -92,13 +92,37 @@ class CloneSpec extends AnyFunSuite {
       .stripMargin)
     spark.sql(s"INSERT INTO $src SELECT id, id * 1.0 FROM range(500)")
     val sc = spark.sparkContext
-    sc.setJobGroup("clone-gate-check", "clone must schedule no jobs")
-    try spark.sql(
-      s"CALL $c.system.clone('default.cl_gated_src', 'default.cl_gated_dst')")
-    finally sc.clearJobGroup()
-    val jobs = sc.statusTracker.getJobIdsForGroup("clone-gate-check")
-    assert(jobs.isEmpty,
-      s"clone scheduled ${jobs.length} job(s) — it re-read the source")
+    import java.util.concurrent.atomic.AtomicInteger
+    val cloned = new AtomicInteger
+    val drained = new AtomicInteger
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val g = Option(js.properties)
+          .map(_.getProperty("spark.jobGroup.id")).orNull
+        if (g == "clone-gate-check") cloned.incrementAndGet()
+        if (g == "clone-gate-drain") drained.incrementAndGet()
+      }
+    }
+    sc.addSparkListener(l)
+    try {
+      sc.setJobGroup("clone-gate-check", "clone must schedule no jobs")
+      try spark.sql(s"CALL $c.system.clone('default.cl_gated_src', " +
+        "'default.cl_gated_dst')")
+      finally sc.clearJobGroup()
+      // ordered listener bus: once the drain job's event arrives, any
+      // job the clone scheduled would have too (the statusTracker read
+      // alone races the async bus)
+      sc.setJobGroup("clone-gate-drain", "bus drain marker")
+      try sc.parallelize(1 to 1, 1).count()
+      finally sc.clearJobGroup()
+      val deadline = System.nanoTime + 10L * 1000 * 1000 * 1000
+      while (drained.get == 0 && System.nanoTime < deadline)
+        Thread.sleep(20)
+      assert(drained.get > 0, "listener bus never delivered the drain")
+      assert(cloned.get == 0,
+        s"clone scheduled ${cloned.get} job(s) — it re-read the source")
+    } finally sc.removeSparkListener(l)
     // the clone still carries the constraint and enforces it on ITS
     // own future writes
     assert(count(dst) == 500)

@@ -282,7 +282,7 @@ class SpjSpec extends AnyFunSuite {
         org.apache.spark.sql.types.StructField("k",
           org.apache.spark.sql.types.StringType))))
       .asInstanceOf[org.apache.spark.sql.connector.catalog.functions
-        .ScalarFunction[Int]]
+        .ScalarFunction[Integer]]
     val nullRow = new org.apache.spark.sql.catalyst.expressions
       .GenericInternalRow(Array[Any](8, null))
     assert(bound.produceResult(nullRow) ==
