@@ -80,6 +80,30 @@ class LedgerSpec extends AnyFunSuite {
       s"README failed-key count stale: artifact has ${failedKeys.length}")
   }
 
+  test("README bench paragraph quotes BENCH_full_latest.json (it rotted r18→r19)") {
+    val art = new String(
+      java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("BENCH_full_latest.json")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val total = """"value":(\d+(?:\.\d+)?)""".r
+      .findFirstMatchIn(art).get.group(1).toDouble
+    val failed = """"failed":(\d+)""".r
+      .findFirstMatchIn(art).get.group(1).toInt
+    val nKeys = """"(q_\w+)":\d""".r.findAllMatchIn(art)
+      .map(_.group(1)).toSet.size
+    val readme = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get("README.md")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    // the bench sentence must quote EXACTLY the artifact's headline —
+    // total (1 dp), key count, failure count, and the derived s/key
+    assert(readme.contains(
+      f"$total%.1f s over $nKeys keys, $failed failed"),
+      f"README bench paragraph stale: artifact says $total%.1f s over " +
+        f"$nKeys keys, $failed failed")
+    assert(readme.contains(f"(${total / nKeys}%.2f s/key"),
+      f"README s/key figure stale: artifact derives ${total / nKeys}%.2f")
+  }
+
   test("README front-page counts match the code (they rotted for 3 rounds)") {
     val readme = new String(
       java.nio.file.Files.readAllBytes(java.nio.file.Paths.get("README.md")),
