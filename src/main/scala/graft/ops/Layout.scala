@@ -363,9 +363,15 @@ object Layout {
     * [[dropTable]], which does) — every fixture in this repo does. */
   // bounded by CHARACTERS, not entry count: one manifest can list
   // millions of lines, and 64 of those LRU'd by count alone would pin
-  // gigabytes of driver heap — ~32M chars ≈ tens of MB with String
-  // overhead, still holding hundreds of ordinary manifests
-  private val ManifestCacheMaxChars = 32L << 20
+  // gigabytes of driver heap. 128M chars ≈ a few hundred MB with
+  // String overhead — sized so a large table's WORKING SET fits: the
+  // delta-chain floor (full checkpoint), the chain's physical deltas,
+  // and two head reconstructions (~11M chars each at 200k files). The
+  // r20 steady-state commit loop reads the previous head's cached
+  // reconstruction and applies one delta; evicting it made every
+  // commit re-parse the whole chain from disk (measured 10x on the
+  // ManifestScaleProbe).
+  private val ManifestCacheMaxChars = 128L << 20
   private var manifestCacheChars = 0L
   private val manifestCache =
     new java.util.LinkedHashMap[String, Seq[String]](64, 0.75f,
@@ -373,21 +379,98 @@ object Layout {
   private def charsOf(lines: Seq[String]): Long =
     lines.iterator.map(_.length.toLong).sum
 
-  private def rawManifestLines(fs: FileSystem, table: Path, v: Int,
-      chain: String = ""): Seq[String] = {
+  // ---------------------------------------------------------------------
+  // Delta + checkpoint manifest format (r20) — breaking the
+  // O(total-files)-per-commit wall the r19 verdict named. A manifest
+  // file now comes in two physical forms behind ONE logical API
+  // ([[rawManifestLines]] always returns the FULL equivalent content):
+  //
+  //   FULL  — the pre-r20 format verbatim: headers + complete line list.
+  //   DELTA — first line `#delta\t<base>\t<depth>` (base = v-1, the CAS
+  //           head this commit rebased onto; depth = base's depth + 1),
+  //           then the same full headers every commit carries (schema /
+  //           props / txns are small and carrying them whole keeps
+  //           propsOf/schemaOf/txnsOf single-file reads), then
+  //           `#rm\t<full line>` records for lines the commit drops and
+  //           plain lines for the ones it adds. Reconstruction =
+  //           base's lines minus removals, plus additions appended —
+  //           order within one version is deterministic, and the
+  //           protocol's line arithmetic is set-based (paths unique).
+  //
+  // [[casCommit]] writes a DELTA when the change is genuinely
+  // incremental (adds+removes < half the full list — a one-row
+  // streaming append to an 800k-file table writes ~200 B instead of
+  // ~160 MB) and the head's delta chain is shorter than
+  // `graft.manifest.checkpoint.interval` (Hadoop conf, default 20);
+  // otherwise it writes FULL — the checkpoint, costing what every
+  // pre-r20 commit cost. Cold-read cost is thus bounded by one full
+  // manifest plus at most interval-1 small deltas, and reconstructions
+  // are cached like any manifest. Delta bases are always the SAME
+  // chain's v-1 and main-chain versions expire only as a prefix, so
+  // the one dependency a sweep can sever is the oldest retained
+  // version's — [[expireSnapshots]] materializes that version as a
+  // `v<N>.ckpt` sidecar (its full reconstruction, byte-deterministic)
+  // BEFORE deleting, and reconstruction prefers the sidecar. This is
+  // the Delta-Lake-shaped tiering (JSON actions + periodic parquet
+  // checkpoint) re-expressed in the engine's line grammar; Iceberg
+  // solves the same wall with a manifest-list tree. Cited as design
+  // prior art, not code.
+  // ---------------------------------------------------------------------
+
+  private val DeltaHeader = "#delta\t"
+  private val RmHeader    = "#rm\t"
+  val CheckpointIntervalConf = "graft.manifest.checkpoint.interval"
+
+  /** Physical-form probe: delta-chain depth of `v` (0 = FULL). Reads
+    * at most the FIRST line (the `#delta` marker leads a delta file),
+    * cached by file identity. */
+  private val manifestDepthCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+  private def depthOf(fs: FileSystem, table: Path, v: Int,
+      chain: String = ""): Int = {
     val mf = new Path(table, s"manifests/${chain}v$v.manifest")
-    val st = fs.getFileStatus(mf) // FileNotFound here = expired/missing
+    val st = fs.getFileStatus(mf)
     val key = s"${fs.makeQualified(mf)}#${st.getModificationTime}" +
+      s"#${st.getLen}"
+    val hit = manifestDepthCache.get(key)
+    if (hit != null) return hit.intValue
+    val in = fs.open(mf)
+    val d =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .take(1).toList.headOption match {
+          case Some(l) if l.startsWith(DeltaHeader) =>
+            l.substring(DeltaHeader.length).split('\t')(1).toInt
+          case _ => 0
+        }
+      finally in.close()
+    // identity-keyed entries are tiny; a rare flush beats an unbounded map
+    if (manifestDepthCache.size > 10000) manifestDepthCache.clear()
+    manifestDepthCache.put(key, d)
+    d
+  }
+
+  private def ckptPath(table: Path, v: Int, chain: String): Path =
+    new Path(table, s"manifests/${chain}v$v.ckpt")
+
+  /** One physical small-file read, cached by (path, mtime, length). */
+  private def readCachedFile(fs: FileSystem, f: Path): Seq[String] = {
+    val st = fs.getFileStatus(f) // FileNotFound here = expired/missing
+    val key = s"${fs.makeQualified(f)}#${st.getModificationTime}" +
       s"#${st.getLen}"
     manifestCache.synchronized {
       val hit = manifestCache.get(key)
       if (hit != null) return hit
     }
-    val in = fs.open(mf)
+    val in = fs.open(f)
     val lines =
       try scala.io.Source.fromInputStream(in, "UTF-8")
         .getLines().filter(_.nonEmpty).toList
       finally in.close()
+    cachePut(key, lines)
+    lines
+  }
+
+  private def cachePut(key: String, lines: Seq[String]): Unit =
     manifestCache.synchronized {
       if (!manifestCache.containsKey(key)) {
         manifestCacheChars += charsOf(lines)
@@ -404,7 +487,88 @@ object Layout {
         }
       }
     }
-    lines
+
+  /** The FULL logical content of `v`'s manifest — headers + complete
+    * line list — whatever the physical form on disk. Delta files
+    * reconstruct against their base (recursively; bounded by the
+    * checkpoint interval), preferring a `v<N>.ckpt` sidecar when
+    * [[expireSnapshots]] left one. Reconstructions are cached under the
+    * delta FILE's identity: committed manifests are immutable, so the
+    * reconstruction is as immutable as the file (drop-and-recreate goes
+    * through [[invalidateManifestCache]] as ever). */
+  private def fullKeyOf(fs: FileSystem, mf: Path): String = {
+    val st = fs.getFileStatus(mf) // FileNotFound here = expired/missing
+    s"${fs.makeQualified(mf)}#${st.getModificationTime}" +
+      s"#${st.getLen}#full"
+  }
+
+  private def rawManifestLines(fs: FileSystem, table: Path, v: Int,
+      chain: String = ""): Seq[String] = {
+    def mfOf(w: Int) = new Path(table, s"manifests/${chain}v$w.manifest")
+    val key = fullKeyOf(fs, mfOf(v))
+    manifestCache.synchronized {
+      val hit = manifestCache.get(key)
+      if (hit != null) return hit
+    }
+    // Walk DOWN the delta chain collecting physical deltas until a
+    // resolvable floor: a FULL file, a `.ckpt` sidecar, or a version
+    // whose reconstruction is already cached. Then fold the deltas
+    // oldest-first in ONE ordered-set pass — O(floor + Σ delta sizes),
+    // never O(depth × floor), and only the REQUESTED version's
+    // reconstruction enters the cache (caching every intermediate of a
+    // deep chain evicted itself wholesale at large file counts).
+    var pending = List.empty[Seq[String]] // deltas, oldest first
+    var cur = v
+    var floor: Seq[String] = null
+    while (floor == null) {
+      val phys = readCachedFile(fs, mfOf(cur))
+      phys.headOption match {
+        case Some(first) if first.startsWith(DeltaHeader) =>
+          val ck = ckptPath(table, cur, chain)
+          if (fs.exists(ck)) floor = readCachedFile(fs, ck)
+          else {
+            pending ::= phys
+            cur = first.substring(DeltaHeader.length).split('\t')(0).toInt
+            manifestCache.synchronized {
+              val hit = manifestCache.get(fullKeyOf(fs, mfOf(cur)))
+              if (hit != null) floor = hit
+            }
+          }
+        case _ => floor = phys // FULL form
+      }
+    }
+    if (pending.isEmpty) return floor // v itself was the floor
+    val headers = pending.last.filter(l => isHeader(l) &&
+      !l.startsWith(DeltaHeader) && !l.startsWith(RmHeader))
+    val full =
+      if (!pending.exists(_.exists(_.startsWith(RmHeader)))) {
+        // removal-free chain (pure appends — the streaming shape):
+        // plain concatenation, no hashing of the whole line set
+        headers ++ (floor.filterNot(isHeader) ++
+          pending.flatMap(_.filterNot(isHeader)))
+      } else {
+        val set = new java.util.LinkedHashSet[String]()
+        floor.foreach(l => if (!isHeader(l)) set.add(l))
+        pending.foreach(_.foreach { l =>
+          if (l.startsWith(RmHeader))
+            set.remove(l.substring(RmHeader.length))
+          else if (!isHeader(l)) set.add(l)
+        })
+        headers ++ scala.jdk.CollectionConverters
+          .CollectionHasAsScala(set).asScala.toList
+      }
+    cachePut(key, full)
+    full
+  }
+
+  /** Reconstructed manifest LINES of `v` (headers stripped) — the spec
+    * surface for asserting exactly what a version lists, physical form
+    * notwithstanding. */
+  private[graft] def manifestLinesOf(spark: SparkSession, table: String,
+      v: Int, chain: String = ""): Seq[String] = {
+    val root = new Path(table)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    manifestFiles(fs, root, v, chain)
   }
 
   /** Drop every cached manifest of `table` — REQUIRED before reusing a
@@ -424,6 +588,8 @@ object Layout {
         }
       }
     }
+    val dit = manifestDepthCache.keySet().iterator()
+    while (dit.hasNext) if (dit.next().startsWith(prefix)) dit.remove()
   }
 
   /** Delete a manifest table AND its cache entries — the
@@ -1738,10 +1904,62 @@ object Layout {
             props.toSeq.sorted.map { case (k, v2) =>
               s"$PropHeader${enc(k)}\t${enc(v2)}" } ++
             txns.toSeq.sorted.map { case (app, b) => s"$TxnHeader$app\t$b" })
+        // Physical form (see the delta/checkpoint comment above): a
+        // DELTA when the change is incremental and the head's chain has
+        // checkpoint budget left, else FULL (the checkpoint). Delta
+        // arithmetic is set-based, so it only applies while the line
+        // lists are duplicate-free (they always are — paths are
+        // UUID-unique — but a malformed verb must degrade to FULL, not
+        // corrupt reconstruction).
+        val headLines =
+          if (head == 0) Seq.empty[String]
+          else manifestFiles(fs, root, head, chain)
+        // read through the ACTIVE session's Hadoop conf: the cached
+        // FileSystem instance may carry a Configuration snapshot from
+        // whoever touched the scheme first in this JVM
+        val interval = SparkSession.getActiveSession
+          .map(_.sparkContext.hadoopConfiguration).getOrElse(fs.getConf)
+          .getInt(CheckpointIntervalConf, 20)
+        // Diff fast path: append verbs pass the head's OWN cached line
+        // objects through (`manifestFiles(head) ++ entries`), so a
+        // pointer-compare prefix walk recognizes a pure append in O(n)
+        // `eq` checks with no hash-set builds — the difference between
+        // ~30 ms and ~150 ms per streaming commit at 200k files.
+        val isPureAppend = head > 0 && all.size >= headLines.size && {
+          val ai = all.iterator; val hi = headLines.iterator
+          var ok = true
+          while (ok && hi.hasNext)
+            ok = ai.next().asInstanceOf[AnyRef] eq
+              hi.next().asInstanceOf[AnyRef]
+          ok
+        }
+        val (removedL, addedL, uniq) =
+          if (isPureAppend) {
+            val adds = all.drop(headLines.size)
+            (Seq.empty[String], adds, adds.toSet.size == adds.size)
+          } else {
+            val headSet = headLines.toSet
+            val allSet = all.toSet
+            (headLines.filterNot(allSet), all.filterNot(headSet),
+              headLines.size == headSet.size && all.size == allSet.size)
+          }
+        // delta iff strictly fewer lines than the full form would
+        // write: an append always qualifies; an annotate-every-line
+        // upsert (removed ≈ added ≈ all) or a whole-table rewrite
+        // degrades to FULL — ties go to the checkpoint
+        val asDelta = interval > 1 && head > 0 && uniq &&
+          depthOf(fs, root, head, chain) < interval - 1 &&
+          removedL.size + addedL.size < all.size
+        val body =
+          if (asDelta)
+            (s"$DeltaHeader$head\t" +
+              s"${depthOf(fs, root, head, chain) + 1}") +:
+              (header ++ removedL.map(RmHeader + _) ++ addedL)
+          else header ++ all
         val tmp = new Path(mdir,
           s".${chain}v${head + 1}.tmp-" + attemptId)
         val out = fs.create(tmp, /* overwrite = */ false)
-        try out.write((header ++ all).mkString("\n").getBytes(
+        try out.write(body.mkString("\n").getBytes(
           java.nio.charset.StandardCharsets.UTF_8))
         finally out.close()
         val dst = new Path(mdir, s"${chain}v${head + 1}.manifest")
@@ -1952,6 +2170,23 @@ object Layout {
         if (props.nonEmpty) validateClusterProps(merged, None)
         merged
       })
+  }
+
+  /** Dev-measurement hook ([[graft.ManifestScaleProbe]] and specs):
+    * append pre-formed manifest LINES through the real commit protocol
+    * — exactly [[commitSnapshot]]'s CAS minus the data staging, so the
+    * metadata plane's per-commit cost can be measured in isolation at
+    * manifest sizes (100k+ lines) that staging real parquet files
+    * would make impractically slow to set up. Not user surface: the
+    * lines' paths are never checked to exist. */
+  private[graft] def appendEntriesUnchecked(spark: SparkSession,
+      table: String, lines: Seq[String]): Int = {
+    val root = new Path(table)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    casCommit(fs, root, "appendEntriesUnchecked", head =>
+      (if (head == 0) Seq.empty else manifestFiles(fs, root, head)) ++
+        lines,
+      head => if (head == 0) None else schemaOf(fs, root, head))
   }
 
   /** Props-only commit — `ALTER TABLE ... SET/UNSET TBLPROPERTIES`:
@@ -3514,13 +3749,20 @@ object Layout {
     // branch commit landing after these reads publishes next time), so
     // the append-only evidence is computed once, not per attempt
     val branchLines = manifestFiles(fs, root, bHead, chain)
-    val branchSet = branchLines.toSet
     val baseLines = manifestFiles(fs, root, base, chain)
     val added = branchLines.filterNot(baseLines.toSet)
     val appendVerbs = ((base + 1) to bHead).forall(v =>
       opNameOf(fs, root, v, chain).exists(_.startsWith("appendBranch(")))
-    val pureAppend = appendVerbs &&
-      baseLines.forall(branchSet) && // nothing removed or rewritten
+    // line evidence is PER CONSECUTIVE VERSION (r20): fork-vs-head
+    // subset alone stopped seeing a mid-history retraction of a
+    // branch-ADDED line once commits went delta-form — every version's
+    // set must contain its predecessor's whole set, which also catches
+    // any line REWRITE (dv/eq annotations change the line)
+    val appendLines = ((base + 1) to bHead).forall { v =>
+      manifestFiles(fs, root, v - 1, chain).toSet
+        .subsetOf(manifestFiles(fs, root, v, chain).toSet)
+    }
+    val pureAppend = appendVerbs && appendLines &&
       added.forall(l => entryDvs(l).isEmpty)
     val branchDdl =
       propsOf(fs, root, bHead, chain) != propsOf(fs, root, base, chain)
@@ -4594,8 +4836,36 @@ object Layout {
       .flatMap(v => manifestFiles(fs, root, v)) ++ branchRetained)
       .flatMap(l =>
         (entryPath(l) +: entryDvs(l)) ++ entryEqs(l).map(_._1)).toSet
-    expired.foreach(v =>
-      fs.delete(new Path(root, s"manifests/v$v.manifest"), false))
+    // Delta-dependency cut (r20): the oldest RETAINED version is the
+    // only one whose delta base can fall below the cutoff (bases are
+    // always same-chain v-1 and retained main versions are contiguous
+    // up to head), so if it is a delta, materialize its full
+    // reconstruction as a `.ckpt` sidecar BEFORE the bases go away.
+    // Content is deterministic (same chain → same bytes), so a racing
+    // sweep converges; publish-if-absent keeps it one writer anyway.
+    if (expired.nonEmpty) {
+      (math.max(1, cutoff) to head)
+        .find(v => fs.exists(new Path(root, s"manifests/v$v.manifest")))
+        .foreach { v0 =>
+          val ck = ckptPath(root, v0, "")
+          if (depthOf(fs, root, v0) > 0 && !fs.exists(ck)) {
+            val full = rawManifestLines(fs, root, v0)
+            val tmp = new Path(root, s"manifests/.v$v0.ckpt-tmp-" +
+              java.util.UUID.randomUUID().toString)
+            val out = fs.create(tmp, /* overwrite = */ false)
+            try out.write(full.mkString("\n").getBytes(
+              java.nio.charset.StandardCharsets.UTF_8))
+            finally out.close()
+            publishNoReplace(fs, tmp, ck)
+          }
+        }
+    }
+    expired.foreach { v =>
+      fs.delete(new Path(root, s"manifests/v$v.manifest"), false)
+      // a sidecar for an expired version (it was the oldest retained
+      // once) is dead weight now
+      fs.delete(ckptPath(root, v, ""), false)
+    }
     // Re-check the head before the DESTRUCTIVE half: retainedFiles was
     // computed against the head read above, and a concurrent rollbackTo
     // could re-commit an expired version's file list as a NEW head after

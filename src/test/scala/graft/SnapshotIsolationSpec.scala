@@ -51,7 +51,8 @@ class SnapshotIsolationSpec extends AnyFunSuite {
 
     // the CAS commit leaves no temp manifests behind
     val stray = fs.listStatus(new Path(root, "manifests"))
-      .map(_.getPath.getName).filterNot(_.matches("""v\d+\.manifest"""))
+      .map(_.getPath.getName)
+      .filterNot(_.matches("""v\d+\.(manifest|ckpt)"""))
     assert(stray.isEmpty, s"stray manifest files: ${stray.mkString(",")}")
 
     // rollback re-commits v1's list as v3: head answers like v1, and the
@@ -454,17 +455,13 @@ class SnapshotIsolationSpec extends AnyFunSuite {
     }
   }
 
-  /** Raw manifest LINES (minus headers) — the commit-protocol currency,
-    * including @size and stats suffixes. */
+  /** Manifest LINES (minus headers) — the commit-protocol currency,
+    * including @size and stats suffixes. Routed through the engine's
+    * reconstruction so the assertion holds whatever physical form (FULL
+    * or r20 DELTA) the version committed as. */
   private def manifestLines(fs: org.apache.hadoop.fs.FileSystem,
-      root: Path, v: Int): Seq[String] = {
-    val in = fs.open(new Path(root, s"manifests/v$v.manifest"))
-    try scala.io.Source.fromInputStream(in, "UTF-8")
-      .getLines().filter(_.nonEmpty)
-      .filterNot(_.startsWith("#")) // skip the header lines
-      .toList
-    finally in.close()
-  }
+      root: Path, v: Int): Seq[String] =
+    ops.Layout.manifestLinesOf(spark, root.toString, v)
 
   /** The lines' bare file paths (suffixes stripped). */
   private def manifestPaths(fs: org.apache.hadoop.fs.FileSystem,
