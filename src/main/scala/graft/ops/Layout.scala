@@ -1263,27 +1263,34 @@ object Layout {
   private val EqCol = "@eq"
   private val EqPfx = "E:"
 
-  /** `line` with an equality-delete group appended. */
+  /** `line` with an equality-delete group appended. `keyCols` (r20:
+    * one or MORE — composite CDC keys like (tenant_id, id) are the
+    * multi-tenant shape) ride the annotation comma-joined after
+    * per-name URL-encoding (',' encodes to %2C, so the join is
+    * unambiguous); a single column writes byte-identically to the r19
+    * form. */
   private def withEqGroup(line: String, sidecarRel: String,
-      keyCol: String): String =
+      keyCols: Seq[String]): String =
     line + "\t" + EqCol + "\t" + EqPfx +
       java.net.URLEncoder.encode(sidecarRel, "UTF-8") + ";" +
-      java.net.URLEncoder.encode(keyCol, "UTF-8") + "\t" + EqPfx
+      keyCols.map(java.net.URLEncoder.encode(_, "UTF-8"))
+        .mkString(",") + "\t" + EqPfx
 
   /** All equality-delete groups on `line`: (sidecar rel path, key
-    * column), possibly several — one per upsert since compaction. */
-  private[graft] def entryEqs(line: String): Seq[(String, String)] = {
+    * columns), possibly several — one per upsert since compaction. */
+  private[graft] def entryEqs(line: String): Seq[(String, Seq[String])] = {
     val f = line.split('\t')
     var i = 1
     if (i < f.length && isSizeToken(f(i))) i += 1
-    val b = Seq.newBuilder[(String, String)]
+    val b = Seq.newBuilder[(String, Seq[String])]
     while (i + 3 <= f.length) {
       if (f(i) == EqCol && f(i + 1).startsWith(EqPfx)) {
         val body = f(i + 1).substring(EqPfx.length)
         val sep = body.indexOf(';')
         if (sep > 0) b += ((
           java.net.URLDecoder.decode(body.take(sep), "UTF-8"),
-          java.net.URLDecoder.decode(body.substring(sep + 1), "UTF-8")))
+          body.substring(sep + 1).split(',').toSeq
+            .map(java.net.URLDecoder.decode(_, "UTF-8"))))
       }
       i += 3
     }
@@ -1301,7 +1308,7 @@ object Layout {
     * both DDL verbs so the guard can't diverge. */
   private def requireNoLiveEqKey(fs: FileSystem, root: Path, head: Int,
       verb: String, hits: String => Boolean): Unit =
-    manifestFiles(fs, root, head).flatMap(entryEqs).map(_._2)
+    manifestFiles(fs, root, head).flatMap(entryEqs).flatMap(_._2)
       .distinct.foreach(c => require(!hits(c),
         s"$verb: column '$c' keys live equality deletes — materialize " +
           "them first (CALL system.compact(only_dv => true))"))
@@ -1327,7 +1334,7 @@ object Layout {
     * path (annotated lines only) — the streaming source's retraction
     * detector. */
   private[graft] def versionEqMap(fs: FileSystem, root: Path,
-      v: Int): Map[String, Seq[(String, String)]] =
+      v: Int): Map[String, Seq[(String, Seq[String])]] =
     if (v <= 0) Map.empty
     else manifestFiles(fs, root, v).iterator
       .map(l => entryPath(l) -> entryEqs(l))
@@ -3166,16 +3173,19 @@ object Layout {
     // maintenance cadence (compact/only_dv resets it to zero), the
     // same bargain every MOR design strikes.
     val eqGroups = lines.groupBy(l => entryEqs(l).toSet).toSeq
-      .sortBy(_._1.toSeq.sorted.mkString("|"))
+      .sortBy(_._1.toSeq
+        .map { case (rel, cols) => rel + ";" + cols.mkString(",") }
+        .sorted.mkString("|"))
     val parts = eqGroups.map { case (eqSet, ls) =>
       val base = dvApplied(ls)
       if (eqSet.isEmpty) base
       else {
-        val keyCols = eqSet.map(_._2)
-        require(keyCols.size == 1,
+        val keyLists = eqSet.map(_._2)
+        require(keyLists.size == 1,
           s"equality deletes with mixed key columns on one file: " +
-            s"${keyCols.mkString(", ")} — compact before changing keys")
-        val c = keyCols.head
+            s"${keyLists.map(_.mkString("+")).mkString(", ")} — compact " +
+            "before changing keys")
+        val cols = keyLists.head
         // no .distinct(): an anti-join is idempotent in its build keys,
         // and this plan is INJECTED into an already-running optimizer
         // by MorPerFileDispatch — a Deduplicate node here would arrive
@@ -3183,8 +3193,8 @@ object Layout {
         // planning (the sidecars are distinct-at-write anyway)
         val keys = spark.read.parquet(
             eqSet.map(e => new Path(root, e._1).toString).toSeq: _*)
-          .select(col(c))
-        base.join(keys, Seq(c), "left_anti")
+          .select(cols.map(col): _*)
+        base.join(keys, cols, "left_anti")
       }
     }
     parts.reduce(_ unionByName _)
@@ -4286,20 +4296,42 @@ object Layout {
     * batch (CDC deletes). [[compactSnapshot]] /
     * `CALL system.compact(only_dv => true)` materialize the masks.
     *
-    * One integral-or-string key column (the CDC shape); NULL keys in
-    * `batch` never match (SQL join semantics) and are filtered from
-    * the sidecar. Requires `graft.rowlevel.mode='mor'`. All live eq
-    * annotations on a table must share one key column — changing keys
-    * mid-stream refuses until a compaction. Write cost ∝ the batch,
-    * plus O(files) manifest-line annotation — zero data-file reads or
+    * One OR MORE integral-or-string key columns (r20: composite CDC
+    * keys — (tenant_id, id), (source, doc_id) — are the multi-tenant
+    * shape; a row dies only when EVERY key column matches a sidecar
+    * row, plain multi-column anti-join semantics). Rows with a NULL in
+    * ANY key column never match (SQL join semantics) and are filtered
+    * from the sidecar. Requires `graft.rowlevel.mode='mor'`. All live
+    * eq annotations on a table must share one key-column list —
+    * changing keys mid-stream refuses until a compaction.
+    *
+    * Annotation is STATS-PRUNED (r20): a head line whose recorded
+    * per-file bounds on any key column PROVE the batch's whole key
+    * range absent skips the `@eq` pointer — masked-read cost then
+    * tracks delete LOCALITY instead of table size on a key-clustered
+    * table. One-sided as ever: no stats, stats on other columns, or
+    * any overlap → the line annotates (stats are an optimization,
+    * never a correctness input). Write cost ∝ the batch, plus
+    * O(files) manifest-line annotation — zero data-file reads or
     * rewrites, the property that makes it a streaming sink.
     * Returns (newVersion, linesAnnotated, dataFilesAppended). */
   def upsertByKeys(spark: SparkSession, table: String, batch: DataFrame,
-      keyCol: String, deleteOnly: Boolean = false): (Int, Int, Int) = {
+      keyCol: String): (Int, Int, Int) =
+    upsertByKeys(spark, table, batch, Seq(keyCol), deleteOnly = false)
+
+  def upsertByKeys(spark: SparkSession, table: String, batch: DataFrame,
+      keyCol: String, deleteOnly: Boolean): (Int, Int, Int) =
+    upsertByKeys(spark, table, batch, Seq(keyCol), deleteOnly)
+
+  def upsertByKeys(spark: SparkSession, table: String, batch: DataFrame,
+      keyCols: Seq[String], deleteOnly: Boolean): (Int, Int, Int) = {
     val root = new Path(table)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val v0 = currentVersion(fs, root)
     require(v0 > 0, s"upsertByKeys: no committed version in $table")
+    require(keyCols.nonEmpty, "upsertByKeys: at least one key column")
+    require(keyCols.distinct == keyCols,
+      s"upsertByKeys: duplicate key columns: ${keyCols.mkString(", ")}")
     // same WAP discipline as every other mutating verb: under an
     // active spark.graft.wap.branch the session's INSERTs route to the
     // branch, so an upsert quietly landing on MAIN would be exactly
@@ -4312,18 +4344,55 @@ object Layout {
     require(morEnabled(propsOf(fs, root, v0)),
       s"upsertByKeys requires $RowLevelModeProp='mor' on $table — " +
         "equality deletes are a merge-on-read currency")
-    require(batch.columns.contains(keyCol),
-      s"upsertByKeys: batch has no column '$keyCol' " +
-        s"(batch columns: ${batch.columns.mkString(", ")})")
-    batch.schema(keyCol).dataType match {
-      case types.ByteType | types.ShortType | types.IntegerType |
-           types.LongType | types.StringType => ()
-      case dt => throw new IllegalArgumentException(
-        s"upsertByKeys: key column '$keyCol' must be integral or " +
-          s"string, got $dt")
+    keyCols.foreach { keyCol =>
+      require(batch.columns.contains(keyCol),
+        s"upsertByKeys: batch has no column '$keyCol' " +
+          s"(batch columns: ${batch.columns.mkString(", ")})")
+      batch.schema(keyCol).dataType match {
+        case types.ByteType | types.ShortType | types.IntegerType |
+             types.LongType | types.StringType => ()
+        case dt => throw new IllegalArgumentException(
+          s"upsertByKeys: key column '$keyCol' must be integral or " +
+            s"string, got $dt")
+      }
     }
-    val keys = batch.select(col(keyCol))
-      .where(col(keyCol).isNotNull).distinct()
+    val keys = batch.select(keyCols.map(col): _*)
+      .where(keyCols.map(col(_).isNotNull).reduce(_ && _)).distinct()
+    // the batch's per-key-column value range, for the annotation skip —
+    // ONE tiny aggregate over the micro-batch (already the sidecar's
+    // content); a null pair = zero non-null-keyed rows, masking nothing
+    val rangeRow = keys.agg(
+      keyCols.flatMap(c => Seq(min(col(c)), max(col(c)))).head,
+      keyCols.flatMap(c => Seq(min(col(c)), max(col(c)))).tail: _*).head()
+    val batchRanges: Seq[(String, Option[(Any, Any)])] =
+      keyCols.zipWithIndex.map { case (c, i) =>
+        c -> (if (rangeRow.isNullAt(2 * i)) None
+              else Some((rangeRow.get(2 * i), rangeRow.get(2 * i + 1))))
+      }
+    val emptyBatchKeys = batchRanges.forall(_._2.isEmpty)
+    /** true iff `l`'s recorded bounds REFUTE every batch key for some
+      * key column — the annotation is then provably a no-op for this
+      * file. */
+    def refuted(l: String): Boolean = emptyBatchKeys || {
+      val bs = entryBounds(l)
+      batchRanges.exists { case (c, rng) =>
+        rng.exists { case (bMn, bMx) =>
+          bs.get(c).exists {
+            case LongBounds(mn, mx) => (bMn, bMx) match {
+              case (a: Number, b: Number) =>
+                b.longValue < mn || a.longValue > mx
+              case _ => false // type drift: never skip
+            }
+            case StrBounds(mn, mx) => (bMn, bMx) match {
+              case (a: String, b: String) =>
+                !utf8Leq(mn, b) || !utf8Leq(a, mx)
+              case _ => false
+            }
+            case _ => false // NumBounds etc.: never skip
+          }
+        }
+      }
+    }
     // one sidecar file: keys are micro-batch-bounded by the caller's
     // trigger, not table-sized
     val sidecars = stageTxn(spark, fs, root, keys.repartition(1),
@@ -4341,16 +4410,23 @@ object Layout {
         val headLines = manifestFiles(fs, root, head)
         // key-column consistency, re-checked against the exact head
         // this attempt rebases onto (a racing upsert with another key
-        // column must refuse, not mis-mask)
+        // column list must refuse, not mis-mask)
         val prior = headLines.flatMap(entryEqs).map(_._2).distinct
-        require(prior.forall(_ == keyCol),
+        require(prior.forall(_ == keyCols),
           s"upsertByKeys: table carries equality deletes keyed on " +
-            s"${prior.filterNot(_ == keyCol).mkString(", ")} — compact " +
+            s"${prior.filterNot(_ == keyCols).map(_.mkString("+"))
+              .mkString(", ")} — compact " +
             "them away before upserting on a different key")
-        annotated = headLines.size
-        headLines.map(l => sidecars.foldLeft(l) { case (acc, (rel, _)) =>
-          withEqGroup(acc, rel, keyCol)
-        }) ++ dataEntries
+        annotated = 0
+        headLines.map { l =>
+          if (refuted(l)) l // bounds prove no batch key present
+          else {
+            annotated += 1
+            sidecars.foldLeft(l) { case (acc, (rel, _)) =>
+              withEqGroup(acc, rel, keyCols)
+            }
+          }
+        } ++ dataEntries
       },
       if (deleteOnly) head => schemaOf(fs, root, head)
       else appendSchemaFor(fs, root, batch))
@@ -5046,6 +5122,44 @@ object Layout {
       .orderBy("o_orderstatus")
   }
 
+  /** COMPOSITE-key equality upsert (r20), same visible state as
+    * [[qUpsertEq]] so the shared DELETE oracle proves it — with a
+    * discriminating twist only true multi-column matching passes: after
+    * re-landing the odd non-F slice and tombstoning the odd-F slice on
+    * (o_orderkey, o_orderstatus), a final tombstone batch carries the
+    * LIVE odd keys paired with the WRONG status ('F'). Composite
+    * anti-join semantics make it a no-op (no row has that pair); any
+    * implementation that degraded to key-column-only masking would
+    * delete the re-landed rows and hash-mismatch. */
+  def qUpsertEqMulti(s: SparkSession, d: String): DataFrame = {
+    import graft.Tables._
+    val table = s"${Sources.ioDir(s, d)}/orders_eq_upsert_multi"
+    dropTable(s, table) // deterministic re-run: fresh table history
+    val o = orders(s, d)
+    val keys = Seq("o_orderkey", "o_orderstatus")
+    commitSnapshot(s, table,
+      o.where(pmod(col("o_orderkey"), lit(2)) === 0),
+      props = Map(RowLevelModeProp -> "mor"))
+    commitSnapshot(s, table, o.where(pmod(col("o_orderkey"), lit(2)) === 1))
+    upsertByKeys(s, table,
+      o.where(pmod(col("o_orderkey"), lit(2)) === 1 &&
+        col("o_orderstatus") =!= "F"), keys, deleteOnly = false)
+    upsertByKeys(s, table,
+      o.where(pmod(col("o_orderkey"), lit(2)) === 1 &&
+        col("o_orderstatus") === "F").select(keys.map(col): _*),
+      keys, deleteOnly = true)
+    upsertByKeys(s, table,
+      o.where(pmod(col("o_orderkey"), lit(2)) === 1 &&
+          col("o_orderstatus") =!= "F")
+        .select(col("o_orderkey"), lit("F").as("o_orderstatus")),
+      keys, deleteOnly = true)
+    readSnapshot(s, table)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum(dec2(col("o_totalprice"))).cast("double").as("sum_price"))
+      .orderBy("o_orderstatus")
+  }
+
   /** Copy-on-write MERGE, end to end: the table (narrow orders
     * projection) lands as two parity transactions, then one
     * [[mergeInto]] applies a delta carrying ALL THREE verbs — updates
@@ -5386,6 +5500,7 @@ object Layout {
     "q_snapshot_delete"   -> qSnapshotDelete _,
     "q_snapshot_delete_mor" -> qSnapshotDeleteMor _,
     "q_upsert_eq"         -> qUpsertEq _,
+    "q_upsert_eq_multi"   -> qUpsertEqMulti _,
     "q_snapshot_merge"    -> qSnapshotMerge _,
     "q_snapshot_merge_mor" -> qSnapshotMergeMor _,
     "q_manifest_skipping" -> qManifestSkipping _,
@@ -5457,6 +5572,9 @@ object Layout {
     // DELETE's visible state — resurrection, double-count, or
     // over-masking all hash-mismatch
     "q_upsert_eq" -> oracleSqlDelete,
+    // shared again (r20): the composite-key detour must land the same
+    // state, and its wrong-status tombstone batch must be a no-op
+    "q_upsert_eq_multi" -> oracleSqlDelete,
     "q_snapshot_merge_mor"  -> oracleSqlMerge,
     // post-delete state recomputed from source with the negated predicate
     "q_snapshot_delete" -> oracleSqlDelete,

@@ -366,9 +366,11 @@ object GraftProcedures {
       override def call(input: InternalRow): java.util.Iterator[Scan] = {
         val table = tableDir(cat, input.getUTF8String(0).toString)
         val src = spark.table(input.getUTF8String(1).toString)
+        // `key => 'id'` or composite `key => 'tenant_id,id'` (r20)
+        val keyCols = input.getUTF8String(2).toString.split(',')
+          .map(_.trim).filter(_.nonEmpty).toSeq
         val (v, annotated, appended) = Layout.upsertByKeys(spark, table,
-          src, input.getUTF8String(2).toString,
-          deleteOnly = input.getBoolean(3))
+          src, keyCols, deleteOnly = input.getBoolean(3))
         one(out)(v, annotated, appended)
       }
     }

@@ -253,28 +253,37 @@ class ManifestStreamProvider extends StreamSourceProvider
 
   override def sourceSchema(sqlContext: SQLContext,
       schema: Option[StructType], providerName: String,
-      parameters: Map[String, String]): (String, StructType) =
-    (shortName(), schema.getOrElse {
+      parameters: Map[String, String]): (String, StructType) = {
+    val p = lowered(parameters)
+    val base = schema.getOrElse {
       // pin the schema from the head snapshot once, at stream resolution
       // — per-batch inference could drift across file schema evolution
-      Layout.readSnapshot(sqlContext.sparkSession,
-        tableOf(lowered(parameters))).schema
-    })
+      Layout.readSnapshot(sqlContext.sparkSession, tableOf(p)).schema
+    }
+    (shortName(),
+      if (p.get("readchangefeed").exists(_.toBoolean))
+        ManifestStreamSource.withCdcColumns(base)
+      else base)
+  }
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source = {
     val p = lowered(parameters)
     val table = tableOf(p)
-    val pinned = schema.getOrElse(
-      Layout.readSnapshot(sqlContext.sparkSession, table).schema)
+    val changeFeed = p.get("readchangefeed").exists(_.toBoolean)
+    val pinned = schema.map(s =>
+        if (changeFeed) ManifestStreamSource.withoutCdcColumns(s) else s)
+      .getOrElse(
+        Layout.readSnapshot(sqlContext.sparkSession, table).schema)
     new ManifestStreamSource(
       sqlContext.sparkSession.asInstanceOf[SparkSession], table, pinned,
       p.get("startingversion").map(_.toInt).getOrElse(0),
       p.get("maxversionspertrigger").map(_.toInt),
       p.get("maxbytespertrigger").map(_.toLong),
       p.get("maxfilespertrigger").map(_.toLong),
-      p.get("ignoredeletes").exists(_.toBoolean))
+      p.get("ignoredeletes").exists(_.toBoolean),
+      changeFeed)
   }
 }
 
@@ -297,12 +306,30 @@ object ManifestOffset {
   }
 }
 
+object ManifestStreamSource {
+  /** CDC change-feed columns (Delta CDF's names, so downstream
+    * consumers port unchanged): what happened, and in which commit —
+    * `_commit_version` is what lets a consumer apply a multi-version
+    * batch in order. */
+  val ChangeTypeCol = "_change_type"
+  val CommitVersionCol = "_commit_version"
+  def withCdcColumns(base: StructType): StructType = base
+    .add(ChangeTypeCol, org.apache.spark.sql.types.StringType,
+      nullable = false)
+    .add(CommitVersionCol, org.apache.spark.sql.types.LongType,
+      nullable = false)
+  def withoutCdcColumns(s: StructType): StructType =
+    StructType(s.fields.filterNot(f =>
+      f.name == ChangeTypeCol || f.name == CommitVersionCol))
+}
+
 class ManifestStreamSource(spark: SparkSession, table: String,
     pinnedSchema: StructType, startingVersion: Int,
     maxVersionsPerTrigger: Option[Int],
     maxBytesPerTrigger: Option[Long] = None,
     maxFilesPerTrigger: Option[Long] = None,
-    ignoreDeletes: Boolean = false) extends Source
+    ignoreDeletes: Boolean = false,
+    readChangeFeed: Boolean = false) extends Source
     with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
   require(maxVersionsPerTrigger.forall(_ >= 1),
@@ -334,7 +361,9 @@ class ManifestStreamSource(spark: SparkSession, table: String,
 
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
 
-  override def schema: StructType = pinnedSchema
+  override def schema: StructType =
+    if (readChangeFeed) ManifestStreamSource.withCdcColumns(pinnedSchema)
+    else pinnedSchema
 
   /** Admission control lives in [[latestOffset]]; MicroBatchExecution
     * never calls getOffset on a SupportsAdmissionControl source. */
@@ -439,14 +468,20 @@ class ManifestStreamSource(spark: SparkSession, table: String,
         "set ignoreDeletes=true (stream past deletes of already-" +
         "emitted rows), or CALL system.compact (materializes the " +
         "vectors), then restart from a startingVersion at or after it.")
-    // equality deletes (r19) are retractions BY CONSTRUCTION — they
-    // mask rows of files committed before them, emitted or about to
-    // be. The streaming file relation serves raw paths and has no key
-    // anti-join branch, so any eq material new in (from, to] refuses
-    // outright (same ignoreDeletes escape hatch as dvs).
+    // equality deletes are retractions BY CONSTRUCTION — they mask
+    // rows of files committed before them, emitted or about to be.
+    // With readChangeFeed (r20) that is exactly expressible: the
+    // change-feed batch below serves each upsert commit as key
+    // TOMBSTONES (the sidecar's rows, `_change_type='delete'`) plus
+    // the appended row versions (`'insert'`), ordered by
+    // `_commit_version` — a consumer folding delete-then-insert per
+    // version reconstructs the masked batch read exactly. Without the
+    // option, the plain-schema stream still refuses (same ignoreDeletes
+    // escape hatch as dvs).
+    if (readChangeFeed) return changeFeedBatch(from, to, dvByRel)
     val eqByRel = Layout.versionEqMap(fs, root, to)
     val eqAtFrom =
-      if (from == 0) Map.empty[String, Seq[(String, String)]]
+      if (from == 0) Map.empty[String, Seq[(String, Seq[String])]]
       else Layout.versionEqMap(fs, root, from)
     val eqNew = eqByRel.exists { case (p, s) =>
       s.toSet != eqAtFrom.getOrElse(p, Nil).toSet
@@ -454,9 +489,12 @@ class ManifestStreamSource(spark: SparkSession, table: String,
     require(ignoreDeletes || !eqNew,
       s"graft-manifest stream on $table: version $to carries live " +
         "equality deletes (key upserts) — an append-only stream " +
-        "cannot retract rows by key. Either set ignoreDeletes=true, " +
-        "or CALL system.compact(only_dv => true) (materializes the " +
-        "masks), then restart from a startingVersion at or after it.")
+        "cannot retract rows by key. Either read them as CDC rows " +
+        "(.option(\"readChangeFeed\", \"true\") serves key tombstones " +
+        "+ upserted rows with _change_type/_commit_version), set " +
+        "ignoreDeletes=true, or CALL system.compact(only_dv => true) " +
+        "(materializes the masks), then restart from a startingVersion " +
+        "at or after it.")
     if (added.isEmpty)
       return ColumnBridge.emptyStreamingDF(spark, pinnedSchema)
     val base = ColumnBridge.streamingFileRelation(spark, "parquet",
@@ -483,6 +521,82 @@ class ManifestStreamSource(spark: SparkSession, table: String,
         .join(del, Seq("__grp", "__pos"), "left_anti")
         .drop("__grp", "__pos")
     }
+  }
+
+  /** The CDC change-feed batch (r20): every version in (from, to]
+    * contributes its appended rows as `_change_type='insert'` and the
+    * key rows of its NEW equality-delete sidecars as `'delete'`
+    * tombstones (key columns populated, the rest null), each tagged
+    * with `_commit_version`. Folding delete-then-insert per version —
+    * eq annotations never mask their own commit's files — reconstructs
+    * the masked batch read exactly; ManifestStreamSpec pins it. Position
+    * dvs are not key-expressible, so the range-wide dv-retraction
+    * refusal above still applies; dvs on files first seen in this range
+    * mask in-batch as ever. */
+  private def changeFeedBatch(from: Int, to: Int,
+      dvByRel: Map[String, Seq[String]]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit, substring_index}
+    val ct = ManifestStreamSource.ChangeTypeCol
+    val cv = ManifestStreamSource.CommitVersionCol
+    val parts = ((from + 1) to to).flatMap { v =>
+      val prev =
+        if (v - 1 == 0) Set.empty[String]
+        else Layout.versionFilePaths(fs, root, v - 1).toSet
+      val addedRel = Layout.versionFilePaths(fs, root, v)
+        .filterNot(prev)
+      val ins =
+        if (addedRel.isEmpty) Nil
+        else {
+          val base = ColumnBridge.streamingFileRelation(spark, "parquet",
+            addedRel.map(rel => new Path(root, rel).toString),
+            pinnedSchema)
+          val dvAdded = addedRel.filter(dvByRel.contains)
+          val masked =
+            if (dvAdded.isEmpty) base
+            else {
+              val sidecars = dvAdded.flatMap(dvByRel).distinct
+                .map(rel => new Path(root, rel).toString)
+              val grps = dvAdded.map(Layout.grpOfRel)
+              val del = spark.read.parquet(sidecars: _*)
+                .where(col("grp").isin(grps: _*))
+                .select(col("grp").as("__grp"), col("pos").as("__pos"))
+              base
+                .withColumn("__grp",
+                  substring_index(col("_metadata.file_path"), "/", -2))
+                .withColumn("__pos", col("_metadata.row_index"))
+                .join(del, Seq("__grp", "__pos"), "left_anti")
+                .drop("__grp", "__pos")
+            }
+          Seq(masked.withColumn(ct, lit("insert"))
+            .withColumn(cv, lit(v.toLong)))
+        }
+      // sidecar set NEW at v = this version's upsert tombstones
+      val eqPrev = Layout.versionEqMap(fs, root, v - 1)
+        .values.flatten.toSet
+      val eqNew = (Layout.versionEqMap(fs, root, v)
+        .values.flatten.toSet -- eqPrev).toSeq.sortBy(_._1)
+      val dels = eqNew.groupBy(_._2).toSeq
+        .sortBy(_._1.mkString(",")).map { case (keyCols, group) =>
+          val paths = group.map(g => new Path(root, g._1).toString)
+          // footer-inferred key schema (driver-only, tiny files), cast
+          // to the pinned column types below
+          val keySchema = spark.read.parquet(paths: _*).schema
+          val rel = ColumnBridge.streamingFileRelation(spark, "parquet",
+            paths, keySchema)
+          val sel = pinnedSchema.fields.toSeq.map { f =>
+            if (keyCols.contains(f.name))
+              col(f.name).cast(f.dataType).as(f.name)
+            else lit(null).cast(f.dataType).as(f.name)
+          }
+          rel.select(sel: _*).withColumn(ct, lit("delete"))
+            .withColumn(cv, lit(v.toLong))
+        }
+      dels ++ ins
+    }
+    if (parts.isEmpty)
+      ColumnBridge.emptyStreamingDF(spark,
+        ManifestStreamSource.withCdcColumns(pinnedSchema))
+    else parts.reduce(_ unionByName _)
   }
 
   override def stop(): Unit = ()

@@ -781,6 +781,124 @@ class SnapshotIsolationSpec extends AnyFunSuite {
       "par-keyed upsert masks every 'even' row and lands one")
   }
 
+  test("composite-key equality upsert: struct match, eq state ≡ COW, r19 byte-compat") {
+    import ops.Layout._
+    import spark.implicits._
+    val table = "target/graft_io/spec/eq_upsert_multi"
+    dropTable(spark, table)
+    val root = new Path(table)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // two tenants share the id space — the multi-tenant CDC shape
+    val rows = for (t <- Seq("a", "b"); i <- 1L to 50L)
+      yield (t, i, i * 10.0)
+    commitSnapshot(spark, table, rows.toDF("tenant", "id", "v"),
+      props = Map(RowLevelModeProp -> "mor"))
+    // upsert tenant a's ids 1..10 — tenant b's SAME ids must survive
+    val batch = (1L to 10L).map(i => ("a", i, i * 20.0))
+      .toDF("tenant", "id", "v")
+    val (v1, _, _) =
+      upsertByKeys(spark, table, batch, Seq("tenant", "id"), false)
+    val cur = readSnapshot(spark, table).select("tenant", "id", "v")
+      .as[(String, Long, Double)].collect()
+      .map { case (t, i, v) => (t, i) -> v }.toMap
+    assert(cur.size == 100)
+    assert((1L to 10L).forall(i => cur(("a", i)) == i * 20.0),
+      "tenant a's upserted keys must serve the new version")
+    assert((1L to 50L).forall(i => cur(("b", i)) == i * 10.0),
+      "tenant b must be untouched — composite match, not id-only")
+    // eq state ≡ COW DELETE on the same predicate
+    val expect = readSnapshot(spark, table).select("tenant", "id", "v")
+      .as[(String, Long, Double)].collect().toSet
+    val cow = "target/graft_io/spec/eq_upsert_multi_cow"
+    dropTable(spark, cow)
+    commitSnapshot(spark, cow, rows.toDF("tenant", "id", "v"))
+    deleteWhere(spark, cow, col("tenant") === "a" && col("id") <= 10L)
+    commitSnapshot(spark, cow, batch)
+    assert(readSnapshot(spark, cow).select("tenant", "id", "v")
+      .as[(String, Long, Double)].collect().toSet == expect,
+      "composite eq state must equal COW delete+append on the predicate")
+    // composite tombstones: ('a', 1..5) die; ('b', 1..5) live
+    upsertByKeys(spark, table,
+      (1L to 5L).map(("a", _)).toDF("tenant", "id"), Seq("tenant", "id"),
+      true)
+    assert(readSnapshot(spark, table).count() == 95)
+    assert(readSnapshot(spark, table)
+      .where(col("tenant") === "b" && col("id") <= 5L).count() == 5)
+    // a row with a NULL in ANY key component never matches
+    upsertByKeys(spark, table,
+      Seq((null.asInstanceOf[String], 6L)).toDF("tenant", "id"),
+      Seq("tenant", "id"), true)
+    assert(readSnapshot(spark, table).count() == 95)
+    // key-list consistency: a single-column upsert on a composite-keyed
+    // table refuses until compaction
+    val e = intercept[Exception] {
+      upsertByKeys(spark, table, Seq(("a", 7L, 0.0))
+        .toDF("tenant", "id", "v"), "id")
+    }
+    assert(e.getMessage.contains("keyed on"), e.getMessage)
+    // pinned pre-upsert reader unaffected
+    assert(readSnapshot(spark, table, Some(v1 - 1)).count() == 100)
+    // r19 byte-compat: a SINGLE-column annotation written by the Seq
+    // path carries no comma — the legacy parser grammar unchanged
+    val single = "target/graft_io/spec/eq_upsert_single"
+    dropTable(spark, single)
+    commitSnapshot(spark, single, rows.toDF("tenant", "id", "v"),
+      props = Map(RowLevelModeProp -> "mor"))
+    upsertByKeys(spark, single, (1L to 3L).map(("a", _, 0.0))
+      .toDF("tenant", "id", "v"), Seq("id"), false)
+    val sroot = new Path(single)
+    val annotated = manifestLinesOf(spark, single,
+      currentVersion(fs, sroot)).filter(_.contains("@eq"))
+    assert(annotated.nonEmpty)
+    assert(annotated.forall { l =>
+      val body = l.substring(l.indexOf("@eq"))
+      !body.split('\t')(1).contains(',')
+    }, "single-column annotation must stay in the r19 grammar")
+  }
+
+  test("upsert annotations are stats-pruned: bounds that refute the batch skip @eq") {
+    import ops.Layout._
+    import spark.implicits._
+    val table = "target/graft_io/spec/eq_upsert_pruned"
+    dropTable(spark, table)
+    val root = new Path(table)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // id-clustered files with recorded bounds: four disjoint ranges
+    (0 until 4).foreach { k =>
+      commitSnapshot(spark, table,
+        (k * 100L until (k + 1) * 100L).map(i => (i, i * 1.0))
+          .toDF("id", "v").coalesce(1),
+        statsColumns = Seq("id"),
+        props = if (k == 0) Map(RowLevelModeProp -> "mor") else Map.empty)
+    }
+    // batch keys live entirely in file 1's range → only it annotates
+    val batch = (150L to 160L).map(i => (i, i * 2.0)).toDF("id", "v")
+    val (_, annotated, _) = upsertByKeys(spark, table, batch, "id")
+    assert(annotated == 1,
+      s"bounds refute 3 of 4 files; annotated $annotated")
+    val cur = readSnapshot(spark, table).select("id", "v")
+      .as[(Long, Double)].collect().toMap
+    assert(cur.size == 400)
+    assert((150L to 160L).forall(i => cur(i) == i * 2.0))
+    assert(cur(149L) == 149.0 && cur(161L) == 161.0)
+    // keys BEYOND every recorded range: pure insert, zero annotations
+    val (_, ann2, app2) = upsertByKeys(spark, table,
+      Seq((1000L, 1.0)).toDF("id", "v"), "id")
+    assert(ann2 == 0 && app2 >= 1,
+      s"out-of-range batch must annotate nothing ($ann2, $app2)")
+    assert(readSnapshot(spark, table).count() == 401)
+    // stats stay one-sided: a stats-less file always annotates
+    commitSnapshot(spark, table,
+      Seq((2000L, 1.0)).toDF("id", "v")) // no statsColumns
+    val (_, ann3, _) = upsertByKeys(spark, table,
+      Seq((5000L, 5.0)).toDF("id", "v"), "id")
+    assert(ann3 == 1, s"the one stats-less line must annotate ($ann3)")
+    assert(readSnapshot(spark, table).count() == 403)
+    // an annotated masked read equals the brute recompute
+    assert(readSnapshot(spark, table).where(col("id") === 155L)
+      .select("v").as[Double].head() == 310.0)
+  }
+
   test("concurrent MOR deletes on disjoint files both land through the CAS rebase") {
     import ops.Layout._
     import spark.implicits._
