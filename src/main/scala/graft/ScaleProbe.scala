@@ -262,8 +262,14 @@ object ScaleProbe {
     // round-19: equality-upsert lifecycle — the two upsert commits are
     // append+annotate (zero data-file reads), so the key should track
     // the two-insert volume like the WAP twin, with the masked read's
-    // key anti-join ∝ batch size on top
-    "q_upsert_eq",
+    // key anti-join ∝ batch size on top; the r20 composite-key twin
+    // runs THREE upserts on a two-column key, same envelope
+    "q_upsert_eq", "q_upsert_eq_multi",
+    // round-19 (probed r20 per the r19 verdict): relayout is the one
+    // key whose cost is BY DESIGN O(table) — a full REPLACE re-fanout
+    // under the new layout props — so its ratio should sit near the
+    // rewrite keys' (q_compact_snapshot family), never above
+    "q_relayout_sql",
     // the CNPJ vertical (reference envelope ">20 GB", readme.md:108):
     // synthetic flagship over the replica's 10× orders/customer —
     // r15 splits load (z-cluster + commit, data-volume-bound) from

@@ -503,6 +503,20 @@ object Layout {
   }
 
   private def rawManifestLines(fs: FileSystem, table: Path, v: Int,
+      chain: String = ""): Seq[String] =
+    try rawManifestLinesOnce(fs, table, v, chain)
+    catch {
+      // Racing expireSnapshots: the walk can check exists(ckpt)=false
+      // at the oldest retained delta, descend, and find the base
+      // deleted by the sweep. The sweep publishes the `.ckpt` BEFORE
+      // deleting, so one retry from the top resolves through the
+      // sidecar; a second failure means v itself (or its support) is
+      // genuinely expired and propagates as before.
+      case _: java.io.FileNotFoundException =>
+        rawManifestLinesOnce(fs, table, v, chain)
+    }
+
+  private def rawManifestLinesOnce(fs: FileSystem, table: Path, v: Int,
       chain: String = ""): Seq[String] = {
     def mfOf(w: Int) = new Path(table, s"manifests/${chain}v$w.manifest")
     val key = fullKeyOf(fs, mfOf(v))
@@ -1943,6 +1957,11 @@ object Layout {
         val (removedL, addedL, uniq) =
           if (isPureAppend) {
             val adds = all.drop(headLines.size)
+            // head-disjointness is NOT re-hashed here (it would cost
+            // the O(n) set build the fast path exists to avoid): every
+            // commit verb stages into a fresh UUID txn dir, so an add
+            // can never equal a head line; the one caller-formed-lines
+            // entry point (appendEntriesUnchecked) enforces it itself
             (Seq.empty[String], adds, adds.toSet.size == adds.size)
           } else {
             val headSet = headLines.toSet
@@ -2190,9 +2209,21 @@ object Layout {
       table: String, lines: Seq[String]): Int = {
     val root = new Path(table)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    casCommit(fs, root, "appendEntriesUnchecked", head =>
-      (if (head == 0) Seq.empty else manifestFiles(fs, root, head)) ++
-        lines,
+    casCommit(fs, root, "appendEntriesUnchecked", { head =>
+      val cur =
+        if (head == 0) Seq.empty else manifestFiles(fs, root, head)
+      // real verbs get line uniqueness for free (UUID txn-dir paths);
+      // this hook takes caller-formed lines, so it must enforce the
+      // invariant the delta fast path relies on — a duplicate line
+      // would reconstruct differently under set-based #rm folding than
+      // a FULL manifest lists it
+      val dup = lines.find(cur.toSet)
+      require(dup.isEmpty && lines.distinct.size == lines.size,
+        s"appendEntriesUnchecked: duplicate manifest line: " +
+          s"${dup.getOrElse(lines.diff(lines.distinct).headOption
+            .getOrElse(""))}")
+      cur ++ lines
+    },
       head => if (head == 0) None else schemaOf(fs, root, head))
   }
 

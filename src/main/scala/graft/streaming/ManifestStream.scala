@@ -262,7 +262,10 @@ class ManifestStreamProvider extends StreamSourceProvider
     }
     (shortName(),
       if (p.get("readchangefeed").exists(_.toBoolean))
-        ManifestStreamSource.withCdcColumns(base)
+        // strip-then-add: a caller replaying the schema a CDC stream
+        // reports must not end up with duplicate CDC columns
+        ManifestStreamSource.withCdcColumns(
+          ManifestStreamSource.withoutCdcColumns(base))
       else base)
   }
 
@@ -426,8 +429,10 @@ class ManifestStreamSource(spark: SparkSession, table: String,
     val to = ManifestOffset.of(end).version
     val from = start.map(ManifestOffset.of(_).version)
       .getOrElse(startingVersion)
-    if (to <= from) // restart replay of an already-finished range
-      return ColumnBridge.emptyStreamingDF(spark, pinnedSchema)
+    if (to <= from) // restart replay of an already-finished range —
+      // empty, in THIS source's declared shape (a CDC source two
+      // columns short here fails MicroBatchExecution's output check)
+      return ColumnBridge.emptyStreamingDF(spark, schema)
     val fromPaths =
       if (from == 0) Set.empty[String]
       else Layout.versionFilePaths(fs, root, from).toSet
@@ -499,28 +504,33 @@ class ManifestStreamSource(spark: SparkSession, table: String,
       return ColumnBridge.emptyStreamingDF(spark, pinnedSchema)
     val base = ColumnBridge.streamingFileRelation(spark, "parquet",
       added.map(rel => new Path(root, rel).toString), pinnedSchema)
-    val dvAdded = added.filter(dvByRel.contains)
-    if (dvAdded.isEmpty) base
-    else {
-      // anti-apply exactly the ADDED files' position deletes: (grp,pos)
-      // sidecar union, restricted to the added files' groups (a sidecar
-      // can carry other files' groups — those never match here), as the
-      // STATIC side of a stream-static left-anti join. `row_index` is
-      // Spark's own per-file ordinal, correct under row-group skipping.
-      import org.apache.spark.sql.functions.{col, substring_index}
-      val sidecars = dvAdded.flatMap(dvByRel).distinct
-        .map(rel => new Path(root, rel).toString)
-      val grps = dvAdded.map(Layout.grpOfRel)
-      val del = spark.read.parquet(sidecars: _*)
-        .where(col("grp").isin(grps: _*))
-        .select(col("grp").as("__grp"), col("pos").as("__pos"))
-      base
-        .withColumn("__grp",
-          substring_index(col("_metadata.file_path"), "/", -2))
-        .withColumn("__pos", col("_metadata.row_index"))
-        .join(del, Seq("__grp", "__pos"), "left_anti")
-        .drop("__grp", "__pos")
-    }
+    dvMaskAdded(base, added, dvByRel)
+  }
+
+  /** Anti-apply exactly `addedRel`'s position deletes to `base` —
+    * shared by the plain and change-feed batch paths so a fix to the
+    * ordinal contract can never diverge between them. */
+  private def dvMaskAdded(base: DataFrame, addedRel: Seq[String],
+      dvByRel: Map[String, Seq[String]]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, substring_index}
+    val dvAdded = addedRel.filter(dvByRel.contains)
+    if (dvAdded.isEmpty) return base
+    // (grp,pos) sidecar union, restricted to the added files' groups (a
+    // sidecar can carry other files' groups — those never match here),
+    // as the STATIC side of a stream-static left-anti join. `row_index`
+    // is Spark's own per-file ordinal, correct under row-group skipping.
+    val sidecars = dvAdded.flatMap(dvByRel).distinct
+      .map(rel => new Path(root, rel).toString)
+    val grps = dvAdded.map(Layout.grpOfRel)
+    val del = spark.read.parquet(sidecars: _*)
+      .where(col("grp").isin(grps: _*))
+      .select(col("grp").as("__grp"), col("pos").as("__pos"))
+    base
+      .withColumn("__grp",
+        substring_index(col("_metadata.file_path"), "/", -2))
+      .withColumn("__pos", col("_metadata.row_index"))
+      .join(del, Seq("__grp", "__pos"), "left_anti")
+      .drop("__grp", "__pos")
   }
 
   /** The CDC change-feed batch (r20): every version in (from, to]
@@ -532,49 +542,54 @@ class ManifestStreamSource(spark: SparkSession, table: String,
     * the masked batch read exactly; ManifestStreamSpec pins it. Position
     * dvs are not key-expressible, so the range-wide dv-retraction
     * refusal above still applies; dvs on files first seen in this range
-    * mask in-batch as ever. */
+    * mask in-batch as ever.
+    *
+    * The append-only guard here is PER CONSECUTIVE VERSION, stricter
+    * than the plain path's endpoint check: the feed replays history
+    * version by version, so a REPLACE anywhere inside the range —
+    * including one older than a from=0 initial load — would emit the
+    * rewritten rows twice and retract nothing. (The plain path's
+    * initial batch serves the CURRENT snapshot, so it tolerates
+    * pre-history rewrites; a change FEED over a rewritten history is
+    * not reconstructible and must refuse.) */
   private def changeFeedBatch(from: Int, to: Int,
       dvByRel: Map[String, Seq[String]]): DataFrame = {
-    import org.apache.spark.sql.functions.{col, lit, substring_index}
+    import org.apache.spark.sql.functions.{col, lit}
     val ct = ManifestStreamSource.ChangeTypeCol
     val cv = ManifestStreamSource.CommitVersionCol
+    // previous version's state, carried across iterations — one
+    // manifest derivation per version, not two
+    var prev: Set[String] =
+      if (from == 0) Set.empty
+      else Layout.versionFilePaths(fs, root, from).toSet
+    var eqPrev: Set[(String, Seq[String])] =
+      if (from == 0) Set.empty
+      else Layout.versionEqMap(fs, root, from).values.flatten.toSet
     val parts = ((from + 1) to to).flatMap { v =>
-      val prev =
-        if (v - 1 == 0) Set.empty[String]
-        else Layout.versionFilePaths(fs, root, v - 1).toSet
-      val addedRel = Layout.versionFilePaths(fs, root, v)
-        .filterNot(prev)
+      val cur = Layout.versionFilePaths(fs, root, v)
+      require(prev.subsetOf(cur.toSet),
+        s"graft-manifest change feed on $table: version $v is a " +
+          "REPLACE commit (compact / delete / merge) — a change feed " +
+          "replays history per version and cannot express a rewrite. " +
+          "Start the stream from a startingVersion at or after it " +
+          "(the plain stream's initial batch tolerates pre-history " +
+          "rewrites because it serves the current snapshot).")
+      val addedRel = cur.filterNot(prev)
+      prev = cur.toSet
       val ins =
         if (addedRel.isEmpty) Nil
         else {
           val base = ColumnBridge.streamingFileRelation(spark, "parquet",
             addedRel.map(rel => new Path(root, rel).toString),
             pinnedSchema)
-          val dvAdded = addedRel.filter(dvByRel.contains)
-          val masked =
-            if (dvAdded.isEmpty) base
-            else {
-              val sidecars = dvAdded.flatMap(dvByRel).distinct
-                .map(rel => new Path(root, rel).toString)
-              val grps = dvAdded.map(Layout.grpOfRel)
-              val del = spark.read.parquet(sidecars: _*)
-                .where(col("grp").isin(grps: _*))
-                .select(col("grp").as("__grp"), col("pos").as("__pos"))
-              base
-                .withColumn("__grp",
-                  substring_index(col("_metadata.file_path"), "/", -2))
-                .withColumn("__pos", col("_metadata.row_index"))
-                .join(del, Seq("__grp", "__pos"), "left_anti")
-                .drop("__grp", "__pos")
-            }
-          Seq(masked.withColumn(ct, lit("insert"))
+          Seq(dvMaskAdded(base, addedRel, dvByRel)
+            .withColumn(ct, lit("insert"))
             .withColumn(cv, lit(v.toLong)))
         }
       // sidecar set NEW at v = this version's upsert tombstones
-      val eqPrev = Layout.versionEqMap(fs, root, v - 1)
-        .values.flatten.toSet
-      val eqNew = (Layout.versionEqMap(fs, root, v)
-        .values.flatten.toSet -- eqPrev).toSeq.sortBy(_._1)
+      val eqCur = Layout.versionEqMap(fs, root, v).values.flatten.toSet
+      val eqNew = (eqCur -- eqPrev).toSeq.sortBy(_._1)
+      eqPrev = eqCur
       val dels = eqNew.groupBy(_._2).toSeq
         .sortBy(_._1.mkString(",")).map { case (keyCols, group) =>
           val paths = group.map(g => new Path(root, g._1).toString)

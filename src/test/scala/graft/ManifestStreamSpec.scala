@@ -485,6 +485,48 @@ class ManifestStreamSpec extends AnyFunSuite {
       e.getCause.getMessage)
   }
 
+  test("readChangeFeed: a REPLACE anywhere in the range refuses — " +
+      "including history before a from=0 initial load") {
+    import graft.ops.Layout._
+    import spark.implicits._
+    val table = freshTable("cdc_replace")
+    commitSnapshot(spark, table,
+      (1L to 10L).map(i => (i, 0L)).toDF("id", "ver"))
+    // v2 is a COW rewrite: the per-version feed cannot express it even
+    // though the ENDPOINT diff (from=0) hides it entirely
+    deleteWhere(spark, table, col("id") === 5L)
+    commitSnapshot(spark, table, Seq((11L, 0L)).toDF("id", "ver"))
+    val e = intercept[StreamingQueryException] {
+      val q = spark.readStream.format("graft-manifest")
+        .option("readChangeFeed", "true").load(table)
+        .writeStream.format("memory").queryName(freshName()).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    assert(e.getCause.getMessage.contains("REPLACE commit") &&
+      e.getCause.getMessage.contains("startingVersion"),
+      e.getCause.getMessage)
+    // …while starting AFTER the rewrite streams cleanly
+    val name = freshName()
+    val q2 = spark.readStream.format("graft-manifest")
+      .option("readChangeFeed", "true").option("startingVersion", "2")
+      .load(table)
+      .writeStream.format("memory").queryName(name).start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(spark.table(name).count() == 1) // exactly v3's append
+    // empty-range replay answers in the source's DECLARED (CDC) shape —
+    // a batch two columns short kills recovery mid-restart
+    val src = new graft.streaming.ManifestStreamSource(spark
+        .asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+      table, readSnapshot(spark, table).schema, 0, None, None, None,
+      false, true)
+    val empty = src.getBatch(
+      Some(graft.streaming.ManifestOffset(3)),
+      graft.streaming.ManifestOffset(3))
+    assert(empty.columns.contains("_change_type") &&
+      empty.columns.contains("_commit_version"),
+      s"empty CDC batch lost the feed columns: ${empty.columns.toSeq}")
+  }
+
   test("readChangeFeed: checkpoint resume across an upsert replays nothing") {
     import graft.ops.Layout._
     import spark.implicits._
