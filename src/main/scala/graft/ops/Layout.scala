@@ -2274,9 +2274,10 @@ object Layout {
         s"${touched.mkString(", ")} is CREATE-time immutable — files " +
           "were placed under the recorded layout and re-keying them by " +
           "property edit would silently corrupt pruning and " +
-          "storage-partitioned joins. To change the layout, CREATE a " +
-          "new table with the target layout and INSERT ... SELECT " +
-          "(or CALL system.clone + compact into it)")
+          "storage-partitioned joins. To change the layout, CALL " +
+          "system.evolve_layout (metadata-only, safe under ingest; " +
+          "SPJ keying returns after compaction) or CALL " +
+          "system.relayout (one-shot full rewrite)")
     }
     set.get(StatsColumnsProp).foreach { v =>
       val cols = v.split(',').map(_.trim).filter(_.nonEmpty).toSeq
@@ -4135,6 +4136,89 @@ object Layout {
       propsXform = p => p -- layoutKeys ++ newLayout)
     catch { case e: Throwable => dropStaged(fs, root, staged); throw e }
     (v, inputs.size, added.size)
+  }
+
+  /** METADATA-ONLY layout evolution (r20) — the answer to [[relayout]]'s
+    * one operational limit: a full re-fanout of a 100 TB table takes
+    * hours and aborts on ANY concurrent commit (strict replace), so on
+    * a table with steady ingest it effectively never wins the race.
+    * This verb instead changes only the DECLARED layout properties in
+    * one props-only commit — zero data movement, no conflict window
+    * beyond the ordinary CAS — and lets the r19 spec-qualified
+    * placement machinery carry the mixed state soundly:
+    *
+    *   - files already committed keep their old spec's groups
+    *     (`#bucket:<oldN>:<col>` / `#p:<col>`), which the new spec's
+    *     pruning and SPJ keying simply don't match — a stale placement
+    *     can never mis-key or mis-prune (it survives selection and
+    *     degrades the snapshot to the unkeyed scan, exactly the r19
+    *     invariant [[bucketGroup]] documents);
+    *   - every write staged AFTER this commit fans out and records
+    *     groups under the NEW spec ([[stageTxn]] resolves the head's
+    *     props per commit);
+    *   - SPJ keying returns once no old-spec file remains — one
+    *     ordinary [[compactSnapshot]] (or natural rewrite churn)
+    *     re-places the tail; nothing is ever forced.
+    *
+    * This is Iceberg's partition-spec-evolution semantics (spec-id per
+    * file, old data keeps the old layout) re-expressed in the manifest
+    * line grammar — cited as design prior art, not code. The
+    * ALTER-immutability refusal on `graft.partitioned.by` /
+    * `graft.bucket.*` ([[setTableProps]]) stays: a property FLIP with
+    * no placement bookkeeping is exactly the r18 defect; this verb and
+    * [[relayout]] are the two deliberate doors. Empty arguments
+    * declare a flat layout (drop the props). Returns the new version. */
+  def evolveLayout(spark: SparkSession, table: String,
+      partitionedBy: Seq[String] = Nil,
+      bucketBy: Option[String] = None,
+      bucketCount: Option[Int] = None): Int = {
+    val root = new Path(table)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v0 = currentVersion(fs, root)
+    require(v0 > 0, s"evolveLayout: no committed version in $table")
+    require(bucketBy.isDefined == bucketCount.isDefined,
+      "evolveLayout: bucket_by and bucket_count come together")
+    require(partitionedBy.isEmpty || bucketBy.isEmpty,
+      "evolveLayout: identity partition columns and a bucket spec are " +
+        "mutually exclusive (as at CREATE)")
+    bucketCount.foreach(n => require(n > 0,
+      s"evolveLayout: bucket count must be positive, got $n"))
+    val headProps = propsOf(fs, root, v0)
+    val sch = schemaOf(fs, root, v0)
+    (partitionedBy ++ bucketBy).foreach(c => sch.foreach(s =>
+      require(s.fieldNames.contains(c),
+        s"evolveLayout: unknown column '$c' " +
+          s"(table columns: ${s.fieldNames.mkString(", ")})")))
+    bucketBy.foreach { c =>
+      sch.foreach { s =>
+        val dt = s(c).dataType
+        require(Seq[types.DataType](types.ByteType, types.ShortType,
+            types.IntegerType, types.LongType, types.StringType)
+            .contains(dt),
+          s"evolveLayout: bucket column '$c' must be integral or " +
+            s"string, got $dt")
+      }
+      require(!headProps.contains(ClusterSortProp) &&
+          !headProps.contains(ClusterZorderProp),
+        "evolveLayout: bucket layout and graft.cluster.* properties " +
+          "are mutually exclusive — UNSET the clustering first")
+    }
+    val layoutKeys = Seq(PartitionedByProp, BucketByProp, BucketCountProp)
+    val newLayout: Map[String, String] =
+      (if (partitionedBy.nonEmpty)
+        Map(PartitionedByProp -> partitionedBy.mkString(","))
+      else Map.empty[String, String]) ++
+      bucketBy.zip(bucketCount).map { case (c, n) =>
+        Map(BucketByProp -> c, BucketCountProp -> n.toString)
+      }.getOrElse(Map.empty[String, String])
+    // lines carry UNCHANGED per attempt — a concurrent append rebases
+    // cleanly on either side of this commit: its files were placed and
+    // GROUP-STAMPED under whichever spec its staging read, so they can
+    // only ever key under that spec
+    casCommit(fs, root, "evolveLayout",
+      head => manifestFiles(fs, root, head),
+      head => schemaOf(fs, root, head),
+      propsXform = p => p -- layoutKeys ++ newLayout)
   }
 
   /** URI-scheme/slash-insensitive normal form for matching

@@ -1608,6 +1608,49 @@ object GraftSql {
       .stripMargin)
   }
 
+  /** METADATA-ONLY layout evolution end to end (r20): CREATE bucket(16)
+    * + land the even half under it, `CALL system.evolve_layout` to
+    * bucket(8) — one props-only commit, ZERO rewrite — then land the
+    * odd half under the NEW spec (the ingest that keeps flowing, the
+    * case [[graft.ops.Layout.relayout]]'s strict replace cannot serve),
+    * point-look-up through the mixed state (old-spec files survive
+    * pruning, new-spec files prune to 1/8 — either way the answer is
+    * exact), compact (ordinary maintenance re-places the old half and
+    * restores SPJ keying), and aggregate. Shares q_table_roundtrip's
+    * oracle: mixed-spec reads, the props swap and the re-placement must
+    * all be state-preserving. LayoutEvolveSpec pins what the aggregate
+    * can't see (unkeyed mixed snapshot, keyed post-compact snapshot,
+    * stale groups never keying). */
+  def qEvolveLayout(s: SparkSession, d: String): DataFrame = {
+    val wh = s"${graft.ops.Sources.ioDir(s, d)}/sql_catalog"
+    val cat = catalogFor(s, wh)
+    val t = s"$cat.default.orders_ev"
+    s.sql(s"DROP TABLE IF EXISTS $t")
+    orders(s, d)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        dec2(col("o_totalprice")).as("price"))
+      .createOrReplaceTempView("orders_ev_src")
+    s.sql(s"""CREATE TABLE $t
+            |  (o_orderkey BIGINT, o_orderstatus STRING,
+            |   price DECIMAL(18,2))
+            |PARTITIONED BY (bucket(16, o_orderkey))""".stripMargin)
+    s.sql(s"INSERT INTO $t SELECT * FROM orders_ev_src " +
+      "WHERE o_orderkey % 2 = 0")
+    s.sql(s"""CALL $cat.system.evolve_layout('default.orders_ev',
+            |bucket_by => 'o_orderkey', bucket_count => 8)""".stripMargin)
+    s.sql(s"INSERT INTO $t SELECT * FROM orders_ev_src " +
+      "WHERE o_orderkey % 2 = 1")
+    // point lookup through the MIXED state: bucket(8) pruning applies
+    // to the new-spec files, the old-spec files survive — exactness
+    // either way
+    s.sql(s"SELECT COUNT(*) FROM $t WHERE o_orderkey = 32").collect()
+    s.sql(s"CALL $cat.system.compact('default.orders_ev')")
+    s.sql(s"""SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+            |  CAST(SUM(price) AS DOUBLE) AS sum_price
+            |FROM $t GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+      .stripMargin)
+  }
+
   /** Write-audit-publish end to end (r18): CREATE + land the even half
     * on main, fork branch 'audit', land the odd half on the BRANCH
     * under `spark.graft.wap.branch` (the Iceberg-style session switch —
@@ -1699,6 +1742,7 @@ object GraftSql {
     "q_bucket_join" -> qBucketJoin _,
     "q_bucket_join_str" -> qBucketJoinStr _,
     "q_relayout_sql" -> qRelayoutSql _,
+    "q_evolve_layout" -> qEvolveLayout _,
     "q_partitioned_sql" -> qPartitionedSql _,
     "q_widening_sql" -> qWideningSql _,
     "q_rename_sql" -> qRenameSql _,
@@ -1804,6 +1848,11 @@ object GraftSql {
     // shared string: the relayout rewrite (bucket(16) → bucket(8))
     // must preserve the table's visible state exactly
     "q_relayout_sql" ->
+      graft.ops.Sources.oracleSql("q_table_roundtrip"),
+    // shared again (r20): the METADATA-ONLY evolution — mixed-spec
+    // reads, the props swap, and the compaction that re-places the old
+    // half — must also preserve the state exactly
+    "q_evolve_layout" ->
       graft.ops.Sources.oracleSql("q_table_roundtrip"),
     // shared string: source files served through absolute manifest
     // lines + the clone's own appends must reassemble the direct state

@@ -419,6 +419,42 @@ object GraftProcedures {
       }
     }
 
+  /** Metadata-only layout evolution as SQL (r20):
+    * `CALL system.evolve_layout('default.t', bucket_by => 'k',
+    * bucket_count => 32)` — one props-only commit, zero rewrite, safe
+    * under continuous ingest (Layout.evolveLayout has the mixed-state
+    * soundness argument: stale placements can't key or prune under the
+    * new spec; SPJ keying returns after ordinary compaction). The
+    * rewrite-everything sibling is `system.relayout`. */
+  private def evolveLayoutProc(cat: GraftCatalog): UnboundProcedure =
+    new GraftProcedure("evolve_layout") {
+      override def parameters(): Array[ProcedureParameter] = Array(
+        ProcedureParameter.in("table", DataTypes.StringType).build(),
+        ProcedureParameter.in("partitioned_by", DataTypes.StringType)
+          .defaultValue("''").build(),
+        ProcedureParameter.in("bucket_by", DataTypes.StringType)
+          .defaultValue("''").build(),
+        ProcedureParameter.in("bucket_count", DataTypes.IntegerType)
+          .defaultValue("0").build())
+      private val out = StructType(Seq(
+        org.apache.spark.sql.types.StructField(
+          "version", DataTypes.IntegerType, nullable = false)))
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val table = tableDir(cat, input.getUTF8String(0).toString)
+        val partBy = input.getUTF8String(1).toString.split(',')
+          .map(_.trim).filter(_.nonEmpty).toSeq
+        val bucketBy =
+          Option(input.getUTF8String(2).toString).filter(_.nonEmpty)
+        val n = input.getInt(3)
+        require(bucketBy.isEmpty == (n == 0),
+          "evolve_layout: bucket_by and bucket_count come together")
+        val v = Layout.evolveLayout(spark, table,
+          partitionedBy = partBy, bucketBy = bucketBy,
+          bucketCount = if (n == 0) None else Some(n))
+        one(out)(v)
+      }
+    }
+
   // A `system.changes` procedure returning the CDC delta was built and
   // deliberately REMOVED: Spark 4.1's CALL machinery accepts only
   // LocalScan procedure output (InvokeProcedures.toRelation: "Only
@@ -446,16 +482,18 @@ object GraftProcedures {
       case "drop_branch"      => dropBranch(cat)
       case "clone"            => cloneProc(cat)
       case "relayout"         => relayoutProc(cat)
+      case "evolve_layout"    => evolveLayoutProc(cat)
       case "upsert"           => upsertProc(cat)
       case other => throw new IllegalArgumentException(
         s"unknown procedure system.$other — known: rollback, " +
           "expire_snapshots, compact, history, detail, create_branch, " +
-          "publish_branch, drop_branch, clone, relayout, upsert")
+          "publish_branch, drop_branch, clone, relayout, " +
+          "evolve_layout, upsert")
     }
   }
 
   val names: Seq[String] =
     Seq("rollback", "expire_snapshots", "compact", "history", "detail",
       "create_branch", "publish_branch", "drop_branch", "clone",
-      "relayout", "upsert")
+      "relayout", "evolve_layout", "upsert")
 }

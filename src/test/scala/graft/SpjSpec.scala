@@ -536,8 +536,10 @@ class SpjSpec extends AnyFunSuite {
         s"ALTER TABLE $t UNSET TBLPROPERTIES ('graft.partitioned.by')")) {
       val e = intercept[Exception] { spark.sql(ddl) }
       assert(e.getMessage.contains("CREATE-time immutable") &&
-          e.getMessage.contains("INSERT ... SELECT"),
-        s"$ddl must refuse naming the rewrite path, got: ${e.getMessage}")
+          e.getMessage.contains("evolve_layout") &&
+          e.getMessage.contains("relayout"),
+        s"$ddl must refuse naming both layout-change doors, got: " +
+          e.getMessage)
     }
     // the refusals committed nothing: the layout survives intact and
     // the keyed scan still reports the CREATE-time transform
