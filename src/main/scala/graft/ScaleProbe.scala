@@ -270,6 +270,11 @@ object ScaleProbe {
     // under the new layout props — so its ratio should sit near the
     // rewrite keys' (q_compact_snapshot family), never above
     "q_relayout_sql",
+    // round-20: metadata-only evolution — the props swap itself is
+    // O(manifest); the key's cost is its two bucketed inserts plus the
+    // closing compact, so the ratio should track the insert+rewrite
+    // volume like the relayout sibling
+    "q_evolve_layout",
     // the CNPJ vertical (reference envelope ">20 GB", readme.md:108):
     // synthetic flagship over the replica's 10× orders/customer —
     // r15 splits load (z-cluster + commit, data-volume-bound) from

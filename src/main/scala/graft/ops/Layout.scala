@@ -363,15 +363,21 @@ object Layout {
     * [[dropTable]], which does) — every fixture in this repo does. */
   // bounded by CHARACTERS, not entry count: one manifest can list
   // millions of lines, and 64 of those LRU'd by count alone would pin
-  // gigabytes of driver heap. 128M chars ≈ a few hundred MB with
-  // String overhead — sized so a large table's WORKING SET fits: the
-  // delta-chain floor (full checkpoint), the chain's physical deltas,
-  // and two head reconstructions (~11M chars each at 200k files). The
-  // r20 steady-state commit loop reads the previous head's cached
-  // reconstruction and applies one delta; evicting it made every
-  // commit re-parse the whole chain from disk (measured 10x on the
-  // ManifestScaleProbe).
-  private val ManifestCacheMaxChars = 128L << 20
+  // gigabytes of driver heap. Sized so a large table's WORKING SET
+  // fits: the delta-chain floor (full checkpoint), the chain's
+  // physical deltas, and two head reconstructions — ~45M chars EACH at
+  // the verdict's 800k-file scale, so the 256M default holds that
+  // working set with room (~1.2 GB worst-case with String overhead,
+  // inside the 8g default driver heap). The r20 steady-state commit
+  // loop reads the previous head's cached reconstruction and applies
+  // one delta; evicting it makes every commit re-parse the whole
+  // chain from disk (ManifestScaleProbe measured 10-20x on exactly
+  // that cliff at both 200k and 800k lines). Million-file-plus tables
+  // tune -Dgraft.manifest.cache.chars with driver memory, the same
+  // driver-heap ∝ live-metadata rule Delta/Iceberg drivers live by.
+  private val ManifestCacheMaxChars: Long =
+    sys.props.get("graft.manifest.cache.chars").map(_.toLong)
+      .getOrElse(256L << 20)
   private var manifestCacheChars = 0L
   private val manifestCache =
     new java.util.LinkedHashMap[String, Seq[String]](64, 0.75f,
@@ -2209,21 +2215,20 @@ object Layout {
       table: String, lines: Seq[String]): Int = {
     val root = new Path(table)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    casCommit(fs, root, "appendEntriesUnchecked", { head =>
-      val cur =
-        if (head == 0) Seq.empty else manifestFiles(fs, root, head)
-      // real verbs get line uniqueness for free (UUID txn-dir paths);
-      // this hook takes caller-formed lines, so it must enforce the
-      // invariant the delta fast path relies on — a duplicate line
-      // would reconstruct differently under set-based #rm folding than
-      // a FULL manifest lists it
-      val dup = lines.find(cur.toSet)
-      require(dup.isEmpty && lines.distinct.size == lines.size,
-        s"appendEntriesUnchecked: duplicate manifest line: " +
-          s"${dup.getOrElse(lines.diff(lines.distinct).headOption
-            .getOrElse(""))}")
-      cur ++ lines
-    },
+    // CALLER CONTRACT (the delta fast path's line-uniqueness
+    // invariant): `lines` must not repeat a line already listed — real
+    // verbs get this for free from UUID txn-dir paths, and both
+    // existing callers (the probe's strictly-increasing synthetic
+    // paths, spec fixtures) satisfy it by construction. Enforced only
+    // within the batch: an against-the-head set build here would cost
+    // exactly the O(table) hashing per commit this hook exists to
+    // measure the ABSENCE of (adding it inflated the probe 3-5x).
+    require(lines.distinct.size == lines.size,
+      "appendEntriesUnchecked: duplicate line within the batch: " +
+        lines.diff(lines.distinct).headOption.getOrElse(""))
+    casCommit(fs, root, "appendEntriesUnchecked", head =>
+      (if (head == 0) Seq.empty else manifestFiles(fs, root, head)) ++
+        lines,
       head => if (head == 0) None else schemaOf(fs, root, head))
   }
 
