@@ -376,8 +376,20 @@ object Layout {
   // tune -Dgraft.manifest.cache.chars with driver memory, the same
   // driver-heap ∝ live-metadata rule Delta/Iceberg drivers live by.
   private val ManifestCacheMaxChars: Long =
-    sys.props.get("graft.manifest.cache.chars").map(_.toLong)
-      .getOrElse(256L << 20)
+    sys.props.get("graft.manifest.cache.chars").map { v =>
+      // parsed inside object init: a bare toLong would surface as an
+      // opaque ExceptionInInitializerError naming nothing, and a
+      // non-positive budget would silently evict every entry (the
+      // documented 10-20x re-parse cliff) — fail with the property name
+      val n =
+        try v.toLong
+        catch { case _: NumberFormatException =>
+          throw new IllegalArgumentException(
+            s"graft.manifest.cache.chars must be a long, got '$v'") }
+      require(n > 0,
+        s"graft.manifest.cache.chars must be positive, got $n")
+      n
+    }.getOrElse(256L << 20)
   private var manifestCacheChars = 0L
   private val manifestCache =
     new java.util.LinkedHashMap[String, Seq[String]](64, 0.75f,
@@ -1967,7 +1979,9 @@ object Layout {
             // the O(n) set build the fast path exists to avoid): every
             // commit verb stages into a fresh UUID txn dir, so an add
             // can never equal a head line; the one caller-formed-lines
-            // entry point (appendEntriesUnchecked) enforces it itself
+            // entry point (appendEntriesUnchecked) states it as an
+            // UNCHECKED caller contract — see its comment for why
+            // runtime enforcement is wrong there
             (Seq.empty[String], adds, adds.toSet.size == adds.size)
           } else {
             val headSet = headLines.toSet
@@ -2215,14 +2229,16 @@ object Layout {
       table: String, lines: Seq[String]): Int = {
     val root = new Path(table)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // CALLER CONTRACT (the delta fast path's line-uniqueness
+    // UNCHECKED CALLER CONTRACT (the delta fast path's line-uniqueness
     // invariant): `lines` must not repeat a line already listed — real
-    // verbs get this for free from UUID txn-dir paths, and both
-    // existing callers (the probe's strictly-increasing synthetic
-    // paths, spec fixtures) satisfy it by construction. Enforced only
-    // within the batch: an against-the-head set build here would cost
-    // exactly the O(table) hashing per commit this hook exists to
-    // measure the ABSENCE of (adding it inflated the probe 3-5x).
+    // verbs get this for free from UUID txn-dir paths, and the sole
+    // current caller (ManifestScaleProbe's strictly-increasing
+    // synthetic paths) satisfies it by construction. The against-the-
+    // head half is deliberately NOT enforced at runtime: the set build
+    // would cost exactly the O(table) hashing per commit this hook
+    // exists to measure the ABSENCE of (adding it inflated the probe
+    // 3-5x). A new caller that cannot prove freshness must check
+    // against versionFilePaths itself, OUTSIDE the timed region.
     require(lines.distinct.size == lines.size,
       "appendEntriesUnchecked: duplicate line within the batch: " +
         lines.diff(lines.distinct).headOption.getOrElse(""))
@@ -4054,6 +4070,56 @@ object Layout {
     * Identity columns and bucket specs are mutually exclusive, as at
     * CREATE; empty arguments flatten the table to an unpartitioned
     * bin-packed layout. Returns (newVersion, filesBefore, filesAfter). */
+  /** Validate a target layout against version `v`'s recorded schema
+    * and props; returns the layout-prop map the target declares. ONE
+    * definition shared by [[relayout]] and [[evolveLayout]] (the
+    * bucket-type whitelist and column checks must never diverge
+    * between the two doors), and cheap enough to run PER CAS ATTEMPT —
+    * which both verbs do, so a rename/ALTER racing the layout commit
+    * can never publish a layout naming a column the committed schema
+    * no longer has or a clustering the committed props forbid. */
+  private def validateLayoutTarget(verb: String, fs: FileSystem,
+      root: Path, v: Int, partitionedBy: Seq[String],
+      bucketBy: Option[String], bucketCount: Option[Int])
+      : Map[String, String] = {
+    require(bucketBy.isDefined == bucketCount.isDefined,
+      s"$verb: bucket_by and bucket_count come together")
+    require(partitionedBy.isEmpty || bucketBy.isEmpty,
+      s"$verb: identity partition columns and a bucket spec are " +
+        "mutually exclusive (as at CREATE)")
+    bucketCount.foreach(n =>
+      require(n > 0, s"$verb: bucket count must be positive, got $n"))
+    val headProps = propsOf(fs, root, v)
+    val sch = schemaOf(fs, root, v)
+    (partitionedBy ++ bucketBy).foreach(c => sch.foreach(s =>
+      require(s.fieldNames.contains(c),
+        s"$verb: unknown column '$c' " +
+          s"(table columns: ${s.fieldNames.mkString(", ")})")))
+    bucketBy.foreach { c =>
+      sch.foreach { s =>
+        val dt = s(c).dataType
+        require(Seq[types.DataType](types.ByteType, types.ShortType,
+            types.IntegerType, types.LongType, types.StringType)
+            .contains(dt),
+          s"$verb: bucket column '$c' must be integral or string, " +
+            s"got $dt")
+      }
+      require(!headProps.contains(ClusterSortProp) &&
+          !headProps.contains(ClusterZorderProp),
+        s"$verb: bucket layout and graft.cluster.* properties are " +
+          "mutually exclusive — UNSET the clustering first")
+    }
+    (if (partitionedBy.nonEmpty)
+      Map(PartitionedByProp -> partitionedBy.mkString(","))
+    else Map.empty[String, String]) ++
+      bucketBy.zip(bucketCount).map { case (c, n) =>
+        Map(BucketByProp -> c, BucketCountProp -> n.toString)
+      }.getOrElse(Map.empty[String, String])
+  }
+
+  private val LayoutPropKeys =
+    Seq(PartitionedByProp, BucketByProp, BucketCountProp)
+
   def relayout(spark: SparkSession, table: String,
       partitionedBy: Seq[String] = Nil,
       bucketBy: Option[String] = None,
@@ -4063,46 +4129,14 @@ object Layout {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val v0 = currentVersion(fs, root)
     require(v0 > 0, s"relayout: no committed version in $table")
-    require(bucketBy.isDefined == bucketCount.isDefined,
-      "relayout: bucket_by and bucket_count come together")
-    require(partitionedBy.isEmpty || bucketBy.isEmpty,
-      "relayout: identity partition columns and a bucket spec are " +
-        "mutually exclusive (as at CREATE)")
-    bucketCount.foreach(n =>
-      require(n > 0, s"relayout: bucket count must be positive, got $n"))
     val branches = listBranches(spark, table)
     require(branches.isEmpty,
       s"relayout: live branch(es) ${branches.mkString(", ")} hold " +
         "files staged under the current layout — publish or drop " +
         "them first, then relayout")
-    val headProps = propsOf(fs, root, v0)
-    val sch = schemaOf(fs, root, v0)
-    (partitionedBy ++ bucketBy).foreach(c => sch.foreach(s =>
-      require(s.fieldNames.contains(c),
-        s"relayout: unknown column '$c' " +
-          s"(table columns: ${s.fieldNames.mkString(", ")})")))
-    bucketBy.foreach { c =>
-      sch.foreach { s =>
-        val dt = s(c).dataType
-        require(Seq[types.DataType](types.ByteType, types.ShortType,
-            types.IntegerType, types.LongType, types.StringType)
-            .contains(dt),
-          s"relayout: bucket column '$c' must be integral or string, " +
-            s"got $dt")
-      }
-      require(!headProps.contains(ClusterSortProp) &&
-          !headProps.contains(ClusterZorderProp),
-        "relayout: bucket layout and graft.cluster.* properties are " +
-          "mutually exclusive — UNSET the clustering first")
-    }
-    val layoutKeys = Seq(PartitionedByProp, BucketByProp, BucketCountProp)
-    val newLayout: Map[String, String] =
-      (if (partitionedBy.nonEmpty)
-        Map(PartitionedByProp -> partitionedBy.mkString(","))
-      else Map.empty[String, String]) ++
-      bucketBy.zip(bucketCount).map { case (c, n) =>
-        Map(BucketByProp -> c, BucketCountProp -> n.toString)
-      }.getOrElse(Map.empty[String, String])
+    val layoutKeys = LayoutPropKeys
+    val newLayout = validateLayoutTarget("relayout", fs, root, v0,
+      partitionedBy, bucketBy, bucketCount)
     // staging overrides: the fanout writer and the stats recorder merge
     // these OVER the head props, so the retiring layout can neither
     // place files nor record groups during the rewrite ("" / "0" are
@@ -4138,7 +4172,12 @@ object Layout {
         added
       },
       head => schemaOf(fs, root, head),
-      propsXform = p => p -- layoutKeys ++ newLayout)
+      propsXform = p => p -- layoutKeys ++ newLayout,
+      // re-validated per attempt: a rename landing between the pre-CAS
+      // check and the win changes the schema WITHOUT touching lines
+      // (field-id mapping), so the inputSet guard alone can't see it
+      attemptCheck = h => { validateLayoutTarget("relayout", fs, root,
+        h, partitionedBy, bucketBy, bucketCount); () })
     catch { case e: Throwable => dropStaged(fs, root, staged); throw e }
     (v, inputs.size, added.size)
   }
@@ -4181,49 +4220,21 @@ object Layout {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val v0 = currentVersion(fs, root)
     require(v0 > 0, s"evolveLayout: no committed version in $table")
-    require(bucketBy.isDefined == bucketCount.isDefined,
-      "evolveLayout: bucket_by and bucket_count come together")
-    require(partitionedBy.isEmpty || bucketBy.isEmpty,
-      "evolveLayout: identity partition columns and a bucket spec are " +
-        "mutually exclusive (as at CREATE)")
-    bucketCount.foreach(n => require(n > 0,
-      s"evolveLayout: bucket count must be positive, got $n"))
-    val headProps = propsOf(fs, root, v0)
-    val sch = schemaOf(fs, root, v0)
-    (partitionedBy ++ bucketBy).foreach(c => sch.foreach(s =>
-      require(s.fieldNames.contains(c),
-        s"evolveLayout: unknown column '$c' " +
-          s"(table columns: ${s.fieldNames.mkString(", ")})")))
-    bucketBy.foreach { c =>
-      sch.foreach { s =>
-        val dt = s(c).dataType
-        require(Seq[types.DataType](types.ByteType, types.ShortType,
-            types.IntegerType, types.LongType, types.StringType)
-            .contains(dt),
-          s"evolveLayout: bucket column '$c' must be integral or " +
-            s"string, got $dt")
-      }
-      require(!headProps.contains(ClusterSortProp) &&
-          !headProps.contains(ClusterZorderProp),
-        "evolveLayout: bucket layout and graft.cluster.* properties " +
-          "are mutually exclusive — UNSET the clustering first")
-    }
-    val layoutKeys = Seq(PartitionedByProp, BucketByProp, BucketCountProp)
-    val newLayout: Map[String, String] =
-      (if (partitionedBy.nonEmpty)
-        Map(PartitionedByProp -> partitionedBy.mkString(","))
-      else Map.empty[String, String]) ++
-      bucketBy.zip(bucketCount).map { case (c, n) =>
-        Map(BucketByProp -> c, BucketCountProp -> n.toString)
-      }.getOrElse(Map.empty[String, String])
+    val newLayout = validateLayoutTarget("evolveLayout", fs, root, v0,
+      partitionedBy, bucketBy, bucketCount)
     // lines carry UNCHANGED per attempt — a concurrent append rebases
     // cleanly on either side of this commit: its files were placed and
     // GROUP-STAMPED under whichever spec its staging read, so they can
-    // only ever key under that spec
+    // only ever key under that spec. The target is RE-validated against
+    // each attempt's head (attemptCheck): a rename or ALTER landing
+    // between the check above and the CAS win must refuse, not publish
+    // a layout naming a column the committed schema no longer has.
     casCommit(fs, root, "evolveLayout",
       head => manifestFiles(fs, root, head),
       head => schemaOf(fs, root, head),
-      propsXform = p => p -- layoutKeys ++ newLayout)
+      propsXform = p => p -- LayoutPropKeys ++ newLayout,
+      attemptCheck = h => { validateLayoutTarget("evolveLayout", fs,
+        root, h, partitionedBy, bucketBy, bucketCount); () })
   }
 
   /** URI-scheme/slash-insensitive normal form for matching
