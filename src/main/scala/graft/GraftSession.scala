@@ -46,6 +46,30 @@ object GraftSession {
       .config("spark.sql.sources.v2.bucketing.enabled", "true")
       .config("spark.sql.sources.v2.bucketing.pushPartValues.enabled",
         "true")
+      // allow shuffled-hash joins where the planner's size conditions
+      // hold (Spark defaults to sort-merge): a hash build skips both
+      // sides' sorts, and the guide's starting configuration (§9)
+      // recommends exactly this flip. The OOM guard stays — the planner
+      // only picks SHJ when a build-side partition provably fits
+      // (canBuildLocalHashMap), so at warehouse scale oversized builds
+      // still fall back to sort-merge. A/B r21 (3-run min, local[32]):
+      // q_join_fact CPU 2.26 → 1.16 s, q_salted_join wall 1.44 → 1.26 s,
+      // q_scd2/q_setops/q_outer_join/q_semi_anti all ≤, none worse.
+      .config("spark.sql.join.preferSortMergeJoin", "false")
+      // let AQE re-partition reads of CACHED plans (off by default in
+      // Spark): the engine caches small iteration state by design (label
+      // propagation rounds, merge sources, pair-set memos), and with the
+      // conf off every consumer stage of a cached frame inherits the full
+      // static shuffle partition count — the r21 StageProbe measured
+      // q_image_dedup_cluster spending its entire wall on 658 near-empty
+      // tasks across 31 stages. With it on, AQE coalesces those to the
+      // data's real size (A/B: wall 2.14 → 1.43 s, executor CPU 1.13 →
+      // 0.21 s; q_dedup_cluster_lsh wall 2.03 → 1.41 s). Safe here: no
+      // graft operator relies on a cached plan's output partitioning —
+      // everything downstream of a cache is a keyed join/aggregate that
+      // declares its own requirement.
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "true")
       .config("spark.ui.enabled", "false")
       .withExtensions(new GraftExtensions)
   }

@@ -39,4 +39,45 @@ object Tables {
     * outputs go back to double AFTER the exact aggregation. */
   def dec2(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     c.cast("decimal(18,2)")
+
+  /** Ceiling under which [[fanOutSmallScan]] fires, conf-overridable
+    * (`spark.graft.fanout.smallScanBytes`). Default 64 MB: far above any
+    * local-testdata scan, far below anything a warehouse table reports. */
+  private val FanOutSmallScanBytesDefault: Long = 64L * 1024 * 1024
+
+  /** Pin a compute-bound per-row pipeline to cluster parallelism when its
+    * input scan is too small to split: a single-row-group parquet file
+    * yields ONE scan task no matter what `maxPartitionBytes` says, which
+    * serializes every expensive per-row stage stacked on it (tokenize,
+    * gram explode, perplexity scoring — the r21 StageProbe showed 0.6-1 s
+    * single-task stages across the text keys). A round-robin repartition
+    * of the tiny input buys full parallelism for those stages.
+    *
+    * Size-dispatched on pure plan metadata (no job), same adaptive style
+    * as Graph.triangleAdjEstimate: above the ceiling the scan already
+    * splits and this is the identity — the repartition must NEVER fire at
+    * warehouse scale, where it would shuffle the whole corpus for
+    * nothing. Determinism: round-robin repartition sorts before
+    * assignment (sortBeforeRepartition, Spark default), so the row →
+    * partition map is a pure function of the scan order and re-runs are
+    * bit-identical. */
+  def fanOutSmallScan(df: DataFrame): DataFrame = {
+    val s = df.sparkSession
+    val ceiling = s.conf.getOption("spark.graft.fanout.smallScanBytes")
+      .map(_.toLong).getOrElse(FanOutSmallScanBytesDefault)
+    // min(cores, 8), conf-overridable: the stages this feeds (tokenize,
+    // gram explode, string building) are MEMORY-BANDWIDTH-bound, not
+    // ALU-bound — the r21 AbBench sweep measured wall flat beyond ~8-way
+    // while total CPU-seconds inflated superlinearly with thread count
+    // (4-way 2.3 s, 8-way 3.9 s, 16-way 7.7 s, 32-way 22 s CPU for the
+    // same q_substring_dedup work at walls within ±20%). Past the
+    // bandwidth knee, extra threads only stall on the same DRAM.
+    val parts = s.conf.getOption("spark.graft.fanout.parts")
+      .map(_.toInt)
+      .getOrElse(math.min(s.sparkContext.defaultParallelism, 8))
+    if (df.queryExecution.optimizedPlan.stats.sizeInBytes <=
+        BigInt(ceiling))
+      df.repartition(parts)
+    else df
+  }
 }

@@ -161,7 +161,10 @@ object Aggregates {
     * with one pass at 100 TB; numerics cross as DECIMAL strings so the
     * text rendering is engine-portable. */
   def qProfile(s: SparkSession, d: String): DataFrame = {
-    val agg = orders(s, d).agg(
+    // fanOutSmallScan: the three exact count-distincts expand every row
+    // 3× before the partial aggregate, and a single-row-group scan ran
+    // that on ONE task (r21 StageProbe: 1.07 s serial); identity at scale
+    val agg = fanOutSmallScan(orders(s, d)).agg(
       count(lit(1)).as("n"),
       sum(when(col("o_orderstatus").isNull, 1L).otherwise(0L)).as("null_s"),
       countDistinct(col("o_orderstatus")).as("nd_s"),

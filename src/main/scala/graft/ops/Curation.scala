@@ -253,9 +253,15 @@ object Curation {
   def qSubstringDedup(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val k = 8
-    val docs = documents(s, d)
+    // fanOutSmallScan + localCheckpoint: the tokenized docs feed THREE
+    // consumers (gram occurrences, position explode, per-doc totals),
+    // each of which re-ran tokenize serially on the single-row-group
+    // scan (r21 StageProbe: a 1.03 s single-task gram stage); the cut
+    // tokenizes once, parallel.
+    val docs = fanOutSmallScan(documents(s, d))
       .select(col("doc_id"), Text.toks(col("text")).as("tk"))
       .where(size(col("tk")) > 0)
+      .localCheckpoint(eager = false)
     val occ = docs.where(size(col("tk")) >= k)
       .select(col("doc_id"),
         explode(transform(sequence(lit(1), size(col("tk")) - (k - 1)),
@@ -311,7 +317,16 @@ object Curation {
     * distinct grams for even odds of ONE collision). */
   def qDupNgrams(s: SparkSession, d: String): DataFrame = {
     val n = 8
-    val grams = documents(s, d)
+    // fanOutSmallScan: gram generation (slice + concat + hash per
+    // position) is the expensive per-row stage and it ran on ONE task
+    // on a single-row-group scan (r21 StageProbe: four 0.6-0.85 s
+    // serial stages across this key's three gram consumers). The
+    // repartition parallelizes each re-expansion; a localCheckpoint of
+    // the exploded gram table was tried and REJECTED — materializing
+    // ~1M deserialized gram rows cost more CPU than the three parallel
+    // recomputes, and it hides the hash-not-string shuffle contract
+    // from the plan (PlanAuditSpec pins it).
+    val grams = fanOutSmallScan(documents(s, d))
       .select(col("doc_id"), Text.toks(col("text")).as("tk"))
       .where(size(col("tk")) >= n)
       .select(col("doc_id"), size(col("tk")).cast("long").as("n_tok"),

@@ -81,22 +81,52 @@ object Graph {
     val nn = outdeg.agg(count(lit(1)).as("nn"))
     val base = outdeg.crossJoin(broadcast(nn)) // node, deg, nn
       .localCheckpoint(eager = false)
+    // SIZE-DISPATCHED rank-vector attachment (same adaptive pattern as
+    // the triangle census' adjacency): the contribution vector is two
+    // longs per NODE while the edge list is per-EDGE — the small side
+    // by a factor of avg-degree. The lazily-checkpointed lineage hides
+    // that from the planner (unknown stats ⇒ sort-merge), so every
+    // iteration was shuffling + sorting the 1.2M-row edge list
+    // (StageProbe r21: the three iteration joins re-read ~100 MB of
+    // checkpointed edges each and carried the sort). Broadcasting the
+    // rank vector leaves only the dst-keyed partial-aggregated
+    // contribution shuffle per iteration. The vector grows with node
+    // count, though, so an unconditional broadcast is a driver OOM at
+    // warehouse scale — above the ceiling the joins stay shuffled (and
+    // the further step is the bucketed edge layout the scaladoc
+    // describes; PageRankBucketedSpec proves that plan).
+    val attach: DataFrame => DataFrame =
+      if (pagerankBroadcastsRanks(s, d)) broadcast else identity
     var ranks = base.select(col("node"), col("deg"), col("nn"),
       expr(s"$Scale div nn").as("pr"))
     for (_ <- 1 to Iters) {
       val contribs = ranks
         .select(col("node").as("cnode"), expr("pr div deg").as("c"))
       val incoming = edges
-        .join(contribs, edges("src") === col("cnode"))
+        .join(attach(contribs), edges("src") === col("cnode"))
         .groupBy(col("dst")).agg(sum(col("c")).as("s"))
       ranks = base
-        .join(incoming, base("node") === incoming("dst"), "left")
+        .join(attach(incoming), base("node") === incoming("dst"), "left")
         .select(base("node"), base("deg"), base("nn"),
           expr(s"((15 * ($Scale div nn)) div 100) + " +
             "((85 * coalesce(s, 0L)) div 100)").as("pr"))
     }
     ranks.select(col("node"), col("pr")).orderBy("node")
   }
+
+  /** Planning-time size signal for [[qPagerank]]'s rank-vector
+    * broadcast — distinct node count is bounded by 2 × lineitem rows
+    * (each row names one supplier and one part), so the pruned
+    * (suppkey, partkey) scan estimate at 16 B/row upper-bounds the
+    * 16 B/node vector. Same conservative pure-plan-metadata style as
+    * [[triangleAdjEstimate]] (no job, and only the table the operator
+    * already reads): over-estimating only costs a shuffle; under-
+    * estimating at warehouse scale would OOM the driver. */
+  private[graft] def pagerankBroadcastsRanks(s: SparkSession, d: String)
+      : Boolean =
+    lineitem(s, d).select(col("l_suppkey"), col("l_partkey"))
+      .queryExecution.optimizedPlan.stats.sizeInBytes * 2 <=
+      BigInt(triangleBroadcastBytes(s))
 
   /** Triangle census of the part co-purchase graph: nodes are parts,
     * with an edge between two parts iff some order contains both.
@@ -136,22 +166,51 @@ object Graph {
     * compose via the broadcast-crossJoin idiom. */
   def qTriangleCount(s: SparkSession, d: String): DataFrame = {
     import graft.functions.SortedIntersectCount.sortedIntersectCount
-    val perOrder = lineitem(s, d)
+    // Pair generation is conf-dispatched (spark.graft.triangle.pairgen)
+    // so both forms stay A/B-able; the default is the KEYED SELF-JOIN:
+    // distinct (order, part) joined against itself on l_orderkey with
+    // pa < pb. The earlier per-order array form (collect_set +
+    // higher-order transform/slice explode) avoided the join's shuffle,
+    // but HOFs evaluate OUTSIDE whole-stage codegen and allocate a
+    // slice array + struct per emitted pair — measured 2.6× the CPU of
+    // the join form on this stage (StageProbe r21: 3.5 s → ~1.3 s).
+    // The join stays bounded at scale for the same reason the array
+    // form did: per-order pair volume is capped by basket size (≤ 7
+    // lineitems per order here → ≤ 21 pairs), and the shuffle it adds
+    // carries (orderkey, partkey) pairs only — 16 B/row, the same rows
+    // the collect_set shuffle moved anyway.
+    val dp = lineitem(s, d)
       .select(col("l_orderkey"), col("l_partkey")).distinct()
-      .groupBy("l_orderkey")
-      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
-    val e = perOrder
-      .select(explode(expr(
-        "flatten(transform(ps, (x, i) -> transform(" +
-          "slice(ps, i + 2, size(ps)), y -> struct(x AS pa, y AS pb))))"))
-        .as("p"))
-      .select(col("p.pa").as("pa"), col("p.pb").as("pb"))
+    val pairGen = s.conf
+      .getOption("spark.graft.triangle.pairgen").getOrElse("selfjoin")
+    val rawPairs =
+      if (pairGen == "hof") {
+        dp.groupBy("l_orderkey")
+          .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+          .select(explode(expr(
+            "flatten(transform(ps, (x, i) -> transform(" +
+              "slice(ps, i + 2, size(ps)), y -> struct(x AS pa, y AS pb))))"))
+            .as("p"))
+          .select(col("p.pa").as("pa"), col("p.pb").as("pb"))
+      } else {
+        // SHUFFLE_HASH: both sides are the same 16 B/row key-pair set —
+        // a hash build beats sort-merge's two sorts (A/B r21: wall 3.0 →
+        // 2.4 s, CPU 14.2 → 13.8 s), and the per-partition build side is
+        // bounded by the same basket cap that bounds the join output
+        dp.as("x").hint("SHUFFLE_HASH").join(dp.as("y"),
+            col("x.l_orderkey") === col("y.l_orderkey") &&
+              col("x.l_partkey") < col("y.l_partkey"))
+          .select(col("x.l_partkey").as("pa"), col("y.l_partkey").as("pb"))
+      }
+    val e = rawPairs
       .distinct()
       // the degree join and both adjacency sides read this; without the
       // cut each consumer re-expands the per-order pair generation
       .localCheckpoint(eager = false)
-    val deg = e.select(col("pa").as("node"))
-      .unionAll(e.select(col("pb").as("node")))
+    // one read of the checkpointed edge list instead of two: unionAll
+    // scanned e once per side (2 × ~100 MB of materialized pair rows);
+    // the codegen'd explode emits both endpoints in a single pass
+    val deg = e.select(explode(array(col("pa"), col("pb"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("deg"))
     val ed = e
       .join(deg.select(col("node").as("pa"), col("deg").as("da")), "pa")
@@ -164,9 +223,14 @@ object Graph {
       when(lower, col("pb")).otherwise(col("pa")).as("dst"))
       .localCheckpoint(eager = false)
     // sorted out-adjacency per node: one keyed shuffle; array length is
-    // the oriented out-degree, bounded O(√m) by the orientation
+    // the oriented out-degree, bounded O(√m) by the orientation.
+    // localCheckpoint: BOTH attachment sides below read adj, and the
+    // src/dst renames above the aggregate defeated exchange reuse — the
+    // r21 StageProbe showed the groupBy+sort re-executed twice (200 MB
+    // re-read of the oriented checkpoint). The cut materializes adj once.
     val adj = oriented.groupBy(col("src").as("node"))
       .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
+      .localCheckpoint(eager = false)
     // per-edge |out(u) ∩ out(v)| through the codegen'd kernel; edges
     // whose dst has no out-list close no triangle and drop at the join.
     // SIZE-DISPATCHED adjacency attachment (same adaptive pattern as
@@ -195,11 +259,15 @@ object Graph {
         col("nbrs").as("nb"))), "dst")
       .agg(coalesce(sum(sortedIntersectCount(col("na"), col("nb"))
         .cast("long")), lit(0L)).as("n_triangles"))
-    // W = Σ deg·(deg−1)/2 — all (ordered) wedges, integer-exact
+    // W = Σ deg·(deg−1)/2 — all (ordered) wedges, integer-exact.
+    // n_edges = Σ deg / 2 exactly (every edge contributes one to each
+    // endpoint's degree) — derived in the SAME aggregate instead of a
+    // separate full count scan of the edge checkpoint; coalesce keeps
+    // the empty-graph value at 0, matching the count it replaced.
     val stats = deg.agg(count(lit(1)).as("n_nodes"),
-      sum(expr("deg * (deg - 1) div 2")).as("n_wedges"))
-    val edges = e.agg(count(lit(1)).as("n_edges"))
-    stats.crossJoin(broadcast(edges)).crossJoin(broadcast(tri))
+      sum(expr("deg * (deg - 1) div 2")).as("n_wedges"),
+      coalesce(expr("sum(deg) div 2"), lit(0L)).as("n_edges"))
+    stats.crossJoin(broadcast(tri))
       .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
         col("n_triangles"),
         when(col("n_wedges") === 0, lit(0.0d))

@@ -159,7 +159,12 @@ object Ranking {
       .select("t", "df")
     val docToks = toksD.join(broadcast(vocab.select("t")), "t")
       .groupBy("doc_id").agg(sort_array(collect_set(col("t"))).as("ts"))
-    val pairs = docToks
+    // fanOutSmallScan on the per-doc token sets: AQE coalesces the tiny
+    // collect_set shuffle to ~1 partition — right for bytes, wrong for
+    // the compute-bound HOF pair expansion stacked on it (r21
+    // StageProbe: 0.82 s on one task). Size-dispatched, so at corpus
+    // scale (docToks already wide) it is the identity.
+    val pairs = fanOutSmallScan(docToks)
       .select(explode(expr(
         "flatten(transform(ts, (x, i) -> transform(" +
           "slice(ts, i + 2, size(ts)), y -> struct(x AS t1, y AS t2))))"))
@@ -332,7 +337,14 @@ object Ranking {
     * skew-join split handles it (OptimizeSkewedJoin), and the probe side
     * carries one row per DISTINCT doc bigram, not per occurrence. */
   def qDocPerplexity(s: SparkSession, d: String): DataFrame = {
-    val tk = documents(s, d)
+    // fanOutSmallScan: the bigram explode is the expensive per-row stage
+    // and a single-row-group scan ran it on ONE task (r21 StageProbe:
+    // 2 × 0.66 s serial). localCheckpoint: db feeds BOTH the corpus LM
+    // (big → ctx) and the probe join; the src/key pruning above the two
+    // consumers defeated exchange reuse, so the doc-bigram aggregation
+    // (scan + tokenize + explode + shuffle) executed twice per run — the
+    // cut materializes it once (same pattern as Graph's edge lists).
+    val tk = fanOutSmallScan(documents(s, d))
       .select(col("doc_id"), Text.toks(col("text")).as("tk"))
       .where(size(col("tk")) >= 2)
     val db = tk
@@ -342,6 +354,7 @@ object Ranking {
         (a, b) => struct(a.as("w1"), b.as("w2")))).as("b"))
       .groupBy(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
       .agg(count(lit(1)).as("c_doc"))
+      .localCheckpoint(eager = false)
     val big = db.groupBy("w1", "w2").agg(sum(col("c_doc")).as("c12"))
     val ctx = big.groupBy("w1").agg(sum(col("c12")).as("c1"))
     val bp = big.join(ctx, "w1")

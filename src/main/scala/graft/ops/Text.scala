@@ -138,7 +138,9 @@ object Text {
   def qTextQuality(s: SparkSession, d: String): DataFrame = {
     val stop = Seq("the", "a", "of", "and", "to", "in", "is", "on",
       "for", "with")
-    documents(s, d)
+    // fanOutSmallScan: tokenize + stopword filter are the per-row cost;
+    // single-row-group scans serialized them (identity at scale)
+    fanOutSmallScan(documents(s, d))
       .select(col("doc_id"), col("lang"),
         length(col("text")).cast("long").as("n_chars_m"),
         toks(col("text")).as("tk"))
@@ -430,7 +432,10 @@ object Text {
     * hash order gives a consistent global order for both the two-pointer
     * kernel and the prefix filter. */
   private[graft] def shingleSets(s: SparkSession, d: String): DataFrame =
-    documents(s, d)
+    // fanOutSmallScan: the kernel is a narrow per-row map, so on a
+    // single-row-group scan it ran on ONE task (r21 StageProbe: two
+    // ~0.36 s serial build stages per dedup key); identity at scale
+    fanOutSmallScan(documents(s, d))
       .select(col("doc_id"),
         graft.functions.ShingleSet.shingleSet(col("text")).as("hs"))
       .withColumn("n", size(col("hs")))
@@ -476,7 +481,7 @@ object Text {
     * land on one core). Pinning partitions to cluster parallelism keeps
     * the verification scan CPU-bound across all cores. */
   private[graft] def dedupNearBroadcast(arr: DataFrame): DataFrame = {
-    import graft.functions.SortedIntersectCount.sortedIntersectCount
+    import graft.functions.SortedIntersectCount.{sortedIntersectAtLeast, sortedIntersectCount}
     val par = arr.sparkSession.sparkContext.defaultParallelism
     // The similarity test lives INSIDE the join condition: the BNL join
     // evaluates the intersect kernel per (broadcast-resident) pair and
@@ -485,14 +490,26 @@ object Text {
     // 60-hash arrays copied into an output row) would be built first.
     // The cut is the division-free integer-exact form of
     // round(J, 6) ≥ 0.6  ⟺  J ≥ 0.5999995  ⟺
-    // c·(10⁷+5999995) ≥ 5999995·(na+nb), so ONE kernel call per pair
-    // decides (a separate post-join WHERE would be pushed back into the
-    // condition by Catalyst and re-evaluate the kernel 2-3×/pair — seen
-    // in the executed plan before this form). The cheap doc_id ordering
-    // conjunct runs first and short-circuits half the pairs.
+    // c·(10⁷+5999995) ≥ 5999995·(na+nb)  ⟺  c ≥ req where
+    // req = ⌈5999995·(na+nb)/15999995⌉ (a separate post-join WHERE
+    // would be pushed back into the condition by Catalyst and
+    // re-evaluate the kernel 2-3×/pair — seen in the executed plan
+    // before this form). Three conjuncts, cheapest first, each
+    // short-circuiting the next (guide §1.2 per-task work):
+    //   1. doc_id ordering — drops half the pairs at one comparison;
+    //   2. req ≤ min(na, nb) — the LENGTH filter implied by c ≤ min
+    //      (measured: kills ~50% of surviving pairs on this corpus at
+    //      two integer ops instead of a ~100-comparison merge);
+    //   3. the threshold kernel with bidirectional early exit — bails
+    //      mid-merge once the remaining elements cannot reach req.
+    // The exact count for the ~handful of qualifying rows is recomputed
+    // in the select below; every cut is an implied bound, so the pair
+    // set is bit-identical to the full-count form (NearDupKernelSpec).
+    val req = expr(
+      "(5999995L * (aa.n + ab.n) + 15999994L) DIV 15999995L")
     val cond = col("aa.doc_id") < col("ab.doc_id") &&
-      sortedIntersectCount(col("aa.hs"), col("ab.hs")) * lit(15999995L) >=
-        lit(5999995L) * (col("aa.n") + col("ab.n"))
+      req <= least(col("aa.n"), col("ab.n")) &&
+      sortedIntersectAtLeast(col("aa.hs"), col("ab.hs"), req)
     arr.repartition(par).as("aa")
       .join(broadcast(arr.as("ab")), cond)
       .select(col("aa.doc_id").as("da"), col("ab.doc_id").as("db"),

@@ -79,7 +79,10 @@ object Vectors {
     * (argmin, ties → smaller centroid id); each query probes its nprobe=2
     * nearest clusters and ranks only those candidates by cosine (top-5). */
   def qVectorAnnIvf(s: SparkSession, d: String): DataFrame = {
-    val e = embeddings(s, d).select(col("vec_id"),
+    // fanOutSmallScan: the per-centroid L2² assignment is 64-dim HOF
+    // arithmetic per row — serial on a single-row-group scan (identity
+    // at scale; min_by's total tie-break keeps it partitioning-proof)
+    val e = fanOutSmallScan(embeddings(s, d)).select(col("vec_id"),
       asDouble(col("embedding")).as("emb"))
     val cent = e.where(col("vec_id") < 8)
       .select(col("vec_id").as("cid"), col("emb").as("cemb"))
@@ -142,7 +145,13 @@ object Vectors {
   def qVectorAnnKmeans(s: SparkSession, d: String): DataFrame = {
     val S = 1048576L // 2^20
     val dec0 = lit(0).cast("decimal(38,0)")
-    val e = embeddings(s, d).select(col("vec_id"),
+    // fanOutSmallScan: the quantize + per-centroid distance stages are
+    // 64-dim HOF arithmetic per row and ran serially on the single-row-
+    // group embeddings scan; identity at scale. Safe under any
+    // partitioning — every reduction here is exact-integer/decimal and
+    // min_by carries a total tie-break (the operator's own determinism
+    // contract).
+    val e = fanOutSmallScan(embeddings(s, d)).select(col("vec_id"),
       transform(asDouble(col("embedding")),
         x => round(x * S, 0).cast("long")).as("xq"),
       asDouble(col("embedding")).as("emb"))

@@ -124,10 +124,14 @@ class PlanAuditSpec extends AnyFunSuite {
     assert("BroadcastNestedLoopJoin".r.findAllIn(p).size == 1,
       "expected exactly one BNL join:\n" + p.take(1200))
     // the join node's own condition carries the kernel + integer cut —
-    // find the BNL line and check the cut's magic constants sit in it
+    // find the BNL line and check the cut's magic constants sit in it.
+    // r21: the condition kernel is the early-exit THRESHOLD form
+    // (sorted_intersect_at_least) behind the length prefilter; the
+    // full count runs only in the post-join projection
+    // (NearDupKernelSpec pins pair-set equality with the old form).
     val bnlLine = p.linesIterator
       .find(_.contains("BroadcastNestedLoopJoin")).get
-    assert(bnlLine.contains("sorted_intersect_count") &&
+    assert(bnlLine.contains("sorted_intersect_at_least") &&
       bnlLine.contains("15999995"),
       "τ cut is not inside the BNL join condition:\n" + bnlLine)
     // and no separate Filter re-evaluates the kernel after the join
