@@ -39,20 +39,32 @@ object AbBench {
       (t, (cpu.snapshot(spark) - c0) / 1e9)
     }
     val sides = if (toggles.isEmpty) Seq(0) else Seq(0, 1)
-    for (side <- sides) {
-      toggles.foreach { case (k, a, b) =>
-        spark.conf.set(k, if (side == 0) a else b)
-      }
-      val label = if (toggles.isEmpty) "RUN" else s"SIDE$side"
-      keys.foreach { k =>
+    // INTERLEAVE sides per run (A,B,A,B,... per key) rather than running
+    // all of side 0 then all of side 1: a transient contention window on
+    // this box (CPU steal comes and goes in multi-minute bursts) would
+    // otherwise poison exactly one side and masquerade as a toggle
+    // effect — the r21 committer A/B read +60% on side 1 from
+    // contention alone until interleaving flattened it.
+    keys.foreach { k =>
+      val samples: Map[Int, Seq[(Double, Double)]] =
+        (1 to runs).flatMap { _ =>
+          sides.map { side =>
+            toggles.foreach { case (c, a, b) =>
+              spark.conf.set(c, if (side == 0) a else b)
+            }
+            side -> timeOnce(k)
+          }
+        }.groupBy(_._1).map { case (s, v) => s -> v.map(_._2) }
+      sides.foreach { side =>
+        val label = if (toggles.isEmpty) "RUN" else s"SIDE$side"
         // min over the SUCCESSFUL runs: -1 is the error sentinel, and
         // math.min would let one transient failure discard a valid sample
-        val samples = Seq.fill(runs)(timeOnce(k)).filter(_._1 >= 0)
+        val ok = samples(side).filter(_._1 >= 0)
         val (t, c) =
-          if (samples.isEmpty) (-1.0, -1.0)
-          else (samples.map(_._1).min, samples.map(_._2).min)
+          if (ok.isEmpty) (-1.0, -1.0)
+          else (ok.map(_._1).min, ok.map(_._2).min)
         println(f"ABBENCH $label $k wall=$t%.3f cpu=$c%.3f " +
-          s"runs=${samples.size} " +
+          s"runs=${ok.size} " +
           s"lp_rounds=${ops.Sketches.lastLabelPropIterations}")
       }
     }

@@ -70,6 +70,17 @@ object GraftSession {
       // declares its own requirement.
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
         "true")
+      // fork-free local-fs permissions: with no libhadoop.so, stock
+      // Hadoop shells out `chmod` on EVERY file create/mkdir — r21
+      // thread dumps showed that fork under RawLocalFileSystem.
+      // setPermission as the hottest driver-dwell signature across the
+      // lifecycle keys (16-bucket fanout commits pay 16+ forks each).
+      // NioLocalFileSystem does the same chmod through java.nio (no
+      // process launch, identical bits; sticky/setuid fall back to the
+      // stock path). Inert for non-file schemes — HDFS/S3 deployments
+      // never load it.
+      .config("spark.hadoop.fs.file.impl",
+        "graft.hadoop.NioLocalFileSystem")
       .config("spark.ui.enabled", "false")
       .withExtensions(new GraftExtensions)
   }

@@ -17,12 +17,33 @@ object StageProbe {
       tasks: Int, wallMs: Long, cpuMs: Long, runMs: Long,
       shuffleReadMB: Double, shuffleWriteMB: Double, inputMB: Double)
 
+  /** (jobId, startMs, endMs, gapSincePrevJobEndMs): the GAP column is the
+    * driver-only dwell between one job finishing and the next starting —
+    * planning, file listing, commit protocol, fs renames. For multi-job
+    * lifecycle verbs the r21 probe showed stage walls summing to well
+    * under half the key's wall; this column is where the rest lives. */
+  final case class JobRow(jobId: Int, startMs: Long, endMs: Long,
+      gapMs: Long)
+
   final class Listener extends SparkListener {
     val rows = ArrayBuffer.empty[StageRow]
+    val jobs = ArrayBuffer.empty[JobRow]
     @volatile var jobOfStage = Map.empty[Int, Int]
+    @volatile private var jobStart = Map.empty[Int, Long]
+    @volatile private var lastJobEnd = 0L
+    def resetClock(): Unit = synchronized { lastJobEnd = 0L }
     override def onJobStart(e: SparkListenerJobStart): Unit =
       synchronized {
         e.stageIds.foreach(sid => jobOfStage += (sid -> e.jobId))
+        jobStart += (e.jobId -> e.time)
+      }
+    override def onJobEnd(e: org.apache.spark.scheduler
+        .SparkListenerJobEnd): Unit =
+      synchronized {
+        val st = jobStart.getOrElse(e.jobId, e.time)
+        val gap = if (lastJobEnd == 0) 0 else st - lastJobEnd
+        jobs += JobRow(e.jobId, st, e.time, gap)
+        lastJobEnd = math.max(lastJobEnd, e.time)
       }
     override def onStageCompleted(e: SparkListenerStageCompleted): Unit =
       synchronized {
@@ -57,7 +78,8 @@ object StageProbe {
       BenchProtocol.timeOnce(spark, sfDir, fn)
       var best = Double.MaxValue
       (1 to runs).foreach { _ =>
-        lis.synchronized(lis.rows.clear())
+        lis.synchronized { lis.rows.clear(); lis.jobs.clear() }
+        lis.resetClock()
         val t = BenchProtocol.timeOnce(spark, sfDir, fn)
         org.apache.spark.sql.graft.ColumnBridge.drainListenerBus(spark)
         if (t >= 0 && t < best) best = t
@@ -67,6 +89,13 @@ object StageProbe {
           println(f"  job=${r.jobId}%3d stage=${r.stageId}%4d cpu=${r.cpuMs}%6d ms run=${r.runMs}%6d ms wall=${r.wallMs}%6d ms tasks=${r.tasks}%4d sr=${r.shuffleReadMB}%8.1f MB sw=${r.shuffleWriteMB}%8.1f MB in=${r.inputMB}%8.1f MB  ${r.name}")
         }
         println(f"  TOTAL cpu=${rows.map(_.cpuMs).sum}%6d ms over ${rows.size} stages, ${rows.map(_.tasks).sum} tasks")
+        val jobs = lis.synchronized(lis.jobs.toVector).sortBy(_.startMs)
+        val jobWall = jobs.map(j => j.endMs - j.startMs).sum
+        val gapSum = jobs.map(_.gapMs).sum
+        println(f"  JOBS n=${jobs.size} jobWall=$jobWall%5d ms interJobGap=$gapSum%5d ms (driver dwell between jobs)")
+        jobs.sortBy(-_.gapMs).take(8).filter(_.gapMs > 20).foreach { j =>
+          println(f"    gap=${j.gapMs}%5d ms before job=${j.jobId}%3d (job ran ${j.endMs - j.startMs}%4d ms)")
+        }
       }
       println(f"BEST $key wall=$best%.3f")
     }
