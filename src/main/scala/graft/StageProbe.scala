@@ -23,7 +23,7 @@ object StageProbe {
     * lifecycle verbs the r21 probe showed stage walls summing to well
     * under half the key's wall; this column is where the rest lives. */
   final case class JobRow(jobId: Int, startMs: Long, endMs: Long,
-      gapMs: Long)
+      gapMs: Long, site: String)
 
   final class Listener extends SparkListener {
     val rows = ArrayBuffer.empty[StageRow]
@@ -32,17 +32,25 @@ object StageProbe {
     @volatile private var jobStart = Map.empty[Int, Long]
     @volatile private var lastJobEnd = 0L
     def resetClock(): Unit = synchronized { lastJobEnd = 0L }
+    @volatile private var jobSite = Map.empty[Int, String]
     override def onJobStart(e: SparkListenerJobStart): Unit =
       synchronized {
         e.stageIds.foreach(sid => jobOfStage += (sid -> e.jobId))
         jobStart += (e.jobId -> e.time)
+        jobSite += (e.jobId -> Option(e.properties).map { p =>
+          val d = p.getProperty("spark.job.description",
+            p.getProperty("callSite.short", ""))
+          // fall back to the first stage's name (the action call site)
+          if (d.nonEmpty) d.takeWhile(_ != '\n').take(90) else ""
+        }.getOrElse(""))
       }
     override def onJobEnd(e: org.apache.spark.scheduler
         .SparkListenerJobEnd): Unit =
       synchronized {
         val st = jobStart.getOrElse(e.jobId, e.time)
         val gap = if (lastJobEnd == 0) 0 else st - lastJobEnd
-        jobs += JobRow(e.jobId, st, e.time, gap)
+        jobs += JobRow(e.jobId, st, e.time, gap,
+          jobSite.getOrElse(e.jobId, ""))
         lastJobEnd = math.max(lastJobEnd, e.time)
       }
     override def onStageCompleted(e: SparkListenerStageCompleted): Unit =
@@ -93,8 +101,10 @@ object StageProbe {
         val jobWall = jobs.map(j => j.endMs - j.startMs).sum
         val gapSum = jobs.map(_.gapMs).sum
         println(f"  JOBS n=${jobs.size} jobWall=$jobWall%5d ms interJobGap=$gapSum%5d ms (driver dwell between jobs)")
-        jobs.sortBy(-_.gapMs).take(8).filter(_.gapMs > 20).foreach { j =>
-          println(f"    gap=${j.gapMs}%5d ms before job=${j.jobId}%3d (job ran ${j.endMs - j.startMs}%4d ms)")
+        jobs.foreach { j =>
+          val site = if (j.site.nonEmpty) j.site
+            else rows.find(_.jobId == j.jobId).map(_.name).getOrElse("")
+          println(f"    gap=${j.gapMs}%5d ms before job=${j.jobId}%3d (ran ${j.endMs - j.startMs}%4d ms)  $site")
         }
       }
       println(f"BEST $key wall=$best%.3f")

@@ -80,4 +80,29 @@ object Tables {
       df.repartition(parts)
     else df
   }
+
+  /** [[fanOutSmallScan]] with the size DISPATCH taken from a different
+    * frame than the one being fanned. For a frame a few operators past
+    * the scan (a join, a collect_set aggregation) Catalyst's stat
+    * estimate MULTIPLIES through the operators and lands above the
+    * ceiling even when the true data is kilobytes — the r21 StageProbe
+    * showed q_cooccurrence's pair expansion serialized on ONE task
+    * because its post-join docToks estimate blocked the dispatch. The
+    * base SCAN the frame derives from has exact file-size stats and
+    * upper-bounds the derived frame's rows (joins on a key subset and
+    * per-key aggregation only shrink it), so dispatching on the scan is
+    * sound: at warehouse scale the scan is over the ceiling and this is
+    * the identity, exactly as the single-frame form. */
+  def fanOutSmallScan(df: DataFrame, sizeOf: DataFrame): DataFrame = {
+    val s = df.sparkSession
+    val ceiling = s.conf.getOption("spark.graft.fanout.smallScanBytes")
+      .map(_.toLong).getOrElse(FanOutSmallScanBytesDefault)
+    val parts = s.conf.getOption("spark.graft.fanout.parts")
+      .map(_.toInt)
+      .getOrElse(math.min(s.sparkContext.defaultParallelism, 8))
+    if (sizeOf.queryExecution.optimizedPlan.stats.sizeInBytes <=
+        BigInt(ceiling))
+      df.repartition(parts)
+    else df
+  }
 }

@@ -101,8 +101,18 @@ object FlagshipKey {
     import graft.ops.Layout
     val table = estabTable(s, d)
     Layout.dropTable(s, table) // deterministic re-run: fresh history
+    // fanOutSmallScan: zArranged runs THREE passes over its input (the
+    // min/max stats aggregate, the range-partitioner sample, the range
+    // shuffle write) and a single-row-group orders scan serializes all
+    // three on one task (r21 StageProbe: 0.35 + 0.48 s 1-task stages
+    // ahead of the 8-task z write). Size-dispatched — identity at
+    // warehouse scale where the scan already splits. File contents may
+    // regroup across the 8 z-chunks (range bounds are sample-derived);
+    // both load keys aggregate over ALL committed rows, so the oracle
+    // hash is placement-invariant.
     Layout.commitSnapshot(s, table,
-      Layout.zArranged(estab(s, d), "id_municipio", "id_cnae",
+      Layout.zArranged(graft.Tables.fanOutSmallScan(estab(s, d)),
+        "id_municipio", "id_cnae",
         files = 8, buckets = 64),
       statsColumns = Seq("id_municipio", "id_cnae"))
     val m = loadMarker(s, d)

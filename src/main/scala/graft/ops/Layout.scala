@@ -2121,10 +2121,29 @@ object Layout {
       fan.write.mode("overwrite").partitionBy(dups: _*).parquet(txn.toString)
       flattenStagedDirs(fs, txn)
     } else out.write.mode("overwrite").parquet(txn.toString)
+    // record the staged schema so withStats can skip parquet schema
+    // INFERENCE over the just-written files — the r21 StageProbe showed
+    // that inference running as its own 1-task Spark job per commit
+    // (~70-90 ms with scheduling), for files whose schema this method
+    // knows exactly. The fanout writers drop the duplicated __gp_*
+    // partition columns from the data files, so the staged files carry
+    // precisely out.schema minus __gp_* (original column order — the
+    // dups were appended last). Same-JVM planning metadata for an
+    // in-flight commit, not a result cache; bounded (cleared at 64).
+    stagedSchemas.synchronized {
+      if (stagedSchemas.size > 64) stagedSchemas.clear()
+      stagedSchemas(txn.getName) = types.StructType(
+        out.schema.filterNot(_.name.startsWith("__gp_")))
+    }
     fs.listStatus(txn).toSeq
       .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
       .map(st => (s"data/${txn.getName}/${st.getPath.getName}", st.getLen))
   }
+
+  /** txn-dir name → schema of the parquet files staged there by
+    * [[stageTxn]] in this JVM (see the note at the recording site). */
+  private val stagedSchemas =
+    scala.collection.mutable.Map.empty[String, types.StructType]
 
   /** Move every parquet leaf of a dynamic-partition staging tree up
     * into the txn root (metadata renames — no data moves) and drop the
@@ -2830,7 +2849,21 @@ object Layout {
     if (statsAll.isEmpty && !allProps.contains(BloomColumnsProp) &&
         bucketSpec.isEmpty)
       return bare
-    val df = spark.read.parquet(stagedPaths: _*)
+    // skip schema inference when every staged path belongs to ONE txn
+    // dir whose schema stageTxn recorded in this JVM (the overwhelmingly
+    // common case: each verb stats exactly what it just staged) —
+    // inference otherwise runs a footer-reading Spark job per commit.
+    // Fallback to inference is always correct.
+    val txnDirs = staged
+      .map { case (rel, _) => new Path(rel).getParent }
+      .map(p => if (p == null) "" else p.getName).distinct
+    val schemaHint = txnDirs match {
+      case Seq(one) => stagedSchemas.synchronized(stagedSchemas.get(one))
+      case _ => None
+    }
+    val reader = spark.read
+    schemaHint.foreach(reader.schema)
+    val df = reader.parquet(stagedPaths: _*)
     def isIntegral(dt: types.DataType) = dt match {
       case types.ByteType | types.ShortType | types.IntegerType |
            types.LongType => true
@@ -2898,8 +2931,26 @@ object Layout {
         // nullCount alongside NDV (hasCountStats) or the estimator
         // ignores the column entirely
         count(col(c)).as(s"__kn_$c")))
-    val rows = df.groupBy(input_file_name().as("__f"))
-      .agg(aggs.head, aggs.tail: _*).collect()
+    // AQE off for THIS control-plane aggregate only: its reduce side is
+    // ≤ one row per staged file at any scale (per-file min/max/sketch),
+    // so adaptive replanning can never help, and AQE's per-shuffle stage
+    // materialization turns the collect into TWO scheduled jobs — the
+    // r21 StageProbe measured the extra job + replan at ~60-100 ms per
+    // commit across every committing verb. Set/restore on the session:
+    // the engine's verbs are driver-sequential per commit, and a
+    // concurrently PLANNED user query would only momentarily lose AQE
+    // (a plan property, never a result).
+    val rows = {
+      val aqeKey = "spark.sql.adaptive.enabled"
+      val prev = spark.conf.getOption(aqeKey)
+      spark.conf.set(aqeKey, "false")
+      try df.groupBy(input_file_name().as("__f"))
+        .agg(aggs.head, aggs.tail: _*).collect()
+      finally prev match {
+        case Some(v) => spark.conf.set(aqeKey, v)
+        case None => spark.conf.unset(aqeKey)
+      }
+    }
     val rowsIdx = 1 + 2 * present.size + bloomCols.size +
       (if (bucket.isDefined) 3 else 0)
     val rendered: Map[String, String] = rows.map { r =>

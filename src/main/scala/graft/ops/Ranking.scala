@@ -162,9 +162,13 @@ object Ranking {
     // fanOutSmallScan on the per-doc token sets: AQE coalesces the tiny
     // collect_set shuffle to ~1 partition — right for bytes, wrong for
     // the compute-bound HOF pair expansion stacked on it (r21
-    // StageProbe: 0.82 s on one task). Size-dispatched, so at corpus
-    // scale (docToks already wide) it is the identity.
-    val pairs = fanOutSmallScan(docToks)
+    // StageProbe: 1.4 s on one task). Dispatch on the DOCUMENTS SCAN's
+    // exact stats, not docToks' own estimate: the post-join estimate
+    // multiplies above the ceiling even at kilobyte volume, which
+    // silently blocked the fan-out (the r21 probe caught exactly that).
+    // docToks has at most one row per document, so the scan bound is
+    // sound, and at corpus scale the scan is over the ceiling → identity.
+    val pairs = fanOutSmallScan(docToks, documents(s, d))
       .select(explode(expr(
         "flatten(transform(ts, (x, i) -> transform(" +
           "slice(ts, i + 2, size(ts)), y -> struct(x AS t1, y AS t2))))"))
