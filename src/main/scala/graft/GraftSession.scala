@@ -81,6 +81,12 @@ object GraftSession {
       // never load it.
       .config("spark.hadoop.fs.file.impl",
         "graft.hadoop.NioLocalFileSystem")
+      // ... and the FileContext-side registry, which structured
+      // streaming's CheckpointFileManager resolves `file:` through
+      // (offset/commit logs forked one chmod per micro-batch file
+      // without this — see NioLocalFs).
+      .config("spark.hadoop.fs.AbstractFileSystem.file.impl",
+        "graft.hadoop.NioLocalFs")
       .config("spark.ui.enabled", "false")
       .withExtensions(new GraftExtensions)
   }

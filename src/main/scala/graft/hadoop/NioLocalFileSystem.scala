@@ -57,3 +57,45 @@ final class NioRawLocalFileSystem extends RawLocalFileSystem {
 
 final class NioLocalFileSystem
   extends LocalFileSystem(new NioRawLocalFileSystem)
+
+/** The FileContext-side twin (`fs.AbstractFileSystem.file.impl`).
+  * Structured-streaming's CheckpointFileManager prefers FileContext,
+  * which resolves `file:` through AbstractFileSystem — a SEPARATE
+  * registry that `fs.file.impl` never touches, so the offset/commit log
+  * writes of every micro-batch were still forking a chmod per file
+  * (r21 thread dumps: Shell.runCommand under markMicroBatchStart/End).
+  * Mirrors Hadoop's own RawLocalFs: a DelegateToFileSystem over the
+  * fork-free raw fs. The (URI, Configuration) ctor is the reflective
+  * contract AbstractFileSystem.createFileSystem requires. */
+final class NioLocalFs(uri: java.net.URI,
+    conf: org.apache.hadoop.conf.Configuration)
+  extends org.apache.hadoop.fs.DelegateToFileSystem(
+    uri, new NioRawLocalFileSystem, conf, "file", false) {
+  override def getUriDefaultPort: Int = -1
+
+  /** The delegate route (`FileSystem.rename(src, dst, OVERWRITE)`)
+    * consults `getFileLinkStatus`, which on a local fs without
+    * libhadoop forks a `stat`/`ls` PER RENAME — and streaming's
+    * checkpoint manager renames once per micro-batch log file (the
+    * r21 dumps showed Shell.runCommand + ExitCodeException under
+    * renameTempFile). `Files.move(ATOMIC_MOVE, REPLACE_EXISTING)` is
+    * the same atomic-overwrite contract in one syscall. Overwriting a
+    * non-empty directory fails (as it must); renaming INTO an existing
+    * directory keeps the stock move-under semantics. */
+  override def renameInternal(src: org.apache.hadoop.fs.Path,
+      dst: org.apache.hadoop.fs.Path, overwrite: Boolean): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption => O}
+    val s = Paths.get(src.toUri.getPath)
+    val d = Paths.get(dst.toUri.getPath)
+    if (!overwrite && Files.exists(d))
+      throw new org.apache.hadoop.fs.FileAlreadyExistsException(
+        s"rename destination $dst already exists")
+    if (Files.isDirectory(d))
+      // stock semantics: renaming onto an existing dir moves UNDER it
+      // (only legal when empty for overwrite=false — delegate decides)
+      super.renameInternal(src, dst, overwrite)
+    else if (overwrite)
+      Files.move(s, d, O.REPLACE_EXISTING, O.ATOMIC_MOVE)
+    else Files.move(s, d, O.ATOMIC_MOVE)
+  }
+}
